@@ -1,0 +1,286 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.T
+
+/** Relational operator coverage for SURVEY.md §2 — each query is the
+  * Spark-native mapping of one reference operator family, exercised on
+  * the driver test tables with a DuckDB oracle.
+  *
+  * Reference operators covered here (file:line cites are into
+  * /root/reference):
+  *  - istore scan + intrinsic filters (libpdb/pdb-iterator-all.c:332,
+  *    graphd/graphd-match.c) → q01
+  *  - counting / count-having (graphd/graphd-read-set-count.c:21,
+  *    graphd/graphd.h:474-485) → q02, q11, q19
+  *  - nested-loop linkage joins: isa/linksto
+  *    (graphd/graphd-iterator-isa.c:24, -linksto.c:30) → q03
+  *  - existence semi-join (count>=1) / anti (count=0) / optional
+  *    left-outer (graphd/graphd-read-set.c:21-35) → q04, q05, q06
+  *  - or-iterator union (graphd/graphd-iterator-or.c) → q07
+  *  - without set difference (graphd/graphd-iterator-without.c:23) → q08
+  *  - and-iterator intersection (graphd/graphd-iterator-and.c) → q09
+  *  - sort + pagesize/start top-k/offset (graphd/graphd-sort.c:21,
+  *    libgdp/gdp-parse.c:1988-2032) → q10
+  *  - isa dedup/distinct (graphd/graphd-iterator-isa.c:66) → q12
+  *  - newest=0 version window (libpdb/pdb-generation.c,
+  *    graphd/graphd.h:458-472) → q13
+  *  - cursor keyset pagination (graphd/graphd-read-set-cursor.c:22) → q14
+  *  - vrange value inequality scan (graphd/graphd-iterator-vrange.c:28) → q15
+  *  - ~= word/substring match candidates (graphd/graphd-iterator-prefix.c,
+  *    libpdb/pdb-word.c:20) → q16
+  *  - timestamp range + bucketing (graphd/graphd-timestamp.c) → q17
+  *  - guid-set / fixed iterator isin (graphd/graphd-iterator-fixed.c,
+  *    graphd/graphd-guid-set.c) → q18
+  *  - per-parent top-k sort-root (graphd/graphd-sort-root.c:21) → q20
+  */
+object Relational extends QueryPack {
+
+  // Revenue-style double sums are rounded to 2dp on BOTH sides so the
+  // oracle hash-compare is stable across summation orders.
+  def defs: Seq[QueryDef] = Seq(
+
+    QueryDef("q01_scan_filter",
+      (s, dir) => {
+        T(s, dir).lineitem
+          .filter(col("l_quantity") > 45 && col("l_returnflag") === "R")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             |WHERE l_quantity > 45 AND l_returnflag = 'R'""".stripMargin)),
+
+    QueryDef("q02_agg",
+      (s, dir) => {
+        T(s, dir).lineitem
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(col("l_quantity")).as("sum_qty"),
+            count(lit(1)).as("n_rows"),
+            round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  sum(l_quantity) AS sum_qty,
+             |  count(*) AS n_rows,
+             |  round(sum(l_extendedprice), 2) AS sum_price
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin)),
+
+    QueryDef("q03_join_agg",
+      (s, dir) => {
+        val t = T(s, dir)
+        t.orders
+          .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            round(sum(col("o_totalprice")), 2).as("revenue"))
+      },
+      Some("""SELECT n_name, count(*) AS n_orders,
+             |  round(sum(o_totalprice), 2) AS revenue
+             |FROM orders
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name""".stripMargin)),
+
+    QueryDef("q04_semi_join",
+      (s, dir) => {
+        val t = T(s, dir)
+        t.customer
+          .join(t.orders.filter(col("o_orderstatus") === "F"),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"))
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin)),
+
+    QueryDef("q05_anti_join",
+      (s, dir) => {
+        val t = T(s, dir)
+        t.customer
+          .join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"))
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |  WHERE o_custkey = c_custkey)""".stripMargin)),
+
+    QueryDef("q06_outer_join",
+      (s, dir) => {
+        val t = T(s, dir)
+        t.customer
+          .join(t.orders, col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("n_orders"))
+      },
+      Some("""SELECT c_custkey, count(o_orderkey) AS n_orders
+             |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |GROUP BY c_custkey""".stripMargin)),
+
+    QueryDef("q07_union",
+      (s, dir) => {
+        val p = T(s, dir).part
+        p.filter(col("p_size") < 10).select(col("p_partkey"))
+          .union(p.filter(col("p_retailprice") > 1500.0).select(col("p_partkey")))
+          .distinct()
+      },
+      Some("""SELECT p_partkey FROM part WHERE p_size < 10
+             |UNION
+             |SELECT p_partkey FROM part WHERE p_retailprice > 1500.0""".stripMargin)),
+
+    QueryDef("q08_except",
+      (s, dir) => {
+        val o = T(s, dir).orders
+        o.filter(col("o_orderstatus") === "O")
+          .select(col("o_custkey").as("custkey"))
+          .except(o.filter(col("o_orderstatus") === "F")
+            .select(col("o_custkey").as("custkey")))
+      },
+      Some("""SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+             |EXCEPT
+             |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin)),
+
+    QueryDef("q09_intersect",
+      (s, dir) => {
+        val o = T(s, dir).orders
+        o.filter(col("o_orderstatus") === "O")
+          .select(col("o_custkey").as("custkey"))
+          .intersect(o.filter(col("o_orderstatus") === "F")
+            .select(col("o_custkey").as("custkey")))
+      },
+      Some("""SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+             |INTERSECT
+             |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin)),
+
+    QueryDef("q10_topk_offset",
+      (s, dir) => {
+        T(s, dir).orders
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .offset(5).limit(20)
+          .select(col("o_orderkey"), col("o_totalprice"))
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey ASC
+             |LIMIT 20 OFFSET 5""".stripMargin)),
+
+    QueryDef("q11_count_having",
+      (s, dir) => {
+        T(s, dir).orders
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 15)
+      },
+      Some("""SELECT o_custkey, count(*) AS n FROM orders
+             |GROUP BY o_custkey HAVING count(*) >= 15""".stripMargin)),
+
+    QueryDef("q12_distinct",
+      (s, dir) => {
+        T(s, dir).lineitem
+          .select(col("l_returnflag"), col("l_linestatus")).distinct()
+      },
+      Some("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem")),
+
+    QueryDef("q13_window_newest",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        T(s, dir).orders
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("o_custkey"), col("o_orderkey"),
+            to_date(col("o_orderdate")).as("latest_date"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  CAST(o_orderdate AS DATE) AS latest_date
+             |FROM (SELECT *, row_number() OVER
+             |    (PARTITION BY o_custkey
+             |     ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+             |  FROM orders) WHERE rn = 1""".stripMargin)),
+
+    QueryDef("q14_keyset_page",
+      (s, dir) => {
+        val after = java.sql.Timestamp.valueOf("1997-06-01 00:00:00")
+        T(s, dir).orders
+          .filter(col("o_orderdate") > lit(after) ||
+            (col("o_orderdate") === lit(after) && col("o_orderkey") > 300))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+          .limit(50)
+          .select(col("o_orderkey"), to_date(col("o_orderdate")).as("o_date"))
+      },
+      Some("""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date
+             |FROM orders
+             |WHERE (o_orderdate, o_orderkey) > (TIMESTAMP '1997-06-01', 300)
+             |ORDER BY o_orderdate ASC, o_orderkey ASC
+             |LIMIT 50""".stripMargin)),
+
+    QueryDef("q15_value_range",
+      (s, dir) => {
+        T(s, dir).part
+          .filter(col("p_name") >= "g" && col("p_name") < "n")
+          .select(col("p_partkey"), col("p_name"))
+      },
+      Some("""SELECT p_partkey, p_name FROM part
+             |WHERE p_name >= 'g' AND p_name < 'n'""".stripMargin)),
+
+    QueryDef("q16_word_match",
+      (s, dir) => {
+        T(s, dir).part
+          .filter(col("p_name").contains("ge"))
+          .select(col("p_partkey"), col("p_name"))
+      },
+      Some("SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%ge%'")),
+
+    QueryDef("q17_ts_bucket",
+      (s, dir) => {
+        val lo = java.time.Instant.parse("2024-01-10T00:00:00Z")
+        val hi = java.time.Instant.parse("2024-01-20T00:00:00Z")
+        val ev = graft.queries.Util.eventsNanos(T(s, dir).events)
+        val hourNs = 3600L * 1000000000L
+        ev.filter(col("ts_ns") >= lit(lo.getEpochSecond * 1000000000L) &&
+            col("ts_ns") < lit(hi.getEpochSecond * 1000000000L))
+          .groupBy(
+            ((col("ts_ns") - pmod(col("ts_ns"), lit(hourNs))) / lit(1000000000L))
+              .cast("long").as("bucket"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      },
+      Some("""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket,
+             |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+             |FROM events
+             |WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+             |GROUP BY 1, 2""".stripMargin)),
+
+    QueryDef("q18_guid_set",
+      (s, dir) => {
+        T(s, dir).nation
+          .filter(col("n_name").isin("NATION_1", "NATION_7", "NATION_19", "NATION_23"))
+          .select(col("n_nationkey"), col("n_name"))
+      },
+      Some("""SELECT n_nationkey, n_name FROM nation
+             |WHERE n_name IN ('NATION_1', 'NATION_7', 'NATION_19', 'NATION_23')""".stripMargin)),
+
+    QueryDef("q19_count_all",
+      (s, dir) => {
+        T(s, dir).lineitem.agg(count(lit(1)).as("cnt"))
+      },
+      Some("SELECT count(*) AS cnt FROM lineitem")),
+
+    QueryDef("q20_topk_per_parent",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        T(s, dir).orders
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 2)
+          .select(col("o_custkey"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+      },
+      Some("""SELECT o_custkey, rk, o_orderkey, o_totalprice
+             |FROM (SELECT *, row_number() OVER
+             |    (PARTITION BY o_custkey
+             |     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+             |  FROM orders) WHERE rk <= 2""".stripMargin))
+  )
+}
