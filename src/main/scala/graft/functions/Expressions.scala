@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.bridge.{toColumn => column, toExpression => expression}
+import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Catalyst expressions for the reference's comparator surface
+  * (SURVEY.md §2.7, §2.11). Native expressions with codegen — they stay
+  * inside whole-stage codegen instead of breaking the pipeline the way
+  * a Scala UDF would.
+  */
+
+/** Collation key under a named comparator — the engine's analog of
+  * `cmp_sort_compare` (graphd/graphd.h:859-996). `orderBy(sort_key(v))`
+  * gives the reference's sort order; the key is also usable as a
+  * range-scan key (vrange, graphd/graphd-iterator-vrange.c).
+  */
+case class GraphdSortKey(child: Expression, comparator: String)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes() =
+    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  override protected def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(
+      GraphdText.sortKey(comparator, v.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cmp = ctx.addReferenceObj("cmp", comparator, "java.lang.String")
+    defineCodeGen(ctx, ev, c =>
+      s"UTF8String.fromString(graft.functions.GraphdText.sortKey($cmp, $c.toString()))")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GraphdSortKey =
+    copy(child = newChild)
+}
+
+/** `value ~= pattern` word/glob match (graphd-comparator-default.c:57-88). */
+case class GraphdMatch(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes() =
+    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  override protected def nullSafeEval(v: Any, p: Any): Any =
+    GraphdText.matches(v.asInstanceOf[UTF8String].toString,
+      p.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, p) =>
+      s"graft.functions.GraphdText.matches($v.toString(), $p.toString())")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): GraphdMatch =
+    copy(left = l, right = r)
+}
+
+object GraphdFunctions {
+  /** sort/range key under a comparator (default/number/datetime/octet/case) */
+  def sort_key(c: Column, comparator: String = "default"): Column =
+    column(GraphdSortKey(expression(c), comparator))
+
+  /** the reference's `~=` operator */
+  def gmatch(value: Column, pattern: Column): Column =
+    column(GraphdMatch(expression(value), expression(pattern)))
+
+  /** register SQL functions graphd_sort_key / graphd_match */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graphd_sort_key",
+      exprs => GraphdSortKey(exprs.head,
+        exprs.lift(1).map(_.eval(null).toString).getOrElse("default")),
+      "builtin")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graphd_match", exprs => GraphdMatch(exprs.head, exprs(1)), "builtin")
+  }
+}

@@ -1,0 +1,221 @@
+package graft.functions
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Pure-Scala semantics of the reference's comparator vtable
+  * (graphd/graphd.h:859-996) — sort keys, word segmentation and `~=`
+  * matching. Kept free of Spark types so it can be property-tested
+  * directly; the Catalyst wrappers live in Expressions.scala.
+  *
+  * Semantics re-expressed from:
+  *  - default comparator: case-insensitive, word-aware, embedded-number
+  *    normalization ("x9" < "x10"), punctuation elision for matching
+  *    (graphd/graphd-comparator-default.c:57-88)
+  *  - word segmentation: alnum runs, numbers normalized
+  *    (libpdb/pdb-word.c:20-60)
+  *  - number comparator: sign/int/fraction-aware decimal-string compare
+  *    (graphd/graphd-comparator-number.c:547)
+  *  - datetime comparator (graphd/graphd-comparator-datetime.c:856)
+  *  - octet = raw byte compare, case = folded compare
+  *    (graphd-comparator-octet.c:551, -case.c:433)
+  */
+object GraphdText {
+
+  // ---------- word segmentation ----------
+
+  /** Split into lowercase words: runs of letters or runs of digits.
+    * Punctuation and whitespace separate words and are dropped —
+    * "foo-bar" tokenizes like "foo bar" (libpdb/pdb-word.c).
+    */
+  def words(s: String): Seq[String] = {
+    if (s == null) return Nil
+    val out = ArrayBuffer.empty[String]
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (Character.isDigit(c)) {
+        val j = i
+        while (i < n && Character.isDigit(s.charAt(i))) i += 1
+        out += normNumber(s.substring(j, i))
+      } else if (Character.isLetter(c)) {
+        val j = i
+        while (i < n && Character.isLetter(s.charAt(i))) i += 1
+        out += s.substring(j, i).toLowerCase
+      } else i += 1
+    }
+    out.toSeq
+  }
+
+  /** strip leading zeros so "007" and "7" are the same word */
+  private def normNumber(d: String): String = {
+    val t = d.dropWhile(_ == '0')
+    if (t.isEmpty) "0" else t
+  }
+
+  // ---------- sort keys ----------
+
+  /** Default-comparator collation key: lowercase, with each embedded
+    * digit run replaced by (marker, zero-padded length, digits) so that
+    * numeric order becomes lexicographic ("x9" < "x10"); punctuation
+    * kept (it participates in default-order ties).
+    */
+  def defaultSortKey(s: String): String = {
+    if (s == null) return null
+    val sb = new StringBuilder(s.length + 8)
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (Character.isDigit(c)) {
+        val j = i
+        while (i < n && Character.isDigit(s.charAt(i))) i += 1
+        val digits = normNumber(s.substring(j, i))
+        // 0x01 marker sorts digit runs before letters; 4-hex length
+        // prefix makes longer (= larger) numbers sort after shorter.
+        sb.append('\u0001').append(f"${digits.length}%04x").append(digits)
+      } else {
+        sb.append(Character.toLowerCase(c))
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
+  /** Number-comparator key: decimal strings ordered numerically.
+    * Layout: sign section ('1' for >=0, '0' for <0) + 20-digit
+    * zero-padded integer part + '.' + fraction (nines-complemented for
+    * negatives so bigger magnitude sorts earlier). Non-numeric strings
+    * get a '~' prefix (sort after all numbers) and fall back to raw.
+    */
+  def numberSortKey(s: String): String = {
+    if (s == null) return null
+    val t = s.trim
+    val m = NumberRe.findPrefixMatchOf(t)
+    m match {
+      case Some(mm) if mm.matched.length == t.length =>
+        val neg = t.startsWith("-")
+        val intPart = Option(mm.group(2)).getOrElse("0").replaceFirst("^0+(?=.)", "")
+        // strip trailing zeros: "50.0" must key equal to "50"
+        val frac = Option(mm.group(3)).getOrElse("").reverse.dropWhile(_ == '0').reverse
+        val paddedInt = ("0" * (20 - intPart.length)) + intPart
+        val body = paddedInt + "." + frac
+        if (!neg) "1" + body
+        // nines-complement digits; trailing high sentinel makes a
+        // shorter fraction sort AFTER a longer one (-1 > -1.5)
+        else "0" + body.map(ch => if (ch.isDigit) ('9' - ch + '0').toChar else ch) + "~"
+      case _ => "~" + t
+    }
+  }
+  private val NumberRe = raw"([+-]?)(\d+)?(?:\.(\d+))?".r
+
+  /** Datetime-comparator key: parse the reference timestamp shape and
+    * emit a sortable fixed-width form; unparseable → after all dates.
+    */
+  def datetimeSortKey(s: String): String = {
+    if (s == null) return null
+    graft.model.GTimestamp.parse(s) match {
+      case Some(micros) => f"d$micros%020d"
+      case None => "~" + s
+    }
+  }
+
+  def caseSortKey(s: String): String = if (s == null) null else s.toLowerCase
+
+  def sortKey(comparator: String, s: String): String = comparator match {
+    case "number" => numberSortKey(s)
+    case "datetime" => datetimeSortKey(s)
+    case "octet" => s
+    case "case-insensitive" | "case" => caseSortKey(s)
+    case _ => defaultSortKey(s)
+  }
+
+  // ---------- ~= matching ----------
+
+  /** `value ~= pattern` (graphd/graphd-comparator-default.c:57-88):
+    * case-insensitive word-sequence match with punctuation elision.
+    *  - pattern words must appear as a contiguous word subsequence
+    *  - `*` inside a word is an in-word wildcard
+    *  - leading `^` anchors at the first word, trailing `$` at the last
+    *  - numbers are normalized before comparison ("007" matches "7")
+    */
+  def matches(value: String, pattern: String): Boolean = {
+    if (value == null || pattern == null) return false
+    var pat = pattern
+    val anchorStart = pat.startsWith("^")
+    if (anchorStart) pat = pat.substring(1)
+    val anchorEnd = pat.endsWith("$") && !pat.endsWith("\\$")
+    if (anchorEnd) pat = pat.substring(0, pat.length - 1)
+
+    val vw = words(value)
+    val pw = patternWords(pat)
+    if (pw.isEmpty) return true
+
+    def wordMatch(pw: String, vw: String): Boolean =
+      if (pw.contains('*')) globMatch(pw, vw) else pw == vw
+
+    def matchAt(start: Int): Boolean =
+      pw.indices.forall(k => start + k < vw.length && wordMatch(pw(k), vw(start + k)))
+
+    val starts: Seq[Int] =
+      if (anchorStart) Seq(0)
+      else if (anchorEnd) Seq(vw.length - pw.length).filter(_ >= 0)
+      else 0 to (vw.length - pw.length)
+
+    starts.exists { st =>
+      matchAt(st) &&
+        (!anchorEnd || st + pw.length == vw.length) &&
+        (!anchorStart || st == 0)
+    }
+  }
+
+  /** pattern words keep `*` but otherwise tokenize like values */
+  private def patternWords(p: String): Seq[String] = {
+    val out = ArrayBuffer.empty[String]
+    var i = 0
+    val n = p.length
+    while (i < n) {
+      val c = p.charAt(i)
+      if (Character.isLetterOrDigit(c) || c == '*') {
+        val j = i
+        while (i < n && (Character.isLetterOrDigit(p.charAt(i)) || p.charAt(i) == '*')) i += 1
+        val raw = p.substring(j, i)
+        out += (if (raw.forall(_.isDigit)) normNumber(raw) else raw.toLowerCase)
+      } else i += 1
+    }
+    out.toSeq
+  }
+
+  /** simple glob: `*` = any run (including empty) within a word */
+  def globMatch(pat: String, s: String): Boolean = {
+    val parts = pat.split("\\*", -1)
+    if (parts.length == 1) return pat == s
+    var pos = 0
+    // first part must match at start
+    if (parts.head.nonEmpty) {
+      if (!s.startsWith(parts.head)) return false
+      pos = parts.head.length
+    }
+    // middle parts in order
+    for (k <- 1 until parts.length - 1) {
+      val part = parts(k)
+      if (part.nonEmpty) {
+        val idx = s.indexOf(part, pos)
+        if (idx < 0) return false
+        pos = idx + part.length
+      }
+    }
+    // last part must match at end
+    val last = parts.last
+    last.isEmpty || (s.endsWith(last) && s.length - last.length >= pos)
+  }
+
+  /** three-way compare under a named comparator */
+  def compare(comparator: String, a: String, b: String): Int = {
+    val (ka, kb) = (sortKey(comparator, a), sortKey(comparator, b))
+    if (ka == null && kb == null) 0
+    else if (ka == null) -1
+    else if (kb == null) 1
+    else ka.compareTo(kb)
+  }
+}

@@ -1,0 +1,117 @@
+package graft.gql
+
+/** Constraint-tree IR — the Spark engine's rendition of
+  * `graphd_constraint` (graphd/graphd.h:1131-1413) built by the parser
+  * callbacks (graphd/graphd-ast.c). One constraint = one set of
+  * conjunct intrinsic predicates + nested subconstraints related
+  * through a linkage (doc/a-brief-tour-of-graphd.md:149-183).
+  */
+
+/** How a subconstraint connects to its parent
+  * (graphd/graphd.h:1197-1211). `ChildPointsToParent(L)` is written
+  * `(<-L ...)` — the child is a link whose L endpoint is the parent;
+  * `ParentPointsToChild(L)` is written `L->(...)` — the parent's L
+  * endpoint is the child.
+  */
+sealed trait Linkage { def field: String }
+final case class ChildPointsToParent(field: String) extends Linkage
+final case class ParentPointsToChild(field: String) extends Linkage
+
+object Linkage {
+  val fields = Set("left", "right", "typeguid", "scope")
+}
+
+/** node / link-direction meta constraint (libgdp/gdp-parse.c:1980,2013). */
+sealed trait Meta
+case object AnyMeta extends Meta
+case object NodeOnly extends Meta   // left and right both null
+case object ForwardLink extends Meta // `->`: has left
+case object BackwardLink extends Meta // `<-`
+
+/** Tri-state flags: live=/archival= (libgdp/gdp-parse.c:1228-1233). */
+sealed trait Tristate
+case object MustBeTrue extends Tristate
+case object MustBeFalse extends Tristate
+case object DontCare extends Tristate
+
+/** One comparison on the value/name under a comparator
+  * (libgdp/gdp-parse.c:1624-1668).
+  */
+sealed trait StrOp
+case object OpEq extends StrOp
+case object OpNe extends StrOp
+case object OpLt extends StrOp
+case object OpLe extends StrOp
+case object OpGt extends StrOp
+case object OpGe extends StrOp
+case object OpMatch extends StrOp // ~= word/glob match
+
+final case class StrPred(op: StrOp, values: Seq[Option[String]])
+
+/** GUID / linkage-field predicate: equality or exclusion against a set
+  * of serials, possibly null (graphd/graphd-guid-constraint.c,
+  * graphd/graphd.h:487-514). `lineage=true` means `~=` semantics (any
+  * version of the lineage).
+  */
+final case class GuidPred(include: Boolean, serials: Seq[Option[Long]],
+    lineage: Boolean = false)
+
+/** count=/atleast=/optional bounds (graphd/graphd.h:474-485). */
+final case class CountBounds(min: Long = 1L, max: Option[Long] = None)
+
+/** Result pattern (graphd/graphd.h:567-677, libgdp/gdp-parse.c:258-313). */
+sealed trait Pattern
+final case class FieldPat(name: String) extends Pattern // guid value name ...
+final case class LiteralPat(s: String) extends Pattern
+case object ContentsPat extends Pattern
+case object CountPat extends Pattern
+case object CursorPat extends Pattern
+case object EstimateCountPat extends Pattern
+case object NonePat extends Pattern
+final case class VarPat(name: String) extends Pattern
+final case class ListPat(items: Seq[Pattern]) extends Pattern
+final case class PickPat(items: Seq[Pattern]) extends Pattern
+
+object FieldPat {
+  val fields = Set("guid", "name", "type", "typeguid", "value", "valuetype",
+    "datatype", "timestamp", "left", "right", "scope", "live", "archival",
+    "meta", "generation", "previous", "next")
+}
+
+final case class SortKey(pat: Pattern, ascending: Boolean)
+
+final case class Assignment(variable: String, pat: Pattern)
+
+/** One parenthesized constraint with its conjuncts and children. */
+final case class Constraint(
+    linkage: Option[Linkage] = None,
+    meta: Meta = AnyMeta,
+    guid: Seq[GuidPred] = Nil,
+    // linkage-field predicates by field name (left/right/typeguid/scope)
+    linkFields: Map[String, Seq[GuidPred]] = Map.empty,
+    typeNames: Option[Seq[String]] = None, // type="t" (resolved to typeguids)
+    name: Seq[StrPred] = Nil,
+    value: Seq[StrPred] = Nil,
+    datatype: Option[Byte] = None,
+    live: Tristate = MustBeTrue,
+    archival: Tristate = DontCare,
+    timestampMin: Option[(Long, Boolean)] = None, // (micros, inclusive)
+    timestampMax: Option[(Long, Boolean)] = None,
+    newestMin: Option[Long] = Some(0L), // default newest=0
+    newestMax: Option[Long] = Some(0L),
+    oldestEq: Option[Long] = None, // oldest=N: generation counted from old end
+    comparator: String = "default",
+    count: CountBounds = CountBounds(),
+    optional: Boolean = false,
+    isFalse: Boolean = false,
+    result: Option[Pattern] = None,
+    sort: Seq[SortKey] = Nil,
+    pagesize: Option[Long] = None,
+    start: Option[Long] = None,
+    countlimit: Option[Long] = None,
+    assignments: Seq[Assignment] = Nil,
+    subs: Seq[Constraint] = Nil) {
+
+  def effectiveCount: CountBounds =
+    if (optional) count.copy(min = 0L) else count
+}

@@ -1,0 +1,441 @@
+package graft.gql
+
+import graft.model.{Datatype, GTimestamp, Guid}
+
+/** Recursive-descent parser for the read subset of the reference's
+  * query language (grammar: libgdp/gdp-parse.c — verb dispatch :222-248,
+  * constraint keywords :1980-2047; tour examples
+  * doc/a-brief-tour-of-graphd.md:104-183).
+  *
+  * Accepted shape:
+  * {{{
+  *   read ( <conjuncts-and-children> )
+  *   conjunct   := keyword op rhs | meta | linkage-open
+  *   child      := '(' ['<-'field | field'->'] conjuncts ')'
+  *   rhs        := string | atom | number | guid | null | '(' rhs* ')'
+  * }}}
+  */
+object Parser {
+
+  final case class ParseError(msg: String, pos: Int)
+      extends Exception(s"$msg at $pos")
+
+  // ---------------- lexer ----------------
+
+  sealed trait Tok { def pos: Int }
+  final case class TOpen(pos: Int) extends Tok
+  final case class TClose(pos: Int) extends Tok
+  final case class TStr(s: String, pos: Int) extends Tok
+  final case class TAtom(s: String, pos: Int) extends Tok
+  final case class TOp(s: String, pos: Int) extends Tok // = != ~= < <= > >=
+  final case class TArrowIn(pos: Int) extends Tok  // <-
+  final case class TArrowOut(pos: Int) extends Tok // ->
+  final case class TVar(name: String, pos: Int) extends Tok
+  final case class TOr(pos: Int) extends Tok // ||
+
+  def lex(input: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = input.length
+    def isAtomChar(c: Char) =
+      c.isLetterOrDigit || c == '_' || c == '-' || c == '.' || c == ':' || c == '*' || c == '^' || c == '$' || c == '#' || c == '/' || c == '+'
+    while (i < n) {
+      val c = input(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '(') { out += TOpen(i); i += 1 }
+      else if (c == ')') { out += TClose(i); i += 1 }
+      else if (c == '"') {
+        val sb = new StringBuilder
+        var j = i + 1
+        var closed = false
+        while (j < n && !closed) {
+          input(j) match {
+            case '\\' if j + 1 < n => sb.append(input(j + 1)); j += 2
+            case '"' => closed = true; j += 1
+            case ch => sb.append(ch); j += 1
+          }
+        }
+        if (!closed) throw ParseError("unterminated string", i)
+        out += TStr(sb.toString, i); i = j
+      }
+      else if (c == '|' && i + 1 < n && input(i + 1) == '|') { out += TOr(i); i += 2 }
+      else if (c == '<' && i + 1 < n && input(i + 1) == '-') { out += TArrowIn(i); i += 2 }
+      else if (c == '-' && i + 1 < n && input(i + 1) == '>') { out += TArrowOut(i); i += 2 }
+      else if (c == '~' && i + 1 < n && input(i + 1) == '=') { out += TOp("~=", i); i += 2 }
+      else if (c == '!' && i + 1 < n && input(i + 1) == '=') { out += TOp("!=", i); i += 2 }
+      else if (c == '<' || c == '>') {
+        if (i + 1 < n && input(i + 1) == '=') { out += TOp(s"$c=", i); i += 2 }
+        else { out += TOp(c.toString, i); i += 1 }
+      }
+      else if (c == '=') { out += TOp("=", i); i += 1 }
+      else if (c == '$') {
+        var j = i + 1
+        while (j < n && (input(j).isLetterOrDigit || input(j) == '_')) j += 1
+        if (j == i + 1) throw ParseError("bare $", i)
+        out += TVar(input.substring(i + 1, j), i); i = j
+      }
+      else if (isAtomChar(c)) {
+        var j = i
+        // '-' followed by '>' ends the atom (linkage arrow `left->`)
+        while (j < n && isAtomChar(input(j)) &&
+          !(input(j) == '-' && j + 1 < n && input(j + 1) == '>')) j += 1
+        out += TAtom(input.substring(i, j), i); i = j
+      }
+      else throw ParseError(s"unexpected char '$c'", i)
+    }
+    out.result()
+  }
+
+  // ---------------- parser ----------------
+
+  def parseRead(input: String): Constraint = {
+    val toks = lex(input)
+    var k = 0
+    def peek: Option[Tok] = if (k < toks.length) Some(toks(k)) else None
+    def next(): Tok = { val t = toks(k); k += 1; t }
+    def expect[A](pf: PartialFunction[Tok, A], what: String): A = peek match {
+      case Some(t) if pf.isDefinedAt(t) => next(); pf(t)
+      case Some(t) => throw ParseError(s"expected $what, got $t", t.pos)
+      case None => throw ParseError(s"expected $what, got EOF", input.length)
+    }
+
+    // optional leading verb
+    peek match {
+      case Some(TAtom("read", _)) => next()
+      case _ => ()
+    }
+
+    def parseConstraint(linkage: Option[Linkage]): Constraint = {
+      expect({ case t: TOpen => t }, "'('")
+      var c = Constraint(linkage = linkage)
+      var done = false
+      while (!done) {
+        peek match {
+          case None => throw ParseError("unexpected EOF in constraint", input.length)
+          case Some(_: TClose) => next(); done = true
+
+          case Some(_: TOpen) => // bare child constraint
+            c = c.copy(subs = c.subs :+ parseConstraint(None))
+
+          case Some(TArrowIn(_)) => // `<-` or `<-left (...)` / standalone meta
+            next()
+            peek match {
+              case Some(TAtom(f, _)) if Linkage.fields(f) =>
+                next()
+                peek match {
+                  case Some(_: TOpen) =>
+                    // `( <-left ...)` written inline: treat as child with linkage
+                    c = c.copy(subs = c.subs :+
+                      parseConstraint(Some(ChildPointsToParent(f))))
+                  case _ =>
+                    // `<-left` as this constraint's own linkage marker
+                    c = c.copy(linkage = Some(ChildPointsToParent(f)))
+                }
+              case _ => c = c.copy(meta = BackwardLink)
+            }
+
+          case Some(TVar(v, _)) => // $var = pattern
+            next()
+            expect({ case TOp("=", p) => p }, "'='")
+            val pat = parsePattern()
+            c = c.copy(assignments = c.assignments :+ Assignment(v, pat))
+
+          case Some(TAtom(word, pos)) =>
+            next()
+            peek match {
+              case Some(TArrowOut(_)) if Linkage.fields(word) =>
+                next()
+                peek match {
+                  case Some(_: TOpen) =>
+                    c = c.copy(subs = c.subs :+
+                      parseConstraint(Some(ParentPointsToChild(word))))
+                  case Some(TAtom("null", _)) =>
+                    next()
+                    c = addLinkField(c, word, GuidPred(include = true, Seq(None)))
+                  case _ =>
+                    // `(left-> value="x")`: linkage prefix written inside
+                    // the child's own parens, mirroring the `<-left` form
+                    c = c.copy(linkage = Some(ParentPointsToChild(word)))
+                }
+              case Some(TOp(op, _)) =>
+                next()
+                if (word.equalsIgnoreCase("sort") && op == "=")
+                  c = c.copy(sort = c.sort ++ parseSortKeys())
+                else
+                  c = applyKeyword(c, word, op, parseRhs(), pos)
+              case _ =>
+                c = applyBareWord(c, word, pos)
+            }
+
+          case Some(TArrowOut(_)) => next(); c = c.copy(meta = ForwardLink)
+          case Some(TOr(p)) => throw ParseError("'||' not supported yet", p)
+          case Some(t) => throw ParseError(s"unexpected $t", t.pos)
+        }
+      }
+      c
+    }
+
+    // right-hand sides: single value or parenthesized list
+    sealed trait Rhs
+    final case class RVal(s: Option[String]) extends Rhs
+    final case class RList(vs: Seq[Option[String]]) extends Rhs
+    final case class RPattern(p: Pattern) extends Rhs
+
+    def parseRhs(): Rhs = peek match {
+      case Some(TStr(s, _)) => next(); RVal(Some(s))
+      case Some(TAtom("null", _)) => next(); RVal(None)
+      case Some(TAtom(a, _)) => next(); RVal(Some(a))
+      case Some(TVar(v, _)) => next(); RPattern(VarPat(v))
+      case Some(_: TOpen) =>
+        // could be a value list or a result pattern list; parse as raw
+        // tokens then decide: patterns only appear for result=/sort=
+        val start = k
+        next()
+        val vs = Seq.newBuilder[Option[String]]
+        var isList = true
+        var fin = false
+        while (!fin && isList) {
+          peek match {
+            case Some(_: TClose) => next(); fin = true
+            case Some(TStr(s, _)) => next(); vs += Some(s)
+            case Some(TAtom("null", _)) => next(); vs += None
+            case Some(TAtom(a, _)) => next(); vs += Some(a)
+            case _ => isList = false
+          }
+        }
+        if (isList) RList(vs.result())
+        else { k = start; RPattern(parsePattern()) }
+      case Some(t) => throw ParseError(s"bad rhs $t", t.pos)
+      case None => throw ParseError("EOF in rhs", input.length)
+    }
+
+    def parsePattern(): Pattern = peek match {
+      case Some(TStr(s, _)) => next(); LiteralPat(s)
+      case Some(TVar(v, _)) => next(); VarPat(v)
+      case Some(TAtom(a, pos)) =>
+        next()
+        a.toLowerCase match {
+          case "contents" => ContentsPat
+          case "count" => CountPat
+          case "cursor" => CursorPat
+          case "estimate-count" => EstimateCountPat
+          case "none" => NonePat
+          case "literal" =>
+            expect({ case TOp("=", p) => p }, "'=' after literal")
+            val s = expect({ case TStr(s, _) => s }, "string")
+            LiteralPat(s)
+          case "pick" =>
+            expect({ case t: TOpen => t }, "'(' after pick")
+            val items = Seq.newBuilder[Pattern]
+            while (!peek.exists(_.isInstanceOf[TClose])) items += parsePattern()
+            next()
+            PickPat(items.result())
+          case f if FieldPat.fields(f) => FieldPat(f)
+          case other => throw ParseError(s"unknown pattern '$other'", pos)
+        }
+      case Some(_: TOpen) =>
+        next()
+        val items = Seq.newBuilder[Pattern]
+        while (!peek.exists(_.isInstanceOf[TClose])) items += parsePattern()
+        next()
+        ListPat(items.result())
+      case Some(t) => throw ParseError(s"bad pattern $t", t.pos)
+      case None => throw ParseError("EOF in pattern", input.length)
+    }
+
+    def rhsVals(r: Rhs, what: String, pos: Int): Seq[Option[String]] = r match {
+      case RVal(v) => Seq(v)
+      case RList(vs) => vs
+      case RPattern(_) => throw ParseError(s"$what takes values, not a pattern", pos)
+    }
+
+    def rhsGuids(r: Rhs, what: String, pos: Int): Seq[Option[Long]] =
+      rhsVals(r, what, pos).map {
+        case None => None
+        case Some(s) => Guid.serialOf(s) match {
+          case Some(g) => Some(g)
+          case None => throw ParseError(s"bad guid '$s' for $what", pos)
+        }
+      }
+
+    def addLinkField(c: Constraint, f: String, p: GuidPred): Constraint =
+      c.copy(linkFields = c.linkFields.updated(f, c.linkFields.getOrElse(f, Nil) :+ p))
+
+    def strPred(op: String, vs: Seq[Option[String]], pos: Int): StrPred = {
+      val o = op match {
+        case "=" => OpEq
+        case "!=" => OpNe
+        case "<" => OpLt
+        case "<=" => OpLe
+        case ">" => OpGt
+        case ">=" => OpGe
+        case "~=" => OpMatch
+        case other => throw ParseError(s"bad string op $other", pos)
+      }
+      StrPred(o, vs)
+    }
+
+    def tsBound(op: String, v: Option[String], c: Constraint, pos: Int): Constraint = {
+      val micros = v.flatMap(GTimestamp.parse).getOrElse(
+        throw ParseError(s"bad timestamp '$v'", pos))
+      op match {
+        case ">" => c.copy(timestampMin = Some((micros, false)))
+        case ">=" => c.copy(timestampMin = Some((micros, true)))
+        case "<" => c.copy(timestampMax = Some((micros, false)))
+        case "<=" => c.copy(timestampMax = Some((micros, true)))
+        case "=" => c.copy(timestampMin = Some((micros, true)),
+          timestampMax = Some((micros, true)))
+        case other => throw ParseError(s"bad timestamp op $other", pos)
+      }
+    }
+
+    def longOf(v: Option[String], pos: Int): Long =
+      v.flatMap(s => scala.util.Try(s.toLong).toOption)
+        .getOrElse(throw ParseError("expected integer", pos))
+
+    def applyKeyword(c0: Constraint, word: String, op: String, rhs: Rhs,
+        pos: Int): Constraint = {
+      var c = c0
+      val wl = word.toLowerCase
+      wl match {
+        case "guid" =>
+          val gs = rhsGuids(rhs, "guid", pos)
+          op match {
+            case "=" => c.copy(guid = c.guid :+ GuidPred(include = true, gs))
+            case "!=" => c.copy(guid = c.guid :+ GuidPred(include = false, gs))
+            case "~=" => c.copy(guid = c.guid :+ GuidPred(include = true, gs, lineage = true))
+            case o => throw ParseError(s"guid does not support $o", pos)
+          }
+        case "left" | "right" | "typeguid" | "scope" =>
+          val gs = rhsGuids(rhs, wl, pos)
+          op match {
+            case "=" => addLinkField(c, wl, GuidPred(include = true, gs))
+            case "!=" => addLinkField(c, wl, GuidPred(include = false, gs))
+            case o => throw ParseError(s"$wl does not support $o", pos)
+          }
+        case "type" =>
+          op match {
+            case "=" =>
+              val names = rhsVals(rhs, "type", pos).flatten
+              c.copy(typeNames = Some(c.typeNames.getOrElse(Nil) ++ names))
+            case o => throw ParseError(s"type does not support $o", pos)
+          }
+        case "name" => c.copy(name = c.name :+ strPred(op, rhsVals(rhs, "name", pos), pos))
+        case "value" => c.copy(value = c.value :+ strPred(op, rhsVals(rhs, "value", pos), pos))
+        case "datatype" | "valuetype" =>
+          val v = rhsVals(rhs, wl, pos).head
+            .getOrElse(throw ParseError("datatype needs a value", pos))
+          val dt = Datatype.code(v).getOrElse(throw ParseError(s"bad datatype $v", pos))
+          c.copy(datatype = Some(dt))
+        case "live" | "archival" =>
+          val v = rhsVals(rhs, wl, pos).head.map(_.toLowerCase)
+          val t = v match {
+            case Some("true") => MustBeTrue
+            case Some("false") => MustBeFalse
+            case Some("dontcare") => DontCare
+            case other => throw ParseError(s"bad flag value $other", pos)
+          }
+          if (wl == "live") c.copy(live = t) else c.copy(archival = t)
+        case "timestamp" => tsBound(op, rhsVals(rhs, "timestamp", pos).head, c, pos)
+        case "newest" =>
+          val v = longOf(rhsVals(rhs, "newest", pos).head, pos)
+          op match {
+            case "=" => c.copy(newestMin = Some(v), newestMax = Some(v))
+            case ">=" => c.copy(newestMin = Some(v), newestMax = None)
+            case "<=" => c.copy(newestMin = Some(0), newestMax = Some(v))
+            case o => throw ParseError(s"newest does not support $o", pos)
+          }
+        case "oldest" =>
+          val v = longOf(rhsVals(rhs, "oldest", pos).head, pos)
+          op match {
+            case "=" => c.copy(newestMin = None, newestMax = None, oldestEq = Some(v))
+            case o => throw ParseError(s"oldest does not support $o", pos)
+          }
+        case "count" =>
+          val v = longOf(rhsVals(rhs, "count", pos).head, pos)
+          op match {
+            case "=" => c.copy(count = CountBounds(v, Some(v)))
+            case ">=" => c.copy(count = c.count.copy(min = v))
+            case "<=" => c.copy(count = c.count.copy(max = Some(v)))
+            case ">" => c.copy(count = c.count.copy(min = v + 1))
+            case "<" => c.copy(count = c.count.copy(max = Some(v - 1)))
+            case o => throw ParseError(s"count does not support $o", pos)
+          }
+        case "atleast" => c.copy(count = c.count.copy(min = longOf(rhsVals(rhs, "atleast", pos).head, pos)))
+        case "pagesize" | "resultpagesize" => c.copy(pagesize = Some(longOf(rhsVals(rhs, wl, pos).head, pos)))
+        case "start" => c.copy(start = Some(longOf(rhsVals(rhs, "start", pos).head, pos)))
+        case "countlimit" => c.copy(countlimit = Some(longOf(rhsVals(rhs, "countlimit", pos).head, pos)))
+        case "comparator" | "value-comparator" =>
+          c.copy(comparator = rhsVals(rhs, wl, pos).head.getOrElse("default"))
+        case "result" =>
+          rhs match {
+            case RPattern(p) => c.copy(result = Some(p))
+            case RVal(Some(s)) => c.copy(result = Some(
+              if (FieldPat.fields(s)) FieldPat(s)
+              else s match {
+                case "contents" => ContentsPat
+                case "count" => CountPat
+                case "none" => NonePat
+                case other => throw ParseError(s"unknown result '$other'", pos)
+              }))
+            case RList(vs) =>
+              // list of bare atoms got eagerly consumed as values; re-wrap
+              c.copy(result = Some(ListPat(vs.map {
+                case Some(s) if FieldPat.fields(s) => FieldPat(s)
+                case Some("contents") => ContentsPat
+                case Some("count") => CountPat
+                case Some("none") => NonePat
+                case other => throw ParseError(s"unknown result item '$other'", pos)
+              })))
+            case _ => throw ParseError("bad result pattern", pos)
+          }
+        case other => throw ParseError(s"unknown keyword '$other'", pos)
+      }
+    }
+
+    // sort=(value -name $v -$w) — `-X` descends; `-$v` lexes as
+    // atom "-" followed by a var token, so parse keys token-wise
+    // (libgdp/gdp-parse.c:2031, graphd/graphd-sort-compile.c).
+    def parseSortKeys(): Seq[SortKey] = peek match {
+      case Some(_: TOpen) =>
+        next()
+        val keys = Seq.newBuilder[SortKey]
+        while (!peek.exists(_.isInstanceOf[TClose])) keys += parseOneSortKey()
+        next()
+        keys.result()
+      case _ => Seq(parseOneSortKey())
+    }
+
+    def parseOneSortKey(): SortKey = peek match {
+      case Some(TAtom("-", _)) =>
+        next()
+        parseOneSortKey().copy(ascending = false)
+      case Some(TVar(v, _)) => next(); SortKey(VarPat(v), ascending = true)
+      case Some(TAtom(s, p)) => next(); sortKeyOf(s, p)
+      case Some(TStr(s, p)) => next(); sortKeyOf(s, p)
+      case t => throw ParseError(s"bad sort key $t", t.map(_.pos).getOrElse(0))
+    }
+
+    def sortKeyOf(s: String, pos: Int): SortKey = {
+      val (asc, f) = if (s.startsWith("-")) (false, s.drop(1)) else (true, s)
+      if (FieldPat.fields(f)) SortKey(FieldPat(f), asc)
+      else if (f.startsWith("$")) SortKey(VarPat(f.drop(1)), asc)
+      else throw ParseError(s"bad sort key '$s'", pos)
+    }
+
+    def applyBareWord(c: Constraint, word: String, pos: Int): Constraint =
+      word.toLowerCase match {
+        case "node" => c.copy(meta = NodeOnly)
+        case "any" => c.copy(meta = AnyMeta)
+        case "optional" => c.copy(optional = true)
+        case "false" => c.copy(isFalse = true)
+        case other => throw ParseError(s"unknown word '$other'", pos)
+      }
+
+    val root = parseConstraint(None)
+    peek match {
+      case Some(t) => throw ParseError(s"trailing tokens $t", t.pos)
+      case None => root
+    }
+  }
+}

@@ -1,0 +1,370 @@
+package graft.plan
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraphdFunctions.{gmatch, sort_key}
+import graft.gql._
+import graft.model.Guid
+import graft.store.GraphStore
+
+/** Constraint tree → DataFrame plan (SURVEY.md §3.1 Spark mapping).
+  *
+  * The reference evaluates a constraint tree as an optimized
+  * nested-loop join over index iterators
+  * (doc/a-brief-tour-of-graphd.md:179-189, graphd/graphd-read-set.c:21).
+  * Here every constraint becomes a filtered scan of the primitives
+  * table and every parent-child linkage becomes an equi-join on a Long
+  * column, aggregated per parent for `contents`/`count` — Catalyst
+  * picks the physical join (broadcast/shuffle-hash/sort-merge) and AQE
+  * re-plans at runtime, replacing the reference's hand-rolled
+  * cost-model ("and"-iterator statistics, graphd-iterator-and-statistics.c).
+  *
+  * Iterator-zoo mapping:
+  *  - and-iterator          → conjunct Column predicates (one scan)
+  *  - isa / linksto         → the two join directions below
+  *  - or-iterator           → union of branch plans (value lists here)
+  *  - without               → count=0 anti-join
+  *  - fixed / idset         → `isin` literal sets
+  *  - vrange                → range predicate on `sort_key(value, cmp)`
+  *  - prefix/word `~=`      → GraphdMatch predicate (inverted-index
+  *                            candidate pruning is a later optimization)
+  */
+object ReadPlanner {
+
+  /** Plan a read and shape the root result. */
+  def plan(store: GraphStore, root: Constraint): DataFrame = {
+    val solved = solve(store, root, 0)
+    shapeRoot(solved, root)
+  }
+
+  def plan(store: GraphStore, query: String): DataFrame =
+    plan(store, Parser.parseRead(query))
+
+  // ------------------------------------------------------------------
+  // per-constraint evaluation
+  // ------------------------------------------------------------------
+
+  /** DataFrame of primitives satisfying constraint `c` (its own
+    * intrinsics AND its subconstraints), with variable columns
+    * (`__var_*`) and a per-child contents column (`__contents_i`).
+    */
+  private def solve(store: GraphStore, c: Constraint, depth: Int): DataFrame = {
+    var df = base(store, c)
+
+    // subconstraints: join + per-parent aggregation
+    c.subs.zipWithIndex.foreach { case (sub, i) =>
+      df = attachChild(store, df, sub, i, depth)
+    }
+
+    // variables assigned at THIS level (from own fields)
+    c.assignments.foreach { a =>
+      df = df.withColumn(varCol(a.variable), fieldExpr(a.pat, c))
+    }
+    df
+  }
+
+  /** intrinsic predicates only — the reference's per-candidate check
+    * (graphd/graphd-match.c) expressed as one conjunctive filter.
+    */
+  private def base(store: GraphStore, c: Constraint): DataFrame = {
+    // generation / liveness view
+    var df =
+      if (!store.versioned) {
+        // single-version store (known at ingest): generation is always
+        // 0, so any generation constraint either keeps all or nothing —
+        // skips the per-lineage window entirely.
+        val genOk = c.oldestEq.forall(_ == 0L) &&
+          c.newestMin.forall(_ <= 0L) && c.newestMax.forall(_ >= 0L)
+        if (genOk) store.all else store.all.filter(lit(false))
+      } else if (c.oldestEq.isDefined || c.newestMin != Some(0L) || c.newestMax != Some(0L)) {
+        val g = GraphStore.withGeneration(store.all)
+        val byOldest = c.oldestEq.map(n => g.filter(col("age_oldest") === n))
+        val byNewest = byOldest.getOrElse {
+          var x = g
+          c.newestMin.foreach(n => x = x.filter(col("generation") >= n))
+          c.newestMax.foreach(n => x = x.filter(col("generation") <= n))
+          x
+        }
+        byNewest.drop("generation", "age_oldest")
+      } else GraphStore.newestPerLineage(store.all)
+
+    df = c.live match {
+      case MustBeTrue => df.filter(col("live"))
+      case MustBeFalse => df.filter(!col("live"))
+      case DontCare => df
+    }
+    df = c.archival match {
+      case MustBeTrue => df.filter(col("archival"))
+      case MustBeFalse => df.filter(!col("archival"))
+      case DontCare => df
+    }
+    if (c.isFalse) df = df.filter(lit(false))
+
+    df = c.meta match {
+      case NodeOnly => df.filter(col("left").isNull && col("right").isNull)
+      case ForwardLink | BackwardLink => df.filter(col("left").isNotNull)
+      case AnyMeta => df
+    }
+
+    // guid constraints (graphd/graphd-guid-constraint.c)
+    c.guid.foreach { g =>
+      val serials = g.serials.flatten
+      if (g.lineage) {
+        // guid~=G : any version in G's lineage — resolve G's lineage ids
+        val lineages = store.all.filter(col("id").isin(serials.map(Long.box): _*))
+          .select(col("lineage")).distinct()
+        df = df.join(lineages, df("lineage") === lineages("lineage"),
+          if (g.include) "left_semi" else "left_anti")
+      } else {
+        val pred = col("id").isin(serials.map(Long.box): _*)
+        df = df.filter(if (g.include) pred else !pred)
+      }
+    }
+
+    // linkage-field constraints (left= right= typeguid= scope=)
+    c.linkFields.foreach { case (f, preds) =>
+      preds.foreach { p =>
+        val nonNull = p.serials.flatten
+        val hasNull = p.serials.contains(None)
+        val incl: Column = {
+          val in = if (nonNull.nonEmpty) col(f).isin(nonNull.map(Long.box): _*) else lit(false)
+          if (hasNull) col(f).isNull || in else in
+        }
+        df = df.filter(if (p.include) incl
+        else (if (hasNull) col(f).isNotNull else col(f).isNull || !incl))
+      }
+    }
+
+    // type="name" → resolve names to type-node ids at plan time, like
+    // the reference's semantic phase (graphd/graphd-read.c:28-37);
+    // an unresolvable name short-circuits to the empty set (con_false,
+    // graphd/graphd.h:1235-1251 → PropagateEmptyRelation).
+    c.typeNames.foreach { names =>
+      val ids = store.current
+        .filter(col("left").isNull && col("name").isin(names: _*))
+        .select("id").collect().map(_.getLong(0))
+      df =
+        if (ids.isEmpty) df.filter(lit(false))
+        else df.filter(col("typeguid").isin(ids.map(Long.box): _*))
+    }
+
+    c.datatype.foreach(dt => df = df.filter(col("datatype") === dt))
+
+    df = strFilter(df, col("name"), c.name, c.comparator)
+    df = strFilter(df, col("value"), c.value, c.comparator)
+
+    c.timestampMin.foreach { case (m, incl) =>
+      df = df.filter(if (incl) col("timestamp") >= m else col("timestamp") > m)
+    }
+    c.timestampMax.foreach { case (m, incl) =>
+      df = df.filter(if (incl) col("timestamp") <= m else col("timestamp") < m)
+    }
+    df
+  }
+
+  private def strFilter(df0: DataFrame, column: Column, preds: Seq[StrPred],
+      comparator: String): DataFrame = {
+    var df = df0
+    preds.foreach { p =>
+      val pred: Column = p.op match {
+        case OpEq =>
+          p.values.map {
+            case Some(v) => column === v
+            case None => column.isNull
+          }.reduce(_ || _)
+        case OpNe =>
+          p.values.map {
+            case Some(v) => !(column <=> v)
+            case None => column.isNotNull
+          }.reduce(_ && _)
+        case OpMatch =>
+          p.values.flatten.map(v => gmatch(column, lit(v))).reduce(_ || _)
+        case rangeOp =>
+          val v = p.values.flatten.headOption.getOrElse("")
+          val key = sort_key(column, comparator)
+          val vk = sort_key(lit(v), comparator)
+          rangeOp match {
+            case OpLt => key < vk
+            case OpLe => key <= vk
+            case OpGt => key > vk
+            case OpGe => key >= vk
+            case _ => lit(true)
+          }
+      }
+      df = df.filter(pred)
+    }
+    df
+  }
+
+  // ------------------------------------------------------------------
+  // parent-child join + contents aggregation
+  // ------------------------------------------------------------------
+
+  private def varCol(name: String) = s"__var_$name"
+
+  /** Join child constraint `sub` (index i) to `parent`, enforcing count
+    * bounds and attaching `__contents_i`, `__count_i` and bubbled
+    * variable columns. (graphd/graphd-read-set.c nested-loop → join.)
+    */
+  private def attachChild(store: GraphStore, parent: DataFrame, sub: Constraint,
+      i: Int, depth: Int): DataFrame = {
+    val child = solve(store, sub, depth + 1)
+    val bounds = sub.effectiveCount
+    val childVars = child.columns.filter(_.startsWith("__var_")).toSeq
+
+    // ordering key for contents determinism: child sort, else id
+    val childOrd: Column = sub.sort.headOption.map(sk => sortExpr(sk, sub))
+      .getOrElse(col("id"))
+
+    val contentsStruct = struct(
+      childOrd.as("__ord") +:
+        resultFields(sub).map { case (n, e) => e.as(n) }: _*)
+
+    val resultNames = resultFields(sub).map(_._1)
+
+    sub.linkage match {
+      case Some(ChildPointsToParent(f)) =>
+        // child is a link whose `f` endpoint is the parent (fan-in —
+        // the reference's linksto join, graphd-iterator-linksto.c).
+        val aggCols: Seq[Column] =
+          Seq(count(lit(1)).as(s"__count_$i"),
+            sortedContents(contentsStruct, resultNames, sub).as(s"__contents_$i")) ++
+            childVars.map(v => min(struct(col("id"), col(v))).getField(v).as(v))
+        val agg = child.filter(col(f).isNotNull)
+          .groupBy(col(f).as(s"__pk_$i"))
+          .agg(aggCols.head, aggCols.tail: _*)
+        joinWithBounds(parent, agg, parent("id") === agg(s"__pk_$i"), bounds, i)
+
+      case Some(ParentPointsToChild(f)) =>
+        // parent's `f` endpoint must be a child match (the reference's
+        // isa join, graphd-iterator-isa.c) — at most one per parent.
+        val aggCols: Seq[Column] =
+          Seq(count(lit(1)).as(s"__count_$i"),
+            sortedContents(contentsStruct, resultNames, sub).as(s"__contents_$i")) ++
+            childVars.map(v => first(col(v)).as(v))
+        val agg = child
+          .groupBy(col("id").as(s"__pk_$i"))
+          .agg(aggCols.head, aggCols.tail: _*)
+        joinWithBounds(parent, agg, parent(f) === agg(s"__pk_$i"), bounds, i)
+
+      case None =>
+        // linkage-less child: a global existence subquery
+        val cnt = child.agg(count(lit(1)).as(s"__count_$i"))
+        val ok = cnt.filter(boundsPred(col(s"__count_$i"), bounds))
+        parent.join(broadcast(ok.select(lit(1).as(s"__ok_$i"))), lit(true), "left_semi")
+    }
+  }
+
+  /** collect children ordered by their sort key (leading `__ord` struct
+    * field drives sort_array), apply per-level pagesize, then strip the
+    * ordering field (graphd contents ordering, graphd/graphd-sort.c).
+    */
+  private def sortedContents(contentsStruct: Column, resultNames: Seq[String],
+      sub: Constraint): Column = {
+    val sorted = sort_array(collect_list(contentsStruct))
+    val paged = sub.pagesize.map(n => slice(sorted, 1, n.toInt)).getOrElse(sorted)
+    transform(paged, x =>
+      struct(resultNames.map(n => x.getField(n).as(n)): _*))
+  }
+
+  private def joinWithBounds(parent: DataFrame, agg: DataFrame, cond: Column,
+      bounds: CountBounds, i: Int): DataFrame = {
+    val cnt = coalesce(col(s"__count_$i"), lit(0L))
+    if (bounds.min == 0 && bounds.max.isEmpty) {
+      // optional → left outer, no filter
+      parent.join(agg, cond, "left_outer").drop(s"__pk_$i")
+    } else if (bounds.max.contains(0L)) {
+      // count=0 → anti-join (reference: without-iterator)
+      parent.join(agg, cond, "left_anti")
+    } else if (bounds.min == 1 && bounds.max.isEmpty) {
+      // plain existence: inner join against aggregated child
+      parent.join(agg, cond, "inner").drop(s"__pk_$i")
+    } else {
+      parent.join(agg, cond, "left_outer")
+        .filter(boundsPred(cnt, bounds)).drop(s"__pk_$i")
+    }
+  }
+
+  private def boundsPred(cnt: Column, b: CountBounds): Column = {
+    val lo = cnt >= b.min
+    b.max.map(m => lo && cnt <= m).getOrElse(lo)
+  }
+
+  // ------------------------------------------------------------------
+  // result shaping
+  // ------------------------------------------------------------------
+
+  /** result fields for a constraint (used when it is aggregated into a
+    * parent's contents); defaults to ((guid contents)) per
+    * doc/gr-protocol.txt:876-880 — here: value then guid, flat.
+    */
+  private def resultFields(c: Constraint): Seq[(String, Column)] = {
+    val pat = c.result.getOrElse(ListPat(Seq(FieldPat("guid"), FieldPat("value"))))
+    flatten(pat).zipWithIndex.flatMap {
+      case (ContentsPat, _) =>
+        c.subs.indices.map(i => s"contents_$i" -> col(s"__contents_$i"))
+      case (p, idx) => Seq(patName(p, idx) -> fieldExpr(p, c))
+    }
+  }
+
+  private def flatten(p: Pattern): Seq[Pattern] = p match {
+    case ListPat(items) => items.flatMap(flatten)
+    case other => Seq(other)
+  }
+
+  private def patName(p: Pattern, idx: Int): String = p match {
+    case FieldPat(f) => f
+    case VarPat(v) => v
+    case LiteralPat(_) => s"lit_$idx"
+    case CountPat => "count"
+    case _ => s"c_$idx"
+  }
+
+  /** pattern → Column over a solved constraint frame */
+  private def fieldExpr(p: Pattern, c: Constraint): Column = p match {
+    case FieldPat("guid") => col("id")
+    case FieldPat("type") | FieldPat("typeguid") => col("typeguid")
+    case FieldPat("valuetype") | FieldPat("datatype") => col("datatype")
+    case FieldPat("generation") => lit(0L) // newest view default
+    case FieldPat("previous") => col("prev")
+    case FieldPat("meta") =>
+      when(col("left").isNull && col("right").isNull, "node").otherwise("link")
+    case FieldPat(f) => col(f) // name value timestamp left right scope live archival
+    case LiteralPat(s) => lit(s)
+    case VarPat(v) => col(varCol(v))
+    case PickPat(items) => coalesce(items.map(fieldExpr(_, c)): _*)
+    case NonePat => lit(null)
+    case ContentsPat => col("__contents_0")
+    case CountPat => lit(null) // set-level; handled at root
+    case other => throw new IllegalArgumentException(s"bad field pattern $other")
+  }
+
+  private def sortExpr(sk: SortKey, c: Constraint): Column = {
+    val e = sk.pat match {
+      case FieldPat("value") => sort_key(col("value"), c.comparator)
+      case FieldPat("name") => sort_key(col("name"), c.comparator)
+      case other => fieldExpr(other, c)
+    }
+    e
+  }
+
+  private def shapeRoot(df: DataFrame, c: Constraint): DataFrame = {
+    // set-level count result (result=count → one row)
+    val pat = c.result.getOrElse(ListPat(Seq(FieldPat("guid"), FieldPat("value"))))
+    if (flatten(pat) == Seq(CountPat))
+      return df.agg(count(lit(1)).as("count"))
+
+    var out = df
+    // root sort (graphd/graphd-sort.c) with id tiebreak for determinism
+    val orderCols: Seq[Column] =
+      c.sort.map(sk => if (sk.ascending) sortExpr(sk, c).asc_nulls_last
+        else sortExpr(sk, c).desc_nulls_last) :+ col("id").asc
+    out = out.orderBy(orderCols: _*)
+    c.start.foreach(n => out = out.offset(n.toInt))
+    c.pagesize.foreach(n => out = out.limit(n.toInt))
+
+    val cols = resultFields(c).map { case (n, e) => e.as(n) }
+    out.select(cols: _*)
+  }
+}

@@ -1,0 +1,129 @@
+package graft.store
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.{Guid, Primitive}
+
+/** The primitives table plus its derived views — the Spark rendition of
+  * the reference's istore + index layer (libaddb/addb-istore.h,
+  * libpdb/pdb.h). One append-only table, everything else is a
+  * declarative view Catalyst can push into.
+  *
+  * Scale notes (100 TB design):
+  *  - persisted partitioned by `id_part = id >> PartShift` — the analog
+  *    of the reference's 1024 istore partitions of 16M primitives
+  *    (libaddb/addb-istore.h:22-24). Gives partition pruning for
+  *    id-range scans (asof/dateline horizons are id predicates).
+  *  - every linkage access path (the reference's gmap/hmap/VIP indexes,
+  *    libpdb/pdb-iterator-gmap.c, pdb-vip.c) is an equi-join on a Long
+  *    column; at cluster scale the table would additionally be bucketed
+  *    by `left`/`right` for shuffle-free fan-in joins.
+  */
+final case class GraphStore(spark: SparkSession, primitives: DataFrame,
+    versioned: Boolean = true) {
+  import GraphStore._
+
+  /** Default visibility: current (newest) live versions only —
+    * the reference's default `newest=0 live=true` view
+    * (graphd/graphd.h:458-472, doc/gr-model.txt:136-152).
+    * `versioned=false` (no prev-chains in the table — known at ingest,
+    * like the reference's generation index) skips the window entirely.
+    */
+  def current: DataFrame =
+    (if (versioned) newestPerLineage(primitives) else primitives)
+      .filter(col("live"))
+
+  /** All versions, tombstones included (live=dontcare newest>=0). */
+  def all: DataFrame = primitives
+
+  /** Snapshot as of an id horizon — `asof=`/dateline time travel
+    * (doc/gr-protocol.txt:203-221): drop everything written after the
+    * horizon, then re-resolve newest/live. Pure id-range predicate, so
+    * partition pruning applies.
+    */
+  def asOf(horizon: Long): GraphStore =
+    copy(primitives = primitives.filter(col("id") <= horizon))
+
+  def nodes: DataFrame = current.filter(col("left").isNull)
+  def links: DataFrame = current.filter(col("left").isNotNull)
+
+  /** Newest version of each lineage regardless of liveness — used by
+    * `guid~=` resolution (doc/gr-model.txt:29-51).
+    */
+  def newestAll: DataFrame = newestPerLineage(primitives)
+
+  def save(path: String): Unit =
+    primitives
+      .withColumn("id_part", shiftright(col("id"), PartShift).cast("int"))
+      .repartition(col("id_part"))
+      .write.mode(SaveMode.Overwrite).partitionBy("id_part").parquet(path)
+}
+
+object GraphStore {
+  /** 2^20 primitives per storage partition (reference: 16M per istore
+    * partition; smaller here so local tests exercise pruning).
+    */
+  val PartShift = 20
+
+  def load(spark: SparkSession, path: String): GraphStore =
+    GraphStore(spark, spark.read.parquet(path).drop("id_part"))
+
+  def fromSeq(spark: SparkSession, ps: Seq[Primitive]): GraphStore = {
+    import spark.implicits._
+    GraphStore(spark, resolveLineage(spark, ps.toDS().toDF()))
+  }
+
+  def fromDf(spark: SparkSession, df: DataFrame,
+      versioned: Boolean = true): GraphStore =
+    GraphStore(spark, df, versioned)
+
+  /** newest=0 view: keep the row with max id per lineage
+    * (libpdb/pdb-generation.c re-expressed as a window; at scale this
+    * is one shuffle on `lineage`, or free if the table is bucketed by
+    * lineage).
+    */
+  def newestPerLineage(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("lineage")).orderBy(col("id").desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Generation window: generation 0 = newest … n = oldest, used by
+    * `newest=`/`oldest=` constraints (graphd/graphd.h:458-472).
+    */
+  def withGeneration(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("lineage")).orderBy(col("id").desc)
+    val wAsc = Window.partitionBy(col("lineage")).orderBy(col("id").asc)
+    df.withColumn("generation", row_number().over(w) - 1)
+      .withColumn("age_oldest", row_number().over(wAsc) - 1)
+  }
+
+  /** Fill the `lineage` column for a batch whose `prev` pointers may
+    * reference rows in the same batch: iterative pointer-halving
+    * (converging self-join), the standard Spark pattern for bounded
+    * chain resolution. Chains are typically short (version depth), so
+    * this converges in O(log depth) joins.
+    */
+  def resolveLineage(spark: SparkSession, df0: DataFrame): DataFrame = {
+    var cur = df0.withColumn("__root",
+      coalesce(col("prev"), col("id")))
+    var done = false
+    var iter = 0
+    while (!done && iter < 40) {
+      val parents = cur.select(col("id").as("__pid"), col("__root").as("__proot"))
+      // localCheckpoint truncates the growing join lineage so the plan
+      // stays O(1) per iteration.
+      val next = cur.join(parents, cur("__root") === parents("__pid"), "left")
+        .withColumn("__root2", coalesce(col("__proot"), col("__root")))
+        .drop("__pid", "__proot")
+        .localCheckpoint()
+      val changed = next.filter(col("__root2") =!= col("__root")).limit(1).count()
+      cur = next.withColumn("__root", col("__root2")).drop("__root2")
+      done = changed == 0
+      iter += 1
+    }
+    cur.withColumn("lineage", col("__root")).drop("__root")
+  }
+}

@@ -1,0 +1,107 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraphdText
+import graft.model.{GTimestamp, Guid}
+
+/** Comparator semantics vs the reference's documented rules
+  * (graphd/graphd-comparator-default.c:57-88, libpdb/pdb-word.c,
+  * test corpus: compare*, substring*, spacematch, numbermatch).
+  */
+class TextSpec extends AnyFunSuite {
+
+  test("word segmentation elides punctuation and case") {
+    assert(GraphdText.words("Foo-Bar baz") == Seq("foo", "bar", "baz"))
+    assert(GraphdText.words("foo  bar") == Seq("foo", "bar"))
+    assert(GraphdText.words("x9y") == Seq("x", "9", "y"))
+    assert(GraphdText.words("007 bond") == Seq("7", "bond"))
+    assert(GraphdText.words("") == Nil)
+  }
+
+  test("default comparator: embedded numbers order numerically") {
+    val k = GraphdText.defaultSortKey _
+    assert(k("x9") < k("x10"))      // the canonical case
+    assert(k("x10") < k("x11"))
+    assert(k("a2b") < k("a10b"))
+    assert(k("A") == k("a"))        // case-insensitive
+    assert(k("file9.txt") < k("file10.txt"))
+  }
+
+  test("number comparator orders decimal strings numerically") {
+    val k = GraphdText.numberSortKey _
+    assert(k("2") < k("10"))
+    assert(k("-5") < k("3"))
+    assert(k("-10") < k("-2"))
+    assert(k("0.5") < k("1"))
+    assert(k("3.14") < k("3.2"))
+    assert(k("10") < k("abc"))      // non-numbers after numbers
+  }
+
+  test("~= word match: case, punctuation elision, anchors, glob") {
+    val m = GraphdText.matches _
+    assert(m("Herman Melville", "herman"))
+    assert(m("foo-bar", "foo bar"))       // punctuation elision
+    assert(m("foo bar", "foo-bar"))
+    assert(!m("foobar", "foo bar"))       // one word ≠ two words
+    assert(m("the quick brown fox", "quick brown"))
+    assert(!m("the quick brown fox", "quick fox")) // must be contiguous
+    assert(m("hello world", "^hello"))
+    assert(!m("say hello world", "^hello"))
+    assert(m("say hello world", "world$"))
+    assert(!m("world peace now", "world$"))
+    assert(m("metaweb", "meta*"))
+    assert(m("metaweb", "*web"))
+    assert(m("metaweb", "m*b"))
+    assert(!m("metaweb", "x*"))
+    assert(m("agent 007", "agent 7"))     // number normalization
+  }
+
+  test("timestamp codec round-trips and fills partial dates with minimums") {
+    assert(GTimestamp.parse("2024-03-05T10:20:30.5Z").isDefined)
+    assert(GTimestamp.parse("2024") == GTimestamp.parse("2024-01-01T00:00:00.0000Z"))
+    assert(GTimestamp.parse("2024-03") == GTimestamp.parse("2024-03-01T00:00:00Z"))
+    val t = GTimestamp.parse("1970-01-01T00:00:00.0000Z").get
+    assert(t == 0L)
+    assert(GTimestamp.render(0L) == "1970-01-01T00:00:00.0000Z")
+    val x = GTimestamp.parse("2008-05-15T07:08:09.1234Z").get
+    assert(GTimestamp.render(x) == "2008-05-15T07:08:09.1234Z")
+  }
+
+  test("guid codec round-trips") {
+    val g = Guid.render(42L)
+    assert(g.length == 32)
+    assert(Guid.parse(g).contains((Guid.LocalDb, 42L)))
+    assert(Guid.serialOf(g).contains(42L))
+    assert(Guid.serialOf("123").contains(123L))
+    assert(Guid.serialOf("zz").isEmpty)
+  }
+}
+
+/** Property-style tests (seeded exhaustive samples): comparator keys
+  * are order-homomorphic with the semantics they encode.
+  */
+class TextPropSpec extends AnyFunSuite {
+  test("number sort key orders like numeric value (seeded sample)") {
+    val rnd = new scala.util.Random(42)
+    val xs = Seq.fill(500)(rnd.nextInt(2000000) - 1000000) ++
+      Seq(0, 1, -1, Int.MaxValue, Int.MinValue + 1)
+    for (a <- xs.take(80); b <- xs.take(80)) {
+      val cmp = GraphdText.numberSortKey(a.toString)
+        .compareTo(GraphdText.numberSortKey(b.toString))
+      assert(Integer.signum(cmp) == Integer.signum(a.compareTo(b)),
+        s"order mismatch for $a vs $b")
+    }
+  }
+
+  test("decimal fractions order numerically (seeded sample)") {
+    val rnd = new scala.util.Random(7)
+    val xs = Seq.fill(200)(BigDecimal(rnd.nextInt(1000000) - 500000, rnd.nextInt(4)))
+    for (a <- xs.take(50); b <- xs.take(50)) {
+      val cmp = GraphdText.numberSortKey(a.toString)
+        .compareTo(GraphdText.numberSortKey(b.toString))
+      assert(Integer.signum(cmp) == a.compare(b) ||
+        (a == b && cmp == 0), s"order mismatch for $a vs $b")
+    }
+  }
+}
