@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each designed
+  * for the 100 TB regime:
+  *
+  *  - exact: one hash-groupBy (map-side partial agg, single shuffle on
+  *    a 128-bit key).
+  *  - n-gram Jaccard: inverted shingle index + self-join — candidates
+  *    only materialize for documents sharing a shingle; a document-
+  *    frequency cap drops stop-shingles so the join's fan-out stays
+  *    bounded under skew (the classic "hot key" guard).
+  *  - MinHash+LSH: fixed-size signatures (k hashes) + banding; only
+  *    same-bucket pairs are compared, turning O(n²) into O(n·bands)
+  *    shuffle volume. Verified with exact Jaccard afterward, so the
+  *    output is precision-1 at the chosen threshold.
+  *  - SimHash: 64-bit signature, near-dup = small Hamming distance;
+  *    candidate generation by exact-match on 16-bit chunks (any pair
+  *    within distance 3 shares at least one of 4 chunks).
+  *
+  * All hashes derive from md5/xxhash64 column functions — codegen'd,
+  * deterministic across runs and engines.
+  */
+object Dedup {
+
+  /** Exact dedup on normalized content: keep the smallest id per
+    * fingerprint group.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .groupBy(col("__fp").as("fp"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
+
+  /** id -> distinct shingle hashes (the inverted-index source) */
+  def shingleSet(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(array_distinct(TextAnalysis.shingles(col(textCol), n))).as("sh"))
+
+  /** Pairwise n-gram Jaccard near-duplicates above `threshold`.
+    * `maxDf` drops shingles occurring in more documents (frequency cap
+    * against quadratic blowup on boilerplate shingles).
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8, maxDf: Int = 1000): DataFrame = {
+    val sh = shingleSet(df, idCol, textCol, n).cache()
+    val kept = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf && col("df") >= 2)
+    val shK = sh.join(kept.select("sh"), "sh")
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+
+    val a = shK.as("a"); val b = shK.as("b")
+    val inter = a.join(b, col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("nb")), "id_b")
+      .withColumn("jaccard",
+        round(col("inter") / (col("na") + col("nb") - col("inter")), 3))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** MinHash signature: k independent hash functions realized as
+    * seed-prefixed xxhash64 of the shingle (overflow-free under ANSI
+    * arithmetic, deterministic across runs); keep the min of each.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 64): DataFrame = {
+    val sh = shingleSet(df, idCol, textCol, n)
+    val mins: Seq[Column] = (0 until k).map { i =>
+      min(xxhash64(lit(i), col("sh"))).as(s"mh_$i")
+    }
+    sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash+LSH near-dup pairs: band the k-wide signature into
+    * `bands` groups of k/bands rows, bucket-join on (band, hash of
+    * band slice), then verify candidates with exact Jaccard.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    val sig = minhashSignatures(df, idCol, textCol, n, k)
+    val rowsPerBand = k / bands
+    val banded = sig.select(col("id"),
+      posexplode(array((0 until bands).map { bnd =>
+        xxhash64(concat_ws("_",
+          lit(bnd) +: (0 until rowsPerBand).map(r => col(s"mh_${bnd * rowsPerBand + r}")): _*))
+      }: _*)).as(Seq("band", "bucket")))
+
+    val a = banded.as("a"); val b = banded.as("b")
+    val cand = a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+
+    verifyJaccard(df, idCol, textCol, cand, n, threshold)
+  }
+
+  /** exact-Jaccard verification of candidate pairs */
+  def verifyJaccard(df: DataFrame, idCol: String, textCol: String,
+      cand: DataFrame, n: Int, threshold: Double): DataFrame = {
+    val sh = shingleSet(df, idCol, textCol, n).cache()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(sh.select(col("id").as("id_a"), col("sh")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .filter(col("sh") === col("sh_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("nb")), "id_b")
+      .withColumn("jaccard",
+        round(col("inter") / (col("na") + col("nb") - col("inter")), 3))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash over token xxhashes: bit j of the signature is the
+    * sign of sum over tokens of ±1 for that bit.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+        explode(TextAnalysis.tokens(lower(col(textCol)))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitSums: Seq[Column] = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b_$j")
+    }
+    val agg = tok.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map { j =>
+      when(col(s"b_$j") > 0, shiftleft(lit(1L), j)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+    agg.select(col("id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxDist,
+    * candidates bucketed by 16-bit signature chunks.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val sig = simhash(df, idCol, textCol)
+    val chunked = sig.select(col("id"), col("simhash"),
+      posexplode(array((0 until 4).map(cInd =>
+        shiftright(col("simhash"), cInd * 16).bitwiseAND(0xFFFFL)): _*))
+        .as(Seq("chunk", "ckey")))
+    val a = chunked.as("a"); val b = chunked.as("b")
+    val ham = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+    a.join(b, col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
+        col("a.id") < col("b.id"))
+      .filter(ham <= maxDist)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        ham.as("hamming"))
+      .distinct()
+  }
+}

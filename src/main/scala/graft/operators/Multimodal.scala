@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns plus typed metadata, with decode / feature-extract /
+  * resize / frame-sample stages.
+  *
+  * The Spark side is real — schema, partition-preserving batched
+  * `mapPartitions` (the Scala analog of `mapInPandas` batches), typed
+  * rows, deterministic output. The codec itself is STUBBED (this
+  * container has no image/audio libraries): `StubCodec.decode` derives
+  * metadata deterministically from the bytes, and is the single point
+  * to swap for a real JNI/javax.imageio decoder.
+  *
+  * Scale notes: binary payloads stay in the executor partition they
+  * were read in (no shuffle in decode/resize/feature stages — pure
+  * mapPartitions); only the small feature output ever moves.
+  */
+object Multimodal {
+
+  final case class MediaRow(doc_id: Long, media_type: String, media: Array[Byte])
+  final case class MediaFeatures(doc_id: Long, media_type: String,
+      n_bytes: Int, width: Int, height: Int, n_frames: Int,
+      channels: Int, sig: Long)
+
+  /** STUB decoder — deterministic fake standing in for the real codec.
+    * Swap this object to integrate javax.imageio / ffmpeg / JNI.
+    */
+  object StubCodec {
+    def decode(m: MediaRow): MediaFeatures = {
+      val n = m.media.length
+      // ??? real decode goes here — deterministic fake below
+      val h64 = m.media.foldLeft(1125899906842597L)((a, b) => 31 * a + b)
+      MediaFeatures(
+        doc_id = m.doc_id,
+        media_type = m.media_type,
+        n_bytes = n,
+        width = 64 + (n % 1024),
+        height = 64 + ((n * 7) % 768),
+        n_frames = if (m.media_type == "video") n / 1000 + 1 else 1,
+        channels = 3,
+        sig = h64)
+    }
+
+    /** resize stub: returns the byte budget a real resizer would hit */
+    def resizedBytes(f: MediaFeatures, maxSide: Int): Int = {
+      val scale = math.min(1.0, maxSide.toDouble / math.max(f.width, f.height))
+      (f.n_bytes * scale * scale).toInt
+    }
+  }
+
+  /** documents table → synthetic media table (UTF-8 payload as the
+    * opaque binary), exercising the exact schema/partitioning a real
+    * media corpus would use.
+    */
+  def mediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      // deterministic round-robin media type
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
+      encode(col("text"), "UTF-8").as("media"))
+
+  /** batched decode / feature extraction — partition-preserving */
+  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.map(StubCodec.decode))
+  }
+
+  /** frame sampling plan for video rows: every `stride`-th frame */
+  def sampleFrames(spark: SparkSession, media: DataFrame, stride: Int): DataFrame = {
+    import spark.implicits._
+    extractFeatures(spark, media)
+      .filter(col("media_type") === "video")
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))))
+      .select(col("doc_id"), col("frame_idx"), col("width"), col("height"))
+  }
+}

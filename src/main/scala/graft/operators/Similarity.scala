@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * Scale design:
+  *  - `bruteTopK` broadcasts the (small) query set and scans the corpus
+  *    once — the right plan when queries ≪ corpus, which is the ANN
+  *    serving shape; dot products run inside codegen via
+  *    `aggregate`/`zip_with`, no UDFs.
+  *  - `lshTopK` is the scale path: random-hyperplane signatures put
+  *    near vectors in shared buckets; only bucket-mates are scored.
+  *    At 100 TB the bucket join replaces the full cross product, and
+  *    multi-probe (nProbes hyperplane sets) recovers recall.
+  */
+object Similarity {
+
+  /** cosine similarity of two float-array columns. Elements are cast
+    * to double BEFORE multiplying so the math matches engines that
+    * compute in double over float32 storage (oracle parity + accuracy).
+    */
+  def cosine(a0: Column, b0: Column): Column = {
+    val a = transform(a0, x => x.cast("double"))
+    val b = transform(b0, x => x.cast("double"))
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+    val nb = sqrt(aggregate(b, lit(0.0), (acc, x) => acc + x * x))
+    dot / (na * nb)
+  }
+
+  /** Exact top-k neighbors (cosine) for each query vector.
+    * Rounded similarity + id tie-break keep ranking deterministic
+    * across engines and summation orders.
+    */
+  def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")))
+    val scored = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      .join(q, col("q_id") =!= col("n_id"))
+      .withColumn("sim", round(cosine(col("q_vec"), col("n_vec")), 6))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("n_id"), col("sim"))
+  }
+
+  /** Deterministic random-hyperplane signature: bit j = sign of
+    * <v, r_j> where r_j components are ±1 derived from xxhash64(j, dim).
+    */
+  def rhpSignature(vec: Column, bits: Int, seed: Int = 42): Column = {
+    val projections: Seq[Column] = (0 until bits).map { j =>
+      // component_d = +1 if hash(seed, j, d) even else -1
+      val proj = aggregate(
+        zip_with(vec,
+          transform(sequence(lit(0), size(vec) - 1),
+            d => when(pmod(xxhash64(lit(seed), lit(j), d), lit(2)) === 0, 1.0).otherwise(-1.0)),
+          (x, r) => x * r),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, shiftleft(lit(1L), j)).otherwise(0L)
+    }
+    projections.reduce(_.bitwiseOR(_))
+  }
+
+  /** Approximate top-k: candidates share an exact signature bucket in
+    * at least one of `nProbes` independent hyperplane sets; candidates
+    * are then exactly re-scored. Recall < 1 by construction; raise
+    * bits/probes to trade shuffle volume for recall.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      bits: Int = 12, nProbes: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def signed(df: DataFrame, prefix: String): DataFrame =
+      df.select(Seq(col(idCol).as(s"${prefix}_id"), col(vecCol).as(s"${prefix}_vec")) ++
+        (0 until nProbes).map(p =>
+          rhpSignature(col(vecCol), bits, seed = 42 + p).as(s"${prefix}_sig_$p")): _*)
+
+    val c = signed(corpus, "n")
+    val q = broadcast(signed(queries, "q"))
+    val probeCond = (0 until nProbes)
+      .map(p => col(s"q_sig_$p") === col(s"n_sig_$p")).reduce(_ || _)
+    val cand = c.join(q, probeCond && col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("q_vec"), col("n_id"), col("n_vec")).distinct()
+
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id").asc)
+    cand.withColumn("sim", round(cosine(col("q_vec"), col("n_vec")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("n_id"), col("sim"))
+  }
+
+  /** embedding-cosine near-duplicate pairs above a threshold, via LSH
+    * buckets (the embedding flavor of Dedup).
+    */
+  def cosineNearDupPairs(df: DataFrame, threshold: Double,
+      bits: Int = 12, nProbes: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def signed(prefix: String): DataFrame =
+      df.select(Seq(col(idCol).as(s"${prefix}_id"), col(vecCol).as(s"${prefix}_vec")) ++
+        (0 until nProbes).map(p =>
+          rhpSignature(col(vecCol), bits, seed = 42 + p).as(s"${prefix}_sig_$p")): _*)
+    val a = signed("a"); val b = signed("b")
+    val probeCond = (0 until nProbes)
+      .map(p => col(s"a_sig_$p") === col(s"b_sig_$p")).reduce(_ || _)
+    a.join(b, probeCond && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("a_vec"), col("b_id"), col("b_vec")).distinct()
+      .withColumn("sim", round(cosine(col("a_vec"), col("b_vec")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("a_id").as("id_a"), col("b_id").as("id_b"), col("sim"))
+  }
+}

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language id, fingerprinting.
+  *
+  * All are pure column expressions (whole-stage-codegen friendly, no
+  * UDFs) so they vectorize across a 100 TB corpus and push down into
+  * one scan — the documents table is read once per pipeline stage, and
+  * every derived column is computable map-side with zero shuffles.
+  */
+object TextAnalysis {
+
+  /** canonical whitespace/case normalization used by fingerprint + dedup */
+  def normalize(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** whitespace tokens (kept simple + engine-portable; a BPE-ish regex
+    * tokenizer is `bpeTokens` below)
+    */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-style pre-tokenization: letter runs, digit runs, single
+    * punctuation marks — the usual GPT-2-style pre-split shape.
+    */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+
+  /** n-gram word shingles over whitespace tokens */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(lower(text))
+    // slide over token indices: concat_ws of t[i..i+n-1]
+    filter(
+      transform(sequence(lit(0), greatest(size(t) - n, lit(0))),
+        i => when(i + n <= size(t),
+          concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*))),
+      s => s.isNotNull)
+  }
+
+  // ---------- quality scoring ----------
+
+  /** length / punctuation / stopword-ratio quality features
+    * (all exact-SQL-expressible for oracle parity).
+    */
+  def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val nChars = length(text)
+    val nAlpha = length(regexp_replace(text, "[^a-zA-Z]", ""))
+    val nPunct = length(regexp_replace(text, "[^.,;:!?'\"-]", ""))
+    val toks = tokens(text)
+    // stop counting is case-folded (matches the langId profiles)
+    val nStop = size(filter(tokens(lower(text)),
+      t => t.isin(Stopwords.en.map(lit): _*)))
+    Seq(
+      "n_chars" -> nChars,
+      "n_tokens" -> size(toks),
+      "alpha_ratio" -> round(nAlpha.cast("double") / nChars, 4),
+      "punct_ratio" -> round(nPunct.cast("double") / nChars, 4),
+      "stop_ratio" -> round(nStop.cast("double") / size(toks), 4))
+  }
+
+  /** scalar quality score in [0,1]: stopword presence + sane token
+    * length + alphabetic density (a C4/Gopher-style heuristic blend).
+    */
+  def qualityScore(text: Column): Column = {
+    val f = qualityFeatures(text).toMap
+    round(
+      least(f("stop_ratio") * 2.0, lit(1.0)) * 0.4 +
+        least(f("alpha_ratio") * 1.25, lit(1.0)) * 0.4 +
+        when(f("n_tokens") >= 10 && f("n_tokens") <= 100000, 0.2).otherwise(0.0),
+      4)
+  }
+
+  // ---------- language id ----------
+
+  /** Stopword-profile language scorer: count how many tokens fall in
+    * each language's closed-class word set, predict the argmax
+    * (deterministic tie-break: language list order). An n-gram
+    * heuristic in the fastText tradition, sized for SQL-oracle parity.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scores = Stopwords.profiles.map { case (lang, ws) =>
+      lang -> size(filter(toks, t => t.isin(ws.map(lit): _*)))
+    }
+    // argmax with first-wins tie-break
+    scores.tail.foldLeft((scores.head._2, lit(scores.head._1))) {
+      case ((bestScore, bestLang), (lang, s)) =>
+        (when(s > bestScore, s).otherwise(bestScore),
+          when(s > bestScore, lang).otherwise(bestLang))
+    }._2
+  }
+
+  // ---------- fingerprinting ----------
+
+  /** content fingerprint: md5 of the normalized text (exact-dup key) */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+
+  /** 64-bit rolling-style fingerprint from the first 16 hex chars */
+  def fingerprint64(text: Column): Column =
+    conv(substring(fingerprint(text), 1, 15), 16, 10).cast("long")
+}
+
+object Stopwords {
+  val en = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is",
+    "it", "that", "for", "on", "with", "as", "at", "by", "this")
+  val de = Seq("der", "die", "das", "und", "oder", "von", "zu", "im",
+    "ist", "es", "mit", "auf", "ein", "eine", "fur", "als")
+  val es = Seq("el", "la", "los", "las", "y", "o", "de", "en", "es",
+    "que", "para", "con", "un", "una", "por", "como")
+  val fr = Seq("le", "la", "les", "et", "ou", "de", "en", "est", "que",
+    "pour", "avec", "un", "une", "par", "dans", "sur")
+  val zh = Seq("de", "shi", "zai", "he", "le", "you", "wo", "ta",
+    "zhe", "na", "bu", "yi")
+
+  /** ordered profiles — order is the tie-break */
+  val profiles: Seq[(String, Seq[String])] =
+    Seq("en" -> en, "de" -> de, "es" -> es, "fr" -> fr, "zh" -> zh)
+}

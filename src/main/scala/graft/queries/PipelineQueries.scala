@@ -1,0 +1,178 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables.T
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data pipeline operators over the documents/embeddings
+  * tables — dedup, similarity search, text analysis, multimodal
+  * plumbing — each wired into the DuckDB oracle gate where the
+  * computation is SQL-expressible (hash-based candidate generation is
+  * not; those entries are verified by exact re-scoring instead, and
+  * where recall is provably total the exact-SQL oracle still applies).
+  */
+object PipelineQueries extends QueryPack {
+
+  // DuckDB rendition of TextAnalysis.tokens
+  private val sqlToks = """regexp_split_to_array(trim(text), '\s+')"""
+  private val sqlToksLower = """regexp_split_to_array(trim(lower(text)), '\s+')"""
+  private def sqlStopCount(words: Seq[String]) =
+    s"""len(list_filter($sqlToksLower, x -> x IN (${words.map("'" + _ + "'").mkString(",")})))"""
+
+  def defs: Seq[QueryDef] = Seq(
+
+    QueryDef("t01_token_count",
+      (s, dir) => T(s, dir).documents
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+      Some(s"SELECT doc_id, len($sqlToks) AS n_tokens FROM documents")),
+
+    QueryDef("t02_quality",
+      (s, dir) => {
+        val feats = TextAnalysis.qualityFeatures(col("text"))
+          .map { case (n, c) => c.as(n) }
+        T(s, dir).documents.select(col("doc_id") +: feats: _*)
+      },
+      Some(s"""SELECT doc_id,
+             |  length(text) AS n_chars,
+             |  len($sqlToks) AS n_tokens,
+             |  round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+             |        / length(text), 4) AS alpha_ratio,
+             |  round(length(regexp_replace(text, '[^.,;:!?''"-]', '', 'g')) * 1.0
+             |        / length(text), 4) AS punct_ratio,
+             |  round(${sqlStopCount(graft.operators.Stopwords.en)} * 1.0
+             |        / len($sqlToks), 4) AS stop_ratio
+             |FROM documents""".stripMargin)),
+
+    QueryDef("t03_langid",
+      (s, dir) => T(s, dir).documents
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred")),
+      Some {
+        val scores = graft.operators.Stopwords.profiles.map { case (l, ws) =>
+          s"${sqlStopCount(ws)} AS s_$l"
+        }.mkString(", ")
+        s"""WITH sc AS (SELECT doc_id, $scores FROM documents)
+           |SELECT doc_id, CASE
+           |  WHEN s_zh > greatest(s_en, s_de, s_es, s_fr) THEN 'zh'
+           |  WHEN s_fr > greatest(s_en, s_de, s_es) THEN 'fr'
+           |  WHEN s_es > greatest(s_en, s_de) THEN 'es'
+           |  WHEN s_de > s_en THEN 'de'
+           |  ELSE 'en' END AS lang_pred
+           |FROM sc""".stripMargin
+      }),
+
+    QueryDef("t04_fingerprint",
+      (s, dir) => T(s, dir).documents
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp")),
+      Some("""SELECT doc_id,
+             |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+             |FROM documents""".stripMargin)),
+
+    QueryDef("d01_dedup_exact",
+      (s, dir) => Dedup.exact(T(s, dir).documents, "doc_id", "text"),
+      Some("""SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+             |  min(doc_id) AS doc_id, count(*) AS n_dups
+             |FROM documents GROUP BY 1""".stripMargin)),
+
+    QueryDef("d02_ngram_jaccard",
+      (s, dir) => Dedup.ngramJaccardPairs(T(s, dir).documents, "doc_id", "text",
+        n = 3, threshold = 0.8, maxDf = 1000),
+      Some(ngramJaccardSql(0.8, 1000))),
+
+    // MinHash+LSH candidates, verified with exact Jaccard. At J>=0.8
+    // with 16 bands x 4 rows the miss probability is ~2e-4 per pair
+    // (pairs in this corpus sit at J~0.95+, where it is ~1e-9), so the
+    // exact-Jaccard oracle applies.
+    QueryDef("d03_minhash_lsh",
+      (s, dir) => Dedup.minhashLshPairs(T(s, dir).documents, "doc_id", "text",
+        n = 3, k = 64, bands = 16, threshold = 0.8),
+      Some(ngramJaccardSql(0.8, Int.MaxValue))),
+
+    // SimHash hamming-distance pairs — xxhash64 signatures are not
+    // reproducible in DuckDB SQL: rows-only check.
+    QueryDef("d04_simhash",
+      (s, dir) => Dedup.simhashPairs(T(s, dir).documents, "doc_id", "text",
+        maxDist = 3),
+      None),
+
+    QueryDef("s01_knn_brute",
+      (s, dir) => {
+        val emb = T(s, dir).embeddings
+        Similarity.bruteTopK(emb, emb.filter(col("vec_id") < 20), k = 5)
+      },
+      // double math spelled out — DuckDB's list_cosine_similarity
+      // computes in float32 and drifts one ulp at 6dp from double
+      Some("""WITH q AS (SELECT vec_id q_id,
+             |    list_transform(embedding, x -> x::DOUBLE) q_vec
+             |  FROM embeddings WHERE vec_id < 20),
+             |c AS (SELECT vec_id n_id,
+             |    list_transform(embedding, x -> x::DOUBLE) n_vec
+             |  FROM embeddings),
+             |scored AS (
+             |  SELECT q_id, n_id,
+             |    round(
+             |      list_sum(list_transform(list_zip(q_vec, n_vec), s -> s[1] * s[2]))
+             |      / (sqrt(list_sum(list_transform(q_vec, x -> x * x)))
+             |         * sqrt(list_sum(list_transform(n_vec, x -> x * x)))), 6) sim
+             |  FROM q, c WHERE n_id != q_id),
+             |ranked AS (
+             |  SELECT q_id, n_id, sim, row_number() OVER
+             |    (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) rk
+             |  FROM scored)
+             |SELECT q_id, rk, n_id, sim FROM ranked WHERE rk <= 5""".stripMargin)),
+
+    // LSH-bucketed ANN — approximate by construction: rows-only check.
+    QueryDef("s02_ann_lsh",
+      (s, dir) => {
+        val emb = T(s, dir).embeddings
+        // 6-bit buckets x 8 probes: sized for useful recall on random
+        // 64-dim vectors where "near" neighbors sit at cosine ~0.3
+        Similarity.lshTopK(emb, emb.filter(col("vec_id") < 20), k = 5,
+          bits = 6, nProbes = 8)
+      },
+      None),
+
+    QueryDef("m01_multimodal_features",
+      (s, dir) => {
+        val media = Multimodal.mediaTable(T(s, dir).documents)
+        Multimodal.extractFeatures(s, media).toDF()
+          .select("doc_id", "media_type", "n_bytes", "width", "height", "n_frames")
+      },
+      Some("""SELECT doc_id,
+             |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+             |    ELSE 'video' END AS media_type,
+             |  octet_length(encode(text)) AS n_bytes,
+             |  64 + octet_length(encode(text)) % 1024 AS width,
+             |  64 + (octet_length(encode(text)) * 7) % 768 AS height,
+             |  CASE WHEN doc_id % 3 = 2
+             |    THEN octet_length(encode(text)) // 1000 + 1 ELSE 1 END AS n_frames
+             |FROM documents""".stripMargin))
+  )
+
+  /** DuckDB rendition of Dedup.ngramJaccardPairs (3-gram shingles,
+    * distinct per doc, df cap mirrored).
+    */
+  private def ngramJaccardSql(threshold: Double, maxDf: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') w
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, sh FROM (
+       |    SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |      for i in range(1, len(w) - 1)]) sh FROM toks)),
+       |kept AS (SELECT sh FROM sh GROUP BY sh
+       |         HAVING count(*) BETWEEN 2 AND $maxDf),
+       |sizes AS (SELECT doc_id, count(*) n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id id_a, b.doc_id id_b, count(*) i
+       |  FROM (SELECT s.* FROM sh s JOIN kept USING (sh)) a
+       |  JOIN (SELECT s.* FROM sh s JOIN kept USING (sh)) b
+       |    ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  round(i * 1.0 / (sa.n_sh + sb.n_sh - i), 3) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON id_a = sa.doc_id
+       |JOIN sizes sb ON id_b = sb.doc_id
+       |WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= $threshold""".stripMargin
+}

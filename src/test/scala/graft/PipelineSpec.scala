@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+/** Unit tests for the training-pipeline operators on hand-built
+  * micro-corpora (planted duplicates / known vectors).
+  */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "The  quick brown fox jumps over the lazy dog"), // exact dup of 1 (case/ws)
+    (4L, "completely different content about spark engines and scale"),
+    (5L, "einzelne deutsche worte der die das und hier")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups case/whitespace-normalized duplicates") {
+    val out = Dedup.exact(docs, "doc_id", "text").collect()
+    assert(out.length == 4)
+    val dupGroup = out.find(_.getLong(2) == 2L)
+    assert(dupGroup.isDefined && dupGroup.get.getLong(1) == 1L) // keeps min id
+  }
+
+  test("ngram jaccard finds the planted near-duplicate pair") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5, maxDf = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash LSH recovers the same pairs as exact jaccard here") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.5, maxDf = 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, k = 64, bands = 16, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+  }
+
+  test("simhash: identical docs at distance 0, near-dups close") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 16)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Number](2).longValue)).toMap
+    assert(pairs((1L, 3L)) == 0L) // normalization-identical
+    assert(pairs.get((1L, 2L)).exists(_ <= 16L))
+  }
+
+  test("cosine similarity: self=1, orthogonal=0") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(2.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val sims = vecs.as("a").crossJoin(vecs.as("b"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        round(Similarity.cosine(col("a.embedding"), col("b.embedding")), 6).as("s"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(sims((1L, 1L)) == 1.0)
+    assert(sims((1L, 2L)) == 0.0)
+    assert(sims((1L, 3L)) == 1.0) // scale-invariant
+  }
+
+  test("brute top-k ranks by similarity with deterministic ties") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(1.0f, 0.1f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteTopK(vecs, vecs.filter($"vec_id" === 1), 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(top.toSeq == Seq((1, 2L), (2, 4L))) // tie (2,4) broken by id
+  }
+
+  test("language id picks the profile with most stopword hits") {
+    val out = docs.select($"doc_id", TextAnalysis.langId($"text").as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en")
+    assert(out(5L) == "de")
+  }
+
+  test("multimodal: stub decode is deterministic and typed") {
+    val media = Multimodal.mediaTable(docs)
+    assert(media.schema("media").dataType.typeName == "binary")
+    val f = Multimodal.extractFeatures(spark, media).collect()
+      .map(x => x.doc_id -> x).toMap
+    assert(f(1L).n_bytes == 43)
+    assert(f(1L).width == 64 + 43 % 1024)
+    assert(f.values.forall(_.channels == 3))
+    // frame sampling only applies to video rows (doc_id % 3 == 2)
+    val frames = Multimodal.sampleFrames(spark, media, stride = 1).collect()
+    assert(frames.forall(r => r.getLong(0) % 3 == 2))
+  }
+}
