@@ -14,7 +14,8 @@ import graft.queries._
   */
 object SparkEntry {
 
-  private val packs: Seq[QueryPack] = Seq(Relational, GraphQueries, PipelineQueries)
+  private val packs: Seq[QueryPack] =
+    Seq(Relational, GraphQueries, PipelineQueries, AnalyticsQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * A multi-operator plan: join + filter + agg + window top-k.

@@ -1,0 +1,81 @@
+package graft.graph
+
+import org.apache.spark.graphx.{Edge, Graph, VertexId}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.store.GraphStore
+
+/** Graph analytics over the primitives graph (the capability layer the
+  * reference never had — its nested-loop reads stop at fixed-depth
+  * traversal; BASELINE.json's north star adds whole-graph analytics
+  * via GraphX/Pregel).
+  *
+  * Vertices = current nodes; edges = current links (left → right,
+  * attributed with typeguid). Pregel supersteps shuffle per round, so
+  * iterative algorithms cache the graph and bound iterations.
+  */
+object Analytics {
+
+  /** current nodes/links → GraphX graph (node id = vertex id) */
+  def toGraphX(store: GraphStore): Graph[Long, Long] = {
+    val nodes = store.nodes.select(col("id")).rdd
+      .map(r => (r.getLong(0): VertexId, r.getLong(0)))
+    val edges = store.links
+      .filter(col("right").isNotNull)
+      .select(col("left"), col("right"), coalesce(col("typeguid"), lit(0L)))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getLong(2)))
+    Graph(nodes, edges, defaultVertexAttr = 0L,
+      edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
+      vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** connected components (GraphX Pregel under the hood) →
+    * (id, component) where component = min vertex id in the component.
+    */
+  def connectedComponents(store: GraphStore): DataFrame = {
+    val g = toGraphX(store)
+    val spark = store.spark
+    import spark.implicits._
+    g.connectedComponents().vertices
+      .map { case (id, comp) => (id, comp) }
+      .toDF("id", "component")
+  }
+
+  /** PageRank over the link structure */
+  def pageRank(store: GraphStore, iters: Int = 10, reset: Double = 0.15): DataFrame = {
+    val g = toGraphX(store)
+    val spark = store.spark
+    import spark.implicits._
+    g.staticPageRank(iters, reset).vertices
+      .map { case (id, pr) => (id, pr) }
+      .toDF("id", "pagerank")
+  }
+
+  /** k-hop neighborhood via iterative DataFrame self-joins (each hop is
+    * one equi-join on the link table — Catalyst plans/broadcasts it;
+    * undirected expansion like the reference's linkage traversal).
+    */
+  def kHop(store: GraphStore, sources: Seq[Long], k: Int): DataFrame = {
+    val links = store.links.filter(col("right").isNotNull)
+      .select(col("left"), col("right")).cache()
+    val spark = store.spark
+    import spark.implicits._
+    var frontier = sources.toDF("id").withColumn("hops", lit(0))
+    var seen = frontier
+    for (h <- 1 to k) {
+      val fwd = frontier.join(links, frontier("id") === links("left"))
+        .select(col("right").as("id"))
+      val bwd = frontier.join(links, frontier("id") === links("right"))
+        .select(col("left").as("id"))
+      val next = fwd.union(bwd).distinct()
+        .join(seen.select("id"), Seq("id"), "left_anti")
+        .withColumn("hops", lit(h))
+        .localCheckpoint() // truncate the growing iterative plan
+      seen = seen.unionByName(next)
+      frontier = next
+    }
+    seen
+  }
+}

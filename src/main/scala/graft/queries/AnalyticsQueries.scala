@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.graph.Analytics
+import graft.plan.Cursor
+import graft.store.GraphAdapter
+import graft.streaming.Replica
+
+/** Graph analytics, streaming maintenance, and cursor pagination wired
+  * into the oracle gate over the deterministic adapter graph.
+  */
+object AnalyticsQueries extends QueryPack {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // 2-hop neighborhood expansion around the NATION_3 node: hop 1 =
+    // its customers + suppliers + region; hop 2 = those customers'
+    // orders + sibling nations of the region.
+    QueryDef("a01_khop",
+      (s, dir) => {
+        val st = GraphAdapter.store(s, dir)
+        Analytics.kHop(st, Seq(GraphAdapter.BNation + 3), 2)
+          .groupBy(col("hops")).agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT 0 AS hops, 1 AS n
+             |UNION ALL
+             |SELECT 1,
+             |  (SELECT count(*) FROM customer WHERE c_nationkey = 3)
+             |  + (SELECT count(*) FROM supplier WHERE s_nationkey = 3)
+             |  + 1
+             |UNION ALL
+             |SELECT 2,
+             |  (SELECT count(*) FROM orders JOIN customer ON o_custkey = c_custkey
+             |   WHERE c_nationkey = 3)
+             |  + (SELECT count(*) FROM nation
+             |     WHERE n_regionkey = (SELECT n_regionkey FROM nation
+             |                          WHERE n_nationkey = 3)
+             |       AND n_nationkey <> 3)""".stripMargin)),
+
+    // connected components: one component per region tree (no
+    // cross-region links in the adapter), singletons for parts and
+    // the unlinked type nodes.
+    QueryDef("a02_connected_components",
+      (s, dir) => {
+        val st = GraphAdapter.store(s, dir)
+        Analytics.connectedComponents(st)
+          .groupBy(col("component")).agg(count(lit(1)).as("n"))
+      },
+      Some("""WITH natr AS (SELECT n_nationkey, n_regionkey FROM nation),
+             |verts AS (
+             |  SELECT r_regionkey AS rk FROM region
+             |  UNION ALL SELECT n_regionkey FROM nation
+             |  UNION ALL SELECT n_regionkey FROM customer
+             |    JOIN natr ON c_nationkey = n_nationkey
+             |  UNION ALL SELECT n_regionkey FROM supplier
+             |    JOIN natr ON s_nationkey = n_nationkey
+             |  UNION ALL SELECT n_regionkey FROM orders
+             |    JOIN customer ON o_custkey = c_custkey
+             |    JOIN natr ON c_nationkey = n_nationkey)
+             |SELECT 1000000 + rk AS component, count(*) AS n FROM verts GROUP BY 1
+             |UNION ALL
+             |SELECT 40000000 + p_partkey, 1 FROM part
+             |UNION ALL
+             |SELECT unnest([1,2,3,4,5,6,10,11,12,13]), 1""".stripMargin)),
+
+    // PageRank over the link structure — iterative fixpoint, not
+    // SQL-expressible: rows-only check (top-20 by rank for stability).
+    QueryDef("a03_pagerank",
+      (s, dir) => {
+        val st = GraphAdapter.store(s, dir)
+        Analytics.pageRank(st, iters = 5)
+          .orderBy(col("pagerank").desc, col("id").asc).limit(20)
+          .select(col("id"), round(col("pagerank"), 6).as("pagerank"))
+      },
+      None),
+
+    // islink-style incremental materialization: stream the primitives
+    // log (written once per sf) through foreachBatch merge, then read
+    // the maintained per-type aggregate.
+    QueryDef("st01_stream_type_counts",
+      (s, dir) => {
+        val key = java.lang.Integer.toHexString(dir.hashCode)
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_$key"
+        val logDir = s"$base/log"
+        val stateDir = s"$base/state"
+        // write the log once per (session, sf)
+        if (!new java.io.File(logDir).exists()) {
+          GraphAdapter.build(s, dir).write.mode("overwrite").parquet(logDir)
+        }
+        org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(stateDir), true)
+        val q = Replica.materializeTypeCounts(Replica.stream(s, logDir), stateDir)
+        q.awaitTermination()
+        s.read.parquet(stateDir)
+          .filter(col("typeguid").isin(GraphAdapter.TPlacedBy,
+            GraphAdapter.TInNation, GraphAdapter.TNationRegion,
+            GraphAdapter.TSupplierNation))
+      },
+      Some("""SELECT 10 AS typeguid, count(*) AS n_links,
+             |  100000000 + max(o_orderkey) AS dateline FROM orders
+             |UNION ALL
+             |SELECT 11, count(*), 200000000 + max(c_custkey) FROM customer
+             |UNION ALL
+             |SELECT 12, count(*), 300000000 + max(n_nationkey) FROM nation
+             |UNION ALL
+             |SELECT 13, count(*), 400000000 + max(s_suppkey) FROM supplier""".stripMargin)),
+
+    // cursor pagination: fetch page 1, mint the keyset token, resume —
+    // returns page 2 (orders 51..100 of the graph in id order).
+    QueryDef("c01_cursor_page2",
+      (s, dir) => {
+        val st = GraphAdapter.store(s, dir)
+        val p1 = Cursor.page(st, None, 50)
+        val tok = Cursor.next(st, p1, None, 50)
+        Cursor.page(st, tok, 50).select(col("id"), col("value"))
+      },
+      Some("""WITH prims AS (
+             |  SELECT 1 AS id, NULL AS value
+             |  UNION ALL SELECT unnest([2,3,4,5,6,10,11,12,13]), NULL
+             |  UNION ALL SELECT 1000000 + r_regionkey, r_name FROM region
+             |  UNION ALL SELECT 2000000 + n_nationkey, n_name FROM nation
+             |  UNION ALL SELECT 10000000 + c_custkey, c_name FROM customer
+             |  UNION ALL SELECT 20000000 + o_orderkey, o_orderstatus FROM orders
+             |  UNION ALL SELECT 30000000 + s_suppkey, s_name FROM supplier
+             |  UNION ALL SELECT 40000000 + p_partkey, p_name FROM part)
+             |SELECT id, value FROM prims ORDER BY id
+             |LIMIT 50 OFFSET 50""".stripMargin))
+  )
+}

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+
+import graft.model.Primitive
+
+/** Streaming / incremental semantics (SURVEY.md §2.8).
+  *
+  * The reference ships a totally-ordered primitive log to replicas
+  * (`replica-write` batches framed by txstart, restartable from a
+  * start-id: doc/gr-protocol.txt:1376-1439, graphd/graphd-replica.c);
+  * dateline tokens give read-your-writes (doc/gr-protocol.txt:228-244);
+  * islink jobs maintain per-type materialized sets incrementally
+  * (graphd/graphd-islink.c:39-90).
+  *
+  * Spark rendition: the primitives directory IS the replication log —
+  * `readStream` over it is a replica; the checkpoint location carries
+  * the restart start-id; `foreachBatch` maintains materialized
+  * aggregates incrementally; the dateline is `max(id)` seen so far.
+  */
+object Replica {
+
+  /** replica feed: totally-ordered stream of new primitives */
+  def stream(spark: SparkSession, path: String): DataFrame =
+    spark.readStream
+      .schema(Primitive.schema)
+      .option("maxFilesPerTrigger", 4)
+      .parquet(path)
+
+  /** islink analog: per-typeguid link/endpoint counts, maintained
+    * incrementally and merged into `stateDir` every micro-batch.
+    * At scale the merge would be a Delta MERGE; here it is
+    * read-modify-write of a small parquet aggregate.
+    */
+  def materializeTypeCounts(feed: DataFrame, stateDir: String): StreamingQuery =
+    feed.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val delta = batch
+          .filter(col("left").isNotNull && col("typeguid").isNotNull)
+          .groupBy(col("typeguid"))
+          .agg(count(lit(1)).as("n_links"), max(col("id")).as("dateline"))
+        val merged =
+          try {
+            val prev = spark.read.parquet(stateDir)
+            prev.unionByName(delta)
+              .groupBy(col("typeguid"))
+              .agg(sum(col("n_links")).as("n_links"),
+                max(col("dateline")).as("dateline"))
+          } catch { case _: Exception => delta }
+        // write-new-then-swap keeps readers consistent
+        val tmp = stateDir + "_next"
+        merged.write.mode("overwrite").parquet(tmp)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val dst = new org.apache.hadoop.fs.Path(stateDir)
+        fs.delete(dst, true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** windowed event analytics over the events stream — watermark +
+    * tumbling window, the standard Structured Streaming shape.
+    */
+  def windowedEventCounts(events: DataFrame, window: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** dateline: the replica's read-your-writes horizon */
+  def dateline(primitives: DataFrame): Long =
+    primitives.agg(coalesce(max(col("id")), lit(0L))).head.getLong(0)
+}

@@ -1,0 +1,188 @@
+package graft.write
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.{Datatype, Primitive}
+import graft.store.GraphStore
+
+/** Write-side operators (SURVEY.md §2.9): append, versioning,
+  * tombstones, and the unique/key/anchor upsert machinery
+  * (doc/gr-protocol.txt:661-857; graphd/graphd-write.c,
+  * graphd-write-check-unique.c, graphd-write-annotate-keyed.c,
+  * graphd-write-annotate-anchor.c).
+  *
+  * Semantics:
+  *  - writes never mutate: "modify" appends a new primitive whose
+  *    `prev` points at the replaced one; "delete" appends a live=false
+  *    tombstone (doc/a-brief-tour-of-graphd.md:61-69).
+  *  - `unique`: the matching cluster must NOT exist → error EXISTS.
+  *  - `key`: declarative upsert — insert if absent, no-op if identical,
+  *    version-the-diff otherwise.
+  *  - `anchor`: must match exactly one existing primitive; reuse its id.
+  *
+  * Scale: existence checks are anti/semi joins against the current
+  * view; batch writes append a whole DataFrame at once (the engine's
+  * unit of atomicity is the batch, like the reference's txstart
+  * framing).
+  */
+object Writer {
+
+  final case class WriteError(code: String, msg: String)
+      extends Exception(s"$code: $msg")
+
+  /** Field template for one new primitive. `left`/`right`/`typeguid`
+    * may reference ids returned earlier in the same batch.
+    */
+  final case class Spec(
+      name: Option[String] = None,
+      value: Option[String] = None,
+      datatype: Byte = Datatype.String,
+      typeguid: Option[Long] = None,
+      left: Option[Long] = None,
+      right: Option[Long] = None,
+      scope: Option[Long] = None,
+      live: Boolean = true,
+      archival: Boolean = true,
+      prev: Option[Long] = None)
+
+  /** next dense id — the reference's istore append cursor */
+  def nextId(store: GraphStore): Long =
+    store.primitives.agg(coalesce(max(col("id")), lit(0L))).head.getLong(0) + 1L
+
+  private def now(): Long = System.currentTimeMillis() * 1000L
+
+  /** Append a batch of specs atomically; returns (new store, new ids).
+    * Lineage: a spec with prev=P inherits P's lineage (chain heads are
+    * resolved against the existing store — no full recompute).
+    */
+  def append(store: GraphStore, specs: Seq[Spec],
+      timestamp: Option[Long] = None): (GraphStore, Seq[Long]) = {
+    val base = nextId(store)
+    val ts = timestamp.getOrElse(now())
+    val prevIds = specs.flatMap(_.prev)
+    val lineageOf: Map[Long, Long] =
+      if (prevIds.isEmpty) Map.empty
+      else store.primitives
+        .filter(col("id").isin(prevIds.map(Long.box): _*))
+        .select("id", "lineage").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val rows = specs.zipWithIndex.map { case (s, i) =>
+      val id = base + i
+      s.prev.foreach { p =>
+        if (!lineageOf.contains(p))
+          throw WriteError("NOTFOUND", s"prev id $p does not exist")
+      }
+      Primitive(id, s.typeguid, s.name, s.datatype, s.value, s.scope,
+        s.live, s.archival, txstart = i == 0, ts, s.left, s.right, s.prev,
+        s.prev.map(lineageOf).getOrElse(id))
+    }
+    import store.spark.implicits._
+    val appended = store.primitives.unionByName(rows.toDS().toDF())
+    (store.copy(primitives = appended), rows.map(_.id))
+  }
+
+  /** `guid=G` pessimistic versioning: G must still be the newest of its
+    * lineage, else error OUTDATED (doc/gr-protocol.txt:531-554).
+    * `guid~=G` (opportunistic) versions whatever the current newest is.
+    */
+  def versionOf(store: GraphStore, target: Long, spec: Spec,
+      opportunistic: Boolean = false): (GraphStore, Long) = {
+    val linRows = store.primitives.filter(col("id") === target)
+      .select("lineage").limit(1).collect()
+    if (linRows.isEmpty) throw WriteError("NOTFOUND", s"no primitive $target")
+    val head = store.newestAll
+      .filter(col("lineage") === linRows.head.getLong(0))
+      .select("id").head.getLong(0)
+    if (!opportunistic && head != target)
+      throw WriteError("OUTDATED", s"$target is not newest (head=$head)")
+    val (st, ids) = append(store, Seq(spec.copy(prev = Some(head))))
+    (st, ids.head)
+  }
+
+  /** delete = tombstone version (live=false) */
+  def tombstone(store: GraphStore, target: Long): (GraphStore, Long) =
+    versionOf(store, target,
+      Spec(live = false, datatype = Datatype.Null), opportunistic = true)
+
+  // ------------------------------------------------------------------
+  // upsert machinery
+  // ------------------------------------------------------------------
+
+  /** current-view match for a spec on the given fields */
+  private def matchExisting(store: GraphStore, s: Spec,
+      fields: Seq[String]): DataFrame = {
+    var df = store.current
+    def eqOpt[T](c: String, v: Option[T]): Unit = {
+      df = v match {
+        case Some(x) => df.filter(col(c) === x)
+        case None => df.filter(col(c).isNull)
+      }
+    }
+    fields.foreach {
+      case "name" => eqOpt("name", s.name)
+      case "value" => eqOpt("value", s.value)
+      case "typeguid" => eqOpt("typeguid", s.typeguid)
+      case "left" => eqOpt("left", s.left)
+      case "right" => eqOpt("right", s.right)
+      case "scope" => eqOpt("scope", s.scope)
+      case "datatype" => df = df.filter(col("datatype") === s.datatype)
+      case f => throw WriteError("SYNTAX", s"bad unique/key field $f")
+    }
+    df
+  }
+
+  /** `unique=(fields)`: insert; EXISTS error if a current primitive
+    * already matches on those fields.
+    */
+  def writeUnique(store: GraphStore, spec: Spec, fields: Seq[String])
+      : (GraphStore, Long) = {
+    if (matchExisting(store, spec, fields).limit(1).count() > 0)
+      throw WriteError("EXISTS", s"unique cluster already present")
+    val (st, ids) = append(store, Seq(spec))
+    (st, ids.head)
+  }
+
+  /** `key=(fields)`: upsert — insert if absent; no-op if the matched
+    * primitive is identical on all spec fields; else write a new
+    * version of it carrying the spec (version-the-diff).
+    */
+  def writeKeyed(store: GraphStore, spec: Spec, fields: Seq[String])
+      : (GraphStore, Long, String) = {
+    val m = matchExisting(store, spec, fields)
+      .orderBy(col("id").desc).limit(1).collect()
+    if (m.isEmpty) {
+      val (st, ids) = append(store, Seq(spec))
+      (st, ids.head, "inserted")
+    } else {
+      val row = m.head
+      def g[T](c: String): Option[T] =
+        if (row.isNullAt(row.fieldIndex(c))) None
+        else Some(row.getAs[T](c))
+      val identical =
+        g[String]("name") == spec.name && g[String]("value") == spec.value &&
+          g[Long]("typeguid") == spec.typeguid &&
+          g[Long]("left") == spec.left && g[Long]("right") == spec.right &&
+          row.getAs[Byte]("datatype") == spec.datatype
+      if (identical) (store, row.getAs[Long]("id"), "unchanged")
+      else {
+        val (st, id) = versionOf(store, row.getAs[Long]("id"), spec,
+          opportunistic = true)
+        (st, id, "versioned")
+      }
+    }
+  }
+
+  /** `anchor`: the spec must match exactly one current primitive; its
+    * id is reused (no write happens).
+    */
+  def anchor(store: GraphStore, spec: Spec, fields: Seq[String]): Long = {
+    val m = matchExisting(store, spec, fields).limit(2).collect()
+    m.length match {
+      case 1 => m.head.getAs[Long]("id")
+      case 0 => throw WriteError("NOTFOUND", "anchor matched nothing")
+      case _ => throw WriteError("TOOMANY", "anchor matched more than one")
+    }
+  }
+}
