@@ -65,12 +65,14 @@ object Analytics {
     var frontier = sources.toDF("id").withColumn("hops", lit(0))
     var seen = frontier
     for (h <- 1 to k) {
-      val fwd = frontier.join(links, frontier("id") === links("left"))
+      // frontier and the seen-set are tiny relative to the link table:
+      // broadcast them so each hop is a map-side join over links
+      val fwd = links.join(broadcast(frontier), frontier("id") === links("left"))
         .select(col("right").as("id"))
-      val bwd = frontier.join(links, frontier("id") === links("right"))
+      val bwd = links.join(broadcast(frontier), frontier("id") === links("right"))
         .select(col("left").as("id"))
       val next = fwd.union(bwd).distinct()
-        .join(seen.select("id"), Seq("id"), "left_anti")
+        .join(broadcast(seen.select("id")), Seq("id"), "left_anti")
         .withColumn("hops", lit(h))
         .localCheckpoint() // truncate the growing iterative plan
       seen = seen.unionByName(next)

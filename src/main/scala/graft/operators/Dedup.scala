@@ -34,10 +34,28 @@ object Dedup {
       .groupBy(col("__fp").as("fp"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
 
-  /** id -> distinct shingle hashes (the inverted-index source) */
-  def shingleSet(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("id"),
-        explode(array_distinct(TextAnalysis.shingles(col(textCol), n))).as("sh"))
+  /** id -> distinct shingle hashes (the inverted-index source).
+    *
+    * Shingling runs in a typed flatMap — a pure column expression here
+    * gets its tokenizing split() inlined by CollapseProject into every
+    * per-shingle lambda element, going quadratic per document. The
+    * flatMap is one pass per row and a codegen barrier. Shingles are
+    * then hashed to 64-bit longs: the self-join shuffles 8-byte keys
+    * instead of text, and Jaccard only needs counts (collision odds
+    * ~1e-11 at 1e5 distinct shingles).
+    */
+  def shingleSet(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = text.trim.toLowerCase.split("\\s+")
+        if (toks.length < n) Iterator.empty
+        else toks.sliding(n).map(w => (id, w.mkString(" "))).toSet.iterator
+      }
+      .toDF("id", "sh_str")
+      .select(col("id"), xxhash64(col("sh_str")).as("sh"))
+  }
 
   /** Pairwise n-gram Jaccard near-duplicates above `threshold`.
     * `maxDf` drops shingles occurring in more documents (frequency cap
@@ -72,7 +90,7 @@ object Dedup {
       n: Int = 3, k: Int = 64): DataFrame = {
     val sh = shingleSet(df, idCol, textCol, n)
     val mins: Seq[Column] = (0 until k).map { i =>
-      min(xxhash64(lit(i), col("sh"))).as(s"mh_$i")
+      min(xxhash64(lit(i), col("sh"))).as(s"mh_$i") // sh already a long hash
     }
     sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
   }

@@ -81,16 +81,21 @@ object AnalyticsQueries extends QueryPack {
     QueryDef("st01_stream_type_counts",
       (s, dir) => {
         val key = java.lang.Integer.toHexString(dir.hashCode)
-        val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_$key"
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_v2_$key"
         val logDir = s"$base/log"
         val stateDir = s"$base/state"
-        // write the log once per (session, sf)
+        // write the log once per (session, sf); few large files so the
+        // incremental merge runs a handful of micro-batches, not dozens
         if (!new java.io.File(logDir).exists()) {
-          GraphAdapter.build(s, dir).write.mode("overwrite").parquet(logDir)
+          GraphAdapter.build(s, dir).coalesce(8)
+            .write.mode("overwrite").parquet(logDir)
         }
         org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
           .delete(new org.apache.hadoop.fs.Path(stateDir), true)
-        val q = Replica.materializeTypeCounts(Replica.stream(s, logDir), stateDir)
+        // 8 files / 4 per trigger = 2 micro-batches → the merge path
+        // actually increments at least once
+        val q = Replica.materializeTypeCounts(
+          Replica.stream(s, logDir, maxFilesPerTrigger = 4), stateDir)
         q.awaitTermination()
         s.read.parquet(stateDir)
           .filter(col("typeguid").isin(GraphAdapter.TPlacedBy,

@@ -23,10 +23,11 @@ import graft.model.Primitive
 object Replica {
 
   /** replica feed: totally-ordered stream of new primitives */
-  def stream(spark: SparkSession, path: String): DataFrame =
+  def stream(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 64): DataFrame =
     spark.readStream
       .schema(Primitive.schema)
-      .option("maxFilesPerTrigger", 4)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(path)
 
   /** islink analog: per-typeguid link/endpoint counts, maintained
