@@ -110,7 +110,13 @@ final case class Constraint(
     start: Option[Long] = None,
     countlimit: Option[Long] = None,
     assignments: Seq[Assignment] = Nil,
-    subs: Seq[Constraint] = Nil) {
+    subs: Seq[Constraint] = Nil,
+    /** `A || B` alternatives (graphd/graphd-constraint-or.c,
+      * libgdp/gdp-parse.c:2093-2131): when non-empty, this constraint's
+      * own conjuncts are the first branch and these are the rest; the
+      * set is the deduplicated union of all branches.
+      */
+    orBranches: Seq[Constraint] = Nil) {
 
   def effectiveCount: CountBounds =
     if (optional) count.copy(min = 0L) else count

@@ -108,6 +108,7 @@ object Parser {
     def parseConstraint(linkage: Option[Linkage]): Constraint = {
       expect({ case t: TOpen => t }, "'('")
       var c = Constraint(linkage = linkage)
+      var branches = Vector.empty[Constraint] // completed `||` alternatives
       var done = false
       while (!done) {
         peek match {
@@ -168,11 +169,30 @@ object Parser {
             }
 
           case Some(TArrowOut(_)) => next(); c = c.copy(meta = ForwardLink)
-          case Some(TOr(p)) => throw ParseError("'||' not supported yet", p)
+          case Some(TOr(_)) =>
+            next()
+            branches :+= c
+            c = Constraint(linkage = linkage)
           case Some(t) => throw ParseError(s"unexpected $t", t.pos)
         }
       }
-      c
+      if (branches.isEmpty) c
+      else {
+        // shaping modifiers (result/sort/paging) may be written in any
+        // branch; they apply to the merged set — last writer wins.
+        val all = branches :+ c
+        val shaped = all.reduceLeft { (acc, b) =>
+          acc.copy(
+            result = b.result.orElse(acc.result),
+            sort = if (b.sort.nonEmpty) b.sort else acc.sort,
+            pagesize = b.pagesize.orElse(acc.pagesize),
+            start = b.start.orElse(acc.start))
+        }
+        all.head.copy(
+          result = shaped.result, sort = shaped.sort,
+          pagesize = shaped.pagesize, start = shaped.start,
+          orBranches = all.tail)
+      }
     }
 
     // right-hand sides: single value or parenthesized list
@@ -376,6 +396,8 @@ object Parser {
                 case "contents" => ContentsPat
                 case "count" => CountPat
                 case "none" => NonePat
+                case "cursor" => CursorPat
+                case "estimate-count" => EstimateCountPat
                 case other => throw ParseError(s"unknown result '$other'", pos)
               }))
             case RList(vs) =>
@@ -385,6 +407,8 @@ object Parser {
                 case Some("contents") => ContentsPat
                 case Some("count") => CountPat
                 case Some("none") => NonePat
+                case Some("cursor") => CursorPat
+                case Some("estimate-count") => EstimateCountPat
                 case other => throw ParseError(s"unknown result item '$other'", pos)
               })))
             case _ => throw ParseError("bad result pattern", pos)

@@ -50,6 +50,19 @@ object ReadPlanner {
     * (`__var_*`) and a per-child contents column (`__contents_i`).
     */
   private def solve(store: GraphStore, c: Constraint, depth: Int): DataFrame = {
+    // `||` alternatives: union of branch plans, deduplicated per id
+    // (the reference's or-iterator, graphd/graphd-iterator-or.c).
+    // Variable columns from different branches merge per id (max over
+    // the group — nulls lose), which is what `pick` coalesces over.
+    if (c.orBranches.nonEmpty) {
+      val planned = (c.copy(orBranches = Nil) +: c.orBranches)
+        .map(b => solve(store, b.copy(orBranches = Nil), depth))
+      val unioned = planned.reduce(_.unionByName(_, allowMissingColumns = true))
+      val others = unioned.columns.filter(_ != "id").toSeq
+      return unioned.groupBy(col("id"))
+        .agg(max(col(others.head)).as(others.head),
+          others.tail.map(n => max(col(n)).as(n)): _*)
+    }
     var df = base(store, c)
 
     // subconstraints: join + per-parent aggregation
@@ -350,10 +363,24 @@ object ReadPlanner {
   }
 
   private def shapeRoot(df: DataFrame, c: Constraint): DataFrame = {
-    // set-level count result (result=count → one row)
+    // set-level count result (result=count → one row); countlimit stops
+    // counting past N (the reference returns TOOMANY beyond — callers
+    // detect overflow by count == countlimit+1, graphd/graphd.h:1305).
     val pat = c.result.getOrElse(ListPat(Seq(FieldPat("guid"), FieldPat("value"))))
-    if (flatten(pat) == Seq(CountPat))
-      return df.agg(count(lit(1)).as("count"))
+    if (flatten(pat) == Seq(CountPat)) {
+      val limited = c.countlimit.map(n => df.limit(n.toInt + 1)).getOrElse(df)
+      return limited.agg(count(lit(1)).as("count"))
+    }
+    // estimate-count: optimizer statistics, no execution
+    // (graphd/graphd-read-set-estimate.c:21 → Catalyst plan stats)
+    if (flatten(pat) == Seq(EstimateCountPat)) {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val est = df.queryExecution.optimizedPlan.stats.rowCount
+        .map(_.toLong)
+        .getOrElse(df.queryExecution.optimizedPlan.stats.sizeInBytes.toLong)
+      return Seq(est).toDF("estimate_count")
+    }
 
     var out = df
     // root sort (graphd/graphd-sort.c) with id tiebreak for determinism
