@@ -57,6 +57,37 @@ case class GraphdMatch(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Word segmentation as an expression — tokenizes a value into the
+  * lowercase word array that backs the inverted WORD index
+  * (libpdb/pdb-word.c:20-60, hash type PDB_HASH_WORD libpdb/pdb.h:228).
+  */
+case class GraphdWords(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes() =
+    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val ws = GraphdText.words(v.asInstanceOf[UTF8String].toString)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      ws.map(UTF8String.fromString).toArray[Any])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GraphdWords.evalArray($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): GraphdWords =
+    copy(child = newChild)
+}
+
+object GraphdWords {
+  /** codegen helper */
+  def evalArray(s: String): org.apache.spark.sql.catalyst.util.GenericArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      GraphdText.words(s).map(UTF8String.fromString).toArray[Any])
+}
+
 object GraphdFunctions {
   /** sort/range key under a comparator (default/number/datetime/octet/case) */
   def sort_key(c: Column, comparator: String = "default"): Column =
@@ -65,6 +96,9 @@ object GraphdFunctions {
   /** the reference's `~=` operator */
   def gmatch(value: Column, pattern: Column): Column =
     column(GraphdMatch(expression(value), expression(pattern)))
+
+  /** word segmentation (backs the inverted word index) */
+  def graphd_words(c: Column): Column = column(GraphdWords(expression(c)))
 
   /** register SQL functions graphd_sort_key / graphd_match */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -169,8 +169,19 @@ object GraphdText {
     }
   }
 
+  /** first pattern word usable as an inverted-index key: a fully
+    * literal word (no `*`) — the candidate-pruning entry point
+    * (graphd/graphd-iterator-prefix.c word candidates).
+    */
+  def firstIndexWord(pattern: String): Option[String] = {
+    var p = pattern
+    if (p.startsWith("^")) p = p.substring(1)
+    if (p.endsWith("$") && !p.endsWith("\\$")) p = p.substring(0, p.length - 1)
+    patternWords(p).find(w => !w.contains('*'))
+  }
+
   /** pattern words keep `*` but otherwise tokenize like values */
-  private def patternWords(p: String): Seq[String] = {
+  def patternWords(p: String): Seq[String] = {
     val out = ArrayBuffer.empty[String]
     var i = 0
     val n = p.length

@@ -99,9 +99,11 @@ object Parser {
       case None => throw ParseError(s"expected $what, got EOF", input.length)
     }
 
-    // optional leading verb
+    // optional leading verb (read templates and write templates share
+    // the constraint grammar; restrictions are enforced by the
+    // consumer — libgdp/gdp-parse.c verb dispatch :222-248)
     peek match {
-      case Some(TAtom("read", _)) => next()
+      case Some(TAtom("read" | "write", _)) => next()
       case _ => ()
     }
 

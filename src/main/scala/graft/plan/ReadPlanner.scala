@@ -165,6 +165,22 @@ object ReadPlanner {
     c.datatype.foreach(dt => df = df.filter(col("datatype") === dt))
 
     df = strFilter(df, col("name"), c.name, c.comparator)
+    // ~= on value: prune candidates via the inverted word index first
+    // (semi-join on the rarest-available literal pattern word), then
+    // apply the exact match predicate — SURVEY §4's word-candidate
+    // rewrite (graphd/graphd-iterator-prefix.c:22).
+    if (store.useWordIndex) {
+      c.value.filter(_.op == OpMatch).foreach { p =>
+        val indexWords = p.values.flatten
+          .map(graft.functions.GraphdText.firstIndexWord)
+        if (indexWords.forall(_.isDefined)) {
+          val cand = store.valueWordIndex
+            .filter(col("word").isin(indexWords.flatten: _*))
+            .select(col("id").as("__cand_id")).distinct()
+          df = df.join(cand, df("id") === cand("__cand_id"), "left_semi")
+        }
+      }
+    }
     df = strFilter(df, col("value"), c.value, c.comparator)
 
     c.timestampMin.foreach { case (m, incl) =>

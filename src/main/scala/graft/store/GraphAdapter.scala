@@ -46,7 +46,8 @@ object GraphAdapter {
   /** Build (or fetch cached) GraphStore for one scale-factor dir. */
   def store(spark: SparkSession, sfDir: String): GraphStore =
     cache.getOrElseUpdate(sfDir + "@" + spark.hashCode,
-      GraphStore.fromDf(spark, build(spark, sfDir).cache(), versioned = false))
+      GraphStore.fromDf(spark, build(spark, sfDir).cache(),
+        versioned = false, useWordIndex = true))
 
   def build(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tables.T(spark, sfDir)

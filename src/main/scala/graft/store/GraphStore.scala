@@ -22,7 +22,9 @@ import graft.model.{Guid, Primitive}
   *    by `left`/`right` for shuffle-free fan-in joins.
   */
 final case class GraphStore(spark: SparkSession, primitives: DataFrame,
-    versioned: Boolean = true) {
+    versioned: Boolean = true,
+    /** route `~=` predicates through the inverted word index */
+    useWordIndex: Boolean = false) {
   import GraphStore._
 
   /** Default visibility: current (newest) live versions only —
@@ -54,6 +56,19 @@ final case class GraphStore(spark: SparkSession, primitives: DataFrame,
     */
   def newestAll: DataFrame = newestPerLineage(primitives)
 
+  /** Inverted word index over `value` — the WORD hmap analog
+    * (libpdb/pdb.h:228 PDB_HASH_WORD, libpdb/pdb-word.c): word → ids.
+    * Lazily built and cached; the planner uses it to prune `~=`
+    * candidates to a semi-join before the exact match check
+    * (SURVEY.md §4 "prefix/word candidates for ~=").
+    */
+  lazy val valueWordIndex: DataFrame = {
+    import graft.functions.GraphdFunctions.graphd_words
+    primitives.filter(col("value").isNotNull)
+      .select(col("id"), explode(graphd_words(col("value"))).as("word"))
+      .cache()
+  }
+
   def save(path: String): Unit =
     primitives
       .withColumn("id_part", shiftright(col("id"), PartShift).cast("int"))
@@ -76,8 +91,8 @@ object GraphStore {
   }
 
   def fromDf(spark: SparkSession, df: DataFrame,
-      versioned: Boolean = true): GraphStore =
-    GraphStore(spark, df, versioned)
+      versioned: Boolean = true, useWordIndex: Boolean = false): GraphStore =
+    GraphStore(spark, df, versioned, useWordIndex)
 
   /** newest=0 view: keep the row with max id per lineage
     * (libpdb/pdb-generation.c re-expressed as a window; at scale this

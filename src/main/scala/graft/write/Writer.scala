@@ -110,6 +110,75 @@ object Writer {
   // upsert machinery
   // ------------------------------------------------------------------
 
+  /** Write a parsed `write (...)` template: one primitive per
+    * constraint node, children wired to parents through their linkage
+    * — `(<-left ...)` children get left=parent, `right->(...)` children
+    * become the parent's right, etc. (doc/gr-protocol.txt:435-478,
+    * graphd/graphd-write.c). `type="t"` resolves against existing type
+    * nodes. Returns the new store and the created ids in template
+    * (pre-)order.
+    */
+  def writeTemplate(store: GraphStore, template: graft.gql.Constraint)
+      : (GraphStore, Seq[Long]) = {
+    import graft.gql._
+    val base = nextId(store)
+    val specs = scala.collection.mutable.ArrayBuffer.empty[Spec]
+
+    def typeIdOf(names: Seq[String]): Long = {
+      val rows = store.current
+        .filter(col("left").isNull && col("name").isin(names: _*))
+        .select("id").limit(2).collect()
+      if (rows.isEmpty) throw WriteError("NOTFOUND", s"type ${names.mkString(",")}")
+      rows.head.getLong(0)
+    }
+
+    def firstEq(preds: Seq[StrPred]): Option[String] =
+      preds.collectFirst { case StrPred(OpEq, vs) => vs.flatten.headOption }.flatten
+
+    def linkSerial(c: Constraint, f: String): Option[Long] =
+      c.linkFields.get(f).flatMap(_.collectFirst {
+        case GuidPred(true, serials, false) => serials.flatten.headOption
+      }.flatten)
+
+    def setField(i: Int, f: String, id: Long): Unit = specs(i) = f match {
+      case "left" => specs(i).copy(left = Some(id))
+      case "right" => specs(i).copy(right = Some(id))
+      case "typeguid" => specs(i).copy(typeguid = Some(id))
+      case "scope" => specs(i).copy(scope = Some(id))
+      case other => throw WriteError("SYNTAX", s"bad linkage $other")
+    }
+
+    def build(c: Constraint): Int = {
+      val idx = specs.length
+      specs += Spec(
+        name = firstEq(c.name),
+        value = firstEq(c.value),
+        datatype = c.datatype.getOrElse(graft.model.Datatype.String),
+        typeguid = c.typeNames.map(typeIdOf).orElse(linkSerial(c, "typeguid")),
+        left = linkSerial(c, "left"),
+        right = linkSerial(c, "right"),
+        scope = linkSerial(c, "scope"),
+        live = c.live != MustBeFalse)
+      c.subs.foreach { sub =>
+        sub.linkage match {
+          case Some(ChildPointsToParent(f)) =>
+            val ci = build(sub); setField(ci, f, base + idx)
+          case Some(ParentPointsToChild(f)) =>
+            val ci = build(sub); setField(idx, f, base + ci)
+          case None => build(sub)
+        }
+      }
+      idx
+    }
+
+    build(template)
+    append(store, specs.toSeq)
+  }
+
+  /** parse-and-write convenience: `write (value="x" (<-left ...))` */
+  def write(store: GraphStore, gqlText: String): (GraphStore, Seq[Long]) =
+    writeTemplate(store, graft.gql.Parser.parseRead(gqlText))
+
   /** current-view match for a spec on the given fields */
   private def matchExisting(store: GraphStore, s: Spec,
       fields: Seq[String]): DataFrame = {

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.Primitive.node
+import graft.plan.{ReadPlanner, SExpr}
+import graft.store.GraphStore
+import graft.write.Writer
+
+/** write-template round trip: GQL write → store → GQL read, plus
+  * s-expression golden rendering (the reference's session shape:
+  * write a subgraph, read it back, diff the output).
+  */
+class WriteTemplateSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("write template creates a linked subgraph, readable back") {
+    val st0 = GraphStore.fromSeq(spark, Seq(node(1, name = Some("height"))))
+    // the Arnold session: a person with a height property
+    val (st1, ids) = Writer.write(st0,
+      """write (value="Arnold Schwarzenegger"
+        |  (<-left type="height" value="1.88" datatype=float))""".stripMargin)
+    assert(ids.length == 2)
+    val rows = ReadPlanner.plan(st1,
+      """read (value~="arnold" result=((value contents))
+        |  (<-left type="height" result=((value))))""".stripMargin).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getSeq[org.apache.spark.sql.Row](1)
+      .map(_.getString(0)) == Seq("1.88"))
+  }
+
+  test("parent-points-to-child linkage wires right-> through the template") {
+    val st0 = GraphStore.fromSeq(spark, Seq(node(1, name = Some("member_of"))))
+    val (st1, ids) = Writer.write(st0,
+      """write (value="band" right->(value="musician"))""")
+    assert(ids.length == 2)
+    val band = st1.current.filter(col("value") === "band").head
+    val musician = st1.current.filter(col("value") === "musician").head
+    assert(band.getAs[Long]("right") == musician.getAs[Long]("id"))
+  }
+
+  test("write template with unresolvable type errors NOTFOUND") {
+    val st0 = GraphStore.fromSeq(spark, Seq(node(1)))
+    val e = intercept[Writer.WriteError](
+      Writer.write(st0, """write (value="x" (<-left type="nope"))"""))
+    assert(e.code == "NOTFOUND")
+  }
+
+  test("s-expression rendering matches the golden shape") {
+    val st = GraphStore.fromSeq(spark, Seq(
+      node(1, name = Some("b"), value = Some("2")),
+      node(2, name = Some("a"), value = Some("1"))))
+    val df = ReadPlanner.plan(st, "read (node sort=(value) result=((name value)))")
+    assert(SExpr.ok(df) == """ok (("a" "1") ("b" "2"))""")
+    // guid rendering in wire form
+    val df2 = ReadPlanner.plan(st, "read (node sort=(value) result=((guid)))")
+    val out = SExpr.ok(df2, guidCols = Set(0))
+    assert(out == s"ok ((${graft.model.Guid.render(2)}) (${graft.model.Guid.render(1)}))")
+  }
+
+  test("word-index candidate pruning returns the same matches") {
+    val prims = (1 to 50).map(i =>
+      node(i.toLong, value = Some(if (i % 7 == 0) s"seven mark $i" else s"plain row $i")))
+    val noIdx = GraphStore.fromSeq(spark, prims)
+    val withIdx = noIdx.copy(useWordIndex = true)
+    val q = """read (value~="seven" result=((guid)))"""
+    val a = ReadPlanner.plan(noIdx, q).collect().map(_.getLong(0)).toSet
+    val b = ReadPlanner.plan(withIdx, q).collect().map(_.getLong(0)).toSet
+    assert(a == b && a.nonEmpty)
+  }
+}
