@@ -38,31 +38,25 @@ object AnalyticsQueries extends QueryPack {
              |                          WHERE n_nationkey = 3)
              |       AND n_nationkey <> 3)""".stripMargin)),
 
-    // connected components: one component per region tree (no
-    // cross-region links in the adapter), singletons for parts and
-    // the unlinked type nodes.
+    // connected components: lineitem contains-links make parts bridge
+    // all region trees into one giant component; singletons are the
+    // unlinked type nodes and any never-ordered part.
     QueryDef("a02_connected_components",
       (s, dir) => {
         val st = GraphAdapter.store(s, dir)
         Analytics.connectedComponents(st)
           .groupBy(col("component")).agg(count(lit(1)).as("n"))
       },
-      Some("""WITH natr AS (SELECT n_nationkey, n_regionkey FROM nation),
-             |verts AS (
-             |  SELECT r_regionkey AS rk FROM region
-             |  UNION ALL SELECT n_regionkey FROM nation
-             |  UNION ALL SELECT n_regionkey FROM customer
-             |    JOIN natr ON c_nationkey = n_nationkey
-             |  UNION ALL SELECT n_regionkey FROM supplier
-             |    JOIN natr ON s_nationkey = n_nationkey
-             |  UNION ALL SELECT n_regionkey FROM orders
-             |    JOIN customer ON o_custkey = c_custkey
-             |    JOIN natr ON c_nationkey = n_nationkey)
-             |SELECT 1000000 + rk AS component, count(*) AS n FROM verts GROUP BY 1
+      Some("""SELECT 1000000 AS component,
+             |  (SELECT count(*) FROM region) + (SELECT count(*) FROM nation)
+             |  + (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier)
+             |  + (SELECT count(*) FROM orders)
+             |  + (SELECT count(DISTINCT l_partkey) FROM lineitem) AS n
              |UNION ALL
              |SELECT 40000000 + p_partkey, 1 FROM part
+             |  WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
              |UNION ALL
-             |SELECT unnest([1,2,3,4,5,6,10,11,12,13]), 1""".stripMargin)),
+             |SELECT unnest([1,2,3,4,5,6,10,11,12,13,14]), 1""".stripMargin)),
 
     // PageRank over the link structure — iterative fixpoint, not
     // SQL-expressible: rows-only check (top-20 by rank for stability).
@@ -81,7 +75,7 @@ object AnalyticsQueries extends QueryPack {
     QueryDef("st01_stream_type_counts",
       (s, dir) => {
         val key = java.lang.Integer.toHexString(dir.hashCode)
-        val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_v2_$key"
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_v3_$key"
         val logDir = s"$base/log"
         val stateDir = s"$base/state"
         // write the log once per (session, sf); few large files so the
@@ -100,7 +94,7 @@ object AnalyticsQueries extends QueryPack {
         s.read.parquet(stateDir)
           .filter(col("typeguid").isin(GraphAdapter.TPlacedBy,
             GraphAdapter.TInNation, GraphAdapter.TNationRegion,
-            GraphAdapter.TSupplierNation))
+            GraphAdapter.TSupplierNation, GraphAdapter.TContains))
       },
       Some("""SELECT 10 AS typeguid, count(*) AS n_links,
              |  100000000 + max(o_orderkey) AS dateline FROM orders
@@ -109,7 +103,27 @@ object AnalyticsQueries extends QueryPack {
              |UNION ALL
              |SELECT 12, count(*), 300000000 + max(n_nationkey) FROM nation
              |UNION ALL
-             |SELECT 13, count(*), 400000000 + max(s_suppkey) FROM supplier""".stripMargin)),
+             |SELECT 13, count(*), 400000000 + max(s_suppkey) FROM supplier
+             |UNION ALL
+             |SELECT 14, count(*),
+             |  500000000 + max(l_orderkey * 8 + l_linenumber) FROM lineitem""".stripMargin)),
+
+    // watermark + tumbling-window aggregation over the events table
+    // through the streaming-shaped operator (batch execution of the
+    // same plan; the StreamingSpec drives it as a real stream)
+    QueryDef("st02_windowed_events",
+      (s, dir) => {
+        val ev = Util.eventsNanos(graft.Tables.T(s, dir).events)
+          .withColumn("ts", timestamp_micros((col("ts_ns") / 1000L).cast("long")))
+        Replica.windowedEventCounts(ev, "1 hour", "2 hours")
+          .select(
+            unix_timestamp(col("window.start")).as("bucket"),
+            col("event_type"), col("n"),
+            round(col("sum_value"), 2).as("sum_value"))
+      },
+      Some("""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket,
+             |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+             |FROM events GROUP BY 1, 2""".stripMargin)),
 
     // cursor pagination: fetch page 1, mint the keyset token, resume —
     // returns page 2 (orders 51..100 of the graph in id order).
@@ -122,7 +136,7 @@ object AnalyticsQueries extends QueryPack {
       },
       Some("""WITH prims AS (
              |  SELECT 1 AS id, NULL AS value
-             |  UNION ALL SELECT unnest([2,3,4,5,6,10,11,12,13]), NULL
+             |  UNION ALL SELECT unnest([2,3,4,5,6,10,11,12,13,14]), NULL
              |  UNION ALL SELECT 1000000 + r_regionkey, r_name FROM region
              |  UNION ALL SELECT 2000000 + n_nationkey, n_name FROM nation
              |  UNION ALL SELECT 10000000 + c_custkey, c_name FROM customer

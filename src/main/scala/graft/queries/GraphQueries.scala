@@ -72,6 +72,17 @@ object GraphQueries extends QueryPack {
       Some("""SELECT (40000000 + p_partkey) AS guid, p_name AS value
              |FROM part WHERE regexp_matches(lower(p_name), '\b(gear)\b')""".stripMargin)),
 
+    // fan-in over the bulk contains-links (one per lineitem row):
+    // parts appearing in many orders — the classic hot-key path the
+    // reference serves with its VIP index (libpdb/pdb-vip.c)
+    QueryDef("g09_gql_fanin",
+      gql("""read (type="part" result=((guid value))
+            |  (<-right type="contains" count>=45))""".stripMargin),
+      Some("""SELECT (40000000 + p_partkey) AS guid, p_name AS value
+             |FROM part
+             |WHERE (SELECT count(*) FROM lineitem
+             |       WHERE l_partkey = p_partkey) >= 45""".stripMargin)),
+
     // number-comparator range over order totalprice carried on links
     QueryDef("g08_gql_vrange",
       gql("""read (type="placed_by" comparator="number"

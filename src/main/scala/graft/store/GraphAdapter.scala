@@ -26,6 +26,7 @@ object GraphAdapter {
   val TInNation = 11L   // customer -> nation
   val TNationRegion = 12L // nation -> region
   val TSupplierNation = 13L // supplier -> nation
+  val TContains = 14L   // order -> part (one link per lineitem row)
 
   // entity-id bases
   val BRegion = 1000000L
@@ -39,6 +40,7 @@ object GraphAdapter {
   val BInNation = 200000000L
   val BNationRegion = 300000000L
   val BSupplierNation = 400000000L
+  val BContains = 500000000L // + orderkey * 8 + linenumber
 
   private val cache =
     scala.collection.concurrent.TrieMap.empty[String, GraphStore]
@@ -94,7 +96,8 @@ object GraphAdapter {
       (TCustomer, "customer"), (TOrders, "orders"), (TNation, "nation"),
       (TRegion, "region"), (TSupplier, "supplier"), (TPart, "part"),
       (TPlacedBy, "placed_by"), (TInNation, "in_nation"),
-      (TNationRegion, "nation_region"), (TSupplierNation, "supplier_nation"))
+      (TNationRegion, "nation_region"), (TSupplierNation, "supplier_nation"),
+      (TContains, "contains"))
     import spark.implicits._
     val typeNodes = typeRows.toDF("id", "name").select(
       col("id"),
@@ -135,7 +138,14 @@ object GraphAdapter {
         lit(null)),
       links(t.supplier, BSupplierNation, "s_suppkey", TSupplierNation,
         BSupplier, "s_suppkey", BNation, "s_nationkey",
-        lit(null)))
+        lit(null)),
+      // lineitem: the bulk of the graph — one contains-link per row
+      // (order → part, value = quantity); id packs (orderkey, lineno)
+      links(t.lineitem.withColumn("__lid",
+          col("l_orderkey") * 8 + col("l_linenumber")),
+        BContains, "__lid", TContains,
+        BOrders, "l_orderkey", BPart, "l_partkey",
+        col("l_quantity")))
 
     parts.reduce(_ unionByName _)
   }

@@ -69,6 +69,42 @@ final case class GraphStore(spark: SparkSession, primitives: DataFrame,
       .cache()
   }
 
+  /** Consistency check — the reference's `verify` request
+    * (graphd/graphd-verify.c, libpdb/pdb-verify.c): index↔primitive and
+    * structural invariants as one declarative job. Returns a frame of
+    * (violation, id) rows; empty = consistent.
+    */
+  def verifyConsistency(): DataFrame = {
+    val p = primitives
+    def tag(name: String, df: DataFrame): DataFrame =
+      df.select(lit(name).as("violation"), col("id"))
+
+    // links must have a left endpoint; endpoints/type/prev must exist
+    val ids = p.select(col("id").as("ref_id"))
+    def dangling(field: String) =
+      tag(s"dangling_$field",
+        p.filter(col(field).isNotNull)
+          .join(ids, col(field) === col("ref_id"), "left_anti"))
+
+    val rightWithoutLeft = tag("right_without_left",
+      p.filter(col("right").isNotNull && col("left").isNull))
+    // lineage root must exist and be <= id; prev must be < id
+    val badLineage = tag("bad_lineage",
+      p.join(ids, col("lineage") === col("ref_id"), "left_anti")
+        .unionByName(p.filter(col("lineage") > col("id"))))
+    val badPrev = tag("prev_not_older",
+      p.filter(col("prev").isNotNull && col("prev") >= col("id")))
+    // word index entries must point at live values containing the word
+    val idx = valueWordIndex
+    val staleIndex = tag("stale_word_index",
+      idx.join(p.filter(col("value").isNotNull).select(col("id").as("pid")),
+          col("id") === col("pid"), "left_anti"))
+
+    Seq(dangling("left"), dangling("right"), dangling("typeguid"),
+      dangling("prev"), rightWithoutLeft, badLineage, badPrev, staleIndex)
+      .reduce(_ unionByName _)
+  }
+
   def save(path: String): Unit =
     primitives
       .withColumn("id_part", shiftright(col("id"), PartShift).cast("int"))

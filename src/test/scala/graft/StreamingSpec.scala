@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.Primitive
+import graft.model.Primitive.{link, node}
+import graft.store.GraphStore
+import graft.streaming.Replica
+import graft.write.Writer
+
+/** Streaming semantics driven as real streams (memory sink /
+  * foreachBatch with processAllAvailable), plus the verify-request
+  * consistency job.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("replica stream materializes incremental type counts") {
+    val dir = Files.createTempDirectory("graft_repl").toString
+    val log = s"$dir/log"
+    val state = s"$dir/state"
+    val st = GraphStore.fromSeq(spark, Seq(
+      node(1, name = Some("t1")), node(2), node(3),
+      link(10, left = 2, right = Some(3), typeguid = Some(1)),
+      link(11, left = 3, right = Some(2), typeguid = Some(1))))
+    st.primitives.coalesce(1).write.parquet(log)
+
+    val q = Replica.materializeTypeCounts(
+      Replica.stream(spark, log, maxFilesPerTrigger = 1), state)
+    q.awaitTermination()
+    val rows = spark.read.parquet(state).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("typeguid") == 1L)
+    assert(rows.head.getAs[Long]("n_links") == 2L)
+    assert(rows.head.getAs[Long]("dateline") == 11L)
+
+    // append more primitives → the SAME state dir absorbs the delta
+    val (st2, _) = Writer.append(st, Seq(
+      Writer.Spec(left = Some(2L), right = Some(3L), typeguid = Some(1L))))
+    st2.primitives.filter(col("id") > 11).coalesce(1)
+      .write.mode("append").parquet(log)
+    val q2 = Replica.materializeTypeCounts(
+      Replica.stream(spark, log, maxFilesPerTrigger = 8), state)
+    q2.awaitTermination()
+    // note: fresh query = fresh checkpoint, so counts rebuild from all
+    // files; the merge keeps one row per type with the latest dateline
+    val after = spark.read.parquet(state)
+      .filter(col("typeguid") === 1L).head
+    assert(after.getAs[Long]("n_links") >= 3L)
+    assert(after.getAs[Long]("dateline") == 12L)
+  }
+
+  test("windowed event counts run as a genuine stream to a memory sink") {
+    val dir = Files.createTempDirectory("graft_ev").toString + "/events"
+    import spark.implicits._
+    val rows = Seq(
+      ("2024-01-01 10:05:00", "click", 1.0),
+      ("2024-01-01 10:35:00", "click", 2.0),
+      ("2024-01-01 11:05:00", "view", 3.0))
+      .toDF("s", "event_type", "value")
+      .select(to_timestamp(col("s")).as("ts"), col("event_type"), col("value"))
+    rows.coalesce(1).write.parquet(dir)
+
+    val feed = spark.readStream.schema(rows.schema).parquet(dir)
+    val agg = Replica.windowedEventCounts(feed, "1 hour", "2 hours")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("ev_out").start()
+    q.processAllAvailable()
+    q.stop()
+    // append mode emits only closed windows; with a 2h watermark over
+    // this bounded input nothing is final yet — completeness is the
+    // batch path's job (st02). Here we assert the stream ran clean.
+    assert(spark.table("ev_out").schema.fieldNames.contains("n"))
+  }
+
+  test("verifyConsistency: clean store passes, corruption is reported") {
+    val good = GraphStore.fromSeq(spark, Seq(
+      node(1), node(2), link(3, left = 1, right = Some(2))))
+    assert(good.verifyConsistency().count() == 0)
+
+    import spark.implicits._
+    val corrupt = GraphStore.fromDf(spark,
+      good.primitives.unionByName(Seq(
+        Primitive(9, None, None, 2.toByte, None, None, true, true, false,
+          0L, Some(77L), None, None, 9L), // dangling left → 77
+        Primitive(10, None, None, 2.toByte, None, None, true, true, false,
+          0L, None, Some(1L), None, 10L)  // right without left
+      ).toDS().toDF()))
+    val v = corrupt.verifyConsistency().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(v.contains(("dangling_left", 9L)))
+    assert(v.contains(("right_without_left", 10L)))
+  }
+}
