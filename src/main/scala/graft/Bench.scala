@@ -36,10 +36,33 @@ object Bench {
       val secs = (System.nanoTime() - t0) / 1e9
       name -> (if (ok) secs else -1.0)
     }
+    // repeated-simple-read throughput, comparable in spirit to the
+    // reference's "simple constrained reads" rate (BASELINE.md):
+    // a 1-hop constrained read over the warmed graph, back to back.
+    val simple = SparkEntry.queries("g05_gql_two_hop")
+    simple(spark, sfDir).count() // warm plan + caches
+    val reps = 10
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < reps) { simple(spark, sfDir).count(); i += 1 }
+    val qps = reps / ((System.nanoTime() - t0) / 1e9)
+
+    // batched point-read throughput: 1000 guid lookups in ONE plan —
+    // the way a Spark engine actually serves bulk point reads. Each
+    // resolved id corresponds to one reference "simple query".
+    val st = graft.store.GraphAdapter.store(spark, sfDir)
+    val ids = (1 to 1000).map(i => graft.store.GraphAdapter.BCustomer + 1 + (i % 1000))
+    val t1 = System.nanoTime()
+    val resolved = st.current
+      .filter(org.apache.spark.sql.functions.col("id")
+        .isin(ids.map(Long.box): _*))
+      .count()
+    val batchQps = resolved / ((System.nanoTime() - t1) / 1e9)
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"qps_simple":$qps,"qps_point_batched":$batchQps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -100,6 +100,7 @@ final case class Constraint(
     newestMin: Option[Long] = Some(0L), // default newest=0
     newestMax: Option[Long] = Some(0L),
     oldestEq: Option[Long] = None, // oldest=N: generation counted from old end
+    asof: Option[Long] = None, // request modifier: snapshot id horizon
     comparator: String = "default",
     count: CountBounds = CountBounds(),
     optional: Boolean = false,

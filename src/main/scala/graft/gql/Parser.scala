@@ -384,6 +384,14 @@ object Parser {
             case o => throw ParseError(s"count does not support $o", pos)
           }
         case "atleast" => c.copy(count = c.count.copy(min = longOf(rhsVals(rhs, "atleast", pos).head, pos)))
+        case "asof" =>
+          // accepts a guid or bare serial: the snapshot id horizon
+          // (doc/gr-protocol.txt:203-221)
+          val v = rhsVals(rhs, "asof", pos).head
+            .getOrElse(throw ParseError("asof needs a value", pos))
+          val ser = Guid.serialOf(v)
+            .getOrElse(throw ParseError(s"bad asof '$v'", pos))
+          c.copy(asof = Some(ser))
         case "pagesize" | "resultpagesize" => c.copy(pagesize = Some(longOf(rhsVals(rhs, wl, pos).head, pos)))
         case "start" => c.copy(start = Some(longOf(rhsVals(rhs, "start", pos).head, pos)))
         case "countlimit" => c.copy(countlimit = Some(longOf(rhsVals(rhs, "countlimit", pos).head, pos)))

@@ -32,9 +32,13 @@ import graft.store.GraphStore
   */
 object ReadPlanner {
 
-  /** Plan a read and shape the root result. */
+  /** Plan a read and shape the root result. `asof=` on the root caps
+    * the visible id range before anything else (time travel,
+    * doc/gr-protocol.txt:203-221).
+    */
   def plan(store: GraphStore, root: Constraint): DataFrame = {
-    val solved = solve(store, root, 0)
+    val st = root.asof.map(store.asOf).getOrElse(store)
+    val solved = solve(st, root, 0)
     shapeRoot(solved, root)
   }
 

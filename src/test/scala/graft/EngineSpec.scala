@@ -227,4 +227,10 @@ class EngineSpec extends AnyFunSuite {
         .stripMargin).collect()
     assert(rows.length == 3) // type node + 2 people
   }
+
+  test("asof request modifier time-travels through the query language") {
+    val asof = ReadPlanner.plan(versionFixture,
+      "read (node asof=2 result=((value)))").collect().map(_.getString(0)).toSet
+    assert(asof == Set("v1"))
+  }
 }
