@@ -180,6 +180,21 @@ object GraphdText {
     patternWords(p).find(w => !w.contains('*'))
   }
 
+  /** first pattern word of the shape `lit*` (literal prefix, trailing
+    * glob) — usable as a prefix-index scan key (PDB_HASH_PREFIX,
+    * libpdb/pdb-prefix.c). Requires >=2 literal chars to be selective.
+    */
+  def firstIndexPrefix(pattern: String): Option[String] = {
+    var p = pattern
+    if (p.startsWith("^")) p = p.substring(1)
+    if (p.endsWith("$") && !p.endsWith("\\$")) p = p.substring(0, p.length - 1)
+    patternWords(p).collectFirst {
+      case w if w.length >= 3 && w.endsWith("*") &&
+        !w.substring(0, w.length - 1).contains('*') =>
+        w.substring(0, w.length - 1)
+    }
+  }
+
   /** pattern words keep `*` but otherwise tokenize like values */
   def patternWords(p: String): Seq[String] = {
     val out = ArrayBuffer.empty[String]

@@ -175,11 +175,18 @@ object ReadPlanner {
     // rewrite (graphd/graphd-iterator-prefix.c:22).
     if (store.useWordIndex) {
       c.value.filter(_.op == OpMatch).foreach { p =>
-        val indexWords = p.values.flatten
-          .map(graft.functions.GraphdText.firstIndexWord)
-        if (indexWords.forall(_.isDefined)) {
-          val cand = store.valueWordIndex
-            .filter(col("word").isin(indexWords.flatten: _*))
+        // each alternative pattern needs a word (exact) or prefix
+        // (`lit*`) index key, else pruning is unsound for this pred
+        val keys: Seq[Option[Either[String, String]]] = p.values.flatten.map { pat =>
+          graft.functions.GraphdText.firstIndexWord(pat).map(Left(_))
+            .orElse(graft.functions.GraphdText.firstIndexPrefix(pat).map(Right(_)))
+        }
+        if (keys.forall(_.isDefined)) {
+          val exact = keys.flatten.collect { case Left(w) => w }
+          val prefixes = keys.flatten.collect { case Right(pre) => pre }
+          val candPred = (exact.map(w => col("word") === w) ++
+            prefixes.map(pre => col("word").startsWith(pre))).reduce(_ || _)
+          val cand = store.valueWordIndex.filter(candPred)
             .select(col("id").as("__cand_id")).distinct()
           df = df.join(cand, df("id") === cand("__cand_id"), "left_semi")
         }
@@ -290,12 +297,14 @@ object ReadPlanner {
   }
 
   /** collect children ordered by their sort key (leading `__ord` struct
-    * field drives sort_array), apply per-level pagesize, then strip the
-    * ordering field (graphd contents ordering, graphd/graphd-sort.c).
+    * field drives sort_array; a descending first key flips the array
+    * order), apply per-level pagesize, then strip the ordering field
+    * (graphd contents ordering, graphd/graphd-sort.c).
     */
   private def sortedContents(contentsStruct: Column, resultNames: Seq[String],
       sub: Constraint): Column = {
-    val sorted = sort_array(collect_list(contentsStruct))
+    val asc = sub.sort.headOption.forall(_.ascending)
+    val sorted = sort_array(collect_list(contentsStruct), asc = asc)
     val paged = sub.pagesize.map(n => slice(sorted, 1, n.toInt)).getOrElse(sorted)
     transform(paged, x =>
       struct(resultNames.map(n => x.getField(n).as(n)): _*))

@@ -61,6 +61,15 @@ object PipelineQueries extends QueryPack {
            |FROM sc""".stripMargin
       }),
 
+    QueryDef("t05_bpe_tokens",
+      (s, dir) => T(s, dir).documents
+        .select(col("doc_id"),
+          size(TextAnalysis.bpeTokens(col("text"))).as("n_bpe")),
+      Some("""SELECT doc_id,
+             |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+             |    AS n_bpe
+             |FROM documents""".stripMargin)),
+
     QueryDef("t04_fingerprint",
       (s, dir) => T(s, dir).documents
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp")),

@@ -268,6 +268,28 @@ object Relational extends QueryPack {
       },
       Some("SELECT count(*) AS cnt FROM lineitem")),
 
+    QueryDef("q21_sessionize",
+      (s, dir) => {
+        val gapNs = 1800L * 1000000000L // 30 min
+        val ev = graft.queries.Util.eventsNanos(T(s, dir).events)
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"))
+        ev.withColumn("prev_ts", lag(col("ts_ns"), 1).over(w))
+          .withColumn("new_sess",
+            when(col("prev_ts").isNull ||
+              col("ts_ns") - col("prev_ts") > gapNs, 1L).otherwise(0L))
+          .groupBy(col("user_id"))
+          .agg(sum(col("new_sess")).as("n_sessions"),
+            count(lit(1)).as("n_events"))
+      },
+      Some("""SELECT user_id,
+             |  sum(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+             |      THEN 1 ELSE 0 END) AS n_sessions,
+             |  count(*) AS n_events
+             |FROM (SELECT user_id, ts,
+             |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+             |      FROM events)
+             |GROUP BY user_id""".stripMargin)),
+
     QueryDef("q20_topk_per_parent",
       (s, dir) => {
         val w = Window.partitionBy(col("o_custkey"))

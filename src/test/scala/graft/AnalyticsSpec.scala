@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.graph.Analytics
+import graft.model.Primitive.{link, node}
+import graft.store.GraphStore
+
+/** Graph analytics on a hand-built micro-graph with known structure:
+  * two components (a path and an isolated pair), verifiable by hand.
+  */
+class AnalyticsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  // nodes 1-2-3 connected in a path; 4-5 a separate pair; 6 isolated
+  lazy val fx = GraphStore.fromSeq(spark, Seq(
+    node(1), node(2), node(3), node(4), node(5), node(6),
+    link(10, left = 1, right = Some(2)),
+    link(11, left = 2, right = Some(3)),
+    link(12, left = 4, right = Some(5))))
+
+  test("connected components find the path, the pair, and the singleton") {
+    val comp = Analytics.connectedComponents(fx).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp(1L) == comp(2L) && comp(2L) == comp(3L))
+    assert(comp(4L) == comp(5L))
+    assert(comp(1L) != comp(4L))
+    assert(comp(6L) == 6L)
+  }
+
+  test("k-hop walks both link directions with exact hop counts") {
+    val hops = Analytics.kHop(fx, Seq(1L), 2).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(hops == Map(1L -> 0, 2L -> 1, 3L -> 2))
+    val hops2 = Analytics.kHop(fx, Seq(3L), 2).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(hops2 == Map(3L -> 0, 2L -> 1, 1L -> 2))
+  }
+
+  test("pagerank gives linked-to nodes more mass than sources") {
+    val pr = Analytics.pageRank(fx, iters = 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr(3L) > pr(1L)) // 3 receives from the chain, 1 only emits
+    assert(pr(5L) > pr(4L))
+  }
+}
