@@ -42,11 +42,19 @@ final case class GraphStore(spark: SparkSession, primitives: DataFrame,
 
   /** Snapshot as of an id horizon — `asof=`/dateline time travel
     * (doc/gr-protocol.txt:203-221): drop everything written after the
-    * horizon, then re-resolve newest/live. Pure id-range predicate, so
-    * partition pruning applies.
+    * horizon, then re-resolve newest/live. On a persisted store the
+    * predicate hits both the `id` column (parquet row-group min/max
+    * skipping) and the `id_part` partition column (directory-level
+    * partition pruning) — an asof read never touches storage written
+    * after its horizon.
     */
-  def asOf(horizon: Long): GraphStore =
-    copy(primitives = primitives.filter(col("id") <= horizon))
+  def asOf(horizon: Long): GraphStore = {
+    val pred =
+      if (primitives.columns.contains("id_part"))
+        col("id") <= horizon && col("id_part") <= (horizon >> PartShift).toInt
+      else col("id") <= horizon
+    copy(primitives = primitives.filter(pred))
+  }
 
   def nodes: DataFrame = current.filter(col("left").isNull)
   def links: DataFrame = current.filter(col("left").isNotNull)
@@ -118,8 +126,13 @@ object GraphStore {
     */
   val PartShift = 20
 
+  /** Load a persisted store. The `id_part` partition column is kept so
+    * id-horizon reads (asOf/cursors) prune partition directories; it is
+    * dropped from user-facing projections by the planner's explicit
+    * result selection.
+    */
   def load(spark: SparkSession, path: String): GraphStore =
-    GraphStore(spark, spark.read.parquet(path).drop("id_part"))
+    GraphStore(spark, spark.read.parquet(path))
 
   def fromSeq(spark: SparkSession, ps: Seq[Primitive]): GraphStore = {
     import spark.implicits._

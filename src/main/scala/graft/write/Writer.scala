@@ -79,7 +79,10 @@ object Writer {
         s.prev.map(lineageOf).getOrElse(id))
     }
     import store.spark.implicits._
-    val appended = store.primitives.unionByName(rows.toDS().toDF())
+    // allowMissingColumns: a persisted store carries the id_part
+    // partition column; fresh rows get it null until the next save
+    val appended = store.primitives
+      .unionByName(rows.toDS().toDF(), allowMissingColumns = true)
     (store.copy(primitives = appended), rows.map(_.id))
   }
 
