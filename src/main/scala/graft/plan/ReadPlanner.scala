@@ -262,6 +262,12 @@ object ReadPlanner {
         resultFields(sub).map { case (n, e) => e.as(n) }: _*)
 
     val resultNames = resultFields(sub).map(_._1)
+    // a child with result=count contributes its per-parent cardinality
+    // as the contents value (count1.sh shape), not a tuple list
+    val childIsCount = sub.result.map(flatten).contains(Seq(CountPat))
+    def contentsAgg: Column =
+      if (childIsCount) count(lit(1)).cast("long")
+      else sortedContents(contentsStruct, resultNames, sub)
 
     sub.linkage match {
       case Some(ChildPointsToParent(f)) =>
@@ -269,7 +275,7 @@ object ReadPlanner {
         // the reference's linksto join, graphd-iterator-linksto.c).
         val aggCols: Seq[Column] =
           Seq(count(lit(1)).as(s"__count_$i"),
-            sortedContents(contentsStruct, resultNames, sub).as(s"__contents_$i")) ++
+            contentsAgg.as(s"__contents_$i")) ++
             childVars.map(v => min(struct(col("id"), col(v))).getField(v).as(v))
         val agg = child.filter(col(f).isNotNull)
           .groupBy(col(f).as(s"__pk_$i"))
@@ -281,7 +287,7 @@ object ReadPlanner {
         // isa join, graphd-iterator-isa.c) — at most one per parent.
         val aggCols: Seq[Column] =
           Seq(count(lit(1)).as(s"__count_$i"),
-            sortedContents(contentsStruct, resultNames, sub).as(s"__contents_$i")) ++
+            contentsAgg.as(s"__contents_$i")) ++
             childVars.map(v => first(col(v)).as(v))
         val agg = child
           .groupBy(col("id").as(s"__pk_$i"))

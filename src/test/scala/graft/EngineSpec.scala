@@ -233,4 +233,13 @@ class EngineSpec extends AnyFunSuite {
       "read (node asof=2 result=((value)))").collect().map(_.getString(0)).toSet
     assert(asof == Set("v1"))
   }
+
+  test("child result=count yields per-parent cardinality as contents") {
+    val rows = ReadPlanner.plan(starFixture,
+      """read (value~="bottle" result=((value contents))
+        |  (<-left result=count))""".stripMargin).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getString(0) == "bottle of beer on the wall")
+    assert(rows.head.getLong(1) == 3L)
+  }
 }
