@@ -17,11 +17,13 @@ object SparkEntry {
   private val packs: Seq[QueryPack] =
     Seq(Relational, GraphQueries, PipelineQueries, AnalyticsQueries)
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * A multi-operator plan: join + filter + agg + window top-k.
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. A full engine pass: GQL text → parser → constraint tree →
+    * planner → DataFrame, over the adapter graph (semi-join through a
+    * linkage plus an isa hop).
     */
   def entry(spark: SparkSession): DataFrame =
-    queries("q20_topk_per_parent")(spark, "/root/testdata/sf0.001")
+    queries("g03_gql_exists")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

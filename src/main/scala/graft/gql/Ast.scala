@@ -78,7 +78,11 @@ object FieldPat {
     "meta", "generation", "previous", "next")
 }
 
-final case class SortKey(pat: Pattern, ascending: Boolean)
+final case class SortKey(pat: Pattern, ascending: Boolean,
+    /** per-key comparator override: `sort-comparator=(...)`
+      * (libgdp/gdp-parse.c:2047); None = constraint's comparator
+      */
+    comparator: Option[String] = None)
 
 final case class Assignment(variable: String, pat: Pattern)
 

@@ -397,6 +397,15 @@ object Parser {
         case "countlimit" => c.copy(countlimit = Some(longOf(rhsVals(rhs, "countlimit", pos).head, pos)))
         case "comparator" | "value-comparator" =>
           c.copy(comparator = rhsVals(rhs, wl, pos).head.getOrElse("default"))
+        case "sort-comparator" =>
+          // positional comparator overrides for already-declared sort
+          // keys (write `sort=` first, as reference sessions do)
+          val cs = rhsVals(rhs, wl, pos).flatten
+          if (c.sort.isEmpty)
+            throw ParseError("sort-comparator requires sort= first", pos)
+          c.copy(sort = c.sort.zipWithIndex.map { case (k, i) =>
+            if (i < cs.length) k.copy(comparator = Some(cs(i))) else k
+          })
         case "result" =>
           rhs match {
             case RPattern(p) => c.copy(result = Some(p))

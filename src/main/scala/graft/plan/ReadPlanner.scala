@@ -389,12 +389,12 @@ object ReadPlanner {
   }
 
   private def sortExpr(sk: SortKey, c: Constraint): Column = {
-    val e = sk.pat match {
-      case FieldPat("value") => sort_key(col("value"), c.comparator)
-      case FieldPat("name") => sort_key(col("name"), c.comparator)
+    val cmp = sk.comparator.getOrElse(c.comparator)
+    sk.pat match {
+      case FieldPat("value") => sort_key(col("value"), cmp)
+      case FieldPat("name") => sort_key(col("name"), cmp)
       case other => fieldExpr(other, c)
     }
-    e
   }
 
   private def shapeRoot(df: DataFrame, c: Constraint): DataFrame = {

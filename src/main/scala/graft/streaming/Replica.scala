@@ -76,6 +76,46 @@ object Replica {
         col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  final case class Ev(user_id: Long, ts_micros: Long, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  final case class Session(user_id: Long, start_micros: Long,
+      end_micros: Long, n_events: Long, sum_value: Double)
+
+  /** Stateful gap-based sessionization over an event stream —
+    * `flatMapGroupsWithState` with an event-time timeout: a session
+    * closes after `gap` of silence and is emitted exactly once. The
+    * canonical custom-state Structured Streaming operator (the engine's
+    * beyond-reference streaming surface).
+    */
+  def sessionize(events: org.apache.spark.sql.Dataset[Ev], gapMicros: Long)
+      : org.apache.spark.sql.Dataset[Session] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          // batch-per-trigger semantics: fold sorted events, emitting
+          // a session whenever the gap is exceeded
+          val sorted = evs.toSeq.sortBy(_.ts_micros)
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+          sorted.foreach { e =>
+            st = st match {
+              case null => SessionState(e.ts_micros, e.ts_micros, 1L, e.value)
+              case s if e.ts_micros - s.last > gapMicros =>
+                out += Session(user, s.start, s.last, s.n, s.sum)
+                SessionState(e.ts_micros, e.ts_micros, 1L, e.value)
+              case s =>
+                SessionState(s.start, e.ts_micros, s.n + 1, s.sum + e.value)
+            }
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
   /** dateline: the replica's read-your-writes horizon */
   def dateline(primitives: DataFrame): Long =
     primitives.agg(coalesce(max(col("id")), lit(0L))).head.getLong(0)

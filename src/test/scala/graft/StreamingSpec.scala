@@ -94,4 +94,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(v.contains(("dangling_left", 9L)))
     assert(v.contains(("right_without_left", 10L)))
   }
+
+  test("stateful sessionizer carries state across micro-batches") {
+    val dir = Files.createTempDirectory("graft_sess").toString + "/ev"
+    import spark.implicits._
+    val t0 = 1700000000000000L // micros
+    val min = 60L * 1000000L
+    // batch 1: two events 1 min apart; batch 2: one more in-session
+    // event, then one 2 hours later that closes the session
+    Seq(Replica.Ev(1L, t0, 1.0), Replica.Ev(1L, t0 + min, 2.0))
+      .toDS().coalesce(1).write.parquet(dir)
+    Seq(Replica.Ev(1L, t0 + 2 * min, 3.0), Replica.Ev(1L, t0 + 120 * min, 9.0))
+      .toDS().coalesce(1).write.mode("append").parquet(dir)
+
+    val feed = spark.readStream.schema(implicitly[org.apache.spark.sql.Encoder[Replica.Ev]].schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir).as[Replica.Ev]
+    val sessions = Replica.sessionize(feed, gapMicros = 30L * min)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sess_out").as[Replica.Session].collect()
+    // exactly one CLOSED session emitted: 3 events, sum 6.0, 2-min span
+    assert(out.length == 1)
+    val s0 = out.head
+    assert(s0.user_id == 1L && s0.n_events == 3L && s0.sum_value == 6.0)
+    assert(s0.start_micros == t0 && s0.end_micros == t0 + 2 * min)
+  }
+
+  test("sort-comparator overrides per-key ordering") {
+    import graft.model.Primitive.node
+    val fx = GraphStore.fromSeq(spark, Seq(
+      node(1, value = Some("10")), node(2, value = Some("9")),
+      node(3, value = Some("100"))))
+    // octet comparator: lexicographic — "10" < "100" < "9"
+    val lex = graft.plan.ReadPlanner.plan(fx,
+      """read (sort=(value) sort-comparator=("octet") result=((value)))""")
+      .collect().map(_.getString(0)).toSeq
+    assert(lex == Seq("10", "100", "9"))
+    // number comparator: numeric
+    val num = graft.plan.ReadPlanner.plan(fx,
+      """read (sort=(value) sort-comparator=("number") result=((value)))""")
+      .collect().map(_.getString(0)).toSeq
+    assert(num == Seq("9", "10", "100"))
+  }
 }
