@@ -55,26 +55,48 @@ object GraphdText {
 
   // ---------- sort keys ----------
 
-  /** Default-comparator collation key: lowercase, with each embedded
-    * digit run replaced by (marker, zero-padded length, digits) so that
-    * numeric order becomes lexicographic ("x9" < "x10"); punctuation
-    * kept (it participates in default-order ties).
+  /** Default-comparator collation key: lowercase; whitespace runs
+    * collapse to one space ("A  B" equals "A B" but not "AB" --
+    * test/unit/spacematch golden); each embedded integer run becomes
+    * (marker, zero-padded length, digits) so numeric order is
+    * lexicographic ("x9" < "x10"); a digit run directly after
+    * `<digits>.` is a decimal FRACTION -- trailing zeros stripped,
+    * digits compared positionally -- so "42.5" equals "42.5000" and
+    * sorts below "42.500000000000001" (test/unit/compare golden).
     */
   def defaultSortKey(s: String): String = {
     if (s == null) return null
     val sb = new StringBuilder(s.length + 8)
     var i = 0
     val n = s.length
+    var prevIntRun = false // last emitted token was an integer run
     while (i < n) {
       val c = s.charAt(i)
       if (Character.isDigit(c)) {
         val j = i
         while (i < n && Character.isDigit(s.charAt(i))) i += 1
-        val digits = normNumber(s.substring(j, i))
-        // 0x01 marker sorts digit runs before letters; 4-hex length
-        // prefix makes longer (= larger) numbers sort after shorter.
-        sb.append('\u0001').append(f"${digits.length}%04x").append(digits)
+        val digits = s.substring(j, i)
+        val isFraction = prevIntRun && j >= 1 && s.charAt(j - 1) == '.'
+        if (isFraction) {
+          // fraction digits: strip trailing zeros, positional compare
+          sb.append(digits.reverse.dropWhile(_ == '0').reverse)
+          prevIntRun = false
+        } else {
+          val d = normNumber(digits)
+          // 0x01 marker sorts digit runs before letters; 4-hex length
+          // prefix makes longer (= larger) numbers sort after shorter.
+          sb.append('\u0001').append(f"${d.length}%04x").append(d)
+          prevIntRun = true
+        }
+      } else if (Character.isWhitespace(c)) {
+        while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+        sb.append(' ')
+        prevIntRun = false
       } else {
+        // '.' between an int run and digits is the decimal point: keep
+        // prevIntRun so the next run reads as a fraction
+        if (!(c == '.' && prevIntRun && i + 1 < n &&
+            Character.isDigit(s.charAt(i + 1)))) prevIntRun = false
         sb.append(Character.toLowerCase(c))
         i += 1
       }

@@ -396,7 +396,10 @@ object Parser {
         case "start" => c.copy(start = Some(longOf(rhsVals(rhs, "start", pos).head, pos)))
         case "countlimit" => c.copy(countlimit = Some(longOf(rhsVals(rhs, "countlimit", pos).head, pos)))
         case "comparator" | "value-comparator" =>
-          c.copy(comparator = rhsVals(rhs, wl, pos).head.getOrElse("default"))
+          // names may carry a locale prefix: "i;octet" → "octet"
+          // (test/unit/compare.sh uses comparator="i;octet")
+          val raw = rhsVals(rhs, wl, pos).head.getOrElse("default")
+          c.copy(comparator = raw.split(";").last)
         case "sort-comparator" =>
           // positional comparator overrides for already-declared sort
           // keys (write `sort=` first, as reference sessions do)

@@ -206,16 +206,22 @@ object ReadPlanner {
   private def strFilter(df0: DataFrame, column: Column, preds: Seq[StrPred],
       comparator: String): DataFrame = {
     var df = df0
+    // equality is comparator-normalized (except raw octet): under the
+    // default comparator "A  B" equals "A B" and "42.5000" equals
+    // "42.5" — the reference's value-index normalization
+    // (test/unit/spacematch, test/unit/compare goldens).
+    def eqKey(c: Column): Column =
+      if (comparator == "octet") c else sort_key(c, comparator)
     preds.foreach { p =>
       val pred: Column = p.op match {
         case OpEq =>
           p.values.map {
-            case Some(v) => column === v
+            case Some(v) => eqKey(column) === eqKey(lit(v))
             case None => column.isNull
           }.reduce(_ || _)
         case OpNe =>
           p.values.map {
-            case Some(v) => !(column <=> v)
+            case Some(v) => !(eqKey(column) <=> eqKey(lit(v)))
             case None => column.isNotNull
           }.reduce(_ && _)
         case OpMatch =>

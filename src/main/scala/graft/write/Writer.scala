@@ -182,9 +182,14 @@ object Writer {
   def write(store: GraphStore, gqlText: String): (GraphStore, Seq[Long]) =
     writeTemplate(store, graft.gql.Parser.parseRead(gqlText))
 
-  /** current-view match for a spec on the given fields */
+  /** current-view match for a spec on the given fields. String fields
+    * compare under the default comparator's normalization (whitespace
+    * collapse, numeric) — `key=(value)` on "A   B" matches an existing
+    * "A B" (test/unit/spacematch golden).
+    */
   private def matchExisting(store: GraphStore, s: Spec,
       fields: Seq[String]): DataFrame = {
+    import graft.functions.GraphdFunctions.sort_key
     var df = store.current
     def eqOpt[T](c: String, v: Option[T]): Unit = {
       df = v match {
@@ -192,9 +197,15 @@ object Writer {
         case None => df.filter(col(c).isNull)
       }
     }
+    def eqStr(c: String, v: Option[String]): Unit = {
+      df = v match {
+        case Some(x) => df.filter(sort_key(col(c)) === sort_key(lit(x)))
+        case None => df.filter(col(c).isNull)
+      }
+    }
     fields.foreach {
-      case "name" => eqOpt("name", s.name)
-      case "value" => eqOpt("value", s.value)
+      case "name" => eqStr("name", s.name)
+      case "value" => eqStr("value", s.value)
       case "typeguid" => eqOpt("typeguid", s.typeguid)
       case "left" => eqOpt("left", s.left)
       case "right" => eqOpt("right", s.right)
@@ -232,8 +243,13 @@ object Writer {
       def g[T](c: String): Option[T] =
         if (row.isNullAt(row.fieldIndex(c))) None
         else Some(row.getAs[T](c))
+      // string identity is comparator-normalized: rewriting "A   B"
+      // over "A B" is a no-op, not a new version (spacematch golden)
+      def norm(v: Option[String]) =
+        v.map(graft.functions.GraphdText.defaultSortKey)
       val identical =
-        g[String]("name") == spec.name && g[String]("value") == spec.value &&
+        norm(g[String]("name")) == norm(spec.name) &&
+          norm(g[String]("value")) == norm(spec.value) &&
           g[Long]("typeguid") == spec.typeguid &&
           g[Long]("left") == spec.left && g[Long]("right") == spec.right &&
           row.getAs[Byte]("datatype") == spec.datatype

@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.Primitive.node
+import graft.plan.ReadPlanner
+import graft.store.GraphStore
+import graft.write.Writer
+
+/** Golden-vector sessions transcribed from the reference's unit tests
+  * (expected BEHAVIOR from the .out.exp files — set membership and
+  * upsert outcomes; unsorted production order is not asserted, it is
+  * an iterator artifact in the reference).
+  */
+class GoldenSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** test/unit/compare.sh — default-comparator ranges and equality */
+  lazy val compareFixture = GraphStore.fromSeq(spark,
+    Seq("5", "50", "500", "5/blue", "50/blue", "green/5", "green/50",
+      "6", "60", "42.5", "42.5000", "42.500000000000001", "4.251")
+      .zipWithIndex.map { case (v, i) => node(i + 1L, value = Some(v)) })
+
+  private def values(q: String): Set[String] =
+    ReadPlanner.plan(compareFixture, q).collect().map(_.getString(0)).toSet
+
+  test("compare: value<\"6\"") {
+    assert(values("""read (any value<"6" result=((value)))""") ==
+      Set("4.251", "5", "5/blue"))
+  }
+
+  test("compare: value<\"50\" and value<=\"50\"") {
+    assert(values("""read (any value<"50" result=((value)))""") ==
+      Set("4.251", "42.5", "42.5000", "42.500000000000001", "5", "5/blue", "6"))
+    assert(values("""read (any value<="50" result=((value)))""") ==
+      Set("4.251", "42.5", "42.5000", "42.500000000000001", "5", "50", "5/blue", "6"))
+  }
+
+  test("compare: value<\"green/50\" boundary") {
+    assert(values("""read (any value<"green/50" result=((value)))""") ==
+      Set("4.251", "42.5", "42.5000", "42.500000000000001", "5", "50",
+        "5/blue", "500", "50/blue", "6", "60", "green/5"))
+  }
+
+  test("compare: value>=\"50\" and value>\"50\"") {
+    assert(values("""read (any value>="50" result=((value)))""") ==
+      Set("50", "500", "50/blue", "60", "green/5", "green/50"))
+    assert(values("""read (any value>"50" result=((value)))""") ==
+      Set("500", "50/blue", "60", "green/5", "green/50"))
+  }
+
+  test("compare: decimal equality normalizes trailing zeros") {
+    assert(values("""read (any value>="42.5" value<="42.5" result=((value)))""") ==
+      Set("42.5", "42.5000"))
+    assert(values("""read (any value="42.5" result=((value)))""") ==
+      Set("42.5", "42.5000"))
+    assert(values("""read (any value="42.5000" result=((value)))""") ==
+      Set("42.5", "42.5000"))
+    // octet comparator (locale-prefixed name): exact bytes only
+    assert(values("""read (any value="42.5" comparator="i;octet" result=((value)))""") ==
+      Set("42.5"))
+  }
+
+  /** test/unit/spacematch.sh — whitespace normalization */
+  test("spacematch: equality collapses spaces; key= upserts are no-ops") {
+    val st0 = GraphStore.fromSeq(spark, Seq(
+      node(1, value = Some("AB")),
+      node(2, value = Some("A B")),
+      node(3, value = Some("A  B"))))
+    val got = ReadPlanner.plan(st0, """read (value="A B" result=((guid value)))""")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L, 3L)) // "AB" does not match
+
+    val (st1, id1, s1) = Writer.writeKeyed(st0,
+      Writer.Spec(value = Some("A B")), Seq("value"))
+    assert(s1 == "unchanged")
+    val (_, id2, s2) = Writer.writeKeyed(st1,
+      Writer.Spec(value = Some("A   B")), Seq("value"))
+    assert(s2 == "unchanged" && id2 == id1)
+  }
+
+  /** test/unit/numbermatch.sh — ~= with wildcards and leading zeros */
+  test("numbermatch: ~= normalizes numbers and spans wildcards") {
+    val st = GraphStore.fromSeq(spark, Seq(
+      node(1, value = Some("1 2 3")),
+      node(2, value = Some("04 005 0006"))))
+    def m(pat: String): Set[String] =
+      ReadPlanner.plan(st, s"""read (value~="$pat" result=((value)))""")
+        .collect().map(_.getString(0)).toSet
+    assert(m("1 * 3") == Set("1 2 3"))
+    assert(m("01 * 03") == Set("1 2 3"))
+    assert(m("001 * 003") == Set("1 2 3"))
+    assert(m("4 * 6") == Set("04 005 0006"))
+    assert(m("04 * 06") == Set("04 005 0006"))
+    assert(m("004 * 006") == Set("04 005 0006"))
+  }
+}
