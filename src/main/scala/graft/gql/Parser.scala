@@ -120,6 +120,12 @@ object Parser {
           case Some(_: TOpen) => // bare child constraint
             c = c.copy(subs = c.subs :+ parseConstraint(None))
 
+          case Some(TStr(s, _)) =>
+            // bare string in a constraint body = type name sugar:
+            // `write ("Person" name="x")` (test/unit/version1.sh)
+            next()
+            c = c.copy(typeNames = Some(c.typeNames.getOrElse(Nil) :+ s))
+
           case Some(TArrowIn(_)) => // `<-` or `<-left (...)` / standalone meta
             next()
             peek match {

@@ -124,16 +124,31 @@ object Writer {
   def writeTemplate(store: GraphStore, template: graft.gql.Constraint)
       : (GraphStore, Seq[Long]) = {
     import graft.gql._
-    val base = nextId(store)
-    val specs = scala.collection.mutable.ArrayBuffer.empty[Spec]
-
+    // write-side type names resolve against existing type nodes or are
+    // created implicitly (the reference mints type primitives on first
+    // use — test/unit/version1.sh writes new type strings freely)
+    var st = store
     def typeIdOf(names: Seq[String]): Long = {
-      val rows = store.current
+      val rows = st.current
         .filter(col("left").isNull && col("name").isin(names: _*))
         .select("id").limit(2).collect()
-      if (rows.isEmpty) throw WriteError("NOTFOUND", s"type ${names.mkString(",")}")
-      rows.head.getLong(0)
+      if (rows.nonEmpty) rows.head.getLong(0)
+      else {
+        val (st2, ids) = append(st, Seq(Spec(name = names.headOption)))
+        st = st2
+        ids.head
+      }
     }
+    // pre-resolve/create all type nodes (depth-first, same order as
+    // spec building) BEFORE computing the batch base id
+    def preResolve(c: Constraint): Unit = {
+      c.typeNames.foreach(typeIdOf)
+      c.subs.foreach(preResolve)
+    }
+    preResolve(template)
+
+    val base = nextId(st)
+    val specs = scala.collection.mutable.ArrayBuffer.empty[Spec]
 
     def firstEq(preds: Seq[StrPred]): Option[String] =
       preds.collectFirst { case StrPred(OpEq, vs) => vs.flatten.headOption }.flatten
@@ -175,7 +190,22 @@ object Writer {
     }
 
     build(template)
-    append(store, specs.toSeq)
+
+    // `write (guid~=G ...)`: the root becomes a new version of G's
+    // lineage head (opportunistic versioning, doc/gr-protocol.txt:531)
+    template.guid.collectFirst {
+      case graft.gql.GuidPred(true, serials, true) => serials.flatten.headOption
+    }.flatten.foreach { g =>
+      val linRows = st.primitives.filter(col("id") === g)
+        .select("lineage").limit(1).collect()
+      if (linRows.isEmpty) throw WriteError("NOTFOUND", s"no primitive $g")
+      val head = st.newestAll
+        .filter(col("lineage") === linRows.head.getLong(0))
+        .select("id").head.getLong(0)
+      specs(0) = specs(0).copy(prev = Some(head))
+    }
+
+    append(st, specs.toSeq)
   }
 
   /** parse-and-write convenience: `write (value="x" (<-left ...))` */

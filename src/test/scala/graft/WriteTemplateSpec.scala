@@ -40,11 +40,46 @@ class WriteTemplateSpec extends AnyFunSuite {
     assert(band.getAs[Long]("right") == musician.getAs[Long]("id"))
   }
 
-  test("write template with unresolvable type errors NOTFOUND") {
+  test("write template creates missing type nodes implicitly") {
+    // the reference mints type primitives on first use (version1.sh)
     val st0 = GraphStore.fromSeq(spark, Seq(node(1)))
-    val e = intercept[Writer.WriteError](
-      Writer.write(st0, """write (value="x" (<-left type="nope"))"""))
-    assert(e.code == "NOTFOUND")
+    val (st1, _) = Writer.write(st0, """write (value="x" (<-left type="fresh_type"))""")
+    val typeNode = st1.current
+      .filter(col("name") === "fresh_type" && col("left").isNull).collect()
+    assert(typeNode.length == 1)
+    // the link's typeguid points at the minted node
+    val lnk = st1.current.filter(col("left").isNotNull).head
+    assert(lnk.getAs[Long]("typeguid") == typeNode.head.getAs[Long]("id"))
+    // and a read through the type name finds it
+    val n = ReadPlanner.plan(st1,
+      """read (value="x" result=count (<-left type="fresh_type"))""")
+      .head.getLong(0)
+    assert(n == 1L)
+  }
+
+  test("version1 session: bare-string type sugar and guid~= versioning") {
+    val st0 = GraphStore.fromSeq(spark, Seq(node(1, name = Some("seed"))))
+    val (st1, ids1) = Writer.write(st0,
+      """write ("Hello, World!" name="x" value="1234")""")
+    val root = ids1.head
+    // guid~=root versions the head; repeated twice walks the lineage
+    val (st2, ids2) = Writer.write(st1,
+      s"""write (guid~=$root "Hello, Moon!" name="x")""")
+    val (st3, _) = Writer.write(st2,
+      s"""write (guid~=$root "Hello, Venus!" name="x")""")
+    // current read shows only the newest version
+    val cur = ReadPlanner.plan(st3, """read (name="x" result=((guid)))""")
+      .collect().map(_.getLong(0)).toSeq
+    assert(cur.length == 1 && cur.head != root && cur.head != ids2.head)
+    // all three versions share the lineage
+    val all = ReadPlanner.plan(st3,
+      s"""read (guid~=$root newest>=0 result=count)""").head.getLong(0)
+    assert(all == 3L)
+    // newest=1 is the middle version
+    val mid = ReadPlanner.plan(st3,
+      """read (newest=1 name="x" result=((guid)))""")
+      .collect().map(_.getLong(0)).toSeq
+    assert(mid == Seq(ids2.head))
   }
 
   test("s-expression rendering matches the golden shape") {
