@@ -174,6 +174,23 @@ object ReadPlanner {
     // apply the exact match predicate — SURVEY §4's word-candidate
     // rewrite (graphd/graphd-iterator-prefix.c:22).
     if (store.useWordIndex) {
+      // normalized equality candidates: a value that key-equals the
+      // literal necessarily shares its first word (the key preserves
+      // word structure under default/case folding), so an index
+      // semi-join prunes the scan before the per-row key compare.
+      // Unsound for the number/datetime comparators (".5" = "0.5").
+      if (c.comparator == "default" || c.comparator == "case-insensitive") {
+        c.value.filter(_.op == OpEq).foreach { p =>
+          val firstWords = p.values.map(
+            _.flatMap(v => graft.functions.GraphdText.words(v).headOption))
+          if (firstWords.forall(_.isDefined)) {
+            val cand = store.valueWordIndex
+              .filter(col("word").isin(firstWords.flatten: _*))
+              .select(col("id").as("__cand_id")).distinct()
+            df = df.join(cand, df("id") === cand("__cand_id"), "left_semi")
+          }
+        }
+      }
       c.value.filter(_.op == OpMatch).foreach { p =>
         // each alternative pattern needs a word (exact) or prefix
         // (`lit*`) index key, else pruning is unsound for this pred
