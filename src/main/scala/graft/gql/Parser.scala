@@ -58,7 +58,10 @@ object Parser {
         if (!closed) throw ParseError("unterminated string", i)
         out += TStr(sb.toString, i); i = j
       }
+      // `||` and single `|` are both disjunction (test/unit/or.sh uses
+      // `value="foo"|value="bar"`)
       else if (c == '|' && i + 1 < n && input(i + 1) == '|') { out += TOr(i); i += 2 }
+      else if (c == '|') { out += TOr(i); i += 1 }
       else if (c == '<' && i + 1 < n && input(i + 1) == '-') { out += TArrowIn(i); i += 2 }
       else if (c == '-' && i + 1 < n && input(i + 1) == '>') { out += TArrowOut(i); i += 2 }
       else if (c == '~' && i + 1 < n && input(i + 1) == '=') { out += TOp("~=", i); i += 2 }

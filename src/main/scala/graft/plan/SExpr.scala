@@ -37,4 +37,13 @@ object SExpr {
   /** full response line: `ok ((...) (...))` */
   def ok(df: DataFrame, guidCols: Set[Int] = Set.empty): String =
     "ok " + renderRows(df.collect().toSeq, guidCols)
+
+  /** protocol-faithful response: an empty result set is an error, not
+    * an empty list (`error EMPTY "not found"` — test/unit/or.out.exp).
+    */
+  def response(df: DataFrame, guidCols: Set[Int] = Set.empty): String = {
+    val rows = df.collect().toSeq
+    if (rows.isEmpty) "error EMPTY \"not found\""
+    else "ok " + renderRows(rows, guidCols)
+  }
 }

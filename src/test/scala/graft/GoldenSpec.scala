@@ -94,4 +94,23 @@ class GoldenSpec extends AnyFunSuite {
     assert(m("04 * 06") == Set("04 005 0006"))
     assert(m("004 * 006") == Set("04 005 0006"))
   }
+
+  /** test/unit/or.sh — single-pipe disjunction and EMPTY responses */
+  test("or session: value lists, pipe disjunction, EMPTY error") {
+    val empty = GraphStore.fromSeq(spark, Seq(node(1, name = Some("seed"))))
+    // no matches → protocol error, not an empty list
+    val r0 = ReadPlanner.plan(empty,
+      """read (value=("foo" "bar") result=((value)))""")
+    assert(graft.plan.SExpr.response(r0) == """error EMPTY "not found"""")
+
+    val st = GraphStore.fromSeq(spark, Seq(
+      node(1, value = Some("foo")), node(2, value = Some("bar")),
+      node(3, value = Some("baz"))))
+    def vals(q: String): Set[String] =
+      ReadPlanner.plan(st, q).collect().map(_.getString(0)).toSet
+    assert(vals("""read (value=("foo" "bar") result=((value)))""") ==
+      Set("foo", "bar"))
+    assert(vals("""read (value="foo"|value="bar" result=((value)))""") ==
+      Set("foo", "bar"))
+  }
 }
