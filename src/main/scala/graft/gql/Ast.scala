@@ -105,6 +105,10 @@ final case class Constraint(
     newestMax: Option[Long] = Some(0L),
     oldestEq: Option[Long] = None, // oldest=N: generation counted from old end
     asof: Option[Long] = None, // request modifier: snapshot id horizon
+    // write-side upsert markers (doc/gr-protocol.txt:661-857)
+    uniqueFields: Option[Seq[String]] = None, // unique=(fields)
+    keyFields: Option[Seq[String]] = None,    // key=(fields)
+    anchorFlag: Boolean = false,              // anchor
     comparator: String = "default",
     count: CountBounds = CountBounds(),
     optional: Boolean = false,
@@ -125,4 +129,14 @@ final case class Constraint(
 
   def effectiveCount: CountBounds =
     if (optional) count.copy(min = 0L) else count
+
+  /** linkage, defaulting from bare `->` / `<-` direction markers: a
+    * `(-> ...)` child is a link whose left is the parent, `(<- ...)`
+    * one whose right is the parent (doc/a-brief-tour-of-graphd.md:149).
+    */
+  def effectiveLinkage: Option[Linkage] = linkage.orElse(meta match {
+    case ForwardLink => Some(ChildPointsToParent("left"))
+    case BackwardLink => Some(ChildPointsToParent("right"))
+    case _ => None
+  })
 }

@@ -393,6 +393,10 @@ object Parser {
             case o => throw ParseError(s"count does not support $o", pos)
           }
         case "atleast" => c.copy(count = c.count.copy(min = longOf(rhsVals(rhs, "atleast", pos).head, pos)))
+        case "unique" =>
+          c.copy(uniqueFields = Some(rhsVals(rhs, "unique", pos).flatten))
+        case "key" =>
+          c.copy(keyFields = Some(rhsVals(rhs, "key", pos).flatten))
         case "asof" =>
           // accepts a guid or bare serial: the snapshot id horizon
           // (doc/gr-protocol.txt:203-221)
@@ -484,6 +488,7 @@ object Parser {
         case "any" => c.copy(meta = AnyMeta)
         case "optional" => c.copy(optional = true)
         case "false" => c.copy(isFalse = true)
+        case "anchor" => c.copy(anchorFlag = true)
         case other => throw ParseError(s"unknown word '$other'", pos)
       }
 

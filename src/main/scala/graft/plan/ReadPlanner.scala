@@ -292,7 +292,7 @@ object ReadPlanner {
       if (childIsCount) count(lit(1)).cast("long")
       else sortedContents(contentsStruct, resultNames, sub)
 
-    sub.linkage match {
+    sub.effectiveLinkage match {
       case Some(ChildPointsToParent(f)) =>
         // child is a link whose `f` endpoint is the parent (fan-in —
         // the reference's linksto join, graphd-iterator-linksto.c).

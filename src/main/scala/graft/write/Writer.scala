@@ -178,7 +178,7 @@ object Writer {
         scope = linkSerial(c, "scope"),
         live = c.live != MustBeFalse)
       c.subs.foreach { sub =>
-        sub.linkage match {
+        sub.effectiveLinkage match {
           case Some(ChildPointsToParent(f)) =>
             val ci = build(sub); setField(ci, f, base + idx)
           case Some(ParentPointsToChild(f)) =>
@@ -208,9 +208,147 @@ object Writer {
     append(st, specs.toSeq)
   }
 
-  /** parse-and-write convenience: `write (value="x" (<-left ...))` */
-  def write(store: GraphStore, gqlText: String): (GraphStore, Seq[Long]) =
-    writeTemplate(store, graft.gql.Parser.parseRead(gqlText))
+  /** parse-and-write convenience: `write (value="x" (<-left ...))`.
+    * Templates carrying unique/key/anchor markers go through the
+    * upsert executor; plain templates append directly.
+    */
+  def write(store: GraphStore, gqlText: String): (GraphStore, Seq[Long]) = {
+    val t = graft.gql.Parser.parseRead(gqlText)
+    def hasUpsert(c: graft.gql.Constraint): Boolean =
+      c.uniqueFields.isDefined || c.keyFields.isDefined || c.anchorFlag ||
+        c.subs.exists(hasUpsert)
+    if (hasUpsert(t)) upsertTemplate(store, t) else writeTemplate(store, t)
+  }
+
+  /** Upsert executor for templates with unique/key/anchor markers
+    * (doc/gr-protocol.txt:661-857; the reference's write-annotate
+    * phases graphd-write-annotate-keyed.c / -anchor.c / -pointed.c).
+    *
+    * Semantics implemented (root + one level of linked children — the
+    * shape of the unique/keyburn test corpus):
+    *  - `key=(fields)`: match on the fields → reuse if identical,
+    *    version-the-diff if not, insert if absent.
+    *  - `unique=(fields)`: EXISTS error on any match.
+    *  - `anchor`: exactly one match required; its id is reused.
+    *  - pointed reuse: when a keyed child matches an existing link, an
+    *    UNKEYED parent reuses that link's endpoint instead of minting a
+    *    duplicate (doc/gr-protocol.txt:801-807).
+    */
+  def upsertTemplate(st0: GraphStore, template: graft.gql.Constraint)
+      : (GraphStore, Seq[Long]) = {
+    import graft.gql._
+    var st = st0
+
+    def typeIdOf(names: Seq[String]): Long = {
+      val rows = st.current
+        .filter(col("left").isNull && col("name").isin(names: _*))
+        .select("id").limit(2).collect()
+      if (rows.nonEmpty) rows.head.getLong(0)
+      else {
+        val (st2, ids) = append(st, Seq(Spec(name = names.headOption)))
+        st = st2
+        ids.head
+      }
+    }
+
+    def firstEq(preds: Seq[StrPred]): Option[String] =
+      preds.collectFirst { case StrPred(OpEq, vs) => vs.flatten.headOption }.flatten
+
+    def linkSerial(c: Constraint, f: String): Option[Long] =
+      c.linkFields.get(f).flatMap(_.collectFirst {
+        case GuidPred(true, serials, false) => serials.flatten.headOption
+      }.flatten)
+
+    def specOf(c: Constraint): Spec = Spec(
+      name = firstEq(c.name),
+      value = firstEq(c.value),
+      datatype = c.datatype.getOrElse(graft.model.Datatype.String),
+      typeguid = c.typeNames.map(typeIdOf).orElse(linkSerial(c, "typeguid")),
+      left = linkSerial(c, "left"),
+      right = linkSerial(c, "right"),
+      scope = linkSerial(c, "scope"),
+      live = c.live != MustBeFalse)
+
+    def withLinkage(s: Spec, f: String, id: Long): Spec = f match {
+      case "left" => s.copy(left = Some(id))
+      case "right" => s.copy(right = Some(id))
+      case "typeguid" => s.copy(typeguid = Some(id))
+      case "scope" => s.copy(scope = Some(id))
+      case other => throw WriteError("SYNTAX", s"bad linkage $other")
+    }
+
+    def matchOne(s: Spec, fields: Seq[String]) = {
+      val rows = matchExisting(st, s, fields)
+        .orderBy(col("id").desc).limit(2).collect()
+      rows.headOption
+    }
+
+    // phase 1: pre-match keyed children whose key fields are
+    // independent of the (possibly unresolved) parent linkage
+    val rootSpec = specOf(template)
+    val children = template.subs.map { sub =>
+      val linkage = sub.effectiveLinkage match {
+        case Some(ChildPointsToParent(f)) => f
+        case other => throw WriteError("SYNTAX",
+          s"upsert child must point at its parent (got $other)")
+      }
+      val spec = specOf(sub)
+      val preMatch =
+        if (sub.anchorFlag)
+          // anchor identifies the existing primitive by its own fields;
+          // the parent linkage is learned FROM the match (pointed reuse)
+          matchOne(spec, anchorMatchFields(spec))
+        else sub.keyFields.filter(ks => !ks.contains(linkage))
+          .flatMap(ks => matchOne(spec, ks))
+      (sub, linkage, spec, preMatch)
+    }
+
+    // phase 2: resolve the root — own key/unique/anchor, or pointed
+    // reuse from a matched child, or a fresh primitive
+    val rootId: Long =
+      if (template.anchorFlag) {
+        anchor(st, rootSpec, anchorMatchFields(rootSpec))
+      } else if (template.uniqueFields.isDefined) {
+        val (st2, id) = writeUnique(st, rootSpec, template.uniqueFields.get)
+        st = st2; id
+      } else if (template.keyFields.isDefined) {
+        val (st2, id, _) = writeKeyed(st, rootSpec, template.keyFields.get)
+        st = st2; id
+      } else children.collectFirst {
+        case (_, linkage, _, Some(row)) if !row.isNullAt(row.fieldIndex(linkage)) =>
+          row.getAs[Long](linkage) // pointed reuse
+      }.getOrElse {
+        val (st2, ids) = append(st, Seq(rootSpec))
+        st = st2; ids.head
+      }
+
+    // phase 3: children, linkage now resolved
+    val childIds = children.map { case (sub, linkage, spec0, preMatch) =>
+      val spec = withLinkage(spec0, linkage, rootId)
+      if (sub.anchorFlag) {
+        preMatch match {
+          case Some(row) => row.getAs[Long]("id")
+          case None => throw WriteError("NOTFOUND", "anchor matched nothing")
+        }
+      } else if (sub.uniqueFields.isDefined) {
+        val (st2, id) = writeUnique(st, spec, sub.uniqueFields.get)
+        st = st2; id
+      } else if (sub.keyFields.isDefined) {
+        val (st2, id, _) = writeKeyed(st, spec, sub.keyFields.get)
+        st = st2; id
+      } else {
+        val (st2, ids) = append(st, Seq(spec))
+        st = st2; ids.head
+      }
+    }
+    (st, rootId +: childIds)
+  }
+
+  /** all populated fields — the anchor match set */
+  private def anchorMatchFields(s: Spec): Seq[String] =
+    Seq("name" -> s.name.isDefined, "value" -> s.value.isDefined,
+      "typeguid" -> s.typeguid.isDefined, "left" -> s.left.isDefined,
+      "right" -> s.right.isDefined).collect { case (f, true) => f }
 
   /** current-view match for a spec on the given fields. String fields
     * compare under the default comparator's normalization (whitespace

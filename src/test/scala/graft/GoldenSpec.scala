@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.model.Primitive.node
@@ -112,5 +113,70 @@ class GoldenSpec extends AnyFunSuite {
       Set("foo", "bar"))
     assert(vals("""read (value="foo"|value="bar" result=((value)))""") ==
       Set("foo", "bar"))
+  }
+
+  /** test/unit/keyburn.sh — keyed subconstraint under an unkeyed
+    * parent: re-writing must not grow the database (pointed reuse).
+    */
+  test("keyburn: keyed child + unkeyed parent burns no ids on rewrite") {
+    val st0 = GraphStore.fromSeq(spark, Seq(
+      node(1, name = Some("data_source_t")),
+      node(2, value = Some("registry"))))
+    val q = """write (node (-> type="data_source_t" value="data-source"
+              |  key=(typeguid value right) right=2))""".stripMargin
+    val (st1, ids1) = Writer.write(st0, q)
+    assert(ids1.length == 2)
+    val n1 = st1.all.count()
+    // parent node + link created
+    val link = st1.current.filter(col("value") === "data-source").head
+    assert(link.getAs[Long]("right") == 2L)
+    assert(link.getAs[Long]("left") == ids1.head)
+
+    // identical rewrite: everything reused, nothing written
+    val (st2, ids2) = Writer.write(st1, q)
+    assert(ids2 == ids1)
+    assert(st2.all.count() == n1)
+
+    // changed value under the same key → version-the-diff, parent kept
+    val q2 = q.replace("data-source\"", "data-source\" name=\"renamed\"")
+    val (st3, ids3) = Writer.write(st2, q2)
+    assert(ids3.head == ids1.head) // parent still reused
+    assert(ids3(1) != ids1(1))     // link versioned
+    val cur = st3.current.filter(col("value") === "data-source").collect()
+    assert(cur.length == 1 && cur.head.getAs[String]("name") == "renamed")
+  }
+
+  /** test/unit/unique cluster shape (FIXTURES.md namespace fixture) */
+  test("unique cluster: second member with same (value,right) errors EXISTS") {
+    val st0 = GraphStore.fromSeq(spark, Seq(node(1, value = Some("ns-head"))))
+    val q = """write (value="member" (-> value="alice" unique=(value right) right=1))"""
+    val (st1, _) = Writer.write(st0, q)
+    val e = intercept[Writer.WriteError](Writer.write(st1, q))
+    assert(e.code == "EXISTS")
+    // a different name under the same namespace is fine
+    val q2 = q.replace("alice", "bob")
+    val (st2, _) = Writer.write(st1, q2)
+    assert(st2.current.filter(col("value") === "bob").count() == 1)
+  }
+
+  /** anchor in a template: subtree must match exactly one existing
+    * primitive and both its id AND its endpoint are reused as-is.
+    */
+  test("anchor child resolves the existing link and its endpoint") {
+    val st0 = GraphStore.fromSeq(spark, Seq(
+      node(1, value = Some("hub"))))
+    val (st1, ids1) = Writer.write(st0,
+      """write (value="spoke" (-> right=1 value="tag"))""")
+    val n1 = st1.all.count()
+    // anchoring the same subtree reuses the link AND its left endpoint
+    // (pointed reuse) — nothing is written at all
+    val (st2, ids2) = Writer.write(st1,
+      """write ((-> anchor right=1 value="tag"))""")
+    assert(ids2 == ids1)
+    assert(st2.all.count() == n1)
+    // anchoring a non-existent subtree errors NOTFOUND
+    val e = intercept[Writer.WriteError](Writer.write(st2,
+      """write ((-> anchor right=1 value="no-such-tag"))"""))
+    assert(e.code == "NOTFOUND")
   }
 }
