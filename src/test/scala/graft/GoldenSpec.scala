@@ -179,4 +179,27 @@ class GoldenSpec extends AnyFunSuite {
       """write ((-> anchor right=1 value="no-such-tag"))"""))
     assert(e.code == "NOTFOUND")
   }
+
+  /** test/unit/guid.sh — guid lists and multi-lineage guid~= */
+  test("guid session: id lists and lineage resolution") {
+    val st0 = GraphStore.fromSeq(spark, Seq(
+      node(1, value = Some("wallaby")), node(2, value = Some("kangaroo")),
+      node(3, value = Some("iguana")), node(4, value = Some("banana"))))
+    // version banana → pineapple via the query language
+    val (st1, _) = Writer.write(st0, """write (guid~=4 value="pineapple")""")
+
+    val lst = ReadPlanner.plan(st1, """read (guid=(1 2) result=((value)))""")
+      .collect().map(_.getString(0)).toSet
+    assert(lst == Set("wallaby", "kangaroo"))
+
+    // guid~= over a list: newest of each lineage
+    val lin = ReadPlanner.plan(st1, """read (guid~=(1 4) result=((value)))""")
+      .collect().map(_.getString(0)).toSet
+    assert(lin == Set("wallaby", "pineapple"))
+
+    // exclusion list
+    val excl = ReadPlanner.plan(st1, """read (guid!=(1 2) node result=((value)))""")
+      .collect().map(_.getString(0)).toSet
+    assert(excl == Set("iguana", "pineapple"))
+  }
 }
