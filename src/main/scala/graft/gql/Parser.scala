@@ -408,6 +408,8 @@ object Parser {
         case "pagesize" | "resultpagesize" => c.copy(pagesize = Some(longOf(rhsVals(rhs, wl, pos).head, pos)))
         case "start" => c.copy(start = Some(longOf(rhsVals(rhs, "start", pos).head, pos)))
         case "countlimit" => c.copy(countlimit = Some(longOf(rhsVals(rhs, "countlimit", pos).head, pos)))
+        case "cursor" =>
+          c.copy(cursorTok = rhsVals(rhs, "cursor", pos).head)
         case "comparator" | "value-comparator" =>
           // names may carry a locale prefix: "i;octet" → "octet"
           // (test/unit/compare.sh uses comparator="i;octet")

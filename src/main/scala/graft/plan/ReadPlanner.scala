@@ -37,8 +37,16 @@ object ReadPlanner {
     * doc/gr-protocol.txt:203-221).
     */
   def plan(store: GraphStore, root: Constraint): DataFrame = {
-    val st = root.asof.map(store.asOf).getOrElse(store)
-    val solved = solve(st, root, 0)
+    var st = root.asof.map(store.asOf).getOrElse(store)
+    // cursor="tok" resumes a prior id-ordered page: pin the snapshot
+    // horizon and skip everything at or before the last-seen id
+    val after: Option[Long] = root.cursorTok.map { t =>
+      val tok = Cursor.decode(t)
+      if (tok.horizon != Long.MaxValue) st = st.asOf(tok.horizon)
+      tok.lastId
+    }
+    var solved = solve(st, root, 0)
+    after.foreach(a => solved = solved.filter(col("id") > a))
     shapeRoot(solved, root)
   }
 
@@ -375,6 +383,7 @@ object ReadPlanner {
     flatten(pat).zipWithIndex.flatMap {
       case (ContentsPat, _) =>
         c.subs.indices.map(i => s"contents_$i" -> col(s"__contents_$i"))
+      case (CursorPat, _) => Seq("cursor" -> lit(null)) // filled at root
       case (p, idx) => Seq(patName(p, idx) -> fieldExpr(p, c))
     }
   }
@@ -449,7 +458,24 @@ object ReadPlanner {
     c.start.foreach(n => out = out.offset(n.toInt))
     c.pagesize.foreach(n => out = out.limit(n.toInt))
 
-    val cols = resultFields(c).map { case (n, e) => e.as(n) }
-    out.select(cols: _*)
+    // `result=(cursor (...))`: attach the resume token as a constant
+    // column — "null:" past the last page, like the reference's empty
+    // final cursor (test/unit/cursor1; only meaningful for id-ordered
+    // pages, which is the default order above).
+    val wantsCursor = flatten(pat).contains(CursorPat)
+    val cursorTok: Option[String] =
+      if (!wantsCursor) None
+      else c.pagesize.map { ps =>
+        val stats = out.agg(max(col("id")), count(lit(1))).head
+        if (stats.isNullAt(0) || stats.getLong(1) < ps) "null:"
+        else graft.plan.Cursor.encode(
+          graft.plan.Cursor.Token(stats.getLong(0), Long.MaxValue))
+      }
+
+    val cols = resultFields(c).collect {
+      case (n, e) if n != "cursor" => e.as(n)
+    }
+    val shaped = out.select(cols: _*)
+    cursorTok.map(t => shaped.withColumn("cursor", lit(t))).getOrElse(shaped)
   }
 }

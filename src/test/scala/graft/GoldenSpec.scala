@@ -202,4 +202,40 @@ class GoldenSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSet
     assert(excl == Set("iguana", "pineapple"))
   }
+
+  /** test/unit/cursor1.sh — cursor in the result pattern: page, resume
+    * via cursor=, empty "null:" cursor on the final page, EMPTY past it.
+    */
+  test("cursor session: result cursor pages and resumes through GQL") {
+    val st = GraphStore.fromSeq(spark,
+      (1 to 26).map(i => node(i.toLong, value = Some(i.toString))))
+    val p1 = ReadPlanner.plan(st,
+      """read (result=(cursor (value)) pagesize=1)""").collect()
+    assert(p1.length == 1 && p1.head.getString(0) == "1")
+    val tok1 = p1.head.getString(1)
+    assert(tok1 != "null:")
+
+    val p2 = ReadPlanner.plan(st,
+      s"""read (result=(cursor (value)) cursor="$tok1" pagesize=1)""").collect()
+    assert(p2.head.getString(0) == "2")
+
+    // jump near the end: a short page carries the empty cursor
+    var tok = Option(tok1)
+    var last = "1"
+    var guard = 0
+    while (tok.isDefined && tok.get != "null:" && guard < 30) {
+      val p = ReadPlanner.plan(st,
+        s"""read (result=(cursor (value)) cursor="${tok.get}" pagesize=24)""").collect()
+      last = p.last.getString(0)
+      tok = Option(p.head.getString(1))
+      guard += 1
+    }
+    assert(last == "26" && tok.contains("null:"))
+
+    // reading past the end: EMPTY
+    val beyond = ReadPlanner.plan(st,
+      s"""read (result=(cursor (value)) cursor="${graft.plan.Cursor.encode(
+        graft.plan.Cursor.Token(26L, Long.MaxValue))}" pagesize=24)""")
+    assert(graft.plan.SExpr.response(beyond) == """error EMPTY "not found"""")
+  }
 }
