@@ -79,7 +79,7 @@ object ReadPlanner {
 
     // subconstraints: join + per-parent aggregation
     c.subs.zipWithIndex.foreach { case (sub, i) =>
-      df = attachChild(store, df, sub, i, depth)
+      df = attachChild(store, df, sub, c, i, depth)
     }
 
     // variables assigned at THIS level (from own fields)
@@ -279,7 +279,7 @@ object ReadPlanner {
     * variable columns. (graphd/graphd-read-set.c nested-loop → join.)
     */
   private def attachChild(store: GraphStore, parent: DataFrame, sub: Constraint,
-      i: Int, depth: Int): DataFrame = {
+      parentC: Constraint, i: Int, depth: Int): DataFrame = {
     val child = solve(store, sub, depth + 1)
     val bounds = sub.effectiveCount
     val childVars = child.columns.filter(_.startsWith("__var_")).toSeq
@@ -300,7 +300,12 @@ object ReadPlanner {
       if (childIsCount) count(lit(1)).cast("long")
       else sortedContents(contentsStruct, resultNames, sub)
 
-    sub.effectiveLinkage match {
+    // a bare (...) child inside a LINK constraint defaults to the
+    // link's free endpoint: `("A" (<- ("B")))` makes the link's right
+    // point at A and its left at the B node (optional.sh structure)
+    val linkageEff = sub.effectiveLinkage.orElse(freeEndpointOf(parentC))
+
+    linkageEff match {
       case Some(ChildPointsToParent(f)) =>
         // child is a link whose `f` endpoint is the parent (fan-in —
         // the reference's linksto join, graphd-iterator-linksto.c).
@@ -364,6 +369,16 @@ object ReadPlanner {
         .filter(boundsPred(cnt, bounds)).drop(s"__pk_$i")
     }
   }
+
+  /** if `c` is a link bound to ITS parent through left/right, the other
+    * endpoint is where a linkage-less child attaches
+    */
+  private def freeEndpointOf(c: Constraint): Option[Linkage] =
+    c.effectiveLinkage match {
+      case Some(ChildPointsToParent("right")) => Some(ParentPointsToChild("left"))
+      case Some(ChildPointsToParent("left")) => Some(ParentPointsToChild("right"))
+      case _ => None
+    }
 
   private def boundsPred(cnt: Column, b: CountBounds): Column = {
     val lo = cnt >= b.min

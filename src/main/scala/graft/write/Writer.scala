@@ -178,7 +178,14 @@ object Writer {
         scope = linkSerial(c, "scope"),
         live = c.live != MustBeFalse)
       c.subs.foreach { sub =>
-        sub.effectiveLinkage match {
+        // a linkage-less child of a LINK attaches to the link's free
+        // endpoint (mirrors the planner's defaulting — optional.sh)
+        val linkageEff = sub.effectiveLinkage.orElse(c.effectiveLinkage match {
+          case Some(ChildPointsToParent("right")) => Some(ParentPointsToChild("left"))
+          case Some(ChildPointsToParent("left")) => Some(ParentPointsToChild("right"))
+          case _ => None
+        })
+        linkageEff match {
           case Some(ChildPointsToParent(f)) =>
             val ci = build(sub); setField(ci, f, base + idx)
           case Some(ParentPointsToChild(f)) =>

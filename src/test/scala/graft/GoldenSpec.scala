@@ -238,4 +238,40 @@ class GoldenSpec extends AnyFunSuite {
         graft.plan.Cursor.Token(26L, Long.MaxValue))}" pagesize=24)""")
     assert(graft.plan.SExpr.response(beyond) == """error EMPTY "not found"""")
   }
+
+  /** test/unit/optional.sh — link children with nested endpoint nodes,
+    * variables bubbling two levels, optional combinations.
+    */
+  test("optional session: nested link-endpoint children and variables") {
+    var st = GraphStore.fromSeq(spark, Seq(node(1, name = Some("seed"))))
+    st = Writer.write(st,
+      """write ("A" value="B C" (<- ("B" value="b1")) (<- ("C" value="c1")))""")._1
+    st = Writer.write(st, """write ("A" value="B" (<- ("B" value="b2")))""")._1
+    st = Writer.write(st, """write ("A" value="C" (<- ("C" value="c3")))""")._1
+    st = Writer.write(st, """write ("A" value="nil")""")._1
+
+    def rows(q: String): Set[Seq[String]] =
+      ReadPlanner.plan(st, q).collect()
+        .map(r => (0 until r.length).map(i =>
+          if (r.isNullAt(i)) null else r.getString(i)).toSeq).toSet
+
+    assert(rows("""read ("A" result=((value $b)) (<- ("B" $b=value)))""") ==
+      Set(Seq("B C", "b1"), Seq("B", "b2")))
+
+    assert(rows("""read ("A" result=((value $b $c))
+                  |  (<- ("B" $b=value)) (<- optional ("C" $c=value)))""".stripMargin) ==
+      Set(Seq("B C", "b1", "c1"), Seq("B", "b2", null)))
+
+    assert(rows("""read ("A" result=((value $c)) (<- ("C" $c=value)))""") ==
+      Set(Seq("B C", "c1"), Seq("C", "c3")))
+
+    assert(rows("""read ("A" result=((value)))""") ==
+      Set(Seq("B C"), Seq("B"), Seq("C"), Seq("nil")))
+
+    assert(rows("""read ("A" result=((value $c $b))
+                  |  (<- optional ("C" $c=value))
+                  |  (<- optional ("B" $b=value)))""".stripMargin) ==
+      Set(Seq("B C", "c1", "b1"), Seq("B", null, "b2"),
+        Seq("C", "c3", null), Seq("nil", null, null)))
+  }
 }
