@@ -274,4 +274,43 @@ class GoldenSpec extends AnyFunSuite {
       Set(Seq("B C", "c1", "b1"), Seq("B", null, "b2"),
         Seq("C", "c3", null), Seq("nil", null, null)))
   }
+
+  /** test/unit/nodenode.sh — four-level reply chain written as one
+    * template, read back with deep nested constraints.
+    */
+  test("nodenode session: deep reply chain writes and reads") {
+    val st0 = GraphStore.fromSeq(spark, Seq(node(1, name = Some("seed"))))
+    val (st, ids) = Writer.write(st0,
+      """write ("article" value="a1"
+        |  (<-"is-reply-to" ("article" value="a2"
+        |    (<- "is-reply-to" ("article" value="a3"
+        |      (<- "is-reply-to" ("article" value="a4")))))))""".stripMargin)
+    // 7 primitives: 4 article nodes + 3 reply links (+ 2 type nodes)
+    assert(ids.length == 7)
+
+    // the full 3-hop pattern matches exactly once
+    val deep = ReadPlanner.plan(st,
+      """read ("article" value="a1" result=count
+        |  (<-"is-reply-to" ("article" value="a2"
+        |    (<- "is-reply-to" ("article" value="a3"
+        |      (<- "is-reply-to" ("article" value="a4")))))))""".stripMargin)
+      .head.getLong(0)
+    assert(deep == 1L)
+
+    // a broken innermost value kills the whole chain
+    val broken = ReadPlanner.plan(st,
+      """read ("article" value="a1" result=count
+        |  (<-"is-reply-to" ("article" value="a2"
+        |    (<- "is-reply-to" ("article" value="a3"
+        |      (<- "is-reply-to" ("article" value="WRONG")))))))""".stripMargin)
+      .head.getLong(0)
+    assert(broken == 0L)
+
+    // replies are walkable hop by hop: the replier is the link's LEFT
+    val repliers = ReadPlanner.plan(st,
+      """read ("article" result=((value))
+        |  (<-left "is-reply-to" right->(value="a1")))""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(repliers == Seq("a2"))
+  }
 }
