@@ -313,4 +313,19 @@ class GoldenSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSeq
     assert(repliers == Seq("a2"))
   }
+
+  /** test/unit/intrange.sh — numeric ranges under the default comparator */
+  test("intrange session: numeric range selection") {
+    val st = GraphStore.fromSeq(spark,
+      Seq("1", "2", "88", "99", "100", "95", "101").zipWithIndex
+        .map { case (v, i) => node(i + 1L, value = Some(v)) })
+    def vals(q: String): Set[String] =
+      ReadPlanner.plan(st, q).collect().map(_.getString(0)).toSet
+    assert(vals("""read (value>="99" value<="100" result=((value)))""") ==
+      Set("99", "100"))
+    assert(vals("""read (value<="100" result=((value)))""") ==
+      Set("1", "2", "88", "95", "99", "100"))
+    assert(vals("""read (value>="99" result=((value)))""") ==
+      Set("99", "100", "101"))
+  }
 }
