@@ -88,6 +88,25 @@ object PipelineQueries extends QueryPack {
         n = 3, threshold = 0.8, maxDf = 1000),
       Some(ngramJaccardSql(0.8, 1000))),
 
+    // full dedup output: transitive near-dup clusters with one
+    // survivor each (GraphX components; oracle = recursive CTE over
+    // the same pair graph)
+    QueryDef("d05_dedup_clusters",
+      (s, dir) => Dedup.nearDupClusters(T(s, dir).documents, "doc_id", "text",
+        n = 3, threshold = 0.8, maxDf = 1000),
+      Some(s"""WITH RECURSIVE pairs AS (${ngramJaccardSql(0.8, 1000)}),
+             |edges AS (
+             |  SELECT id_a a, id_b b FROM pairs
+             |  UNION SELECT id_b, id_a FROM pairs),
+             |reach(id, r) AS (
+             |  SELECT a, a FROM edges
+             |  UNION
+             |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+             |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+             |SELECT doc_id, coalesce(cluster, doc_id) AS cluster,
+             |  coalesce(cluster, doc_id) = doc_id AS keep
+             |FROM documents LEFT JOIN comp ON doc_id = id""".stripMargin)),
+
     // MinHash+LSH candidates, verified with exact Jaccard. At J>=0.8
     // with 16 bands x 4 rows the miss probability is ~2e-4 per pair
     // (pairs in this corpus sit at J~0.95+, where it is ~1e-9), so the

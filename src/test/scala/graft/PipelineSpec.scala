@@ -97,4 +97,21 @@ class PipelineSpec extends AnyFunSuite {
     val frames = Multimodal.sampleFrames(spark, media, stride = 1).collect()
     assert(frames.forall(r => r.getLong(0) % 3 == 2))
   }
+
+  test("near-dup clustering collapses transitive chains to one survivor") {
+    // A≈B≈C chain (A and C differ more) must form ONE cluster
+    val chain = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),   // ≈ 1
+      (3L, "alpha beta gamma delta epsilon zeta mu iota"),    // ≈ 2
+      (4L, "totally unrelated words about something else entirely")
+    ).toDF("doc_id", "text")
+    val out = Dedup.nearDupClusters(chain, "doc_id", "text",
+        n = 3, threshold = 0.5, maxDf = 100)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(1L) == ((1L, true)))
+    assert(out(2L) == ((1L, false)))
+    assert(out(3L) == ((1L, false)))
+    assert(out(4L) == ((4L, true)))
+  }
 }
