@@ -328,4 +328,28 @@ class GoldenSpec extends AnyFunSuite {
     assert(vals("""read (value>="99" result=((value)))""") ==
       Set("99", "100", "101"))
   }
+
+  /** test/unit/stror.sh — ~= with a pattern list is an OR of matches */
+  test("stror session: pattern-list match") {
+    val st = GraphStore.fromSeq(spark, Seq(
+      node(1, value = Some("one")), node(2, value = Some("two")),
+      node(3, value = Some("one three")), node(4, value = Some("three two")),
+      node(5, value = Some("three"))))
+    val got = ReadPlanner.plan(st,
+      """read (value~=("one two" "three") result=((guid value)))""")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(3L, 4L, 5L))
+  }
+
+  /** test/unit/varsort.sh — sorting the parent by a child variable */
+  test("varsort session: cross-level variable sort") {
+    var st = GraphStore.fromSeq(spark, Seq(node(1, name = Some("seed"))))
+    st = Writer.write(st, """write (value="c" (<-left value="3"))""")._1
+    st = Writer.write(st, """write (value="b" (<-left value="2"))""")._1
+    st = Writer.write(st, """write (value="a" (<-left value="1"))""")._1
+    val rows = ReadPlanner.plan(st,
+      """read (sort=$sub result=(($sub value)) (<-left $sub=value))""")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows == Seq(("1", "a"), ("2", "b"), ("3", "c")))
+  }
 }
