@@ -36,16 +36,38 @@ object Bench {
       val secs = (System.nanoTime() - t0) / 1e9
       name -> (if (ok) secs else -1.0)
     }
-    // repeated-simple-read throughput, comparable in spirit to the
-    // reference's "simple constrained reads" rate (BASELINE.md):
-    // a 1-hop constrained read over the warmed graph, back to back.
-    val simple = SparkEntry.queries("g05_gql_two_hop")
-    simple(spark, sfDir).count() // warm plan + caches
-    val reps = 10
+    // sustained simple-read throughput — the reference's 200k
+    // queries/minute figure (BASELINE.md) is a single-node server under
+    // concurrent client load answering 1-2-hop constrained reads
+    // ("names containing herman"-class). Measure the same thing: N
+    // concurrent clients, each parsing + planning + executing a fresh
+    // constrained read against the warmed store, wall-clock aggregate.
+    val st0 = graft.store.GraphAdapter.store(spark, sfDir)
+    st0.current.count() // materialize the table cache
+    st0.valueWordIndex.count() // and the inverted word index
+    // "Customer#000000042" word-segments to (customer, 42) in the
+    // inverted index; the pattern word 42 hits the same normalized form
+    val simpleQ = (i: Int) =>
+      s"""read (type="customer" value~="${1 + i % 997}" result=((guid value)))"""
+    graft.plan.ReadPlanner.plan(st0, simpleQ(0)).collect() // warm plan path
+    val nClients = 32
+    val perClient = 8
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nClients)
     val t0 = System.nanoTime()
-    var i = 0
-    while (i < reps) { simple(spark, sfDir).count(); i += 1 }
-    val qps = reps / ((System.nanoTime() - t0) / 1e9)
+    val futs = (0 until nClients).map { c =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          var i = 0
+          while (i < perClient) {
+            graft.plan.ReadPlanner.plan(st0, simpleQ(c * perClient + i)).collect()
+            i += 1
+          }
+        }
+      })
+    }
+    futs.foreach(_.get())
+    pool.shutdown()
+    val qps = (nClients * perClient) / ((System.nanoTime() - t0) / 1e9)
 
     // batched point-read throughput: 1000 guid lookups in ONE plan —
     // the way a Spark engine actually serves bulk point reads. Each
@@ -62,7 +84,10 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"qps_simple":$qps,"qps_point_batched":$batchQps,"sf":"$sfDir"}""")
+    // stop BEFORE printing: shutdown warnings must not land after the
+    // JSON line the driver parses off stdout
     spark.stop()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"qps_simple":$qps,"qps_point_batched":$batchQps,"sf":"$sfDir"}""")
+    Console.out.flush()
   }
 }

@@ -155,6 +155,7 @@ object GTimestamp {
     val ldt = java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC)
     f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d-${ldt.getDayOfMonth}%02d" +
       f"T${ldt.getHour}%02d:${ldt.getMinute}%02d:${ldt.getSecond}%02d" +
-      f".${ldt.getNano / 100000}%04dZ"
+      (if (ldt.getNano % 100000 == 0) f".${ldt.getNano / 100000}%04dZ" // reference .nnnn wire form
+       else f".${ldt.getNano / 1000}%06dZ") // sub-100µs precision: 6 digits so render∘parse is lossless
   }
 }

@@ -59,15 +59,20 @@ object Dedup {
 
   /** Pairwise n-gram Jaccard near-duplicates above `threshold`.
     * `maxDf` drops shingles occurring in more documents (frequency cap
-    * against quadratic blowup on boilerplate shingles).
+    * against quadratic blowup on boilerplate shingles). Jaccard is
+    * computed exactly over the CAPPED shingle universe: set sizes count
+    * the same df<=maxDf shingles the intersection join sees (df==1
+    * singletons stay in the union; they can never intersect), so the
+    * score is unbiased within that universe rather than silently
+    * deflated by frequent shingles counted in sizes but not overlaps.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8, maxDf: Int = 1000): DataFrame = {
     val sh = shingleSet(df, idCol, textCol, n).cache()
-    val kept = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf && col("df") >= 2)
-    val shK = sh.join(kept.select("sh"), "sh")
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val dfTab = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val capped = sh.join(dfTab.filter(col("df") <= maxDf), "sh")
+    val shK = capped.filter(col("df") >= 2).select("id", "sh")
+    val sizes = capped.groupBy("id").agg(count(lit(1)).as("n_sh"))
 
     val a = shK.as("a"); val b = shK.as("b")
     val inter = a.join(b, col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))

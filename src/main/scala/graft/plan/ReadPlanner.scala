@@ -40,14 +40,20 @@ object ReadPlanner {
     var st = root.asof.map(store.asOf).getOrElse(store)
     // cursor="tok" resumes a prior id-ordered page: pin the snapshot
     // horizon and skip everything at or before the last-seen id
+    var pinned: Option[Long] = None
     val after: Option[Long] = root.cursorTok.map { t =>
       val tok = Cursor.decode(t)
-      if (tok.horizon != Long.MaxValue) st = st.asOf(tok.horizon)
+      if (tok.horizon != Long.MaxValue) { st = st.asOf(tok.horizon); pinned = Some(tok.horizon) }
       tok.lastId
     }
     var solved = solve(st, root, 0)
     after.foreach(a => solved = solved.filter(col("id") > a))
-    shapeRoot(solved, root)
+    // a fresh cursor pins the store's current dateline so later pages
+    // are stable under concurrent appends (frozen-cursor semantics,
+    // graphd/graphd-read-set-cursor.c; Cursor.page does the same)
+    def horizonForNewCursor: Long =
+      pinned.getOrElse(graft.streaming.Replica.dateline(st.primitives))
+    shapeRoot(solved, root, horizonForNewCursor _)
   }
 
   def plan(store: GraphStore, query: String): DataFrame =
@@ -166,9 +172,7 @@ object ReadPlanner {
     // an unresolvable name short-circuits to the empty set (con_false,
     // graphd/graphd.h:1235-1251 → PropagateEmptyRelation).
     c.typeNames.foreach { names =>
-      val ids = store.current
-        .filter(col("left").isNull && col("name").isin(names: _*))
-        .select("id").collect().map(_.getLong(0))
+      val ids = store.resolveTypeIds(names)
       df =
         if (ids.isEmpty) df.filter(lit(false))
         else df.filter(col("typeguid").isin(ids.map(Long.box): _*))
@@ -213,7 +217,18 @@ object ReadPlanner {
             prefixes.map(pre => col("word").startsWith(pre))).reduce(_ || _)
           val cand = store.valueWordIndex.filter(candPred)
             .select(col("id").as("__cand_id")).distinct()
-          df = df.join(cand, df("id") === cand("__cand_id"), "left_semi")
+          // fixed-iterator collapse (graphd-iterator-fixed.c): a small
+          // candidate set becomes a literal isin — the probe is then a
+          // single shuffle-free stage over the cached table instead of
+          // a semi-join with AQE re-planning. The limit+1 collect
+          // bounds driver memory; larger sets keep the semi-join.
+          val fixedMax = 4096
+          val small = cand.limit(fixedMax + 1).collect()
+          df =
+            if (small.length <= fixedMax)
+              df.filter(col("id").isin(small.map(r => Long.box(r.getLong(0))).toSeq: _*))
+            else
+              df.join(cand, df("id") === cand("__cand_id"), "left_semi")
         }
       }
     }
@@ -280,25 +295,38 @@ object ReadPlanner {
     */
   private def attachChild(store: GraphStore, parent: DataFrame, sub: Constraint,
       parentC: Constraint, i: Int, depth: Int): DataFrame = {
-    val child = solve(store, sub, depth + 1)
+    val child0 = solve(store, sub, depth + 1)
     val bounds = sub.effectiveCount
-    val childVars = child.columns.filter(_.startsWith("__var_")).toSeq
+    val childVars = child0.columns.filter(_.startsWith("__var_")).toSeq
 
-    // ordering key for contents determinism: child sort, else id
-    val childOrd: Column = sub.sort.headOption.map(sk => sortExpr(sk, sub))
-      .getOrElse(col("id"))
+    // contents ordering: rank over ALL child sort keys with per-key
+    // direction (sort=(value -name) honors the descending second key),
+    // id tiebreak for determinism (graphd/graphd-sort.c multi-key
+    // semantics). A window rank collapses the multi-key order into one
+    // ascending Int, so sort_array over the collected structs needs no
+    // per-key inversion; the window partitions on the same key the
+    // following groupBy shuffles on, so no extra exchange at scale.
+    val childOrdCols: Seq[Column] =
+      sub.sort.map(sk =>
+        if (sk.ascending) sortExpr(sk, sub).asc_nulls_last
+        else sortExpr(sk, sub).desc_nulls_last) :+ col("id").asc
 
-    val contentsStruct = struct(
-      childOrd.as("__ord") +:
+    def ranked(df: DataFrame, partKey: String): DataFrame =
+      df.withColumn("__ord", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(partKey)).orderBy(childOrdCols: _*)))
+
+    def contentsStructOf(df: DataFrame): Column = struct(
+      col("__ord") +:
         resultFields(sub).map { case (n, e) => e.as(n) }: _*)
 
     val resultNames = resultFields(sub).map(_._1)
     // a child with result=count contributes its per-parent cardinality
     // as the contents value (count1.sh shape), not a tuple list
     val childIsCount = sub.result.map(flatten).contains(Seq(CountPat))
-    def contentsAgg: Column =
+    def contentsAgg(ranked: DataFrame): Column =
       if (childIsCount) count(lit(1)).cast("long")
-      else sortedContents(contentsStruct, resultNames, sub)
+      else sortedContents(contentsStructOf(ranked), resultNames, sub)
 
     // a bare (...) child inside a LINK constraint defaults to the
     // link's free endpoint: `("A" (<- ("B")))` makes the link's right
@@ -309,21 +337,24 @@ object ReadPlanner {
       case Some(ChildPointsToParent(f)) =>
         // child is a link whose `f` endpoint is the parent (fan-in —
         // the reference's linksto join, graphd-iterator-linksto.c).
+        val child = ranked(child0.filter(col(f).isNotNull), f)
         val aggCols: Seq[Column] =
           Seq(count(lit(1)).as(s"__count_$i"),
-            contentsAgg.as(s"__contents_$i")) ++
+            contentsAgg(child).as(s"__contents_$i")) ++
             childVars.map(v => min(struct(col("id"), col(v))).getField(v).as(v))
-        val agg = child.filter(col(f).isNotNull)
+        val agg = child
           .groupBy(col(f).as(s"__pk_$i"))
           .agg(aggCols.head, aggCols.tail: _*)
         joinWithBounds(parent, agg, parent("id") === agg(s"__pk_$i"), bounds, i)
 
       case Some(ParentPointsToChild(f)) =>
         // parent's `f` endpoint must be a child match (the reference's
-        // isa join, graphd-iterator-isa.c) — at most one per parent.
+        // isa join, graphd-iterator-isa.c) — at most one per parent,
+        // so contents ordering is trivial.
+        val child = child0.withColumn("__ord", lit(1))
         val aggCols: Seq[Column] =
           Seq(count(lit(1)).as(s"__count_$i"),
-            contentsAgg.as(s"__contents_$i")) ++
+            contentsAgg(child).as(s"__contents_$i")) ++
             childVars.map(v => first(col(v)).as(v))
         val agg = child
           .groupBy(col("id").as(s"__pk_$i"))
@@ -332,21 +363,20 @@ object ReadPlanner {
 
       case None =>
         // linkage-less child: a global existence subquery
-        val cnt = child.agg(count(lit(1)).as(s"__count_$i"))
+        val cnt = child0.agg(count(lit(1)).as(s"__count_$i"))
         val ok = cnt.filter(boundsPred(col(s"__count_$i"), bounds))
         parent.join(broadcast(ok.select(lit(1).as(s"__ok_$i"))), lit(true), "left_semi")
     }
   }
 
-  /** collect children ordered by their sort key (leading `__ord` struct
-    * field drives sort_array; a descending first key flips the array
-    * order), apply per-level pagesize, then strip the ordering field
-    * (graphd contents ordering, graphd/graphd-sort.c).
+  /** collect children ordered by their precomputed multi-key rank
+    * (leading `__ord` Int drives sort_array ascending), apply per-level
+    * pagesize, then strip the ordering field (graphd contents ordering,
+    * graphd/graphd-sort.c).
     */
   private def sortedContents(contentsStruct: Column, resultNames: Seq[String],
       sub: Constraint): Column = {
-    val asc = sub.sort.headOption.forall(_.ascending)
-    val sorted = sort_array(collect_list(contentsStruct), asc = asc)
+    val sorted = sort_array(collect_list(contentsStruct), asc = true)
     val paged = sub.pagesize.map(n => slice(sorted, 1, n.toInt)).getOrElse(sorted)
     transform(paged, x =>
       struct(resultNames.map(n => x.getField(n).as(n)): _*))
@@ -444,7 +474,8 @@ object ReadPlanner {
     }
   }
 
-  private def shapeRoot(df: DataFrame, c: Constraint): DataFrame = {
+  private def shapeRoot(df: DataFrame, c: Constraint,
+      cursorHorizon: () => Long = () => Long.MaxValue): DataFrame = {
     // set-level count result (result=count → one row); countlimit stops
     // counting past N (the reference returns TOOMANY beyond — callers
     // detect overflow by count == countlimit+1, graphd/graphd.h:1305).
@@ -484,7 +515,7 @@ object ReadPlanner {
         val stats = out.agg(max(col("id")), count(lit(1))).head
         if (stats.isNullAt(0) || stats.getLong(1) < ps) "null:"
         else graft.plan.Cursor.encode(
-          graft.plan.Cursor.Token(stats.getLong(0), Long.MaxValue))
+          graft.plan.Cursor.Token(stats.getLong(0), cursorHorizon()))
       }
 
     val cols = resultFields(c).collect {

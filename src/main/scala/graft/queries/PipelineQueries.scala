@@ -178,7 +178,8 @@ object PipelineQueries extends QueryPack {
   )
 
   /** DuckDB rendition of Dedup.ngramJaccardPairs (3-gram shingles,
-    * distinct per doc, df cap mirrored).
+    * distinct per doc, df cap mirrored: sizes over df<=maxDf shingles,
+    * intersections over df in [2, maxDf]).
     */
   private def ngramJaccardSql(threshold: Double, maxDf: Int): String =
     s"""WITH toks AS (
@@ -190,7 +191,9 @@ object PipelineQueries extends QueryPack {
        |      for i in range(1, len(w) - 1)]) sh FROM toks)),
        |kept AS (SELECT sh FROM sh GROUP BY sh
        |         HAVING count(*) BETWEEN 2 AND $maxDf),
-       |sizes AS (SELECT doc_id, count(*) n_sh FROM sh GROUP BY doc_id),
+       |capped AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= $maxDf),
+       |sizes AS (SELECT doc_id, count(*) n_sh
+       |          FROM sh JOIN capped USING (sh) GROUP BY doc_id),
        |inter AS (
        |  SELECT a.doc_id id_a, b.doc_id id_b, count(*) i
        |  FROM (SELECT s.* FROM sh s JOIN kept USING (sh)) a

@@ -282,8 +282,8 @@ object Relational extends QueryPack {
             count(lit(1)).as("n_events"))
       },
       Some("""SELECT user_id,
-             |  sum(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
-             |      THEN 1 ELSE 0 END) AS n_sessions,
+             |  CAST(sum(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
              |  count(*) AS n_events
              |FROM (SELECT user_id, ts,
              |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev

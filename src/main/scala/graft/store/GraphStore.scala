@@ -49,9 +49,12 @@ final case class GraphStore(spark: SparkSession, primitives: DataFrame,
     * after its horizon.
     */
   def asOf(horizon: Long): GraphStore = {
+    // rows appended after load may carry a null id_part (union with
+    // allowMissingColumns) — the prune must keep them, not drop them
     val pred =
       if (primitives.columns.contains("id_part"))
-        col("id") <= horizon && col("id_part") <= (horizon >> PartShift).toInt
+        col("id") <= horizon &&
+          (col("id_part").isNull || col("id_part") <= (horizon >> PartShift).toInt)
       else col("id") <= horizon
     copy(primitives = primitives.filter(pred))
   }
@@ -72,10 +75,26 @@ final case class GraphStore(spark: SparkSession, primitives: DataFrame,
     */
   lazy val valueWordIndex: DataFrame = {
     import graft.functions.GraphdFunctions.graphd_words
+    // coalesced before caching: index probes are word-equality scans of
+    // the cached blocks, and fewer/larger partitions keep the per-probe
+    // task count (scheduler overhead) low for point-lookup workloads
     primitives.filter(col("value").isNotNull)
       .select(col("id"), explode(graphd_words(col("value"))).as("word"))
+      .coalesce(8)
       .cache()
   }
+
+  /** Memoized type-name → type-node-id resolution — the reference
+    * resolves type names to typeguids once per request in its semantic
+    * phase and caches server-side (graphd/graphd-read.c:28-37); without
+    * the memo every read pays a driver-side collect job just to find
+    * the type node.
+    */
+  private val typeIdCache = scala.collection.concurrent.TrieMap.empty[String, Seq[Long]]
+  def resolveTypeIds(names: Seq[String]): Seq[Long] =
+    names.flatMap(n => typeIdCache.getOrElseUpdate(n,
+      current.filter(col("left").isNull && col("name") === n)
+        .select("id").collect().map(_.getLong(0)).toSeq))
 
   /** Consistency check — the reference's `verify` request
     * (graphd/graphd-verify.c, libpdb/pdb-verify.c): index↔primitive and

@@ -44,19 +44,20 @@ object Replica {
           .filter(col("left").isNotNull && col("typeguid").isNotNull)
           .groupBy(col("typeguid"))
           .agg(count(lit(1)).as("n_links"), max(col("id")).as("dateline"))
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        // existence check, not read-and-catch: a caught analyzer
+        // exception still log-spams ERROR stacks into the driver output
         val merged =
-          try {
-            val prev = spark.read.parquet(stateDir)
-            prev.unionByName(delta)
+          if (fs.exists(new org.apache.hadoop.fs.Path(stateDir))) {
+            spark.read.parquet(stateDir).unionByName(delta)
               .groupBy(col("typeguid"))
               .agg(sum(col("n_links")).as("n_links"),
                 max(col("dateline")).as("dateline"))
-          } catch { case _: Exception => delta }
+          } else delta
         // write-new-then-swap keeps readers consistent
         val tmp = stateDir + "_next"
         merged.write.mode("overwrite").parquet(tmp)
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
         val dst = new org.apache.hadoop.fs.Path(stateDir)
         fs.delete(dst, true)
         fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)

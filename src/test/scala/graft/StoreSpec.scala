@@ -52,5 +52,33 @@ class StoreSpec extends AnyFunSuite {
     val (st2, ids) = Writer.append(loaded, Seq(Writer.Spec(value = Some("x"))))
     assert(ids.head == (1L << 20) + 7)
     assert(st2.current.count() == 5)
+
+    // asOf AFTER an append must keep the appended rows (their id_part
+    // is null from the allowMissingColumns union — the prune predicate
+    // has to be null-tolerant)
+    val horizon = ids.head
+    assert(st2.asOf(horizon).current.count() == 5)
+    assert(st2.asOf(horizon - 1).current.count() == 4)
+
+    // Cursor.page over the appended store sees every row (page calls
+    // asOf(dateline) internally)
+    val page = graft.plan.Cursor.page(st2, None, 10)
+    assert(page.count() == 5)
+  }
+
+  test("query-language cursor pins the append-time snapshot") {
+    val st = GraphStore.fromSeq(spark,
+      (1L to 6L).map(i => node(i, value = Some(s"v$i"))))
+    val p1 = ReadPlanner.plan(st, "read (result=((guid value cursor)) pagesize=2)")
+      .collect()
+    val tok = p1.head.getAs[String]("cursor")
+    assert(tok != "null:")
+    // the token's horizon is the store's dateline, not MaxValue: rows
+    // appended after page 1 stay invisible to page 2
+    val (st2, _) = Writer.append(st, Seq(Writer.Spec(value = Some("late"))))
+    val p2 = ReadPlanner.plan(st2,
+      s"""read (result=((guid value cursor)) pagesize=99 cursor="$tok")""")
+      .collect()
+    assert(p2.map(_.getAs[String]("value")).toSet == Set("v3", "v4", "v5", "v6"))
   }
 }

@@ -66,6 +66,12 @@ class TextSpec extends AnyFunSuite {
     assert(GTimestamp.render(0L) == "1970-01-01T00:00:00.0000Z")
     val x = GTimestamp.parse("2008-05-15T07:08:09.1234Z").get
     assert(GTimestamp.render(x) == "2008-05-15T07:08:09.1234Z")
+    // sub-100µs timestamps render distinctly (lossless round-trip):
+    // 6-digit micros are parsed and must not collapse to 4 digits
+    val fine = GTimestamp.parse("2008-05-15T07:08:09.123456Z").get
+    assert(GTimestamp.render(fine) == "2008-05-15T07:08:09.123456Z")
+    assert(GTimestamp.parse(GTimestamp.render(fine)).contains(fine))
+    assert(GTimestamp.render(fine) != GTimestamp.render(x))
   }
 
   test("guid codec round-trips") {
