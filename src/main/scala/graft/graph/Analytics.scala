@@ -53,6 +53,35 @@ object Analytics {
       .toDF("id", "pagerank")
   }
 
+  /** PageRank as pure DataFrame iterations: init 1.0, then
+    * r' = reset + (1-reset)·Σ_incoming r/outdeg (dangling mass dropped
+    * — the classic static formulation). Declarative per-iteration plan:
+    * one shuffle on dst per round; at cluster scale the edge table is
+    * bucketed by dst so rounds are exchange-free, and AQE handles
+    * fan-in skew (celebrity nodes). Exactly mirrorable in SQL, which
+    * GraphX's internal formulation is not — so this variant is the one
+    * wired into the DuckDB oracle gate.
+    */
+  def pageRankDF(store: GraphStore, iters: Int, reset: Double = 0.15): DataFrame = {
+    val edges = store.links.filter(col("right").isNotNull)
+      .select(col("left").as("src"), col("right").as("dst")).cache()
+    val outd = edges.groupBy("src").agg(count(lit(1)).as("od"))
+    val verts = store.nodes.select(col("id")).cache()
+    var ranks = verts.withColumn("pagerank", lit(1.0))
+    for (_ <- 1 to iters) {
+      val contrib = edges.join(outd, "src")
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst"), (col("pagerank") / col("od")).as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("in_sum"))
+      ranks = verts.join(contrib, verts("id") === contrib("dst"), "left_outer")
+        .select(verts("id"),
+          (lit(reset) + lit(1 - reset) * coalesce(col("in_sum"), lit(0.0)))
+            .as("pagerank"))
+        .localCheckpoint() // truncate the growing iterative plan
+    }
+    ranks
+  }
+
   /** k-hop neighborhood via iterative DataFrame self-joins (each hop is
     * one equi-join on the link table — Catalyst plans/broadcasts it;
     * undirected expansion like the reference's linkage traversal).

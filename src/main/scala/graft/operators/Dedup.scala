@@ -167,32 +167,41 @@ object Dedup {
     comp.withColumn("keep", col(idCol) === col("cluster"))
   }
 
-  /** 64-bit SimHash over token xxhashes: bit j of the signature is the
-    * sign of sum over tokens of ±1 for that bit.
+  /** 60-bit SimHash over md5-derived token hashes: bit j of the
+    * signature is the sign of sum over tokens of ±1 for that bit.
+    * The token hash is the low 15 hex chars of md5 — reproducible in
+    * any engine with md5 (oracle parity), still one hash per token.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol).as("id"),
         explode(TextAnalysis.tokens(lower(col(textCol)))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val bitSums: Seq[Column] = (0 until 64).map { j =>
+      .withColumn("h", conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long"))
+    val bitSums: Seq[Column] = (0 until 60).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b_$j")
     }
     val agg = tok.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map { j =>
+    val sig = (0 until 60).map { j =>
       when(col(s"b_$j") > 0, shiftleft(lit(1L), j)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
     agg.select(col("id"), sig.as("simhash"))
   }
 
-  /** SimHash near-dup pairs with Hamming distance <= maxDist,
-    * candidates bucketed by 16-bit signature chunks.
+  /** SimHash near-dup pairs with Hamming distance <= maxDist.
+    * Candidates are bucketed on maxDist+1 signature chunks — a pair
+    * within distance d differs in at most d chunks, so it must share
+    * one of d+1 (guaranteed recall; the pigeonhole trick behind
+    * chunked simhash search). maxDist=3 gives 4 chunks of 15 bits.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
     val sig = simhash(df, idCol, textCol)
+    val nChunks = math.min(maxDist + 1, 60)
+    val bounds = (0 to nChunks).map(i => i * 60 / nChunks)
     val chunked = sig.select(col("id"), col("simhash"),
-      posexplode(array((0 until 4).map(cInd =>
-        shiftright(col("simhash"), cInd * 16).bitwiseAND(0xFFFFL)): _*))
+      posexplode(array((0 until nChunks).map { cInd =>
+        val width = bounds(cInd + 1) - bounds(cInd)
+        shiftright(col("simhash"), bounds(cInd)).bitwiseAND((1L << width) - 1)
+      }: _*))
         .as(Seq("chunk", "ckey")))
     val a = chunked.as("a"); val b = chunked.as("b")
     val ham = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
@@ -200,7 +209,7 @@ object Dedup {
         col("a.id") < col("b.id"))
       .filter(ham <= maxDist)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        ham.as("hamming"))
+        ham.cast("long").as("hamming"))
       .distinct()
   }
 }

@@ -49,17 +49,32 @@ object Similarity {
       .select(col("q_id"), col("rk"), col("n_id"), col("sim"))
   }
 
-  /** Deterministic random-hyperplane signature: bit j = sign of
-    * <v, r_j> where r_j components are ±1 derived from xxhash64(j, dim).
+  /** Deterministic ±1 hyperplane: component d = bit d of
+    * md5("rhp_<seed>_<j>") (128 md5 bits ⇒ dims <= 128). A public,
+    * engine-portable derivation: any SQL engine with md5 rebuilds the
+    * identical plane, so LSH bucketing is oracle-checkable.
     */
-  def rhpSignature(vec: Column, bits: Int, seed: Int = 42): Column = {
+  def rhpPlane(seed: Int, j: Int, dims: Int): Array[Double] = {
+    require(dims <= 128, s"rhpPlane supports <= 128 dims, got $dims")
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"rhp_${seed}_$j".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    Array.tabulate(dims) { d =>
+      val nib = Integer.parseInt(hex.charAt(d / 4).toString, 16)
+      if (((nib >> (d % 4)) & 1) == 1) 1.0 else -1.0
+    }
+  }
+
+  /** Random-hyperplane signature: bit j = sign of <v, r_j>. The planes
+    * are driver-precomputed literal arrays — the per-row work is pure
+    * codegen'd float math (no hashing in the hot path), which is the
+    * plan you want scoring 100 TB of vectors.
+    */
+  def rhpSignature(vec: Column, bits: Int, dims: Int, seed: Int = 42): Column = {
     val projections: Seq[Column] = (0 until bits).map { j =>
-      // component_d = +1 if hash(seed, j, d) even else -1
+      val plane = array(rhpPlane(seed, j, dims).map(lit): _*)
       val proj = aggregate(
-        zip_with(vec,
-          transform(sequence(lit(0), size(vec) - 1),
-            d => when(pmod(xxhash64(lit(seed), lit(j), d), lit(2)) === 0, 1.0).otherwise(-1.0)),
-          (x, r) => x * r),
+        zip_with(vec, plane, (x, r) => x.cast("double") * r),
         lit(0.0), (acc, x) => acc + x)
       when(proj > 0, shiftleft(lit(1L), j)).otherwise(0L)
     }
@@ -72,12 +87,12 @@ object Similarity {
     * bits/probes to trade shuffle volume for recall.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      bits: Int = 12, nProbes: Int = 4,
+      bits: Int = 12, nProbes: Int = 4, dims: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     def signed(df: DataFrame, prefix: String): DataFrame =
       df.select(Seq(col(idCol).as(s"${prefix}_id"), col(vecCol).as(s"${prefix}_vec")) ++
         (0 until nProbes).map(p =>
-          rhpSignature(col(vecCol), bits, seed = 42 + p).as(s"${prefix}_sig_$p")): _*)
+          rhpSignature(col(vecCol), bits, dims, seed = 42 + p).as(s"${prefix}_sig_$p")): _*)
 
     val c = signed(corpus, "n")
     val q = broadcast(signed(queries, "q"))
@@ -98,12 +113,12 @@ object Similarity {
     * buckets (the embedding flavor of Dedup).
     */
   def cosineNearDupPairs(df: DataFrame, threshold: Double,
-      bits: Int = 12, nProbes: Int = 4,
+      bits: Int = 12, nProbes: Int = 4, dims: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     def signed(prefix: String): DataFrame =
       df.select(Seq(col(idCol).as(s"${prefix}_id"), col(vecCol).as(s"${prefix}_vec")) ++
         (0 until nProbes).map(p =>
-          rhpSignature(col(vecCol), bits, seed = 42 + p).as(s"${prefix}_sig_$p")): _*)
+          rhpSignature(col(vecCol), bits, dims, seed = 42 + p).as(s"${prefix}_sig_$p")): _*)
     val a = signed("a"); val b = signed("b")
     val probeCond = (0 until nProbes)
       .map(p => col(s"a_sig_$p") === col(s"b_sig_$p")).reduce(_ || _)

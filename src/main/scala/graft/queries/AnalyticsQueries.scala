@@ -58,16 +58,17 @@ object AnalyticsQueries extends QueryPack {
              |UNION ALL
              |SELECT unnest([1,2,3,4,5,6,10,11,12,13,14]), 1""".stripMargin)),
 
-    // PageRank over the link structure — iterative fixpoint, not
-    // SQL-expressible: rows-only check (top-20 by rank for stability).
+    // PageRank over the link structure — DataFrame-iterative static
+    // formulation; the oracle unrolls the same 5 iterations as chained
+    // CTEs over the adapter's edge relation.
     QueryDef("a03_pagerank",
       (s, dir) => {
         val st = GraphAdapter.store(s, dir)
-        Analytics.pageRank(st, iters = 5)
-          .orderBy(col("pagerank").desc, col("id").asc).limit(20)
+        Analytics.pageRankDF(st, iters = 5)
+          .orderBy(round(col("pagerank"), 6).desc, col("id").asc).limit(20)
           .select(col("id"), round(col("pagerank"), 6).as("pagerank"))
       },
-      None),
+      Some(pageRankSql(iters = 5))),
 
     // islink-style incremental materialization: stream the primitives
     // log (written once per sf) through foreachBatch merge, then read
@@ -146,4 +147,45 @@ object AnalyticsQueries extends QueryPack {
              |SELECT id, value FROM prims ORDER BY id
              |LIMIT 50 OFFSET 50""".stripMargin))
   )
+
+  /** DuckDB rendition of Analytics.pageRankDF over the adapter graph:
+    * the same edge relation (one row per fk link), same init/update,
+    * unrolled `iters` times as chained CTEs.
+    */
+  private def pageRankSql(iters: Int, reset: Double = 0.15): String = {
+    val base = s"""WITH edges AS (
+      |  SELECT 20000000 + o_orderkey AS src, 10000000 + o_custkey AS dst FROM orders
+      |  UNION ALL
+      |  SELECT 10000000 + c_custkey, 2000000 + c_nationkey FROM customer
+      |  UNION ALL
+      |  SELECT 2000000 + n_nationkey, 1000000 + n_regionkey FROM nation
+      |  UNION ALL
+      |  SELECT 30000000 + s_suppkey, 2000000 + s_nationkey FROM supplier
+      |  UNION ALL
+      |  SELECT 20000000 + l_orderkey, 40000000 + l_partkey FROM lineitem),
+      |outd AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+      |verts AS (
+      |  SELECT unnest([1,2,3,4,5,6,10,11,12,13,14]) AS id
+      |  UNION ALL SELECT 1000000 + r_regionkey FROM region
+      |  UNION ALL SELECT 2000000 + n_nationkey FROM nation
+      |  UNION ALL SELECT 10000000 + c_custkey FROM customer
+      |  UNION ALL SELECT 20000000 + o_orderkey FROM orders
+      |  UNION ALL SELECT 30000000 + s_suppkey FROM supplier
+      |  UNION ALL SELECT 40000000 + p_partkey FROM part),
+      |r0 AS (SELECT id, 1.0::DOUBLE AS pr FROM verts)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      s"""r$k AS (
+         |  SELECT v.id,
+         |    $reset + ${1 - reset} * coalesce(sum(r.pr / o.od), 0) AS pr
+         |  FROM verts v
+         |  LEFT JOIN edges e ON e.dst = v.id
+         |  LEFT JOIN r${k - 1} r ON r.id = e.src
+         |  LEFT JOIN outd o ON o.src = e.src
+         |  GROUP BY v.id)""".stripMargin
+    }
+    (base +: steps).mkString(",\n") +
+      s"""
+         |SELECT id, round(pr, 6) AS pagerank FROM r$iters
+         |ORDER BY round(pr, 6) DESC, id ASC LIMIT 20""".stripMargin
+  }
 }

@@ -116,12 +116,35 @@ object PipelineQueries extends QueryPack {
         n = 3, k = 64, bands = 16, threshold = 0.8),
       Some(ngramJaccardSql(0.8, Int.MaxValue))),
 
-    // SimHash hamming-distance pairs — xxhash64 signatures are not
-    // reproducible in DuckDB SQL: rows-only check.
+    // SimHash hamming-distance pairs — md5-derived 60-bit signatures
+    // are engine-portable, so the oracle rebuilds them bit-for-bit.
     QueryDef("d04_simhash",
       (s, dir) => Dedup.simhashPairs(T(s, dir).documents, "doc_id", "text",
         maxDist = 3),
-      None),
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+             |  FROM documents),
+             |th AS (SELECT doc_id,
+             |    ('0x' || substring(md5(t), 1, 15))::BIGINT AS h FROM tok),
+             |bsum AS (
+             |  SELECT doc_id, b,
+             |    sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+             |  FROM th, (SELECT unnest(range(60)) AS b)
+             |  GROUP BY doc_id, b),
+             |sig AS (
+             |  SELECT doc_id,
+             |    sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS sg
+             |  FROM bsum GROUP BY doc_id),
+             |chunked AS (
+             |  SELECT doc_id, sg, c, (sg >> CAST(c * 15 AS INT)) & 32767 AS ckey
+             |  FROM sig, (SELECT unnest(range(4)) AS c)),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             |    CAST(bit_count(xor(a.sg, b.sg)) AS BIGINT) AS hamming
+             |  FROM chunked a JOIN chunked b
+             |    ON a.c = b.c AND a.ckey = b.ckey AND a.doc_id < b.doc_id)
+             |SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3""".stripMargin)),
 
     QueryDef("s01_knn_brute",
       (s, dir) => {
@@ -149,16 +172,18 @@ object PipelineQueries extends QueryPack {
              |  FROM scored)
              |SELECT q_id, rk, n_id, sim FROM ranked WHERE rk <= 5""".stripMargin)),
 
-    // LSH-bucketed ANN — approximate by construction: rows-only check.
+    // LSH-bucketed ANN — approximate by construction, but the md5-
+    // derived hyperplanes are engine-portable, so the oracle replays
+    // the identical bucketing + rescoring and the output is exact.
     QueryDef("s02_ann_lsh",
       (s, dir) => {
         val emb = T(s, dir).embeddings
         // 6-bit buckets x 8 probes: sized for useful recall on random
         // 64-dim vectors where "near" neighbors sit at cosine ~0.3
         Similarity.lshTopK(emb, emb.filter(col("vec_id") < 20), k = 5,
-          bits = 6, nProbes = 8)
+          bits = 6, nProbes = 8, dims = 64)
       },
-      None),
+      Some(annLshSql(k = 5, bits = 6, nProbes = 8, dims = 64))),
 
     QueryDef("m01_multimodal_features",
       (s, dir) => {
@@ -176,6 +201,49 @@ object PipelineQueries extends QueryPack {
              |    THEN octet_length(encode(text)) // 1000 + 1 ELSE 1 END AS n_frames
              |FROM documents""".stripMargin))
   )
+
+  /** DuckDB rendition of Similarity.lshTopK: the ±1 hyperplanes are
+    * rebuilt from md5("rhp_<seed>_<j>") exactly as Similarity.rhpPlane
+    * derives them, then bucket-join + exact cosine rescoring replayed.
+    */
+  private def annLshSql(k: Int, bits: Int, nProbes: Int, dims: Int): String = {
+    def planeExpr(seed: Int, j: Int): String =
+      s"""list_transform(range($dims), d -> CASE WHEN
+         | ((((strpos('0123456789abcdef',
+         |      substring(md5('rhp_${seed}_$j'), CAST(d // 4 AS INT) + 1, 1)) - 1)
+         |    >> CAST(d % 4 AS INT)) & 1) = 1) THEN 1.0 ELSE -1.0 END)""".stripMargin
+    def projExpr(vec: String, seed: Int, j: Int): String =
+      s"list_sum(list_transform(list_zip($vec, ${planeExpr(seed, j)}), p -> p[1] * p[2]))"
+    def sigExpr(vec: String, seed: Int): String =
+      (0 until bits).map(j =>
+        s"(CASE WHEN ${projExpr(vec, seed, j)} > 0 THEN ${1L << j} ELSE 0 END)")
+        .mkString("(", " + ", ")")
+    val corpSigs = (0 until nProbes).map(p =>
+      s"${sigExpr("n_vec", 42 + p)} AS n_sig_$p").mkString(",\n  ")
+    val querySigs = (0 until nProbes).map(p =>
+      s"${sigExpr("q_vec", 42 + p)} AS q_sig_$p").mkString(",\n  ")
+    val probeCond = (0 until nProbes).map(p => s"q_sig_$p = n_sig_$p")
+      .mkString("(", " OR ", ")")
+    s"""WITH c AS (SELECT vec_id AS n_id,
+       |    list_transform(embedding, x -> x::DOUBLE) AS n_vec FROM embeddings),
+       |q AS (SELECT vec_id AS q_id,
+       |    list_transform(embedding, x -> x::DOUBLE) AS q_vec FROM embeddings
+       |  WHERE vec_id < 20),
+       |cs AS (SELECT n_id, n_vec, $corpSigs FROM c),
+       |qs AS (SELECT q_id, q_vec, $querySigs FROM q),
+       |cand AS (SELECT DISTINCT q_id, q_vec, n_id, n_vec
+       |  FROM cs JOIN qs ON $probeCond AND q_id != n_id),
+       |scored AS (SELECT q_id, n_id,
+       |    round(
+       |      list_sum(list_transform(list_zip(q_vec, n_vec), s -> s[1] * s[2]))
+       |      / (sqrt(list_sum(list_transform(q_vec, x -> x * x)))
+       |         * sqrt(list_sum(list_transform(n_vec, x -> x * x)))), 6) AS sim
+       |  FROM cand),
+       |ranked AS (SELECT q_id, n_id, sim, row_number() OVER
+       |    (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rk
+       |  FROM scored)
+       |SELECT q_id, rk, n_id, sim FROM ranked WHERE rk <= $k""".stripMargin
+  }
 
   /** DuckDB rendition of Dedup.ngramJaccardPairs (3-gram shingles,
     * distinct per doc, df cap mirrored: sizes over df<=maxDf shingles,
