@@ -145,7 +145,46 @@ object AnalyticsQueries extends QueryPack {
              |  UNION ALL SELECT 30000000 + s_suppkey, s_name FROM supplier
              |  UNION ALL SELECT 40000000 + p_partkey, p_name FROM part)
              |SELECT id, value FROM prims ORDER BY id
-             |LIMIT 50 OFFSET 50""".stripMargin))
+             |LIMIT 50 OFFSET 50""".stripMargin)),
+
+    // dump → 13-field text tuples → restore round trip
+    // (graphd-dump.c / graphd-restore.c, wire form
+    // doc/gr-protocol.txt:1213-1296), aggregated into a checksum the
+    // oracle recomputes from the base tables: field survival, guid
+    // render/parse, and %-escaping all have to hold for this to match.
+    QueryDef("dr01_dump_restore",
+      (s, dir) => {
+        val st = GraphAdapter.store(s, dir)
+        val restored = graft.store.DumpRestore.restore(
+          s, graft.store.DumpRestore.dump(st))
+        restored.agg(
+          count(lit(1)).as("n"),
+          count(col("left")).as("n_links"),
+          max(col("id")).as("max_id"),
+          sum(when(col("typeguid").isin(1L, 2L, 3L, 4L, 5L, 6L),
+            length(col("value")))).as("value_len"))
+      },
+      Some("""SELECT
+             |  CAST(11
+             |    + (SELECT count(*) FROM region) + (SELECT count(*) FROM nation)
+             |    + (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier)
+             |    + (SELECT count(*) FROM part) + (SELECT count(*) FROM orders)
+             |    + (SELECT count(*) FROM orders) + (SELECT count(*) FROM customer)
+             |    + (SELECT count(*) FROM nation) + (SELECT count(*) FROM supplier)
+             |    + (SELECT count(*) FROM lineitem) AS BIGINT) AS n,
+             |  CAST((SELECT count(*) FROM orders) + (SELECT count(*) FROM customer)
+             |    + (SELECT count(*) FROM nation) + (SELECT count(*) FROM supplier)
+             |    + (SELECT count(*) FROM lineitem) AS BIGINT) AS n_links,
+             |  CAST(500000000
+             |    + (SELECT max(l_orderkey * 8 + l_linenumber) FROM lineitem)
+             |    AS BIGINT) AS max_id,
+             |  CAST((SELECT sum(length(r_name)) FROM region)
+             |    + (SELECT sum(length(n_name)) FROM nation)
+             |    + (SELECT sum(length(c_name)) FROM customer)
+             |    + (SELECT sum(length(s_name)) FROM supplier)
+             |    + (SELECT sum(length(p_name)) FROM part)
+             |    + (SELECT sum(length(o_orderstatus)) FROM orders)
+             |    AS BIGINT) AS value_len""".stripMargin))
   )
 
   /** DuckDB rendition of Analytics.pageRankDF over the adapter graph:

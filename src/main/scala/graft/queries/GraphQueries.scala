@@ -89,6 +89,30 @@ object GraphQueries extends QueryPack {
             |  value>="450000" result=((guid value)))""".stripMargin),
       Some("""SELECT (100000000 + o_orderkey) AS guid,
              |  CAST(o_totalprice AS VARCHAR) AS value
-             |FROM orders WHERE o_totalprice >= 450000""".stripMargin))
+             |FROM orders WHERE o_totalprice >= 450000""".stripMargin)),
+
+    // prefix glob `~="gea*"`: the word/prefix index candidate path
+    // (graphd-iterator-prefix.c:22, PDB_HASH_PREFIX) + exact glob check
+    QueryDef("g10_gql_prefix",
+      gql("""read (type="part" value~="gea*" result=((guid value)))"""),
+      Some("""SELECT (40000000 + p_partkey) AS guid, p_name AS value
+             |FROM part WHERE regexp_matches(lower(p_name), '\bgea')""".stripMargin)),
+
+    // multi-value string equality value=("a" "b" ...) — the or-shaped
+    // string constraint (graphd-string-constraint.c, guid-set analog)
+    QueryDef("g11_gql_value_list",
+      gql("""read (type="nation" value=("NATION_1" "NATION_5" "NATION_9")
+            |  result=((guid value)))""".stripMargin),
+      Some("""SELECT (2000000 + n_nationkey) AS guid, n_name AS value
+             |FROM nation
+             |WHERE n_name IN ('NATION_1', 'NATION_5', 'NATION_9')""".stripMargin)),
+
+    // case-insensitive comparator equality (graphd-comparator-case.c)
+    QueryDef("g12_gql_case_eq",
+      gql("""read (type="customer" comparator="case-insensitive"
+            |  value="cUsToMeR#000000042" result=((guid value)))""".stripMargin),
+      Some("""SELECT (10000000 + c_custkey) AS guid, c_name AS value
+             |FROM customer
+             |WHERE lower(c_name) = lower('cUsToMeR#000000042')""".stripMargin))
   )
 }

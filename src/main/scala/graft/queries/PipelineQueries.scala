@@ -185,6 +185,34 @@ object PipelineQueries extends QueryPack {
       },
       Some(annLshSql(k = 5, bits = 6, nProbes = 8, dims = 64))),
 
+    // embedding-cosine near-duplicate pairs via the same md5-derived
+    // LSH bucketing — the embedding flavor of dedup, exactly replayed
+    // by the oracle (bucket join + rescoring, threshold on double cos)
+    QueryDef("s03_embed_neardup",
+      (s, dir) => Similarity.cosineNearDupPairs(T(s, dir).embeddings,
+        threshold = 0.45, bits = 6, nProbes = 8, dims = 64),
+      Some(embedNearDupSql(threshold = 0.45, bits = 6, nProbes = 8, dims = 64))),
+
+    // scalar quality score (C4/Gopher-style heuristic blend over the
+    // t02 features)
+    QueryDef("t06_quality_score",
+      (s, dir) => T(s, dir).documents
+        .select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("quality")),
+      Some(s"""WITH f AS (SELECT doc_id,
+             |    round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+             |          / length(text), 4) AS alpha_ratio,
+             |    round(${sqlStopCount(graft.operators.Stopwords.en)} * 1.0
+             |          / len($sqlToks), 4) AS stop_ratio,
+             |    len($sqlToks) AS n_tokens
+             |  FROM documents)
+             |SELECT doc_id,
+             |  round(least(stop_ratio * 2.0, 1.0) * 0.4
+             |    + least(alpha_ratio * 1.25, 1.0) * 0.4
+             |    + CASE WHEN n_tokens BETWEEN 10 AND 100000
+             |        THEN 0.2 ELSE 0.0 END, 4) AS quality
+             |FROM f""".stripMargin)),
+
     QueryDef("m01_multimodal_features",
       (s, dir) => {
         val media = Multimodal.mediaTable(T(s, dir).documents)
@@ -202,26 +230,33 @@ object PipelineQueries extends QueryPack {
              |FROM documents""".stripMargin))
   )
 
-  /** DuckDB rendition of Similarity.lshTopK: the ±1 hyperplanes are
-    * rebuilt from md5("rhp_<seed>_<j>") exactly as Similarity.rhpPlane
-    * derives them, then bucket-join + exact cosine rescoring replayed.
+  // --- shared SQL machinery for the md5-derived LSH oracles ---
+  // the ±1 hyperplanes are rebuilt from md5("rhp_<seed>_<j>") exactly
+  // as Similarity.rhpPlane derives them
+  private def planeExpr(seed: Int, j: Int, dims: Int): String =
+    s"""list_transform(range($dims), d -> CASE WHEN
+       | ((((strpos('0123456789abcdef',
+       |      substring(md5('rhp_${seed}_$j'), CAST(d // 4 AS INT) + 1, 1)) - 1)
+       |    >> CAST(d % 4 AS INT)) & 1) = 1) THEN 1.0 ELSE -1.0 END)""".stripMargin
+  private def projExpr(vec: String, seed: Int, j: Int, dims: Int): String =
+    s"list_sum(list_transform(list_zip($vec, ${planeExpr(seed, j, dims)}), p -> p[1] * p[2]))"
+  private def sigExpr(vec: String, seed: Int, bits: Int, dims: Int): String =
+    (0 until bits).map(j =>
+      s"(CASE WHEN ${projExpr(vec, seed, j, dims)} > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+  private def cosExpr(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b), s -> s[1] * s[2]))
+       |      / (sqrt(list_sum(list_transform($a, x -> x * x)))
+       |         * sqrt(list_sum(list_transform($b, x -> x * x))))""".stripMargin
+
+  /** DuckDB rendition of Similarity.lshTopK: identical bucketing +
+    * exact cosine rescoring replayed.
     */
   private def annLshSql(k: Int, bits: Int, nProbes: Int, dims: Int): String = {
-    def planeExpr(seed: Int, j: Int): String =
-      s"""list_transform(range($dims), d -> CASE WHEN
-         | ((((strpos('0123456789abcdef',
-         |      substring(md5('rhp_${seed}_$j'), CAST(d // 4 AS INT) + 1, 1)) - 1)
-         |    >> CAST(d % 4 AS INT)) & 1) = 1) THEN 1.0 ELSE -1.0 END)""".stripMargin
-    def projExpr(vec: String, seed: Int, j: Int): String =
-      s"list_sum(list_transform(list_zip($vec, ${planeExpr(seed, j)}), p -> p[1] * p[2]))"
-    def sigExpr(vec: String, seed: Int): String =
-      (0 until bits).map(j =>
-        s"(CASE WHEN ${projExpr(vec, seed, j)} > 0 THEN ${1L << j} ELSE 0 END)")
-        .mkString("(", " + ", ")")
     val corpSigs = (0 until nProbes).map(p =>
-      s"${sigExpr("n_vec", 42 + p)} AS n_sig_$p").mkString(",\n  ")
+      s"${sigExpr("n_vec", 42 + p, bits, dims)} AS n_sig_$p").mkString(",\n  ")
     val querySigs = (0 until nProbes).map(p =>
-      s"${sigExpr("q_vec", 42 + p)} AS q_sig_$p").mkString(",\n  ")
+      s"${sigExpr("q_vec", 42 + p, bits, dims)} AS q_sig_$p").mkString(",\n  ")
     val probeCond = (0 until nProbes).map(p => s"q_sig_$p = n_sig_$p")
       .mkString("(", " OR ", ")")
     s"""WITH c AS (SELECT vec_id AS n_id,
@@ -243,6 +278,27 @@ object PipelineQueries extends QueryPack {
        |    (PARTITION BY q_id ORDER BY sim DESC, n_id ASC) AS rk
        |  FROM scored)
        |SELECT q_id, rk, n_id, sim FROM ranked WHERE rk <= $k""".stripMargin
+  }
+
+  /** DuckDB rendition of Similarity.cosineNearDupPairs: same bucket
+    * join over one table, same threshold on the rescored double cosine.
+    */
+  private def embedNearDupSql(threshold: Double, bits: Int, nProbes: Int,
+      dims: Int): String = {
+    val sigs = (p: String) => (0 until nProbes).map(i =>
+      s"${sigExpr("vec", 42 + i, bits, dims)} AS ${p}_sig_$i").mkString(",\n  ")
+    val probeCond = (0 until nProbes).map(i => s"a_sig_$i = b_sig_$i")
+      .mkString("(", " OR ", ")")
+    s"""WITH v AS (SELECT vec_id,
+       |    list_transform(embedding, x -> x::DOUBLE) AS vec FROM embeddings),
+       |av AS (SELECT vec_id AS a_id, vec AS a_vec, ${sigs("a")} FROM v),
+       |bv AS (SELECT vec_id AS b_id, vec AS b_vec, ${sigs("b")} FROM v),
+       |cand AS (SELECT DISTINCT a_id, a_vec, b_id, b_vec
+       |  FROM av JOIN bv ON $probeCond AND a_id < b_id),
+       |scored AS (SELECT a_id AS id_a, b_id AS id_b,
+       |    round(${cosExpr("a_vec", "b_vec")}, 6) AS sim
+       |  FROM cand)
+       |SELECT id_a, id_b, sim FROM scored WHERE sim >= $threshold""".stripMargin
   }
 
   /** DuckDB rendition of Dedup.ngramJaccardPairs (3-gram shingles,

@@ -303,6 +303,22 @@ object Relational extends QueryPack {
              |FROM (SELECT *, row_number() OVER
              |    (PARTITION BY o_custkey
              |     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
-             |  FROM orders) WHERE rk <= 2""".stripMargin))
+             |  FROM orders) WHERE rk <= 2""".stripMargin)),
+
+    // datetime-comparator ordering of date STRINGS
+    // (graphd-comparator-datetime.c:856): the engine's sort key must
+    // order the text form exactly like the real timestamp does
+    QueryDef("q22_datetime_sort",
+      (s, dir) => {
+        import graft.functions.GraphdFunctions.sort_key
+        T(s, dir).orders
+          .select(col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss").as("dt"))
+          .orderBy(sort_key(col("dt"), "datetime").asc, col("o_orderkey").asc)
+          .limit(100)
+      },
+      Some("""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS dt
+             |FROM orders ORDER BY o_orderdate ASC, o_orderkey ASC
+             |LIMIT 100""".stripMargin))
   )
 }
