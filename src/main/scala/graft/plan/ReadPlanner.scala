@@ -196,10 +196,15 @@ object ReadPlanner {
           val firstWords = p.values.map(
             _.flatMap(v => graft.functions.GraphdText.words(v).headOption))
           if (firstWords.forall(_.isDefined)) {
+            // broadcast the candidate ids: the probe becomes one
+            // shuffle-free BroadcastHashJoin stage over the cached
+            // table (no distinct — semi-join dedups by construction).
+            // A shuffle plan here writes hundreds of tiny spill files
+            // per point query and throttles sustained read throughput.
             val cand = store.valueWordIndex
               .filter(col("word").isin(firstWords.flatten: _*))
-              .select(col("id").as("__cand_id")).distinct()
-            df = df.join(cand, df("id") === cand("__cand_id"), "left_semi")
+              .select(col("id").as("__cand_id"))
+            df = df.join(broadcast(cand), df("id") === cand("__cand_id"), "left_semi")
           }
         }
       }
@@ -215,20 +220,27 @@ object ReadPlanner {
           val prefixes = keys.flatten.collect { case Right(pre) => pre }
           val candPred = (exact.map(w => col("word") === w) ++
             prefixes.map(pre => col("word").startsWith(pre))).reduce(_ || _)
+          // broadcast semi-join against the index candidates — one
+          // shuffle-free stage over the cached table, the Spark shape
+          // of the reference's index-lookup → in-memory id-set probe
+          // (graphd-iterator-fixed.c collapse). A shuffle plan here
+          // writes hundreds of tiny spill files per point query.
+          // The optional fixed-iterator collapse (driver-side collect
+          // + isin literal) is kept behind graft.fixedMax for engines
+          // fronting a truly tiny index; default off — a collect per
+          // query is the wrong plan at cluster scale.
           val cand = store.valueWordIndex.filter(candPred)
-            .select(col("id").as("__cand_id")).distinct()
-          // fixed-iterator collapse (graphd-iterator-fixed.c): a small
-          // candidate set becomes a literal isin — the probe is then a
-          // single shuffle-free stage over the cached table instead of
-          // a semi-join with AQE re-planning. The limit+1 collect
-          // bounds driver memory; larger sets keep the semi-join.
-          val fixedMax = 4096
-          val small = cand.limit(fixedMax + 1).collect()
+            .select(col("id").as("__cand_id"))
+          val fixedMax = sys.props.get("graft.fixedMax").map(_.toInt).getOrElse(0)
           df =
-            if (small.length <= fixedMax)
-              df.filter(col("id").isin(small.map(r => Long.box(r.getLong(0))).toSeq: _*))
-            else
-              df.join(cand, df("id") === cand("__cand_id"), "left_semi")
+            if (fixedMax > 0) {
+              val small = cand.limit(fixedMax + 1).collect()
+              if (small.length <= fixedMax)
+                df.filter(col("id").isin(small.map(r => Long.box(r.getLong(0))).toSeq: _*))
+              else
+                df.join(broadcast(cand), df("id") === cand("__cand_id"), "left_semi")
+            } else
+              df.join(broadcast(cand), df("id") === cand("__cand_id"), "left_semi")
         }
       }
     }
@@ -496,11 +508,19 @@ object ReadPlanner {
     }
 
     var out = df
-    // root sort (graphd/graphd-sort.c) with id tiebreak for determinism
-    val orderCols: Seq[Column] =
-      c.sort.map(sk => if (sk.ascending) sortExpr(sk, c).asc_nulls_last
-        else sortExpr(sk, c).desc_nulls_last) :+ col("id").asc
-    out = out.orderBy(orderCols: _*)
+    // root sort (graphd/graphd-sort.c) with id tiebreak for
+    // determinism — only when ordering is observable (explicit sort,
+    // paging, or a cursor): an unconditional global sort costs a
+    // shuffle stage on every point read for an order nobody consumes
+    val needsOrder = c.sort.nonEmpty || c.pagesize.isDefined ||
+      c.start.isDefined || c.cursorTok.isDefined ||
+      flatten(pat).contains(CursorPat)
+    if (needsOrder) {
+      val orderCols: Seq[Column] =
+        c.sort.map(sk => if (sk.ascending) sortExpr(sk, c).asc_nulls_last
+          else sortExpr(sk, c).desc_nulls_last) :+ col("id").asc
+      out = out.orderBy(orderCols: _*)
+    }
     c.start.foreach(n => out = out.offset(n.toInt))
     c.pagesize.foreach(n => out = out.limit(n.toInt))
 

@@ -48,7 +48,11 @@ object GraphAdapter {
   /** Build (or fetch cached) GraphStore for one scale-factor dir. */
   def store(spark: SparkSession, sfDir: String): GraphStore =
     cache.getOrElseUpdate(sfDir + "@" + spark.hashCode,
-      GraphStore.fromDf(spark, build(spark, sfDir).cache(),
+      // coalesced before caching: the 12-way unionByName otherwise
+      // leaves ~60 input splits, and every point read then schedules
+      // ~60 tiny tasks — per-task overhead, not data, dominates point
+      // latency. A cluster deployment sizes this to total/128MB.
+      GraphStore.fromDf(spark, build(spark, sfDir).coalesce(8).cache(),
         versioned = false, useWordIndex = true))
 
   def build(spark: SparkSession, sfDir: String): DataFrame = {
