@@ -405,6 +405,20 @@ object Parser {
           val ser = Guid.serialOf(v)
             .getOrElse(throw ParseError(s"bad asof '$v'", pos))
           c.copy(asof = Some(ser))
+        case "dateline" =>
+          // dateline > "odometer": only primitives written after the
+          // horizon — the incremental-read / read-your-writes predicate
+          // (doc/gr-protocol.txt:228-244, graphd/graphd-dateline.c).
+          // Accepts a bare id or a db:count odometer (count part used).
+          val v = rhsVals(rhs, "dateline", pos).head
+            .getOrElse(throw ParseError("dateline needs a value", pos))
+          val ser = Guid.serialOf(v.split(":").last)
+            .getOrElse(throw ParseError(s"bad dateline '$v'", pos))
+          op match {
+            case ">" => c.copy(datelineMin = Some(ser))
+            case ">=" => c.copy(datelineMin = Some(ser - 1))
+            case o => throw ParseError(s"dateline does not support $o", pos)
+          }
         case "pagesize" | "resultpagesize" => c.copy(pagesize = Some(longOf(rhsVals(rhs, wl, pos).head, pos)))
         case "start" => c.copy(start = Some(longOf(rhsVals(rhs, "start", pos).head, pos)))
         case "countlimit" => c.copy(countlimit = Some(longOf(rhsVals(rhs, "countlimit", pos).head, pos)))

@@ -246,6 +246,11 @@ object ReadPlanner {
     }
     df = strFilter(df, col("value"), c.value, c.comparator)
 
+    // dateline > horizon: only primitives written after — a pure id
+    // predicate, so parquet min/max + id_part partition pruning both
+    // engage on a persisted store (the mirror image of asOf).
+    c.datelineMin.foreach(h => df = df.filter(col("id") > h))
+
     c.timestampMin.foreach { case (m, incl) =>
       df = df.filter(if (incl) col("timestamp") >= m else col("timestamp") > m)
     }

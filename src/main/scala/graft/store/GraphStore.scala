@@ -96,6 +96,20 @@ final case class GraphStore(spark: SparkSession, primitives: DataFrame,
       current.filter(col("left").isNull && col("name") === n)
         .select("id").collect().map(_.getLong(0)).toSeq))
 
+  /** One-row store status — the reference's `status` request
+    * (doc/gr-protocol.txt:910-1211, graphd/graphd-status.c) reduced to
+    * the engine-meaningful facts: primitive/node/link/tombstone counts,
+    * the dateline horizon, and index cardinality. One aggregation pass.
+    */
+  def status(): DataFrame =
+    primitives.agg(
+      count(lit(1)).as("n_primitives"),
+      sum(when(col("left").isNull, 1L).otherwise(0L)).as("n_nodes"),
+      sum(when(col("left").isNotNull, 1L).otherwise(0L)).as("n_links"),
+      sum(when(!col("live"), 1L).otherwise(0L)).as("n_tombstones"),
+      coalesce(max(col("id")), lit(0L)).as("dateline"),
+      countDistinct(col("typeguid")).as("n_types"))
+
   /** Consistency check — the reference's `verify` request
     * (graphd/graphd-verify.c, libpdb/pdb-verify.c): index↔primitive and
     * structural invariants as one declarative job. Returns a frame of

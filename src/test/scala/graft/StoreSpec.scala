@@ -66,6 +66,32 @@ class StoreSpec extends AnyFunSuite {
     assert(page.count() == 5)
   }
 
+  test("dateline constraint reads only primitives after the horizon") {
+    val st = GraphStore.fromSeq(spark,
+      (1L to 6L).map(i => node(i, value = Some(s"v$i"))))
+    // bare-id horizon
+    val after = ReadPlanner.plan(st,
+      """read (dateline > "4" result=((value)))""").collect()
+    assert(after.map(_.getString(0)).toSet == Set("v5", "v6"))
+    // odometer db:count form uses the count part
+    val after2 = ReadPlanner.plan(st,
+      """read (dateline > "9a8f7e6d:5" result=((value)))""").collect()
+    assert(after2.map(_.getString(0)).toSet == Set("v6"))
+  }
+
+  test("status reports store-level counters in one pass") {
+    val st = GraphStore.fromSeq(spark, Seq(
+      node(1, value = Some("a")), node(2, value = Some("b")),
+      node(3, live = false),
+      graft.model.Primitive.link(4, left = 1, right = Some(2), typeguid = Some(1))))
+    val row = st.status().head
+    assert(row.getAs[Long]("n_primitives") == 4L)
+    assert(row.getAs[Long]("n_nodes") == 3L)
+    assert(row.getAs[Long]("n_links") == 1L)
+    assert(row.getAs[Long]("n_tombstones") == 1L)
+    assert(row.getAs[Long]("dateline") == 4L)
+  }
+
   test("query-language cursor pins the append-time snapshot") {
     val st = GraphStore.fromSeq(spark,
       (1L to 6L).map(i => node(i, value = Some(s"v$i"))))
