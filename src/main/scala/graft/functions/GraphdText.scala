@@ -72,21 +72,37 @@ object GraphdText {
     var prevIntRun = false // last emitted token was an integer run
     while (i < n) {
       val c = s.charAt(i)
-      if (Character.isDigit(c)) {
+      // '-' directly before digits, not itself preceded by an
+      // alphanumeric, signs the number: "-9998" < "2008", while the
+      // '-' inside "2008-05-03" stays plain punctuation (reference
+      // datetime.sh r20: default-comparator value>"2008" excludes
+      // negative-year strings).
+      val signedNeg = c == '-' && i + 1 < n && Character.isDigit(s.charAt(i + 1)) &&
+        (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1)))
+      if (signedNeg || Character.isDigit(c)) {
+        if (signedNeg) i += 1
         val j = i
         while (i < n && Character.isDigit(s.charAt(i))) i += 1
         val digits = s.substring(j, i)
-        val isFraction = prevIntRun && j >= 1 && s.charAt(j - 1) == '.'
+        val isFraction = !signedNeg && prevIntRun && j >= 1 && s.charAt(j - 1) == '.'
         if (isFraction) {
           // fraction digits: strip trailing zeros, positional compare
           sb.append(digits.reverse.dropWhile(_ == '0').reverse)
           prevIntRun = false
         } else {
           val d = normNumber(digits)
-          // 0x01 marker sorts digit runs before letters; 4-hex length
-          // prefix makes longer (= larger) numbers sort after shorter.
-          sb.append('\u0001').append(f"${d.length}%04x").append(d)
-          prevIntRun = true
+          if (signedNeg) {
+            // 0x00 marker sorts negatives before positives; length and
+            // digits nines-complemented so bigger magnitude = earlier
+            sb.append('\u0000').append(f"${0xffff - d.length}%04x")
+              .append(d.map(ch => ('9' - ch + '0').toChar))
+            prevIntRun = false // negative decimals: fraction rule n/a
+          } else {
+            // 0x01 marker sorts digit runs before letters; 4-hex length
+            // prefix makes longer (= larger) numbers sort after shorter.
+            sb.append('\u0001').append(f"${d.length}%04x").append(d)
+            prevIntRun = true
+          }
         }
       } else if (Character.isWhitespace(c)) {
         while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
@@ -131,16 +147,51 @@ object GraphdText {
   }
   private val NumberRe = raw"([+-]?)(\d+)?(?:\.(\d+))?".r
 
-  /** Datetime-comparator key: parse the reference timestamp shape and
-    * emit a sortable fixed-width form; unparseable → after all dates.
+  /** Datetime-comparator key (graphd-comparator-datetime.c semantics,
+    * golden: test/unit/datetime.sh): purely lexical — no epoch math, so
+    * years -9999..9999 all work.
+    *  - negative years order by timeline: bigger magnitude = earlier,
+    *    and month/day/time complement within a negative year
+    *    ("-0574-10-01" sorts before "-0574-05-10")
+    *  - a less specific form sorts immediately BEFORE its minimum
+    *    completion ("2008" < "2008-01-01"), which also makes equality
+    *    exact per field count (value="2008" does not match
+    *    "2008-01-01" — reference r1/r16 behavior)
+    *  - time-only forms ("T12:44") sort after ALL dates
+    *  - anything else sorts after times ('~' bucket)
     */
   def datetimeSortKey(s: String): String = {
     if (s == null) return null
-    graft.model.GTimestamp.parse(s) match {
-      case Some(micros) => f"d$micros%020d"
-      case None => "~" + s
+    val t = s.trim
+    def pad6(f: String) = f + "0" * (6 - f.length)
+    t match {
+      case TimeOnlyRe(h, mi, se, fr) =>
+        "d2" + fld(h, neg = false) + fld(mi, neg = false) + fld(se, neg = false) +
+          Option(fr).map(pad6).getOrElse("000000")
+      case DateTimeRe(sign, y, mo, d, h, mi, se, fr) =>
+        val neg = sign == "-"
+        val yy = if (neg) 10000 - y.toInt else y.toInt + 10000
+        val frac = Option(fr).map(pad6).getOrElse("000000")
+        f"d1$yy%05d" + fld(mo, neg) + fld(d, neg) + fld(h, neg) +
+          fld(mi, neg) + fld(se, neg) +
+          (if (neg) frac.map(c => ('9' - c + '0').toChar) else frac)
+      case _ => "~" + t
     }
   }
+
+  /** optional field encoding: absent=00 (sorts before any present
+    * value), present = v+1; complemented for negative years so larger
+    * fields sort earlier (and absent sorts after any present value).
+    */
+  private def fld(v: String, neg: Boolean): String = {
+    val enc = if (v == null) 0 else v.toInt + 1
+    f"${if (neg) 99 - enc else enc}%02d"
+  }
+
+  private val DateTimeRe =
+    raw"(-?)(\d{1,4})(?:-(\d{1,2}))?(?:-(\d{1,2}))?(?:[tT](\d{1,2})(?::(\d{1,2}))?(?::(\d{1,2}))?(?:\.(\d{1,6}))?)?[zZ]?".r
+  private val TimeOnlyRe =
+    raw"[tT](\d{1,2})(?::(\d{1,2}))?(?::(\d{1,2}))?(?:\.(\d{1,6}))?[zZ]?".r
 
   def caseSortKey(s: String): String = if (s == null) null else s.toLowerCase
 
@@ -170,25 +221,41 @@ object GraphdText {
     if (anchorEnd) pat = pat.substring(0, pat.length - 1)
 
     val vw = words(value)
-    val pw = patternWords(pat)
-    if (pw.isEmpty) return true
+    val groups = patternWordGroups(pat)
+    if (groups.flatten.isEmpty) return true
 
-    def wordMatch(pw: String, vw: String): Boolean =
-      if (pw.contains('*')) globMatch(pw, vw) else pw == vw
-
-    def matchAt(start: Int): Boolean =
-      pw.indices.forall(k => start + k < vw.length && wordMatch(pw(k), vw(start + k)))
-
-    val starts: Seq[Int] =
-      if (anchorStart) Seq(0)
-      else if (anchorEnd) Seq(vw.length - pw.length).filter(_ >= 0)
-      else 0 to (vw.length - pw.length)
-
-    starts.exists { st =>
-      matchAt(st) &&
-        (!anchorEnd || st + pw.length == vw.length) &&
-        (!anchorStart || st == 0)
+    // punctuation-joined pattern words match either split or joined:
+    // "foo-bar" matches both "foo bar" and "foobar" (reference golden
+    // test/unit/substring.sh: foo-bar hits fOO BaR baZ AND foobar),
+    // while space-separated "foo bar" never matches "foobar".
+    def variants: Seq[Seq[String]] = {
+      val multi = groups.count(_.length > 1)
+      if (multi == 0 || multi > 6) Seq(groups.flatten)
+      else groups.foldLeft(Seq(Seq.empty[String])) { (acc, g) =>
+        val choices: Seq[Seq[String]] =
+          if (g.length > 1) Seq(g, Seq(g.mkString)) else Seq(g)
+        for (a <- acc; c <- choices) yield a ++ c
+      }
     }
+
+    def wordMatch(pw: String, w: String): Boolean =
+      if (pw.contains('*')) globMatch(pw, w) else pw == w
+
+    def seqMatch(pw: Seq[String]): Boolean = {
+      def matchAt(start: Int): Boolean =
+        pw.indices.forall(k => start + k < vw.length && wordMatch(pw(k), vw(start + k)))
+      val starts: Seq[Int] =
+        if (anchorStart) Seq(0)
+        else if (anchorEnd) Seq(vw.length - pw.length).filter(_ >= 0)
+        else 0 to (vw.length - pw.length)
+      starts.exists { st =>
+        matchAt(st) &&
+          (!anchorEnd || st + pw.length == vw.length) &&
+          (!anchorStart || st == 0)
+      }
+    }
+
+    variants.exists(seqMatch)
   }
 
   /** first pattern word usable as an inverted-index key: a fully
@@ -199,7 +266,12 @@ object GraphdText {
     var p = pattern
     if (p.startsWith("^")) p = p.substring(1)
     if (p.endsWith("$") && !p.endsWith("\\$")) p = p.substring(0, p.length - 1)
-    patternWords(p).find(w => !w.contains('*'))
+    // pruning is only sound when no punctuation-joined group exists:
+    // "foo-bar" can match a value word "foobar" that the index key
+    // "foo" would never surface
+    val groups = patternWordGroups(p)
+    if (groups.exists(_.length > 1)) None
+    else groups.flatten.find(w => !w.contains('*'))
   }
 
   /** first pattern word of the shape `lit*` (literal prefix, trailing
@@ -210,7 +282,9 @@ object GraphdText {
     var p = pattern
     if (p.startsWith("^")) p = p.substring(1)
     if (p.endsWith("$") && !p.endsWith("\\$")) p = p.substring(0, p.length - 1)
-    patternWords(p).collectFirst {
+    val groups = patternWordGroups(p)
+    if (groups.exists(_.length > 1)) None
+    else groups.flatten.collectFirst {
       case w if w.length >= 3 && w.endsWith("*") &&
         !w.substring(0, w.length - 1).contains('*') =>
         w.substring(0, w.length - 1)
@@ -218,19 +292,34 @@ object GraphdText {
   }
 
   /** pattern words keep `*` but otherwise tokenize like values */
-  def patternWords(p: String): Seq[String] = {
-    val out = ArrayBuffer.empty[String]
+  def patternWords(p: String): Seq[String] = patternWordGroups(p).flatten
+
+  /** pattern words grouped by separator kind: words inside one group
+    * were separated only by punctuation (no whitespace) — "foo-bar" →
+    * [[foo, bar]], "foo bar" → [[foo], [bar]]. Escapes (backslash) are
+    * treated as punctuation and elided.
+    */
+  def patternWordGroups(p: String): Seq[Seq[String]] = {
+    val out = ArrayBuffer.empty[Seq[String]]
+    val cur = ArrayBuffer.empty[String]
     var i = 0
     val n = p.length
+    def flush(): Unit = { if (cur.nonEmpty) { out += cur.toSeq; cur.clear() } }
     while (i < n) {
       val c = p.charAt(i)
       if (Character.isLetterOrDigit(c) || c == '*') {
         val j = i
         while (i < n && (Character.isLetterOrDigit(p.charAt(i)) || p.charAt(i) == '*')) i += 1
         val raw = p.substring(j, i)
-        out += (if (raw.forall(_.isDigit)) normNumber(raw) else raw.toLowerCase)
-      } else i += 1
+        // non-glob mixed runs re-split like value words ("x9y" → x,9,y
+        // in the same group); glob words keep the '*' intact
+        if (raw.contains('*')) cur += raw.toLowerCase
+        else cur ++= words(raw)
+      } else if (Character.isWhitespace(c)) {
+        flush(); i += 1
+      } else i += 1 // punctuation: elided, keeps the group open
     }
+    flush()
     out.toSeq
   }
 

@@ -117,6 +117,10 @@ final case class Constraint(
     isFalse: Boolean = false,
     result: Option[Pattern] = None,
     sort: Seq[SortKey] = Nil,
+    /** positional sort-key comparator overrides; merged into `sort`
+      * when the constraint completes (order-independent with sort=)
+      */
+    sortComparators: Seq[String] = Nil,
     pagesize: Option[Long] = None,
     start: Option[Long] = None,
     countlimit: Option[Long] = None,

@@ -187,6 +187,15 @@ object Parser {
           case Some(t) => throw ParseError(s"unexpected $t", t.pos)
         }
       }
+      // merge positional sort-comparator overrides into the sort keys
+      def mergeSortCmp(x: Constraint): Constraint =
+        if (x.sortComparators.isEmpty) x
+        else x.copy(sort = x.sort.zipWithIndex.map { case (k, i) =>
+          if (i < x.sortComparators.length)
+            k.copy(comparator = Some(x.sortComparators(i)))
+          else k
+        })
+      c = mergeSortCmp(c)
       if (branches.isEmpty) c
       else {
         // shaping modifiers (result/sort/paging) may be written in any
@@ -430,14 +439,11 @@ object Parser {
           val raw = rhsVals(rhs, wl, pos).head.getOrElse("default")
           c.copy(comparator = raw.split(";").last)
         case "sort-comparator" =>
-          // positional comparator overrides for already-declared sort
-          // keys (write `sort=` first, as reference sessions do)
-          val cs = rhsVals(rhs, wl, pos).flatten
-          if (c.sort.isEmpty)
-            throw ParseError("sort-comparator requires sort= first", pos)
-          c.copy(sort = c.sort.zipWithIndex.map { case (k, i) =>
-            if (i < cs.length) k.copy(comparator = Some(cs(i))) else k
-          })
+          // positional comparator overrides for the sort keys; merged
+          // when the constraint completes, so sort-comparator= may be
+          // written before or after sort= (reference sessions use both)
+          c.copy(sortComparators = rhsVals(rhs, wl, pos).flatten
+            .map(_.split(";").last))
         case "result" =>
           rhs match {
             case RPattern(p) => c.copy(result = Some(p))

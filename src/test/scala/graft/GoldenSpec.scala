@@ -352,4 +352,117 @@ class GoldenSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
     assert(rows == Seq(("1", "a"), ("2", "b"), ("3", "c")))
   }
+
+  /** test/unit/datetime.sh — datetime comparator: negative years,
+    * time-only forms, specificity ordering, mixed-comparator sorts.
+    */
+  lazy val datetimeFixture = GraphStore.fromSeq(spark,
+    Seq("2000-01-01", "-2000", "T12:44", "T17:55", "1999", "2038-05-10",
+      "9999-01-01", "-9998-05-05", "1979-05-05", "2008", "1981-11-05",
+      "-0100", "-0004-11-25", "-0574-10-01", "-0574-05-10", "-1234",
+      "-8123", "2008-05-03", "2008-04-30", "2008-01-01")
+      .zipWithIndex.map { case (v, i) => node(i + 1L, value = Some(v)) })
+
+  private def dtSet(q: String): Set[String] =
+    ReadPlanner.plan(datetimeFixture, q).collect().map(_.getString(0)).toSet
+  private def dtSeq(q: String): Seq[String] =
+    ReadPlanner.plan(datetimeFixture, q).collect().map(_.getString(0)).toSeq
+
+  test("datetime session: ranges over mixed eras and specificities") {
+    // r1: equality is per-specificity — "2008" does not match 2008-01-01
+    assert(dtSet("""read (value-comparator="datetime" value="2008" result=((value)))""") ==
+      Set("2008"))
+    // r2: time-only forms sort after all dates
+    assert(dtSet("""read (value-comparator="datetime" value>"9999" result=((value)))""") ==
+      Set("9999-01-01", "T12:44", "T17:55"))
+    // r3/r4: negative years, bigger magnitude earlier
+    assert(dtSet("""read (value-comparator="datetime" value<"0000" result=((value)))""") ==
+      Set("-9998-05-05", "-8123", "-2000", "-1234", "-0100",
+        "-0004-11-25", "-0574-10-01", "-0574-05-10"))
+    assert(dtSet("""read (value-comparator="datetime" value<"-5000" result=((value)))""") ==
+      Set("-9998-05-05", "-8123"))
+    // r5: nothing at or before -9999-05-05
+    assert(dtSet("""read (value-comparator="datetime" value<="-9999-05-05" result=((value)))""").isEmpty)
+    // r7: a bare year is before its own Jan 1
+    assert(dtSet("""read (value-comparator="datetime" value>"2000" result=((value)))""") ==
+      Set("2000-01-01", "2008", "2008-05-03", "2008-04-30", "2008-01-01",
+        "2038-05-10", "9999-01-01", "T12:44", "T17:55"))
+    // r9
+    assert(dtSet("""read (value-comparator="datetime" value>"1981-11-06" value<"1999-01-01" result=((value)))""") ==
+      Set("1999"))
+    // r17-r19: time-only ranges
+    assert(dtSet("""read (value-comparator="datetime" value>"T15" value<"T16" result=((value)))""").isEmpty)
+    assert(dtSet("""read (value-comparator="datetime" value>"T12" value<"T13" result=((value)))""") ==
+      Set("T12:44"))
+  }
+
+  test("datetime session: sorted pages across eras") {
+    // r10/r11
+    assert(dtSeq("""read (sort-comparator="datetime" pagesize=3 sort=value result=((value)))""") ==
+      Seq("-9998-05-05", "-8123", "-2000"))
+    assert(dtSeq("""read (sort-comparator="datetime" pagesize=3 sort=-value result=((value)))""") ==
+      Seq("T17:55", "T12:44", "9999-01-01"))
+    // r12: within a negative year, later month sorts earlier
+    assert(dtSeq("""read (sort-comparator="datetime" value-comparator="datetime" value<"0000" result=((value)) sort=value)""") ==
+      Seq("-9998-05-05", "-8123", "-2000", "-1234", "-0574-10-01",
+        "-0574-05-10", "-0100", "-0004-11-25"))
+    // r13: descending across both eras; 9999-01-01 > bare 9999 excluded
+    assert(dtSeq("""read (sort-comparator="datetime" value-comparator="datetime" value<="9999" result=((value)) sort=-value)""") ==
+      Seq("2038-05-10", "2008-05-03", "2008-04-30", "2008-01-01", "2008",
+        "2000-01-01", "1999", "1981-11-05", "1979-05-05", "-0004-11-25",
+        "-0100", "-0574-05-10", "-0574-10-01", "-1234", "-2000", "-8123",
+        "-9998-05-05"))
+    // r14/r15/r16
+    assert(dtSeq("""read (sort-comparator="datetime" pagesize=2 value-comparator="datetime" value>"-0574" result=((value)) sort=value)""") ==
+      Seq("-0100", "-0004-11-25"))
+    assert(dtSeq("""read (sort-comparator="datetime" pagesize=2 value-comparator="datetime" value<"-0574" result=((value)) sort=-value)""") ==
+      Seq("-0574-05-10", "-0574-10-01"))
+    assert(dtSeq("""read (sort-comparator="datetime" pagesize=1 value-comparator="datetime" value>"2008" result=((value)) sort=value)""") ==
+      Seq("2008-01-01"))
+    // r20-r22: DEFAULT value comparator range (signed numbers exclude
+    // the negative-year strings), datetime sort order
+    assert(dtSeq("""read (sort-comparator="datetime" pagesize=1 value>"2008" sort=value result=((value)))""") ==
+      Seq("2008-01-01"))
+    assert(dtSeq("""read (sort-comparator="datetime" pagesize=2 value>"2008" sort=value result=((value)))""") ==
+      Seq("2008-01-01", "2008-04-30"))
+    assert(dtSeq("""read (sort-comparator="datetime" pagesize=4 value>"2008" sort=value result=((value)))""") ==
+      Seq("2008-01-01", "2008-04-30", "2008-05-03", "2038-05-10"))
+  }
+
+  /** test/unit/substring.sh — `~=` word/glob/punctuation semantics */
+  lazy val substringFixture = GraphStore.fromSeq(spark, Seq(
+    "abcdabcdef" -> "1", "fOO BaR baZ" -> "2", "fOOnitzbaZ" -> "3",
+    "fOO/baZ" -> "4", "foobar" -> "5",
+    "arbitrary ,-=(\")[]@~ punctuation " -> "6", "foot" -> "7",
+    "pfoo" -> "8", "pfoot" -> "9", "yes: (-:*" -> "10", "no: (--:*" -> "11")
+    .zipWithIndex.map { case ((v, nm), i) =>
+      node(i + 1L, name = Some(nm), value = Some(v)) })
+
+  private def subNames(pattern: String): Set[String] = {
+    val pq = pattern.replace("\\", "\\\\")
+    ReadPlanner.plan(substringFixture,
+      s"""read (value ~= "$pq" result=((name)))""")
+      .collect().map(_.getString(0)).toSet
+  }
+
+  test("substring session: word match, anchors, globs, punctuation join") {
+    assert(subNames("bAr") == Set("2"))
+    // punctuation-joined pattern matches split AND joined value forms
+    assert(subNames("foo-bar") == Set("2", "5"))
+    assert(subNames("^bar") == Set())
+    assert(subNames("^FOO") == Set("2", "4"))
+    assert(subNames("bar") == Set("2"))
+    assert(subNames("bar$") == Set())
+    assert(subNames("baz$") == Set("2", "4"))
+    assert(subNames("arbitrary punctuation") == Set("6"))
+    assert(subNames("foo") == Set("2", "4"))
+    assert(subNames("foo*") == Set("2", "3", "4", "5", "7"))
+    assert(subNames("*foo") == Set("2", "4", "8"))
+    assert(subNames("*foo*") == Set("2", "3", "4", "5", "7", "8", "9"))
+    assert(subNames("foo * baz") == Set("2"))
+    assert(subNames("foo*baz") == Set("3"))
+    // escaped punctuation elides to a bare glob: matches everything
+    assert(subNames("\\(\\-\\:\\*") ==
+      Set("1", "2", "3", "4", "5", "6", "7", "8", "9", "10", "11"))
+  }
 }

@@ -55,6 +55,20 @@ class TextSpec extends AnyFunSuite {
     assert(m("metaweb", "m*b"))
     assert(!m("metaweb", "x*"))
     assert(m("agent 007", "agent 7"))     // number normalization
+    // punctuation-joined pattern words match split AND joined forms
+    // (substring.sh golden: foo-bar hits both "fOO BaR baZ" and "foobar")
+    assert(m("foobar", "foo-bar"))
+    assert(m("foo bar", "foo-bar"))
+    assert(!m("foobar", "foo bar"))       // space never joins
+    assert(m("x9y", "x9y"))               // mixed runs re-split like values
+  }
+
+  test("default sort key: signed embedded numbers") {
+    val k = GraphdText.defaultSortKey _
+    assert(k("-9998") < k("2008"))        // datetime.sh r20 behavior
+    assert(k("-9998") < k("-8123"))       // bigger magnitude earlier
+    assert(k("-50") < k("-5"))
+    assert(k("2008-05-03") > k("2008"))   // inner '-' stays punctuation
   }
 
   test("timestamp codec round-trips and fills partial dates with minimums") {
