@@ -214,6 +214,14 @@ object GraphdText {
     */
   def matches(value: String, pattern: String): Boolean = {
     if (value == null || pattern == null) return false
+    // a backslash surviving the lexer makes its punctuation a LITERAL
+    // adjacency constraint instead of an elided separator: the wire
+    // pattern ^User\\:* matches "User:foo" but not "User : foo"
+    // (reference goldens substring2/substring3; the single-backslash
+    // form is consumed by the lexer and stays on the elision path)
+    if (pattern.length > 1 && pattern.indexOf('\\') >= 0 &&
+        pattern.indexOf('\\') < pattern.length - 1)
+      return escapedMatches(value, pattern)
     var pat = pattern
     val anchorStart = pat.startsWith("^")
     if (anchorStart) pat = pat.substring(1)
@@ -258,11 +266,59 @@ object GraphdText {
     variants.exists(seqMatch)
   }
 
+  /** Escaped-punctuation matcher: compiles the pattern to a regex over
+    * the RAW value. Word runs stay case-insensitive literals (numbers
+    * normalized), unescaped punctuation is an optional separator,
+    * whitespace a required one, `*` an in-word wildcard — but `\x`
+    * demands the exact character adjacent, which the word-sequence
+    * matcher cannot express.
+    */
+  private def escapedMatches(value: String, pattern0: String): Boolean = {
+    var pat = pattern0
+    val aStart = pat.startsWith("^")
+    if (aStart) pat = pat.substring(1)
+    val aEnd = pat.endsWith("$") && !pat.endsWith("\\$")
+    if (aEnd) pat = pat.substring(0, pat.length - 1)
+    val Sep = "[^\\p{L}\\p{N}]"
+    val sb = new StringBuilder
+    var i = 0
+    val n = pat.length
+    while (i < n) {
+      val c = pat.charAt(i)
+      if (c == '\\' && i + 1 < n) {
+        sb.append(java.util.regex.Pattern.quote(pat.charAt(i + 1).toString))
+        i += 2
+      } else if (Character.isLetter(c)) {
+        val j = i
+        while (i < n && Character.isLetter(pat.charAt(i))) i += 1
+        sb.append(java.util.regex.Pattern.quote(pat.substring(j, i)))
+      } else if (Character.isDigit(c)) {
+        val j = i
+        while (i < n && Character.isDigit(pat.charAt(i))) i += 1
+        sb.append("0*").append(normNumber(pat.substring(j, i)))
+      } else if (c == '*') {
+        sb.append("[\\p{L}\\p{N}]*"); i += 1
+      } else if (Character.isWhitespace(c)) {
+        while (i < n && Character.isWhitespace(pat.charAt(i))) i += 1
+        sb.append(Sep + "+")
+      } else {
+        sb.append(Sep + "*"); i += 1
+      }
+    }
+    val prefix = if (aStart) "\\A" + Sep + "*" else "(?<![\\p{L}\\p{N}])"
+    val suffix = if (aEnd) Sep + "*\\z" else ""
+    java.util.regex.Pattern
+      .compile(prefix + sb + suffix,
+        java.util.regex.Pattern.CASE_INSENSITIVE | java.util.regex.Pattern.UNICODE_CASE)
+      .matcher(value).find()
+  }
+
   /** first pattern word usable as an inverted-index key: a fully
     * literal word (no `*`) — the candidate-pruning entry point
     * (graphd/graphd-iterator-prefix.c word candidates).
     */
   def firstIndexWord(pattern: String): Option[String] = {
+    if (pattern.indexOf('\\') >= 0) return None // literal-escape path
     var p = pattern
     if (p.startsWith("^")) p = p.substring(1)
     if (p.endsWith("$") && !p.endsWith("\\$")) p = p.substring(0, p.length - 1)
@@ -279,6 +335,7 @@ object GraphdText {
     * libpdb/pdb-prefix.c). Requires >=2 literal chars to be selective.
     */
   def firstIndexPrefix(pattern: String): Option[String] = {
+    if (pattern.indexOf('\\') >= 0) return None // literal-escape path
     var p = pattern
     if (p.startsWith("^")) p = p.substring(1)
     if (p.endsWith("$") && !p.endsWith("\\$")) p = p.substring(0, p.length - 1)

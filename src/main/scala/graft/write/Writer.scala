@@ -50,7 +50,14 @@ object Writer {
   def nextId(store: GraphStore): Long =
     store.primitives.agg(coalesce(max(col("id")), lit(0L))).head.getLong(0) + 1L
 
-  private def now(): Long = System.currentTimeMillis() * 1000L
+  /** unique monotone per-writer timestamps — the reference guarantees
+    * "unique per local system, monotone per writer"
+    * (doc/gr-model.txt:53-60); two writes in the same millisecond must
+    * not collide or timestamp sorts become nondeterministic.
+    */
+  private val lastTs = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def now(): Long =
+    lastTs.updateAndGet(prev => Math.max(System.currentTimeMillis() * 1000L, prev + 1))
 
   /** Append a batch of specs atomically; returns (new store, new ids).
     * Lineage: a spec with prev=P inherits P's lineage (chain heads are

@@ -438,12 +438,13 @@ class GoldenSpec extends AnyFunSuite {
     .zipWithIndex.map { case ((v, nm), i) =>
       node(i + 1L, name = Some(nm), value = Some(v)) })
 
-  private def subNames(pattern: String): Set[String] = {
-    val pq = pattern.replace("\\", "\\\\")
+  /** `wire` is the exact byte form the reference server would receive
+    * (the GQL lexer consumes one backslash level, like gdp-lexer)
+    */
+  private def subNames(wire: String): Set[String] =
     ReadPlanner.plan(substringFixture,
-      s"""read (value ~= "$pq" result=((name)))""")
+      s"""read (value ~= "$wire" result=((name)))""")
       .collect().map(_.getString(0)).toSet
-  }
 
   test("substring session: word match, anchors, globs, punctuation join") {
     assert(subNames("bAr") == Set("2"))
@@ -461,8 +462,31 @@ class GoldenSpec extends AnyFunSuite {
     assert(subNames("*foo*") == Set("2", "3", "4", "5", "7", "8", "9"))
     assert(subNames("foo * baz") == Set("2"))
     assert(subNames("foo*baz") == Set("3"))
-    // escaped punctuation elides to a bare glob: matches everything
+    // single-backslash escapes are consumed by the lexer: the matcher
+    // sees bare punctuation + glob, which elides to match-all
+    // (substring.sh wire form `\(\-\:\*` via its unquoted heredoc)
     assert(subNames("\\(\\-\\:\\*") ==
       Set("1", "2", "3", "4", "5", "6", "7", "8", "9", "10", "11"))
+    // doubled backslashes survive the lexer: escaped punctuation is a
+    // LITERAL adjacency constraint (substring2.sh wire form
+    // `\\(\\-\\:\\*` matches only the value containing "(-:*")
+    assert(subNames("\\\\(\\\\-\\\\:\\\\*") == Set("10"))
+  }
+
+  /** test/unit/substring3.sh — escaped vs elided punctuation adjacency */
+  test("substring3 session: escaped colon demands adjacency") {
+    val st = GraphStore.fromSeq(spark, Seq(
+      node(1, name = Some("1"), value = Some("User: foo")),
+      node(2, name = Some("2"), value = Some("User:foo")),
+      node(3, name = Some("3"), value = Some("not User: foo")),
+      node(4, name = Some("4"), value = Some("User : foo"))))
+    def q(wire: String): Set[String] =
+      ReadPlanner.plan(st, s"""read (value ~= "$wire" result=((name)))""")
+        .collect().map(_.getString(0)).toSet
+    // unescaped colon is an elided separator: space before it is fine
+    assert(q("^User:") == Set("1", "2", "4"))
+    // \\: survives the lexer as \: — the colon must sit RIGHT after
+    // the word, so "User : foo" drops out
+    assert(q("^User\\\\:*") == Set("1", "2"))
   }
 }

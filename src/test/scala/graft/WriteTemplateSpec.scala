@@ -82,6 +82,69 @@ class WriteTemplateSpec extends AnyFunSuite {
     assert(mid == Seq(ids2.head))
   }
 
+  test("previous session: prev pointers across generations") {
+    // test/unit/previous.sh: version a primitive three times via
+    // guid~=, then read `previous` at each generation selector
+    val st0 = GraphStore.fromSeq(spark, Nil)
+    val (st1, ids1) = Writer.write(st0,
+      """write (name="Hello, World!" value="1234")""")
+    val g0 = ids1.head
+    def prevNewest(st: GraphStore): Option[Long] = {
+      val r = ReadPlanner.plan(st,
+        s"""read (guid~=$g0 result=((previous)))""").head
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
+    assert(prevNewest(st1).isEmpty)
+    val (st2, ids2) = Writer.write(st1, s"""write (guid~=$g0 name="Hello, Moon!")""")
+    assert(prevNewest(st2).contains(g0))
+    val (st3, ids3) = Writer.write(st2, s"""write (guid~=$g0 name="Hello, Venus!")""")
+    assert(prevNewest(st3).contains(ids2.head))
+    val (st4, _) = Writer.write(st3, s"""write (guid~=$g0 name="Hello, Mars!")""")
+    assert(prevNewest(st4).contains(ids3.head))
+
+    def onePrev(q: String): Option[Long] = {
+      val r = ReadPlanner.plan(st4, q).head
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
+    // oldest=0: the original — no previous
+    assert(onePrev("read (oldest=0 newest>=0 result=((previous)))").isEmpty)
+    // oldest=1: second generation points at the original
+    assert(onePrev("read (oldest=1 newest>=0 result=((previous)))").contains(g0))
+    // newest=1: one before the head
+    assert(onePrev("read (newest=1 result=((previous)))").contains(ids2.head))
+    // newest=0 (default head)
+    assert(onePrev("read (newest=0 result=((previous)))").contains(ids3.head))
+    // final shape: (name previous)
+    val last = ReadPlanner.plan(st4,
+      s"""read (guid~=$g0 result=((name previous)))""").head
+    assert(last.getString(0) == "Hello, Mars!" && last.getLong(1) == ids3.head)
+  }
+
+  test("timesort session: timestamp sorts and cross-level -\\$ts") {
+    // test/unit/timesort.sh: four head->tail writes, tails sorted by
+    // timestamp both directions, heads sorted by the tail's timestamp
+    var st = GraphStore.fromSeq(spark, Nil)
+    (1 to 4).foreach { i =>
+      st = Writer.write(st, s"""write ("head" (-> ("tail" value="$i")))""")._1
+    }
+    val desc = ReadPlanner.plan(st,
+      """read ("tail" sort=-timestamp result=((value timestamp)))""")
+      .collect()
+    assert(desc.map(_.getString(0)).toSeq == Seq("4", "3", "2", "1"))
+    val ts = desc.map(_.getLong(1)).toSeq
+    assert(ts == ts.sorted.reverse && ts.distinct.length == 4,
+      s"timestamps must be unique monotone: $ts")
+    val asc = ReadPlanner.plan(st,
+      """read ("tail" sort=timestamp result=((value)))""")
+      .collect().map(_.getString(0)).toSeq
+    assert(asc == Seq("1", "2", "3", "4"))
+    // cross-level: heads ordered by their tail's timestamp, descending
+    val heads = ReadPlanner.plan(st,
+      """read ("head" sort=-$ts result=(($ts)) (-> ("tail" $ts=timestamp)))""")
+      .collect().map(_.getLong(0)).toSeq
+    assert(heads == ts)
+  }
+
   test("s-expression rendering matches the golden shape") {
     val st = GraphStore.fromSeq(spark, Seq(
       node(1, name = Some("b"), value = Some("2")),
