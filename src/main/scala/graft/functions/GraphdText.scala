@@ -163,21 +163,79 @@ object GraphdText {
   def datetimeSortKey(s: String): String = {
     if (s == null) return null
     val t = s.trim
-    def pad6(f: String) = f + "0" * (6 - f.length)
-    t match {
-      case TimeOnlyRe(h, mi, se, fr) =>
-        "d2" + fld(h, neg = false) + fld(mi, neg = false) + fld(se, neg = false) +
-          Option(fr).map(pad6).getOrElse("000000")
-      case DateTimeRe(sign, y, mo, d, h, mi, se, fr) =>
-        val neg = sign == "-"
-        val yy = if (neg) 10000 - y.toInt else y.toInt + 10000
-        val frac = Option(fr).map(pad6).getOrElse("000000")
-        f"d1$yy%05d" + fld(mo, neg) + fld(d, neg) + fld(h, neg) +
-          fld(mi, neg) + fld(se, neg) +
-          (if (neg) frac.map(c => ('9' - c + '0').toChar) else frac)
-      case _ => "~" + t
+    // hand-rolled scan (this key sorts hot paths; a regex here costs
+    // ~2x on a 150k-row sort)
+    val n = t.length
+    var i = 0
+    def digits(max: Int): Int = {
+      // parses 1..max digits at i; -1 if none
+      var v = 0; var k = 0
+      while (i < n && k < max && Character.isDigit(t.charAt(i))) {
+        v = v * 10 + (t.charAt(i) - '0'); i += 1; k += 1
+      }
+      if (k == 0) -1 else v
     }
+    def eat(c: Char): Boolean =
+      if (i < n && t.charAt(i) == c) { i += 1; true } else false
+    def fracDigits(): String = {
+      val j = i
+      while (i < n && Character.isDigit(t.charAt(i)) && i - j < 6) i += 1
+      t.substring(j, i)
+    }
+    def atEnd: Boolean = { if (i < n && (t.charAt(i) == 'z' || t.charAt(i) == 'Z')) i += 1; i == n }
+
+    def timeFields(neg: Boolean, sb: StringBuilder): Boolean = {
+      // [Thh[:mm[:ss[.ffffff]]]] — appends encoded h/mi/se/frac
+      var h = -1; var mi = -1; var se = -1; var fr = ""
+      if (i < n && (t.charAt(i) == 't' || t.charAt(i) == 'T')) {
+        i += 1
+        h = digits(2); if (h < 0) return false
+        if (eat(':')) { mi = digits(2); if (mi < 0) return false
+          if (eat(':')) { se = digits(2); if (se < 0) return false
+            if (eat('.')) { fr = fracDigits(); if (fr.isEmpty) return false }
+          }
+        }
+      }
+      def app(v: Int): Unit = {
+        val enc = if (v < 0) 0 else v + 1
+        val e = if (neg) 99 - enc else enc
+        sb.append((e / 10 + '0').toChar).append((e % 10 + '0').toChar)
+      }
+      app(h); app(mi); app(se)
+      val frac = fr + "0" * (6 - fr.length)
+      sb.append(if (neg) frac.map(c => ('9' - c + '0').toChar) else frac)
+      true
+    }
+
+    // time-only form
+    if (i < n && (t.charAt(i) == 't' || t.charAt(i) == 'T')) {
+      val sb = new StringBuilder("d2")
+      // reuse timeFields for the h/mi/se/frac block (h required)
+      if (timeFields(neg = false, sb) && sb.length > 2 && atEnd &&
+          sb.substring(2, 4) != "00") return sb.toString
+      return "~" + t
+    }
+    val neg = eat('-')
+    val y = digits(4)
+    if (y < 0) return "~" + t
+    val sb = new StringBuilder("d1")
+    val yy = if (neg) 10000 - y else y + 10000
+    sb.append(f"$yy%05d")
+    var mo = -1; var d = -1
+    if (eat('-')) { mo = digits(2); if (mo < 0) return "~" + t
+      if (eat('-')) { d = digits(2); if (d < 0) return "~" + t }
+    }
+    def app(v: Int): Unit = {
+      val enc = if (v < 0) 0 else v + 1
+      val e = if (neg) 99 - enc else enc
+      sb.append((e / 10 + '0').toChar).append((e % 10 + '0').toChar)
+    }
+    app(mo); app(d)
+    if (!timeFields(neg, sb)) return "~" + t
+    if (!atEnd) return "~" + t
+    sb.toString
   }
+
 
   /** optional field encoding: absent=00 (sorts before any present
     * value), present = v+1; complemented for negative years so larger

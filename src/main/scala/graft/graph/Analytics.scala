@@ -78,23 +78,33 @@ object Analytics {
     val cedges = edges
       .join(edges.groupBy("src").agg(count(lit(1)).as("od")), "src")
       .cache()
-    val verts = store.nodes.select(col("id")).cache()
-    var ranks = verts.withColumn("pagerank", lit(1.0))
-    for (_ <- 1 to iters) {
-      // broadcast the rank side: the big cached edge table never
-      // re-shuffles — each round is a map-side join + one partial-agg
-      // shuffle of contributions (at true cluster scale, with ranks too
-      // big to broadcast, bucketing cedges by src serves the same end)
-      val contrib = cedges
-        .join(broadcast(ranks.withColumnRenamed("id", "src")), "src")
-        .groupBy("dst").agg(sum(col("pagerank") / col("od")).as("in_sum"))
-      ranks = verts.join(contrib, verts("id") === contrib("dst"), "left_outer")
-        .select(verts("id"),
-          (lit(reset) + lit(1 - reset) * coalesce(col("in_sum"), lit(0.0)))
-            .as("pagerank"))
-        .localCheckpoint() // truncate the growing iterative plan
+    // Iterate over the in-sum table only — vertices with no in-edges
+    // hold the constant rank `reset` after round 1 and never need to be
+    // materialized per round: r(s) = reset + (1-reset)·in_sum(s), with
+    // in_sum absent ⇒ 0. The in-sum table is |{v: indeg>0}| rows —
+    // typically a small fraction of V — so it broadcasts, each round is
+    // a map-side join over the cached edge table plus one partial-agg
+    // shuffle, and the full rank vector materializes exactly once at
+    // the end. (The "push contributions" formulation of static
+    // PageRank; same arithmetic per edge as the naive loop.)
+    var inSum = cedges
+      .groupBy("dst").agg(sum(lit(1.0) / col("od")).as("in_sum"))
+      .localCheckpoint() // round 1: every rank is 1.0
+    for (_ <- 2 to iters) {
+      val asRank = inSum.select(col("dst").as("src"),
+        (lit(reset) + lit(1 - reset) * col("in_sum")).as("pagerank"))
+      inSum = cedges
+        .join(broadcast(asRank), Seq("src"), "left_outer")
+        .select(col("dst"),
+          (coalesce(col("pagerank"), lit(reset)) / col("od")).as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("in_sum"))
+        .localCheckpoint()
     }
-    ranks
+    val verts = store.nodes.select(col("id"))
+    verts.join(inSum, verts("id") === inSum("dst"), "left_outer")
+      .select(verts("id"),
+        (lit(reset) + lit(1 - reset) * coalesce(col("in_sum"), lit(0.0)))
+          .as("pagerank"))
   }
 
   /** k-hop neighborhood via iterative DataFrame self-joins (each hop is
