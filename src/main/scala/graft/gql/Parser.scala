@@ -32,6 +32,7 @@ object Parser {
   final case class TArrowOut(pos: Int) extends Tok // ->
   final case class TVar(name: String, pos: Int) extends Tok
   final case class TOr(pos: Int) extends Tok // ||
+  final case class TBrace(open: Boolean, pos: Int) extends Tok // { }
 
   def lex(input: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -44,6 +45,8 @@ object Parser {
       if (c.isWhitespace) i += 1
       else if (c == '(') { out += TOpen(i); i += 1 }
       else if (c == ')') { out += TClose(i); i += 1 }
+      else if (c == '{') { out += TBrace(open = true, i); i += 1 }
+      else if (c == '}') { out += TBrace(open = false, i); i += 1 }
       else if (c == '"') {
         val sb = new StringBuilder
         var j = i + 1
@@ -180,6 +183,11 @@ object Parser {
             }
 
           case Some(TArrowOut(_)) => next(); c = c.copy(meta = ForwardLink)
+          // `{ ... }` groups an or-branch's contents (or2/or4 goldens:
+          // `(<-left ...) $a=guid || {}`); structurally the branch
+          // boundary is `||`, so braces are grouping no-ops — an empty
+          // `{}` leaves the branch unconstrained (matches everything)
+          case Some(TBrace(_, _)) => next()
           case Some(TOr(_)) =>
             next()
             branches :+= c

@@ -68,18 +68,42 @@ object ReadPlanner {
     * (`__var_*`) and a per-child contents column (`__contents_i`).
     */
   private def solve(store: GraphStore, c: Constraint, depth: Int): DataFrame = {
-    // `||` alternatives: union of branch plans, deduplicated per id
-    // (the reference's or-iterator, graphd/graphd-iterator-or.c).
-    // Variable columns from different branches merge per id (max over
-    // the group — nulls lose), which is what `pick` coalesces over.
+    // `||` alternatives (the reference's or-iterator,
+    // graphd/graphd-iterator-or.c): a candidate is in the set if ANY
+    // branch accepts it, and its bindings (variables, contents) come
+    // from the FIRST branch that does — branch order is observable
+    // (test/unit/or4.sh: `... || {}` binds $a where the real branch
+    // matches, `{} || ...` never binds it). Planned as: union of
+    // branch id-sets, one left join per branch carrying its payload
+    // as a struct, then a per-column CASE on the first matching index.
     if (c.orBranches.nonEmpty) {
       val planned = (c.copy(orBranches = Nil) +: c.orBranches)
         .map(b => solve(store, b.copy(orBranches = Nil), depth))
-      val unioned = planned.reduce(_.unionByName(_, allowMissingColumns = true))
-      val others = unioned.columns.filter(_ != "id").toSeq
-      return unioned.groupBy(col("id"))
-        .agg(max(col(others.head)).as(others.head),
-          others.tail.map(n => max(col(n)).as(n)): _*)
+      val extras: Seq[Seq[String]] = planned.map(_.columns.filter(_ != "id").toSeq)
+      val wrapped = planned.zipWithIndex.map { case (p, i) =>
+        val payload =
+          if (extras(i).isEmpty) struct(lit(true).as("__t"))
+          else struct(extras(i).map(col): _*)
+        p.select(col("id"), payload.as(s"__b_$i"))
+      }
+      val ids = planned.map(_.select("id")).reduce(_ union _).distinct()
+      var joined = ids
+      wrapped.foreach(w => joined = joined.join(w, Seq("id"), "left_outer"))
+      val first = coalesce(planned.indices.map(i =>
+        when(col(s"__b_$i").isNotNull, lit(i))): _*)
+      joined = joined.withColumn("__first", first)
+      // stable output column order: branch-0's columns, then extras
+      // introduced only by later branches
+      val outNames = extras.foldLeft(Seq.empty[String])(
+        (acc, e) => acc ++ e.filterNot(acc.contains))
+      val outCols = outNames.map { nm =>
+        planned.indices.reverse.foldLeft(lit(null): Column) { (els, i) =>
+          val v = if (extras(i).contains(nm)) col(s"__b_$i").getField(nm)
+            else lit(null)
+          when(col("__first") === i, v).otherwise(els)
+        }.as(nm)
+      }
+      return joined.select(col("id") +: outCols: _*)
     }
     var df = base(store, c)
 

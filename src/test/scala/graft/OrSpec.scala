@@ -40,6 +40,40 @@ class OrSpec extends AnyFunSuite {
     assert(c.orBranches.head.value.nonEmpty && c.orBranches.head.name.isEmpty)
   }
 
+  test("or4 session: first matching branch wins, {} matches everything") {
+    // test/unit/or4.sh: green node with orange + red fan-in links
+    val st = GraphStore.fromSeq(spark, Seq(
+      node(1, value = Some("green")),
+      link(2, left = 1, right = None, value = Some("orange")),
+      link(3, left = 1, right = None, value = Some("red"))))
+    // branch 1 binds $a from the orange child; {} catches the rest
+    val r1 = ReadPlanner.plan(st,
+      """read (result=(($a)) (<-left value="orange" $a=value) || {})""")
+      .collect().map(r => Option(r.getString(0))).toSeq
+    assert(r1.count(_.contains("orange")) == 1 && r1.count(_.isEmpty) == 2,
+      s"got $r1")
+    // {} first: it matches every candidate, so $a is never bound
+    val r2 = ReadPlanner.plan(st,
+      """read (result=(($a)) {} || (<-left value="orange" $a=value))""")
+      .collect().map(r => Option(r.getString(0))).toSeq
+    assert(r2.length == 3 && r2.forall(_.isEmpty), s"got $r2")
+  }
+
+  test("varor session: per-branch literal variable bindings") {
+    // test/unit/varor.sh: $fruit bound to a different literal per branch
+    val st = GraphStore.fromSeq(spark, Seq(
+      node(1, value = Some("c")), node(2, value = Some("b")),
+      node(3, value = Some("a"))))
+    val rows = ReadPlanner.plan(st,
+      """read (
+        |   { value="a" $fruit=literal="apple" }
+        ||| { value="b" $fruit=literal="banana" }
+        ||| { value="c" }
+        |result=(($fruit)))""".stripMargin)
+      .collect().map(r => Option(r.getString(0))).toSet
+    assert(rows == Set(Some("apple"), Some("banana"), None), s"got $rows")
+  }
+
   test("countlimit stops counting past the allowance") {
     val n = ReadPlanner.plan(fx, "read (countlimit=2 result=count)")
       .head.getLong(0)
