@@ -74,6 +74,38 @@ class OrSpec extends AnyFunSuite {
     assert(rows == Set(Some("apple"), Some("banana"), None), s"got $rows")
   }
 
+  test("or2 session: braced or inside a scope child, vars bubble to root") {
+    // test/unit/or2.sh first session, ids as the reference allocates:
+    // A(0) gets +1 offset here since our ids start at 1
+    val A = 1L; val T = 2L; val TY1 = 3L; val RN1 = 4L; val LT = 5L
+    val S = 6L; val TY2 = 7L; val RN2 = 8L; val LS = 9L; val R = 10L
+    val st = GraphStore.fromSeq(spark, Seq(
+      node(A, name = Some("result's left")),
+      node(T), node(TY1, name = Some("the type")),
+      node(RN1, name = Some("the right")),
+      link(LT, left = T, right = Some(RN1), typeguid = Some(TY1)),
+      node(S).copy(scope = Some(T)),
+      node(TY2, name = Some("the type")),
+      node(RN2, name = Some("the right")),
+      link(LS, left = S, right = Some(RN2), typeguid = Some(TY2)),
+      link(R, left = A, right = None).copy(scope = Some(S))))
+    val q = """read (
+      |  left->(name="result's left")
+      |  scope->(
+      |    { (<-left typeguid->(name="the type") right->(name="the right"))
+      |      $foo=guid }
+      |    || { scope->((<-left typeguid->(name="the type")
+      |           right->(name="the right")) $bar=guid) }
+      |  )
+      |  result=(($foo $bar))
+      |)""".stripMargin
+    val rows = ReadPlanner.plan(st, q).collect()
+    assert(rows.length == 1)
+    // first branch matches (S has the direct fan-in link): $foo = S's
+    // guid, $bar stays null — (($foo $bar)) = ((S null))
+    assert(rows.head.getLong(0) == S && rows.head.isNullAt(1), s"got ${rows.head}")
+  }
+
   test("countlimit stops counting past the allowance") {
     val n = ReadPlanner.plan(fx, "read (countlimit=2 result=count)")
       .head.getLong(0)
