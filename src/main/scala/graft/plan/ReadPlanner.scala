@@ -411,15 +411,22 @@ object ReadPlanner {
   }
 
   /** collect children ordered by their precomputed multi-key rank
-    * (leading `__ord` Int drives sort_array ascending), apply per-level
-    * pagesize, then strip the ordering field (graphd contents ordering,
-    * graphd/graphd-sort.c).
+    * (leading `__ord` Int drives sort_array ascending), then strip the
+    * ordering field (graphd contents ordering, graphd/graphd-sort.c).
+    * A per-level pagesize filters on the rank BEFORE collection
+    * (collect_list skips nulls), so at most `pagesize` structs per
+    * parent ever enter the aggregation buffer — the reference's
+    * incremental top-k sorter (graphd-sort.c:21, keeps 2×pagesize)
+    * rather than a collect-everything-then-slice plan that would
+    * buffer unbounded fan-in at scale.
     */
   private def sortedContents(contentsStruct: Column, resultNames: Seq[String],
       sub: Constraint): Column = {
-    val sorted = sort_array(collect_list(contentsStruct), asc = true)
-    val paged = sub.pagesize.map(n => slice(sorted, 1, n.toInt)).getOrElse(sorted)
-    transform(paged, x =>
+    val limited = sub.pagesize
+      .map(ps => when(col("__ord") <= ps.toInt, contentsStruct))
+      .getOrElse(contentsStruct)
+    val sorted = sort_array(collect_list(limited), asc = true)
+    transform(sorted, x =>
       struct(resultNames.map(n => x.getField(n).as(n)): _*))
   }
 
