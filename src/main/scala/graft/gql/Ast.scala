@@ -105,6 +105,7 @@ final case class Constraint(
     newestMax: Option[Long] = Some(0L),
     oldestEq: Option[Long] = None, // oldest=N: generation counted from old end
     asof: Option[Long] = None, // request modifier: snapshot id horizon
+    asofTs: Option[Long] = None, // asof=<timestamp>: written at/before (micros)
     datelineMin: Option[Long] = None, // dateline > "tok": only primitives after
     cursorTok: Option[String] = None, // cursor="..." resume token
     // write-side upsert markers (doc/gr-protocol.txt:661-857)

@@ -415,13 +415,28 @@ object Parser {
         case "key" =>
           c.copy(keyFields = Some(rhsVals(rhs, "key", pos).flatten))
         case "asof" =>
-          // accepts a guid or bare serial: the snapshot id horizon
-          // (doc/gr-protocol.txt:203-221)
+          // reference forms (doc/gr-protocol.txt:203-221, asof.sh):
+          //  - 32-hex guid: EXCLUSIVE dateline horizon ("state before
+          //    this id existed" — a dateline names the NEXT id)
+          //  - "db.count" odometer: exclusive count
+          //  - timestamp: everything written at or before that instant
+          //  - bare decimal serial: engine extension, INCLUSIVE
           val v = rhsVals(rhs, "asof", pos).head
             .getOrElse(throw ParseError("asof needs a value", pos))
-          val ser = Guid.serialOf(v)
-            .getOrElse(throw ParseError(s"bad asof '$v'", pos))
-          c.copy(asof = Some(ser))
+          Guid.parse(v) match {
+            case Some((_, serial)) => c.copy(asof = Some(serial - 1))
+            case None if v.matches("\\d+\\.\\d+") =>
+              // the odometer count N = "N primitives exist": with our
+              // 1-based dense ids that is the inclusive horizon N
+              c.copy(asof = Some(v.split("\\.").last.toLong))
+            case None if v.forall(_.isDigit) =>
+              c.copy(asof = Some(v.toLong))
+            case None =>
+              graft.model.GTimestamp.parse(v) match {
+                case Some(micros) => c.copy(asofTs = Some(micros))
+                case None => throw ParseError(s"bad asof '$v'", pos)
+              }
+          }
         case "dateline" =>
           // dateline > "odometer": only primitives written after the
           // horizon — the incremental-read / read-your-writes predicate

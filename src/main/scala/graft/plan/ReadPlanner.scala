@@ -38,6 +38,7 @@ object ReadPlanner {
     */
   def plan(store: GraphStore, root: Constraint): DataFrame = {
     var st = root.asof.map(store.asOf).getOrElse(store)
+    root.asofTs.foreach(ts => st = st.asOfTimestamp(ts))
     // cursor="tok" resumes a prior id-ordered page: pin the snapshot
     // horizon and skip everything at or before the last-seen id
     var pinned: Option[Long] = None

@@ -59,6 +59,13 @@ final case class GraphStore(spark: SparkSession, primitives: DataFrame,
     copy(primitives = primitives.filter(pred))
   }
 
+  /** snapshot by WRITE TIME: primitives stamped at or before the
+    * instant (asof=<timestamp> form; equivalent to the id horizon when
+    * timestamps are monotone with ids, which the writer guarantees)
+    */
+  def asOfTimestamp(micros: Long): GraphStore =
+    copy(primitives = primitives.filter(col("timestamp") <= micros))
+
   def nodes: DataFrame = current.filter(col("left").isNull)
   def links: DataFrame = current.filter(col("left").isNotNull)
 

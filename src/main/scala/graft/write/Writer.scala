@@ -206,16 +206,21 @@ object Writer {
     build(template)
 
     // `write (guid~=G ...)`: the root becomes a new version of G's
-    // lineage head (opportunistic versioning, doc/gr-protocol.txt:531)
+    // lineage head (opportunistic). `write (guid=G ...)` is the
+    // PESSIMISTIC form: G itself must still be the head, else error
+    // OUTDATED (doc/gr-protocol.txt:531-554; asof.sh golden).
     template.guid.collectFirst {
-      case graft.gql.GuidPred(true, serials, true) => serials.flatten.headOption
-    }.flatten.foreach { g =>
+      case graft.gql.GuidPred(true, serials, lineage) =>
+        serials.flatten.headOption.map(g => (g, lineage))
+    }.flatten.foreach { case (g, opportunistic) =>
       val linRows = st.primitives.filter(col("id") === g)
         .select("lineage").limit(1).collect()
       if (linRows.isEmpty) throw WriteError("NOTFOUND", s"no primitive $g")
       val head = st.newestAll
         .filter(col("lineage") === linRows.head.getLong(0))
         .select("id").head.getLong(0)
+      if (!opportunistic && head != g)
+        throw WriteError("OUTDATED", s""""$g" has been versioned""")
       specs(0) = specs(0).copy(prev = Some(head))
     }
 

@@ -145,6 +145,55 @@ class WriteTemplateSpec extends AnyFunSuite {
     assert(heads == ts)
   }
 
+  test("asof session: dateline/odometer/timestamp horizons and OUTDATED") {
+    // test/unit/asof.sh: four writes at timestamps .0000-.0003, asof
+    // reads in each form, then tombstone + version + pessimistic error
+    var st = GraphStore.fromSeq(spark, Nil)
+    val names = Seq("john", "paul", "ringo", "george")
+    val ids = names.zipWithIndex.map { case (nm, i) =>
+      val (st2, got) = Writer.append(st,
+        Seq(Writer.Spec(name = Some(nm))), timestamp = Some(i * 100L))
+      st = st2; got.head
+    }
+    def guids(q: String): Seq[Long] =
+      ReadPlanner.plan(st, q).collect().map(_.getLong(0)).toSeq.sorted
+    val g1hex = graft.model.Guid.render(ids(1))
+    // guid form is EXCLUSIVE: state before id(1) existed = only id(0)
+    assert(guids(s"""read (asof=$g1hex any result=((guid)))""") == Seq(ids(0)))
+    // odometer db.count form, same exclusivity
+    assert(guids(s"""read (asof="123456.2" any result=((guid)))""") ==
+      Seq(ids(0), ids(1)))
+    // timestamp form: written at or before the instant
+    assert(guids("""read (asof=1970-01-01T00:00:00.0000 any result=((guid)))""") ==
+      Seq(ids(0)))
+    assert(guids("""read (asof=1970-01-01T00:00:00.0002 any result=((guid)))""") ==
+      Seq(ids(0), ids(1), ids(2)))
+    assert(guids("""read (asof=1970-01-01T01:01:01.0004 any result=((guid)))""") ==
+      ids)
+
+    // tombstone john (pessimistic guid= on the head: allowed)
+    st = Writer.write(st, s"""write (guid=${ids(0)} live=false)""")._1
+    // version ringo opportunistically
+    val (st5, realRingo) = Writer.write(st,
+      s"""write (guid~=${ids(2)} name="the real ringo")""")
+    st = st5
+    // pessimistic write against the versioned id must fail OUTDATED
+    val err = intercept[Writer.WriteError] {
+      Writer.write(st, s"""write (guid=${ids(2)} name="ringo")""")
+    }
+    assert(err.code == "OUTDATED")
+    // snapshot before the tombstone/version still shows the four
+    val g4hex = graft.model.Guid.render(ids(3) + 1)
+    val snap = ReadPlanner.plan(st,
+      s"""read (asof=$g4hex any result=((guid name)))""")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(snap == ids.zip(names).toMap)
+    // the present: john tombstoned, ringo replaced
+    val cur = ReadPlanner.plan(st, """read (any result=((name)))""")
+      .collect().map(_.getString(0)).toSet
+    assert(cur == Set("paul", "george", "the real ringo"))
+  }
+
   test("s-expression rendering matches the golden shape") {
     val st = GraphStore.fromSeq(spark, Seq(
       node(1, name = Some("b"), value = Some("2")),
