@@ -444,7 +444,7 @@ object Parser {
           // Accepts a bare id or a db:count odometer (count part used).
           val v = rhsVals(rhs, "dateline", pos).head
             .getOrElse(throw ParseError("dateline needs a value", pos))
-          val ser = Guid.serialOf(v.split(":").last)
+          val ser = Guid.serialOf(v.split("[.:]").last)
             .getOrElse(throw ParseError(s"bad dateline '$v'", pos))
           op match {
             case ">" => c.copy(datelineMin = Some(ser))

@@ -79,6 +79,25 @@ class StoreSpec extends AnyFunSuite {
     assert(after2.map(_.getString(0)).toSet == Set("v6"))
   }
 
+  test("dateline-1 session: incremental reads after an odometer") {
+    // test/unit/dateline-1.sh: seven named writes, dateline>db.N reads
+    val names = Seq("pear", "tomato", "potato", "pepper", "apple", "onion", "corn")
+    val st = GraphStore.fromSeq(spark,
+      names.zipWithIndex.map { case (nm, i) => node(i + 1L, name = Some(nm)) })
+    def q(tok: String): Seq[String] =
+      ReadPlanner.plan(st, s"""read (dateline>$tok result=((name)))""")
+        .collect().map(_.getString(0)).toSeq.sortBy(names.indexOf)
+    assert(q("123456.3") == Seq("pepper", "apple", "onion", "corn"))
+    assert(q("123456.0") == names)
+    assert(q("123456.6") == Seq("corn"))
+    assert(q("123456.7").isEmpty)
+    // an unparseable dateline is a syntax error
+    intercept[graft.gql.Parser.ParseError] {
+      ReadPlanner.plan(st,
+        """read (dateline>"This is not a syntactically correct dateline!")""")
+    }
+  }
+
   test("status reports store-level counters in one pass") {
     val st = GraphStore.fromSeq(spark, Seq(
       node(1, value = Some("a")), node(2, value = Some("b")),
