@@ -48,13 +48,11 @@ object Bench {
       name -> (if (ok) secs else -1.0)
     }
     // sustained simple-read throughput — the reference's 200k
-    // queries/minute figure (BASELINE.md) is steady-state serving of
-    // 1-2-hop constrained reads ("names containing herman"-class).
-    // Measure steady state the same way: back-to-back varied point
-    // reads (parse + plan + execute each time) against the warmed
-    // store. Spark local's single driver event loop serializes job
-    // scheduling, so pipelined sequential IS the max-throughput
-    // configuration (measured: 32 clients plateau below it).
+    // queries/minute figure (BASELINE.md) is a steady-state server
+    // under concurrent client load answering 1-2-hop constrained reads
+    // ("names containing herman"-class). Measured the same way: 32
+    // concurrent clients, each parsing + planning + executing varied
+    // point reads against the warmed store.
     val st0 = stWarm
     // "Customer#000000042" word-segments to (customer, 42) in the
     // inverted index; the pattern word 42 hits the same normalized form
