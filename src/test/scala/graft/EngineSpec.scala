@@ -234,6 +234,24 @@ class EngineSpec extends AnyFunSuite {
     assert(asof == Set("v1"))
   }
 
+  test("contents honor multi-key child sorts with mixed directions") {
+    // children share a primary value, so the DESCENDING secondary key
+    // decides the order inside the contents array
+    val st = GraphStore.fromSeq(spark, Seq(
+      node(1, value = Some("parent")),
+      link(2, left = 1, right = None, name = Some("a"), value = Some("x")),
+      link(3, left = 1, right = None, name = Some("c"), value = Some("x")),
+      link(4, left = 1, right = None, name = Some("b"), value = Some("x")),
+      link(5, left = 1, right = None, name = Some("z"), value = Some("w"))))
+    val row = ReadPlanner.plan(st,
+      """read (value="parent" result=(contents)
+        |  (<-left sort=(value -name) result=((name))))""".stripMargin)
+      .collect().head
+    val names = row.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+    // primary: value asc (w before x); secondary: name DESC within x
+    assert(names == Seq("z", "c", "b", "a"), s"got $names")
+  }
+
   test("child result=count yields per-parent cardinality as contents") {
     val rows = ReadPlanner.plan(starFixture,
       """read (value~="bottle" result=((value contents))
