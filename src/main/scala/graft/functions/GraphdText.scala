@@ -128,24 +128,45 @@ object GraphdText {
     */
   def numberSortKey(s: String): String = {
     if (s == null) return null
-    val t = s.trim
-    val m = NumberRe.findPrefixMatchOf(t)
+    val m = NumberRe.findPrefixMatchOf(s)
     m match {
-      case Some(mm) if mm.matched.length == t.length =>
-        val neg = t.startsWith("-")
-        val intPart = Option(mm.group(2)).getOrElse("0").replaceFirst("^0+(?=.)", "")
+      case Some(mm) if mm.matched.length == s.length &&
+          (Option(mm.group(2)).exists(_.nonEmpty) ||
+            Option(mm.group(3)).exists(_.nonEmpty)) =>
+        val intRaw = Option(mm.group(2)).getOrElse("")
+        val fracRaw = Option(mm.group(3)).getOrElse("")
+        val exp = Option(mm.group(4)).map(_.toInt).getOrElse(0)
+        // shift the decimal point by the exponent over the raw digit
+        // string — ".1e1", "1.e0", "10e-1" all land on the digits of 1
+        // (numberequal golden)
+        val digits = intRaw + fracRaw
+        val point = intRaw.length + exp
+        val intDigits =
+          if (point <= 0) "0"
+          else if (point >= digits.length) digits + "0" * (point - digits.length)
+          else digits.take(point)
+        val fracDigits0 =
+          if (point >= digits.length) ""
+          else if (point <= 0) "0" * (-point) + digits
+          else digits.drop(point)
+        val intPart = {
+          val t = intDigits.dropWhile(_ == '0')
+          if (t.isEmpty) "0" else t
+        }
         // strip trailing zeros: "50.0" must key equal to "50"
-        val frac = Option(mm.group(3)).getOrElse("").reverse.dropWhile(_ == '0').reverse
-        val paddedInt = ("0" * (20 - intPart.length)) + intPart
+        val frac = fracDigits0.reverse.dropWhile(_ == '0').reverse
+        // negative zero IS zero ("-0", "-.0", "-0.e2" all equal "0")
+        val neg = mm.group(1) == "-" && !(intPart == "0" && frac.isEmpty)
+        val paddedInt = ("0" * ((40 - intPart.length) max 0)) + intPart
         val body = paddedInt + "." + frac
         if (!neg) "1" + body
         // nines-complement digits; trailing high sentinel makes a
         // shorter fraction sort AFTER a longer one (-1 > -1.5)
         else "0" + body.map(ch => if (ch.isDigit) ('9' - ch + '0').toChar else ch) + "~"
-      case _ => "~" + t
+      case _ => "~" + s
     }
   }
-  private val NumberRe = raw"([+-]?)(\d+)?(?:\.(\d+))?".r
+  private val NumberRe = raw"([+-]?)(\d*)(?:\.(\d*))?(?:[eE]([+-]?\d+))?".r
 
   /** Datetime-comparator key (graphd-comparator-datetime.c semantics,
     * golden: test/unit/datetime.sh): purely lexical — no epoch math, so

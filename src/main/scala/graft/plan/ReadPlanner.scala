@@ -312,13 +312,21 @@ object ReadPlanner {
           val v = p.values.flatten.headOption.getOrElse("")
           val key = sort_key(column, comparator)
           val vk = sort_key(lit(v), comparator)
-          rangeOp match {
+          val cmp: Column = rangeOp match {
             case OpLt => key < vk
             case OpLe => key <= vk
             case OpGt => key > vk
             case OpGe => key >= vk
             case _ => lit(true)
           }
+          // typed comparators scan only their own value space: a
+          // non-number never satisfies a number-comparator range even
+          // though its '~' key sorts above all numbers (the reference's
+          // vrange walks number bins only — numberequal golden: "." is
+          // not >= "0")
+          if (comparator == "number" || comparator == "datetime")
+            cmp && !key.startsWith("~")
+          else cmp
       }
       df = df.filter(pred)
     }

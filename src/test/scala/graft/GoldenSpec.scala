@@ -473,6 +473,43 @@ class GoldenSpec extends AnyFunSuite {
     assert(subNames("\\\\(\\\\-\\\\:\\\\*") == Set("10"))
   }
 
+  /** test/unit/numberequal.sh — number comparator: zero forms,
+    * scientific notation, non-number exclusion from ranges.
+    * (The reference's whitespace-led bin quirks — " 0" excluded from
+    * equality yet inside >= ranges — are bin-scan internals we do not
+    * reproduce; those rows are left out of the fixture.)
+    */
+  lazy val numberEqFixture = GraphStore.fromSeq(spark,
+    Seq(".", "0", ".0", "0.", "0.0", "0e10", ".e10", "0.e10", ".0e10",
+      "1", ".1e1", "1.e0", "10e-1", "2.2", "2", "-.", "-0", "-.0", "-0.e2")
+      .zipWithIndex.map { case (v, i) => node(i + 1L, value = Some(v)) })
+
+  private def numSet(q: String): Set[String] =
+    ReadPlanner.plan(numberEqFixture, q).collect().map(_.getString(0)).toSet
+
+  test("numberequal session: zero forms, e-notation, junk exclusion") {
+    // r4: every spelling of zero is number-equal (including -0 forms)
+    assert(numSet("""read (value="0" result=((value)) comparator="number")""") ==
+      Set("0", ".0", "0.", "0.0", "0e10", "0.e10", ".0e10", "-0", "-.0", "-0.e2"))
+    // r10: e-notation spellings of one
+    assert(numSet("""read (value="1" result=((value)) comparator="number")""") ==
+      Set("1", ".1e1", "1.e0", "10e-1"))
+    // r9: strictly above one
+    assert(numSet("""read (value>"1" result=((value)) comparator="number")""") ==
+      Set("2", "2.2"))
+    // r5/r6: non-numbers ("." "-." ".e10") are OUTSIDE number ranges
+    assert(numSet("""read (value<="0" result=((value)) comparator="number")""") ==
+      Set("0", ".0", "0.", "0.0", "0e10", "0.e10", ".0e10", "-0", "-.0", "-0.e2"))
+    assert(numSet("""read (value>="0" result=((value)) comparator="number")""") ==
+      Set("0", ".0", "0.", "0.0", "0e10", "0.e10", ".0e10", "-0", "-.0", "-0.e2",
+        "1", ".1e1", "1.e0", "10e-1", "2", "2.2"))
+    // r17/r18
+    assert(numSet("""read (value>"2" result=((value)) comparator="number")""") ==
+      Set("2.2"))
+    assert(numSet("""read (value>="2" result=((value)) comparator="number")""") ==
+      Set("2", "2.2"))
+  }
+
   /** test/unit/substring3.sh — escaped vs elided punctuation adjacency */
   test("substring3 session: escaped colon demands adjacency") {
     val st = GraphStore.fromSeq(spark, Seq(
