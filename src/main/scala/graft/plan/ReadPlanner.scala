@@ -42,13 +42,17 @@ object ReadPlanner {
     // cursor="tok" resumes a prior id-ordered page: pin the snapshot
     // horizon and skip everything at or before the last-seen id
     var pinned: Option[Long] = None
-    val after: Option[Long] = root.cursorTok.map { t =>
+    val after: Option[Cursor.Token] = root.cursorTok.map { t =>
       val tok = Cursor.decode(t)
       if (tok.horizon != Long.MaxValue) { st = st.asOf(tok.horizon); pinned = Some(tok.horizon) }
-      tok.lastId
+      tok
     }
     var solved = solve(st, root, 0)
-    after.foreach(a => solved = solved.filter(col("id") > a))
+    after.foreach { tok =>
+      solved = solved.filter(
+        if (tok.keys.nonEmpty) keysetAfter(root, tok)
+        else col("id") > tok.lastId)
+    }
     // a fresh cursor pins the store's current dateline so later pages
     // are stable under concurrent appends (frozen-cursor semantics,
     // graphd/graphd-read-set-cursor.c; Cursor.page does the same)
@@ -522,6 +526,36 @@ object ReadPlanner {
     case other => throw new IllegalArgumentException(s"bad field pattern $other")
   }
 
+  /** strictly-after predicate for a sorted keyset cursor: first key
+    * strictly past the frozen value, or tied and the next key past, …,
+    * or all tied and id past — with per-key direction and nulls-last
+    * ("after a non-null under asc = bigger values or nulls").
+    */
+  private def keysetAfter(c: Constraint, tok: graft.plan.Cursor.Token): Column = {
+    val keyCols = c.sort.map(sk => sortExpr(sk, c))
+    def litOf(k: graft.plan.Cursor.SortKeyVal): Column = k.tag match {
+      case 'l' => lit(k.v.toLong)
+      case 'd' => lit(k.v.toDouble)
+      case 'b' => lit(k.v.toBoolean)
+      case _ => lit(k.v)
+    }
+    def past(kc: Column, v: Option[graft.plan.Cursor.SortKeyVal], asc: Boolean): Column =
+      v match {
+        case None => lit(false) // nulls sort last: nothing after a null key
+        case Some(k) => (if (asc) kc > litOf(k) else kc < litOf(k)) || kc.isNull
+      }
+    def same(kc: Column, v: Option[graft.plan.Cursor.SortKeyVal]): Column =
+      v match { case None => kc.isNull; case Some(k) => kc === litOf(k) }
+    val n = math.min(keyCols.length, tok.keys.length)
+    val allSame = (0 until n).map(j => same(keyCols(j), tok.keys(j)))
+      .foldLeft(lit(true))(_ && _)
+    (0 until n).map { i =>
+      val prefix = (0 until i).map(j => same(keyCols(j), tok.keys(j)))
+        .foldLeft(lit(true))(_ && _)
+      prefix && past(keyCols(i), tok.keys(i), c.sort(i).ascending)
+    }.foldLeft(allSame && col("id") > tok.lastId)(_ || _)
+  }
+
   private def sortExpr(sk: SortKey, c: Constraint): Column = {
     val cmp = sk.comparator.getOrElse(c.comparator)
     sk.pat match {
@@ -577,10 +611,27 @@ object ReadPlanner {
     val cursorTok: Option[String] =
       if (!wantsCursor) None
       else c.pagesize.map { ps =>
-        val stats = out.agg(max(col("id")), count(lit(1))).head
-        if (stats.isNullAt(0) || stats.getLong(1) < ps) "null:"
-        else graft.plan.Cursor.encode(
-          graft.plan.Cursor.Token(stats.getLong(0), cursorHorizon()))
+        if (c.sort.isEmpty) {
+          val stats = out.agg(max(col("id")), count(lit(1))).head
+          if (stats.isNullAt(0) || stats.getLong(1) < ps) "null:"
+          else graft.plan.Cursor.encode(
+            graft.plan.Cursor.Token(stats.getLong(0), cursorHorizon()))
+        } else {
+          // SORT cursor (reference "sort:..." tokens): freeze the last
+          // page row's sort-key values + id; resume is the keyset
+          // predicate in keysetAfter — no offset re-scan, stable under
+          // the pinned horizon
+          val keyCols = c.sort.map(sk => sortExpr(sk, c)) :+ col("id")
+          val rows = out.select(keyCols: _*).collect()
+          if (rows.length < ps) "null:"
+          else {
+            val last = rows.last
+            val keys = c.sort.indices.map(i =>
+              graft.plan.Cursor.keyValOf(last.get(i)))
+            graft.plan.Cursor.encode(graft.plan.Cursor.Token(
+              last.getLong(c.sort.length), cursorHorizon(), keys))
+          }
+        }
       }
 
     val cols = resultFields(c).collect {

@@ -473,6 +473,32 @@ class GoldenSpec extends AnyFunSuite {
     assert(subNames("\\\\(\\\\-\\\\:\\\\*") == Set("10"))
   }
 
+  /** test/unit/sortcursor.sh — resumable cursors over SORTED pages */
+  test("sortcursor session: sorted pages resume through the token") {
+    val st = GraphStore.fromSeq(spark, Seq(
+      node(1, name = Some("d"), value = Some("4")),
+      node(2, name = Some("b"), value = Some("2")),
+      node(3, name = Some("a"), value = Some("1")),
+      node(4, name = Some("c"), value = Some("3"))))
+    val q = """read (any pagesize=2 sort=(value name)
+              |  result=(cursor ((value))))""".stripMargin
+    val p1 = ReadPlanner.plan(st, q).collect()
+    assert(p1.map(_.getAs[String]("value")).toSeq == Seq("1", "2"))
+    val tok = p1.head.getAs[String]("cursor")
+    assert(tok != "null:")
+    val p2 = ReadPlanner.plan(st,
+      s"""read (any pagesize=2 sort=(value name)
+         |  result=(cursor ((value))) cursor="$tok")""".stripMargin).collect()
+    assert(p2.map(_.getAs[String]("value")).toSeq == Seq("3", "4"))
+    // final page is full, so one more token; the page after is empty
+    val tok2 = p2.head.getAs[String]("cursor")
+    assert(tok2 != "null:")
+    val p3 = ReadPlanner.plan(st,
+      s"""read (any pagesize=2 sort=(value name)
+         |  result=(cursor ((value))) cursor="$tok2")""".stripMargin).collect()
+    assert(p3.isEmpty)
+  }
+
   /** test/unit/numberequal.sh — number comparator: zero forms,
     * scientific notation, non-number exclusion from ranges.
     * (The reference's whitespace-led bin quirks — " 0" excluded from
