@@ -121,10 +121,13 @@ object GraphdText {
   }
 
   /** Number-comparator key: decimal strings ordered numerically.
-    * Layout: sign section ('1' for >=0, '0' for <0) + 20-digit
-    * zero-padded integer part + '.' + fraction (nines-complemented for
-    * negatives so bigger magnitude sorts earlier). Non-numeric strings
-    * get a '~' prefix (sort after all numbers) and fall back to raw.
+    * Layout: sign section ('1' for >=0, '0' for <0) + 4-hex
+    * integer-digit-count prefix (more digits = larger magnitude, so the
+    * count field orders before digit compare — handles exponents up to
+    * 0xffff digits) + integer digits + '.' + fraction
+    * (count and digits complemented for negatives so bigger magnitude
+    * sorts earlier). Non-numeric strings get a '~' prefix (sort after
+    * all numbers) and fall back to raw.
     */
   def numberSortKey(s: String): String = {
     if (s == null) return null
@@ -157,12 +160,16 @@ object GraphdText {
         val frac = fracDigits0.reverse.dropWhile(_ == '0').reverse
         // negative zero IS zero ("-0", "-.0", "-0.e2" all equal "0")
         val neg = mm.group(1) == "-" && !(intPart == "0" && frac.isEmpty)
-        val paddedInt = ("0" * ((40 - intPart.length) max 0)) + intPart
-        val body = paddedInt + "." + frac
-        if (!neg) "1" + body
-        // nines-complement digits; trailing high sentinel makes a
-        // shorter fraction sort AFTER a longer one (-1 > -1.5)
-        else "0" + body.map(ch => if (ch.isDigit) ('9' - ch + '0').toChar else ch) + "~"
+        // zero keys as count 0 so 0 < any positive with >=1 int digits
+        val intLen = if (intPart == "0" && frac.isEmpty) 0
+          else if (intPart == "0") 1 else intPart.length
+        val body = intPart + "." + frac
+        if (!neg) "1" + f"$intLen%04x" + body
+        // complement the count and nines-complement digits; trailing
+        // high sentinel makes a shorter fraction sort AFTER a longer
+        // one (-1 > -1.5)
+        else "0" + f"${0xffff - intLen}%04x" +
+          body.map(ch => if (ch.isDigit) ('9' - ch + '0').toChar else ch) + "~"
       case _ => "~" + s
     }
   }
@@ -362,30 +369,48 @@ object GraphdText {
     val sb = new StringBuilder
     var i = 0
     val n = pat.length
+    // token boundary class of the last literal run: word tokens split
+    // at letter/digit transitions (words("foo7") = foo,7), so a letter
+    // run is whole-word before a digit and vice versa
+    var lastRun: Char = ' ' // 'L' letter, 'N' digit, other = none
     while (i < n) {
       val c = pat.charAt(i)
       if (c == '\\' && i + 1 < n) {
-        sb.append(java.util.regex.Pattern.quote(pat.charAt(i + 1).toString))
+        val e = pat.charAt(i + 1)
+        sb.append(java.util.regex.Pattern.quote(e.toString))
+        lastRun = if (Character.isLetter(e)) 'L'
+          else if (Character.isDigit(e)) 'N' else ' '
         i += 2
       } else if (Character.isLetter(c)) {
         val j = i
         while (i < n && Character.isLetter(pat.charAt(i))) i += 1
         sb.append(java.util.regex.Pattern.quote(pat.substring(j, i)))
+        lastRun = 'L'
       } else if (Character.isDigit(c)) {
         val j = i
         while (i < n && Character.isDigit(pat.charAt(i))) i += 1
         sb.append("0*").append(normNumber(pat.substring(j, i)))
+        lastRun = 'N'
       } else if (c == '*') {
-        sb.append("[\\p{L}\\p{N}]*"); i += 1
+        sb.append("[\\p{L}\\p{N}]*"); lastRun = ' '; i += 1
       } else if (Character.isWhitespace(c)) {
         while (i < n && Character.isWhitespace(pat.charAt(i))) i += 1
-        sb.append(Sep + "+")
+        sb.append(Sep + "+"); lastRun = ' '
       } else {
-        sb.append(Sep + "*"); i += 1
+        sb.append(Sep + "*"); lastRun = ' '; i += 1
       }
     }
     val prefix = if (aStart) "\\A" + Sep + "*" else "(?<![\\p{L}\\p{N}])"
-    val suffix = if (aEnd) Sep + "*\\z" else ""
+    // unanchored patterns still end on a whole word: 'User\:foo' must
+    // not match 'User:foobar' (trailing boundary mirrors the leading
+    // lookbehind and the non-escaped matcher's whole-word equality)
+    val suffix =
+      if (aEnd) Sep + "*\\z"
+      else lastRun match {
+        case 'L' => "(?!\\p{L})"
+        case 'N' => "(?!\\p{N})"
+        case _ => ""
+      }
     java.util.regex.Pattern
       .compile(prefix + sb + suffix,
         java.util.regex.Pattern.CASE_INSENSITIVE | java.util.regex.Pattern.UNICODE_CASE)

@@ -113,15 +113,28 @@ object Parser {
       case _ => ()
     }
 
+    // merge positional sort-comparator overrides into the sort keys
+    def mergeSortCmp(x: Constraint): Constraint =
+      if (x.sortComparators.isEmpty) x
+      else x.copy(sort = x.sort.zipWithIndex.map { case (k, i) =>
+        if (i < x.sortComparators.length)
+          k.copy(comparator = Some(x.sortComparators(i)))
+        else k
+      })
+
     def parseConstraint(linkage: Option[Linkage]): Constraint = {
       expect({ case t: TOpen => t }, "'('")
       var c = Constraint(linkage = linkage)
       var branches = Vector.empty[Constraint] // completed `||` alternatives
+      var braceDepth = 0
       var done = false
       while (!done) {
         peek match {
           case None => throw ParseError("unexpected EOF in constraint", input.length)
-          case Some(_: TClose) => next(); done = true
+          case Some(TClose(p)) =>
+            if (braceDepth != 0)
+              throw ParseError(s"unbalanced braces in constraint", p)
+            next(); done = true
 
           case Some(_: TOpen) => // bare child constraint
             c = c.copy(subs = c.subs :+ parseConstraint(None))
@@ -185,24 +198,26 @@ object Parser {
           case Some(TArrowOut(_)) => next(); c = c.copy(meta = ForwardLink)
           // `{ ... }` groups an or-branch's contents (or2/or4 goldens:
           // `(<-left ...) $a=guid || {}`); structurally the branch
-          // boundary is `||`, so braces are grouping no-ops — an empty
-          // `{}` leaves the branch unconstrained (matches everything)
-          case Some(TBrace(_, _)) => next()
+          // boundary is `||`, so balanced braces are grouping no-ops —
+          // an empty `{}` leaves the branch unconstrained (matches
+          // everything). Imbalance is a syntax error at constraint close.
+          case Some(TBrace(open, p)) =>
+            next()
+            if (open) braceDepth += 1
+            else {
+              braceDepth -= 1
+              if (braceDepth < 0) throw ParseError("unmatched '}'", p)
+            }
           case Some(TOr(_)) =>
             next()
-            branches :+= c
+            // snapshot with this branch's own sort-comparator merge, so
+            // a sort-comparator= written in an earlier segment is not
+            // dropped (the reference merges per constraint clause)
+            branches :+= mergeSortCmp(c)
             c = Constraint(linkage = linkage)
           case Some(t) => throw ParseError(s"unexpected $t", t.pos)
         }
       }
-      // merge positional sort-comparator overrides into the sort keys
-      def mergeSortCmp(x: Constraint): Constraint =
-        if (x.sortComparators.isEmpty) x
-        else x.copy(sort = x.sort.zipWithIndex.map { case (k, i) =>
-          if (i < x.sortComparators.length)
-            k.copy(comparator = Some(x.sortComparators(i)))
-          else k
-        })
       c = mergeSortCmp(c)
       if (branches.isEmpty) c
       else {
@@ -213,11 +228,16 @@ object Parser {
           acc.copy(
             result = b.result.orElse(acc.result),
             sort = if (b.sort.nonEmpty) b.sort else acc.sort,
+            sortComparators = if (b.sortComparators.nonEmpty) b.sortComparators
+              else acc.sortComparators,
             pagesize = b.pagesize.orElse(acc.pagesize),
             start = b.start.orElse(acc.start))
         }
+        // sort= and sort-comparator= may land in different segments of
+        // the merged modifier set — re-merge on the combined shape
+        val shapedCmp = mergeSortCmp(shaped)
         all.head.copy(
-          result = shaped.result, sort = shaped.sort,
+          result = shaped.result, sort = shapedCmp.sort,
           pagesize = shaped.pagesize, start = shaped.start,
           orBranches = all.tail)
       }

@@ -600,7 +600,11 @@ object ReadPlanner {
           else sortExpr(sk, c).desc_nulls_last) :+ col("id").asc
       out = out.orderBy(orderCols: _*)
     }
-    c.start.foreach(n => out = out.offset(n.toInt))
+    // a resume cursor already encodes the position — re-applying
+    // start= would skip start-N rows on every subsequent page
+    // (reference cursors subsume the original offset)
+    if (c.cursorTok.isEmpty)
+      c.start.foreach(n => out = out.offset(n.toInt))
     c.pagesize.foreach(n => out = out.limit(n.toInt))
 
     // `result=(cursor (...))`: attach the resume token as a constant

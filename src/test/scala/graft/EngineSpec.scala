@@ -105,6 +105,27 @@ class EngineSpec extends AnyFunSuite {
     intercept[Parser.ParseError](Parser.parseRead("(value=\"unterminated)"))
   }
 
+  test("parser: unbalanced braces are syntax errors") {
+    intercept[Parser.ParseError](Parser.parseRead("""read (value="x" }})"""))
+    intercept[Parser.ParseError](Parser.parseRead("""read (value="x" { )"""))
+    intercept[Parser.ParseError](Parser.parseRead("""read ({ value="a" || } })"""))
+    // balanced braces still parse (or2/or4 golden shape)
+    val ok = Parser.parseRead("""read (value="a" || {})""")
+    assert(ok.orBranches.length == 1)
+  }
+
+  test("parser: sort-comparator in an earlier or-branch segment applies") {
+    // the modifier is written before '||'; the sort keys after — the
+    // snapshot must not drop the comparator from the merged constraint
+    val c = Parser.parseRead(
+      """(sort-comparator=("number") value="a" || value="b" sort=(value))""")
+    assert(c.sort.headOption.flatMap(_.comparator).contains("number"))
+    // both in the first segment, keys in the second
+    val c2 = Parser.parseRead(
+      """(value="a" sort=(value) sort-comparator=("datetime") || value="b")""")
+    assert(c2.sort.headOption.flatMap(_.comparator).contains("datetime"))
+  }
+
   // ---------- planner ----------
 
   test("sort1: multi-key sort over values") {

@@ -126,4 +126,20 @@ class StoreSpec extends AnyFunSuite {
       .collect()
     assert(p2.map(_.getAs[String]("value")).toSet == Set("v3", "v4", "v5", "v6"))
   }
+
+  test("cursor resume ignores start=: the token already encodes position") {
+    val st = GraphStore.fromSeq(spark,
+      (1L to 8L).map(i => node(i, value = Some(s"v$i"))))
+    // page 1: skip 1, take 2 → v2 v3
+    val p1 = ReadPlanner.plan(st,
+      "read (result=((value cursor)) start=1 pagesize=2)").collect()
+    assert(p1.map(_.getAs[String]("value")).toSeq == Seq("v2", "v3"))
+    val tok = p1.head.getAs[String]("cursor")
+    // page 2 carries the same start=1 (clients resend the query
+    // verbatim with cursor=): must resume at v4, not skip again
+    val p2 = ReadPlanner.plan(st,
+      s"""read (result=((value cursor)) start=1 pagesize=2 cursor="$tok")""")
+      .collect()
+    assert(p2.map(_.getAs[String]("value")).toSeq == Seq("v4", "v5"))
+  }
 }

@@ -36,6 +36,16 @@ class TextSpec extends AnyFunSuite {
     assert(k("0.5") < k("1"))
     assert(k("3.14") < k("3.2"))
     assert(k("10") < k("abc"))      // non-numbers after numbers
+    // magnitudes past any fixed pad width: the digit-count prefix
+    // orders "5e50" < "1e60" (51 vs 61 integer digits)
+    assert(k("5e50") < k("1e60"))
+    assert(k("-1e60") < k("-5e50")) // complemented count for negatives
+    assert(k("1e60") < k("2e60"))
+    assert(k("-2e60") < k("-1e60"))
+    assert(k("9" * 45) < k("1e50"))
+    assert(k("1e50") == k("10e49")) // same number, different notation
+    assert(k("0") < k("1e-50"))
+    assert(k("-1e-50") < k("0"))
   }
 
   test("~= word match: case, punctuation elision, anchors, glob") {
@@ -61,6 +71,20 @@ class TextSpec extends AnyFunSuite {
     assert(m("foo bar", "foo-bar"))
     assert(!m("foobar", "foo bar"))       // space never joins
     assert(m("x9y", "x9y"))               // mixed runs re-split like values
+  }
+
+  test("escaped-punctuation patterns keep whole-word semantics") {
+    val m = GraphdText.matches _
+    assert(m("User:foo", "User\\:foo"))
+    assert(m("a User:foo b", "User\\:foo"))
+    // unanchored escaped patterns must not match mid-word: the
+    // non-escaped matcher requires whole-word equality
+    assert(!m("User:foobar", "User\\:foo"))
+    assert(!m("Userx:foo", "User\\:foo"))
+    assert(m("agent:007", "agent\\:7"))    // digits normalized
+    assert(!m("agent:0071", "agent\\:7"))  // 71 ≠ 7
+    assert(m("agent:7x", "agent\\:7"))     // "7" is a whole token before a letter
+    assert(m("v1:go", "v1\\:go*"))         // trailing glob keeps prefix match
   }
 
   test("default sort key: signed embedded numbers") {
