@@ -47,6 +47,85 @@ object Analytics {
       .toDF("id", "component")
   }
 
+  /** Connected components as a pure DataFrame delta iteration —
+    * min-label propagation with an active frontier (semi-naive
+    * evaluation, the dataflow form of Pregel's vote-to-halt):
+    *
+    *  - labels start as comp(v) = v
+    *  - each round, only vertices whose label CHANGED last round push
+    *    it to their neighbors; candidate updates that lower a label
+    *    become the next frontier
+    *  - terminate when the frontier is empty
+    *
+    * Per round the work is one broadcast map-side join of the (small,
+    * shrinking) frontier against the cached symmetric adjacency, one
+    * aggregation over the candidate updates, and one broadcast merge
+    * into the label table — no full-graph shuffle after round one, so
+    * rounds get cheaper as the computation converges. At cluster scale
+    * the frontier broadcast is replaced by a shuffle join on the same
+    * plan shape when the frontier is large (Catalyst/AQE picks the
+    * strategy from runtime sizes); the adjacency stays cache-partitioned
+    * either way.
+    */
+  /** symmetric (node, nbr) adjacency in ONE scan of the edge plan —
+    * a union of two selects would execute the (possibly expensive)
+    * edge subplan twice. Cached; plan-equal across kHop/components so
+    * Spark's cache manager shares the materialization.
+    */
+  private[graft] def symmetricAdjacency(edges: DataFrame): DataFrame =
+    edges.select(explode(array(
+        struct(col("left").as("node"), col("right").as("nbr")),
+        struct(col("right").as("node"), col("left").as("nbr")))).as("e"))
+      .select(col("e.node").as("node"), col("e.nbr").as("nbr"))
+      .coalesce(8).cache()
+
+  def connectedComponentsDF(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val sym = symmetricAdjacency(edges)
+    // broadcast the frontier only while it provably fits — past that,
+    // the same plan runs as a shuffle join (AQE may still downgrade it)
+    val broadcastMax = 4000000L
+    def hinted(df: DataFrame, rows: Long): DataFrame =
+      if (rows <= broadcastMax) broadcast(df) else df
+    var labels = nodes.select(col("id"), col("id").as("component"))
+      .localCheckpoint()
+    var frontier = labels // round 1: everyone is active
+    var active = frontier.count()
+    while (active > 0) {
+      // push the frontier's labels across edges; keep the min per target
+      val candidates = sym
+        .join(hinted(frontier.withColumnRenamed("id", "node"), active), "node")
+        .groupBy(col("nbr").as("id"))
+        .agg(min(col("component")).as("cand"))
+      // merge: a candidate below the current label updates it and
+      // re-activates the vertex. One materialization per round; the
+      // frontier and next labels are map-side projections of it.
+      val merged = labels
+        .join(hinted(candidates, active), Seq("id"), "left_outer")
+        .select(col("id"), col("component"), col("cand"))
+        .localCheckpoint()
+      frontier = merged.filter(col("cand") < col("component"))
+        .select(col("id"), col("cand").as("component"))
+      active = frontier.count()
+      labels = merged
+        .select(col("id"),
+          when(col("cand") < col("component"), col("cand"))
+            .otherwise(col("component")).as("component"))
+    }
+    labels
+  }
+
+  /** store-level components over current nodes/links via the
+    * DataFrame delta iteration. The GraphX Pregel path above is the
+    * default (its fused supersteps win on a warm vertex/edge cache);
+    * this variant keeps everything in Catalyst/AQE — useful when the
+    * pipeline around it is DataFrame-native or when frontier skew
+    * wants AQE's runtime re-planning.
+    */
+  def connectedComponentsStore(store: GraphStore): DataFrame =
+    connectedComponentsDF(
+      store.nodes.select(col("id")),
+      store.links.filter(col("right").isNotNull).select(col("left"), col("right")))
+
   /** PageRank over the link structure */
   def pageRank(store: GraphStore, iters: Int = 10, reset: Double = 0.15): DataFrame = {
     val g = toGraphX(store)
@@ -74,9 +153,15 @@ object Analytics {
     val edges = store.links.filter(col("right").isNotNull)
       .select(col("left").as("src"), col("right").as("dst"))
     // carry od and divide (not multiply by 1/od): bit-identical to the
-    // oracle's sum(rank/od) term ordering-insensitive at 6dp rounding
+    // oracle's sum(rank/od) term ordering-insensitive at 6dp rounding.
+    // Cache hash-partitioned by dst: every round's groupBy(dst) then
+    // needs NO exchange (the cached partitioning satisfies the agg's
+    // distribution and the broadcast join preserves it), so a round is
+    // one map-side stage — the DataFrame analog of bucketing the edge
+    // table by dst on a cluster.
     val cedges = edges
       .join(edges.groupBy("src").agg(count(lit(1)).as("od")), "src")
+      .repartition(8, col("dst"))
       .cache()
     // Iterate over the in-sum table only — vertices with no in-edges
     // hold the constant rank `reset` after round 1 and never need to be
@@ -101,7 +186,7 @@ object Analytics {
         .localCheckpoint()
     }
     val verts = store.nodes.select(col("id"))
-    verts.join(inSum, verts("id") === inSum("dst"), "left_outer")
+    verts.join(broadcast(inSum), verts("id") === inSum("dst"), "left_outer")
       .select(verts("id"),
         (lit(reset) + lit(1 - reset) * coalesce(col("in_sum"), lit(0.0)))
           .as("pagerank"))
@@ -114,11 +199,8 @@ object Analytics {
   def kHop(store: GraphStore, sources: Seq[Long], k: Int): DataFrame = {
     // undirected expansion over a symmetric (node, nbr) table built
     // once — one broadcast join per hop instead of two directional ones
-    val links = store.links.filter(col("right").isNotNull)
-      .select(col("left"), col("right"))
-    val sym = links.select(col("left").as("node"), col("right").as("nbr"))
-      .union(links.select(col("right").as("node"), col("left").as("nbr")))
-      .cache()
+    val sym = symmetricAdjacency(store.links.filter(col("right").isNotNull)
+      .select(col("left"), col("right")))
     val spark = store.spark
     import spark.implicits._
     var frontier = sources.toDF("id").withColumn("hops", lit(0))

@@ -9,28 +9,36 @@ import org.apache.spark.sql.functions._
   * Scale design:
   *  - `bruteTopK` broadcasts the (small) query set and scans the corpus
   *    once — the right plan when queries ≪ corpus, which is the ANN
-  *    serving shape; dot products run inside codegen via
-  *    `aggregate`/`zip_with`, no UDFs.
+  *    serving shape; dot products run via `aggregate`/`zip_with`
+  *    column functions, no UDFs.
   *  - `lshTopK` is the scale path: random-hyperplane signatures put
   *    near vectors in shared buckets; only bucket-mates are scored.
   *    At 100 TB the bucket join replaces the full cross product, and
   *    multi-probe (nProbes hyperplane sets) recovers recall.
+  *  - Vector norms are computed once per vector and joined into the
+  *    scoring pass, so each candidate pair pays ONE array traversal
+  *    (the dot product) instead of three — at 100 TB the candidate
+  *    set dwarfs the corpus, so per-pair work dominates.
   */
 object Similarity {
 
-  /** cosine similarity of two float-array columns. Elements are cast
-    * to double BEFORE multiplying so the math matches engines that
-    * compute in double over float32 storage (oracle parity + accuracy).
+  /** dot product of two float-array columns in double math (elements
+    * cast before multiplying — matches engines computing in double
+    * over float32 storage; oracle parity + accuracy).
     */
-  def cosine(a0: Column, b0: Column): Column = {
-    val a = transform(a0, x => x.cast("double"))
-    val b = transform(b0, x => x.cast("double"))
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y),
+  def dot(a0: Column, b0: Column): Column =
+    aggregate(zip_with(transform(a0, x => x.cast("double")),
+        transform(b0, x => x.cast("double")), (x, y) => x * y),
       lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
-    val nb = sqrt(aggregate(b, lit(0.0), (acc, x) => acc + x * x))
-    dot / (na * nb)
+
+  /** L2 norm of a float-array column (double math) */
+  def norm(a0: Column): Column = {
+    val a = transform(a0, x => x.cast("double"))
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
   }
+
+  /** cosine similarity of two float-array columns */
+  def cosine(a0: Column, b0: Column): Column = dot(a0, b0) / (norm(a0) * norm(b0))
 
   /** Exact top-k neighbors (cosine) for each query vector.
     * Rounded similarity + id tie-break keep ranking deterministic
@@ -38,10 +46,13 @@ object Similarity {
     */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")))
-    val scored = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
-      .join(q, col("q_id") =!= col("n_id"))
-      .withColumn("sim", round(cosine(col("q_vec"), col("n_vec")), 6))
+    val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      norm(col(vecCol)).as("q_norm")))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      norm(col(vecCol)).as("n_norm"))
+    val scored = c.join(q, col("q_id") =!= col("n_id"))
+      .withColumn("sim",
+        round(dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")), 6))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("n_id").asc)
     scored.withColumn("rk", row_number().over(w))
@@ -67,8 +78,7 @@ object Similarity {
 
   /** Random-hyperplane signature: bit j = sign of <v, r_j>. The planes
     * are driver-precomputed literal arrays — the per-row work is pure
-    * codegen'd float math (no hashing in the hot path), which is the
-    * plan you want scoring 100 TB of vectors.
+    * column-function float math (no hashing in the hot path).
     */
   def rhpSignature(vec: Column, bits: Int, dims: Int, seed: Int = 42): Column = {
     val projections: Seq[Column] = (0 until bits).map { j =>
@@ -81,6 +91,20 @@ object Similarity {
     projections.reduce(_.bitwiseOR(_))
   }
 
+  /** (id, probe, sig) bucket rows: every probe's signature computed in
+    * one scan, exploded to one row per probe — the join-ready LSH
+    * index shape. Cached under FIXED column names so every operator
+    * touching the same (df, params) shares one materialization via
+    * plan-equality (renames happen outside the cached plan).
+    */
+  private[graft] def probeSigs(df: DataFrame, idCol: String, vecCol: String,
+      bits: Int, nProbes: Int, dims: Int): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+        posexplode(array((0 until nProbes).map(p =>
+          rhpSignature(col(vecCol), bits, dims, seed = 42 + p)): _*))
+          .as(Seq("probe", "sig")))
+      .cache()
+
   /** Approximate top-k: candidates share an exact signature bucket in
     * at least one of `nProbes` independent hyperplane sets; candidates
     * are then exactly re-scored. Recall < 1 by construction; raise
@@ -89,26 +113,30 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       bits: Int = 12, nProbes: Int = 4, dims: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    def signed(df: DataFrame, prefix: String): DataFrame =
-      df.select(Seq(col(idCol).as(s"${prefix}_id"), col(vecCol).as(s"${prefix}_vec")) ++
-        (0 until nProbes).map(p =>
-          rhpSignature(col(vecCol), bits, dims, seed = 42 + p).as(s"${prefix}_sig_$p")): _*)
-
-    val c = signed(corpus, "n")
-    val q = broadcast(signed(queries, "q"))
-    // one EQUI-join per probe, unioned then deduped — an OR over probe
-    // conditions would force a nested-loop over the full cross product;
-    // per-probe hash joins shuffle only same-bucket pairs (the point of
-    // LSH) and scale to arbitrarily many probes
-    val cand = (0 until nProbes).map { p =>
-      c.join(q, col(s"q_sig_$p") === col(s"n_sig_$p") &&
+    // ONE equi-join on (probe, bucket) — not a join per probe: the plan
+    // stays constant-size as probes grow, and a probe-OR condition
+    // (which would nested-loop the cross product) never appears.
+    // Candidates carry id pairs only: the distinct shuffles 16-byte
+    // pairs, not embedding payloads.
+    val c = probeSigs(corpus, idCol, vecCol, bits, nProbes, dims)
+      .toDF("n_id", "n_probe", "n_sig")
+    val q = broadcast(probeSigs(queries, idCol, vecCol, bits, nProbes, dims)
+      .toDF("q_id", "q_probe", "q_sig"))
+    val cand = c.join(q,
+        col("q_probe") === col("n_probe") && col("q_sig") === col("n_sig") &&
           col("q_id") =!= col("n_id"))
-        .select(col("q_id"), col("q_vec"), col("n_id"), col("n_vec"))
-    }.reduce(_ union _).distinct()
+      .select(col("q_id"), col("n_id"))
+      .distinct()
 
+    val qv = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      norm(col(vecCol)).as("q_norm")))
+    val nv = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      norm(col(vecCol)).as("n_norm"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("n_id").asc)
-    cand.withColumn("sim", round(cosine(col("q_vec"), col("n_vec")), 6))
+    cand.join(qv, "q_id").join(nv, "n_id")
+      .withColumn("sim",
+        round(dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")), 6))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("q_id"), col("rk"), col("n_id"), col("sim"))
@@ -120,22 +148,24 @@ object Similarity {
   def cosineNearDupPairs(df: DataFrame, threshold: Double,
       bits: Int = 12, nProbes: Int = 4, dims: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    def signed(prefix: String): DataFrame =
-      df.select(Seq(col(idCol).as(s"${prefix}_id"), col(vecCol).as(s"${prefix}_vec")) ++
-        (0 until nProbes).map(p =>
-          rhpSignature(col(vecCol), bits, dims, seed = 42 + p).as(s"${prefix}_sig_$p")): _*)
-    // cache the signed side: it feeds one equi-join per probe (an OR
-    // join would nested-loop the full N^2 pair space; per-probe hash
-    // joins touch same-bucket pairs only — the point of LSH). The b
-    // side is the same cached frame renamed, so signatures compute once.
-    val a = signed("a").cache()
-    val b = a.toDF(a.columns.map(_.replaceFirst("^a_", "b_")).toIndexedSeq: _*)
-    (0 until nProbes).map { p =>
-      a.join(b, col(s"a_sig_$p") === col(s"b_sig_$p") &&
+    // one self-join of the cached (id, probe, sig) bucket index —
+    // same-bucket pairs only; candidates carry id pairs only and the
+    // rescoring pass pays one dot product per pair (norms joined in).
+    val a = probeSigs(df, idCol, vecCol, bits, nProbes, dims)
+      .toDF("a_id", "a_probe", "a_sig")
+    val b = a.toDF("b_id", "b_probe", "b_sig")
+    val cand = a.join(b,
+        col("a_probe") === col("b_probe") && col("a_sig") === col("b_sig") &&
           col("a_id") < col("b_id"))
-        .select(col("a_id"), col("a_vec"), col("b_id"), col("b_vec"))
-    }.reduce(_ union _).distinct()
-      .withColumn("sim", round(cosine(col("a_vec"), col("b_vec")), 6))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    val av = df.select(col(idCol).as("a_id"), col(vecCol).as("a_vec"),
+      norm(col(vecCol)).as("a_norm"))
+    val bv = df.select(col(idCol).as("b_id"), col(vecCol).as("b_vec"),
+      norm(col(vecCol)).as("b_norm"))
+    cand.join(av, "a_id").join(bv, "b_id")
+      .withColumn("sim",
+        round(dot(col("a_vec"), col("b_vec")) / (col("a_norm") * col("b_norm")), 6))
       .filter(col("sim") >= threshold)
       .select(col("a_id").as("id_a"), col("b_id").as("id_b"), col("sim"))
   }

@@ -28,6 +28,14 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(comp(6L) == 6L)
   }
 
+  test("DataFrame delta-iteration components agree with GraphX") {
+    val gx = Analytics.connectedComponents(fx).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val df = Analytics.connectedComponentsStore(fx).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(df == gx)
+  }
+
   test("k-hop walks both link directions with exact hop counts") {
     val hops = Analytics.kHop(fx, Seq(1L), 2).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
