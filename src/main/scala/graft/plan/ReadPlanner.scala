@@ -387,6 +387,30 @@ object ReadPlanner {
     // point at A and its left at the B node (optional.sh structure)
     val linkageEff = sub.effectiveLinkage.orElse(freeEndpointOf(parentC))
 
+    // EXISTENCE FAST PATH: when the parent consumes nothing from this
+    // child (no contents in its result/assignments, no bubbled
+    // variables) and the count bounds are pure existence/absence, the
+    // whole window + contents aggregation is dead weight — plan a raw
+    // semi/anti join on the linkage key instead (the reference's
+    // linksto/without iterators produce exactly an id-set probe here,
+    // SURVEY §2.3). At scale this removes a per-parent groupBy shuffle
+    // and an unbounded collect_list from every EXISTS-shaped query.
+    val childConsumed = childVars.nonEmpty || usesContents(parentC)
+    if (!childConsumed && linkageEff.isDefined) {
+      val (keyExpr, parentKey) = linkageEff.get match {
+        case ChildPointsToParent(f) => (col(f), parent("id"))
+        case ParentPointsToChild(f) => (col("id"), parent(f))
+      }
+      val childKeys = child0.filter(keyExpr.isNotNull)
+        .select(keyExpr.as(s"__pk_$i"))
+      if (bounds.max.contains(0L))
+        return parent.join(childKeys, parentKey === col(s"__pk_$i"), "left_anti")
+      if (bounds.min == 1L && bounds.max.isEmpty)
+        return parent.join(childKeys, parentKey === col(s"__pk_$i"), "left_semi")
+      if (bounds.min == 0L && bounds.max.isEmpty)
+        return parent // optional child, nothing consumed: a no-op
+    }
+
     linkageEff match {
       case Some(ChildPointsToParent(f)) =>
         // child is a link whose `f` endpoint is the parent (fan-in —
@@ -459,6 +483,19 @@ object ReadPlanner {
       parent.join(agg, cond, "left_outer")
         .filter(boundsPred(cnt, bounds)).drop(s"__pk_$i")
     }
+  }
+
+  /** does this constraint's result/assignment surface reference its
+    * children's contents? (drives the existence fast path above)
+    */
+  private def usesContents(c: Constraint): Boolean = {
+    def rec(p: Pattern): Boolean = p match {
+      case ContentsPat => true
+      case ListPat(items) => items.exists(rec)
+      case PickPat(items) => items.exists(rec)
+      case _ => false
+    }
+    c.result.exists(rec) || c.assignments.exists(a => rec(a.pat))
   }
 
   /** if `c` is a link bound to ITS parent through left/right, the other

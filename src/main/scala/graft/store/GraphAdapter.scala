@@ -48,11 +48,16 @@ object GraphAdapter {
   /** Build (or fetch cached) GraphStore for one scale-factor dir. */
   def store(spark: SparkSession, sfDir: String): GraphStore =
     cache.getOrElseUpdate(sfDir + "@" + spark.hashCode,
-      // coalesced before caching: the 12-way unionByName otherwise
-      // leaves ~60 input splits, and every point read then schedules
-      // ~60 tiny tasks — per-task overhead, not data, dominates point
-      // latency. A cluster deployment sizes this to total/128MB.
-      GraphStore.fromDf(spark, build(spark, sfDir).coalesce(8).cache(),
+      // coalesced, then materialized via localCheckpoint: the 12-way
+      // unionByName otherwise leaves ~60 input splits (point reads
+      // schedule ~60 tiny tasks), and — just as important — every
+      // query built over the union re-analyzes a ~50-node logical tree
+      // with 12 file scans. The checkpoint truncates that to a single
+      // leaf, which cuts per-query planning time on the serving path.
+      // A persisted deployment gets the same effect from reading the
+      // materialized primitives table (GraphStore.save/load) instead
+      // of the adapter view.
+      GraphStore.fromDf(spark, build(spark, sfDir).coalesce(8).localCheckpoint(),
         versioned = false, useWordIndex = true))
 
   def build(spark: SparkSession, sfDir: String): DataFrame = {
