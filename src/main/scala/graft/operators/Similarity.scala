@@ -142,6 +142,99 @@ object Similarity {
       .select(col("q_id"), col("rk"), col("n_id"), col("sim"))
   }
 
+  // ------------------------------------------------------------------
+  // IVF (inverted-file) ANN — the coarse-quantizer scale path
+  // ------------------------------------------------------------------
+
+  /** squared L2 distance of two double-array columns (ordered fold —
+    * bit-identical across engines that fold list elements in order)
+    */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Deterministic k-means coarse quantizer: centroids init from the
+    * `nlist` smallest ids, then `iters` Lloyd rounds. Per-dimension
+    * means are rounded to 6dp — summation order differs between
+    * engines (and between Spark partitionings), and the rounding snaps
+    * both to the same value, making assignments (computed from
+    * identical centroids by an ordered fold) engine-portable. Returns
+    * (cid, cvec) with cvec double.
+    */
+  def ivfCentroids(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int): DataFrame = {
+    val v = df.select(col(idCol).cast("long").as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("vec"))
+    var cents = v.filter(col("id") < nlist)
+      .select(col("id").cast("int").as("cid"), col("vec").as("cvec"))
+    for (_ <- 1 to iters) {
+      val asg = ivfAssign(v, cents)
+      // element-wise mean: explode dims, average, re-collect in dim
+      // order (sort_array on (dim, mean) structs)
+      cents = v.join(asg, "id")
+        .select(col("cid"), posexplode(col("vec")).as(Seq("d", "x")))
+        .groupBy(col("cid"), col("d")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(sort_array(collect_list(struct(col("d"), col("m")))),
+          s => round(s.getField("m"), 6)).as("cvec"))
+    }
+    cents
+  }
+
+  /** nearest-centroid assignment (id → cid), L2 with cid tiebreak */
+  private def ivfAssign(v: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("__dist").asc, col("cid").asc)
+    v.crossJoin(broadcast(cents))
+      .withColumn("__dist", l2sq(col("vec"), col("cvec")))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("id"), col("cid"))
+  }
+
+  /** IVF approximate top-k: corpus vectors are partitioned into
+    * `nlist` inverted lists by nearest centroid; a query scores only
+    * the lists of its `nprobe` nearest centroids. The 100 TB shape:
+    * centroids broadcast (nlist ≪ corpus), the inverted-list table is
+    * the corpus hash-partitioned by cid, and the probe is an equi-join
+    * on cid — candidate volume is nprobe/nlist of the corpus instead
+    * of all of it, and unlike multi-probe LSH each vector lives in
+    * exactly ONE list, so no candidate dedup pass is needed.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = broadcast(ivfCentroids(corpus, idCol, vecCol, nlist, iters).cache())
+    val v = corpus.select(col(idCol).cast("long").as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("vec"))
+    // the inverted lists: corpus + norm, keyed by centroid
+    val inv = ivfAssign(v, cents)
+      .join(corpus.select(col(idCol).cast("long").as("id"),
+        col(vecCol).as("n_vec"), norm(col(vecCol)).as("n_norm")), "id")
+      .select(col("cid"), col("id").as("n_id"), col("n_vec"), col("n_norm"))
+    // nprobe nearest lists per query
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("__dist").asc, col("cid").asc)
+    val probes = queries
+      .select(col(idCol).cast("long").as("q_id"),
+        transform(col(vecCol), x => x.cast("double")).as("qd"),
+        col(vecCol).as("q_vec"), norm(col(vecCol)).as("q_norm"))
+      .crossJoin(cents)
+      .withColumn("__dist", l2sq(col("qd"), col("cvec")))
+      .withColumn("__rk", row_number().over(wq))
+      .filter(col("__rk") <= nprobe)
+      .select(col("q_id"), col("q_vec"), col("q_norm"), col("cid"))
+    val wr = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id").asc)
+    broadcast(probes).join(inv, "cid")
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim",
+        round(dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")), 6))
+      .withColumn("rk", row_number().over(wr))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("n_id"), col("sim"))
+  }
+
   /** embedding-cosine near-duplicate pairs above a threshold, via LSH
     * buckets (the embedding flavor of Dedup).
     */

@@ -185,6 +185,18 @@ object PipelineQueries extends QueryPack {
       },
       Some(annLshSql(k = 5, bits = 6, nProbes = 8, dims = 64))),
 
+    // IVF coarse-quantizer ANN — the inverted-list scale path next to
+    // LSH: deterministic k-means (6dp-rounded means make the floating
+    // point engine-portable), nprobe nearest lists per query, exact
+    // rescoring. The oracle unrolls the same Lloyd rounds as CTEs.
+    QueryDef("s04_ann_ivf",
+      (s, dir) => {
+        val emb = T(s, dir).embeddings
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), k = 5,
+          nlist = 16, nprobe = 4, iters = 2)
+      },
+      Some(annIvfSql(k = 5, nlist = 16, nprobe = 4, iters = 2, dims = 64))),
+
     // embedding-cosine near-duplicate pairs via the same md5-derived
     // LSH bucketing — the embedding flavor of dedup, exactly replayed
     // by the oracle (bucket join + rescoring, threshold on double cos)
@@ -299,6 +311,65 @@ object PipelineQueries extends QueryPack {
        |    round(${cosExpr("a_vec", "b_vec")}, 6) AS sim
        |  FROM cand)
        |SELECT id_a, id_b, sim FROM scored WHERE sim >= $threshold""".stripMargin
+  }
+
+  /** DuckDB rendition of Similarity.ivfTopK: the same deterministic
+    * k-means (init = nlist smallest ids, Lloyd rounds with 6dp-rounded
+    * per-dimension means), nearest-list assignment, nprobe probing and
+    * exact cosine rescoring, with every distance an ordered list fold
+    * so the doubles match Spark's bit-for-bit.
+    */
+  private def annIvfSql(k: Int, nlist: Int, nprobe: Int, iters: Int,
+      dims: Int): String = {
+    def l2(a: String, b: String): String =
+      s"list_sum(list_transform(list_zip($a, $b), p -> (p[1]-p[2])*(p[1]-p[2])))"
+    def assignCte(name: String, cents: String): String =
+      s"""$name AS (
+         |  SELECT id, cid, vec FROM (
+         |    SELECT v.id, v.vec, c.cid, row_number() OVER (PARTITION BY v.id
+         |      ORDER BY ${l2("v.vec", "c.cvec")} ASC, c.cid ASC) AS rk
+         |    FROM v, $cents c) WHERE rk = 1)""".stripMargin
+    def centsCte(name: String, assign: String): String =
+      s"""$name AS (
+         |  SELECT cid, list(round(m, 6) ORDER BY d) AS cvec FROM (
+         |    SELECT a.cid, ds.d, avg(a.vec[ds.d]) AS m
+         |    FROM $assign a, (SELECT unnest(range(1, ${dims + 1})) AS d) ds
+         |    GROUP BY a.cid, ds.d)
+         |  GROUP BY cid)""".stripMargin
+    val rounds = (1 to iters).flatMap { t =>
+      Seq(assignCte(s"a$t", s"c${t - 1}"), centsCte(s"c$t", s"a$t"))
+    }
+    val steps = Seq(
+      s"""v AS (SELECT vec_id AS id,
+         |  list_transform(embedding, x -> x::DOUBLE) AS vec FROM embeddings)""".stripMargin,
+      s"""c0 AS (SELECT CAST(id AS INT) AS cid, vec AS cvec
+         |  FROM v WHERE id < $nlist)""".stripMargin) ++
+      rounds ++ Seq(
+      assignCte("afin", s"c$iters"),
+      s"""inv AS (
+         |  SELECT a.cid, a.id AS n_id, a.vec AS n_vec,
+         |    sqrt(list_sum(list_transform(a.vec, x -> x * x))) AS n_norm
+         |  FROM afin a)""".stripMargin,
+      s"""probes AS (
+         |  SELECT q_id, q_vec, q_norm, cid FROM (
+         |    SELECT v.id AS q_id, v.vec AS q_vec,
+         |      sqrt(list_sum(list_transform(v.vec, x -> x * x))) AS q_norm,
+         |      c.cid, row_number() OVER (PARTITION BY v.id
+         |        ORDER BY ${l2("v.vec", "c.cvec")} ASC, c.cid ASC) AS rk
+         |    FROM v, c$iters c WHERE v.id < 20)
+         |  WHERE rk <= $nprobe)""".stripMargin,
+      s"""scored AS (
+         |  SELECT p.q_id, i.n_id,
+         |    round(list_sum(list_transform(list_zip(p.q_vec, i.n_vec),
+         |        s -> s[1] * s[2])) / (p.q_norm * i.n_norm), 6) AS sim
+         |  FROM probes p JOIN inv i USING (cid)
+         |  WHERE p.q_id != i.n_id)""".stripMargin,
+      s"""ranked AS (
+         |  SELECT q_id, n_id, sim, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, n_id ASC) AS rk
+         |  FROM scored)""".stripMargin)
+    "WITH " + steps.mkString(",\n") +
+      s"\nSELECT q_id, rk, n_id, sim FROM ranked WHERE rk <= $k"
   }
 
   /** DuckDB rendition of Dedup.ngramJaccardPairs (3-gram shingles,

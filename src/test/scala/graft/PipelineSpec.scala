@@ -69,6 +69,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(sims((1L, 3L)) == 1.0) // scale-invariant
   }
 
+  test("IVF top-k finds planted neighbors through the probed lists") {
+    // two tight clusters far apart + queries inside each: with enough
+    // probes the planted near-dup must surface as the top neighbor
+    val rnd = new scala.util.Random(7)
+    def jitter(base: Array[Float]): Array[Float] =
+      base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.01f)
+    val c1 = Array.fill(8)(1.0f) ++ Array.fill(8)(0.0f)
+    val c2 = Array.fill(8)(0.0f) ++ Array.fill(8)(1.0f)
+    val rows = (0L until 20L).map(i =>
+      (i, jitter(if (i % 2 == 0) c1 else c2)))
+    val vecs = rows.toDF("vec_id", "embedding")
+    val top = Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") < 2), k = 3,
+      nlist = 4, nprobe = 2, iters = 2, idCol = "vec_id", vecCol = "embedding")
+      .collect()
+    val byQ = top.groupBy(_.getLong(0))
+    // every top-3 neighbor of query 0 (cluster 1) is an even id, of
+    // query 1 (cluster 2) an odd id — lists kept the clusters apart
+    assert(byQ(0L).map(_.getLong(2)).forall(_ % 2 == 0))
+    assert(byQ(1L).map(_.getLong(2)).forall(_ % 2 == 1))
+    assert(byQ(0L).length == 3 && byQ(1L).length == 3)
+    // and the similarities are near 1 within a cluster
+    assert(top.forall(_.getDouble(3) > 0.99))
+  }
+
   test("brute top-k ranks by similarity with deterministic ties") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.1f)),
