@@ -53,6 +53,25 @@ object GraphdText {
     if (t.isEmpty) "0" else t
   }
 
+  /** does a NONZERO decimal fraction follow the digit run at `j`?
+    * ("-0.5" keeps its sign; "-0.0" and "-0" are zero)
+    */
+  private def fractionFollows(s: String, j: Int): Boolean = {
+    var i = j
+    val n = s.length
+    while (i < n && Character.isDigit(s.charAt(i))) i += 1
+    if (i >= n || s.charAt(i) != '.') return false
+    i += 1
+    var nonzero = false
+    var any = false
+    while (i < n && Character.isDigit(s.charAt(i))) {
+      any = true
+      if (s.charAt(i) != '0') nonzero = true
+      i += 1
+    }
+    any && nonzero
+  }
+
   // ---------- sort keys ----------
 
   /** Default-comparator collation key: lowercase; whitespace runs
@@ -76,11 +95,17 @@ object GraphdText {
       // alphanumeric, signs the number: "-9998" < "2008", while the
       // '-' inside "2008-05-03" stays plain punctuation (reference
       // datetime.sh r20: default-comparator value>"2008" excludes
-      // negative-year strings).
-      val signedNeg = c == '-' && i + 1 < n && Character.isDigit(s.charAt(i + 1)) &&
+      // negative-year strings). '+' in the same position is an
+      // ignorable sign ("+0" = "0"), and "-0" is zero, not negative
+      // (test/unit/value.sh zero grouping).
+      val atSign = isSignCh(c) && i + 1 < n && Character.isDigit(s.charAt(i + 1)) &&
         (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1)))
-      if (signedNeg || Character.isDigit(c)) {
-        if (signedNeg) i += 1
+      val signedNeg = atSign && c == '-' &&
+        // negative zero is zero unless a nonzero fraction follows
+        !(s.substring(i + 1).takeWhile(Character.isDigit).forall(_ == '0') &&
+          !fractionFollows(s, i + 1))
+      if (atSign || Character.isDigit(c)) {
+        if (atSign) i += 1
         val j = i
         while (i < n && Character.isDigit(s.charAt(i))) i += 1
         val digits = s.substring(j, i)
@@ -108,6 +133,22 @@ object GraphdText {
         while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
         sb.append(' ')
         prevIntRun = false
+      } else if (c == '.' && !prevIntRun && i + 1 < n &&
+          Character.isDigit(s.charAt(i + 1)) &&
+          (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1)))) {
+        // fraction-only decimal at a word boundary: ".5" is the number
+        // 0.5 (the word scanner's number rule), and ".0" IS "0" —
+        // value.sh golden: value>="foo .0" includes "foo +0"/"foo -0"
+        val allZero = s.substring(i + 1).takeWhile(Character.isDigit).forall(_ == '0')
+        sb.append('\u0001').append(f"${1}%04x").append('0')
+        if (allZero) {
+          i += 1
+          while (i < n && Character.isDigit(s.charAt(i))) i += 1
+          prevIntRun = false
+        } else {
+          // leave '.' for the regular decimal-point path
+          prevIntRun = true
+        }
       } else {
         // '.' between an int run and digits is the decimal point: keep
         // prevIntRun so the next run reads as a fraction
@@ -290,131 +331,354 @@ object GraphdText {
   }
 
   // ---------- ~= matching ----------
+  // Faithful rebuild of the reference's default-comparator glob engine
+  // (graphd/graphd-comparator-default.c:87-560 glob_match / glob_step /
+  // number_match, over libpdb/pdb-word.c:625 word fragments):
+  // case-insensitive whole-word matching over the RAW value text with
+  // `*` wildcards, `^`/`$` anchors, `\x` literal-adjacency escapes,
+  // punctuation elision, and number-aware words — a numeric pattern
+  // word matches a value number as written or after normalization
+  // ("7" matches "007" and "7.0" but not "7x" or "0.7"; ".0" matches
+  // only a literal ".0" — test/unit/value.sh golden).
 
-  /** `value ~= pattern` (graphd/graphd-comparator-default.c:57-88):
-    * case-insensitive word-sequence match with punctuation elision.
-    *  - pattern words must appear as a contiguous word subsequence
-    *  - `*` inside a word is an in-word wildcard
-    *  - leading `^` anchors at the first word, trailing `$` at the last
-    *  - numbers are normalized before comparison ("007" matches "7")
+  private def isWordCh(c: Char): Boolean = c >= 0x80 || Character.isLetterOrDigit(c)
+  private def isSpaceCh(c: Char): Boolean =
+    c < 0x80 && (c == ' ' || (c >= '\t' && c <= '\r'))
+  // the comparator's punctuation class: any ASCII non-word non-space
+  private def isCmpPunct(c: Char): Boolean =
+    c < 0x80 && !Character.isLetterOrDigit(c) && !isSpaceCh(c)
+  // the word scanner's (printable) punctuation class
+  private def isPdbPunct(c: Char): Boolean =
+    c > ' ' && c < 0x7f && !Character.isLetterOrDigit(c)
+  private def isDigitCh(c: Char): Boolean = c < 0x80 && Character.isDigit(c)
+  private def isSignCh(c: Char): Boolean = c == '+' || c == '-'
+  private def isNumWordCh(c: Char): Boolean = isWordCh(c) || c == '.' || isSignCh(c)
+  private def isBreakCh(c: Char): Boolean =
+    isSpaceCh(c) || (isPdbPunct(c) && c != '-' && c != '+')
+  private def chEq(a: Char, b: Char): Boolean =
+    (if (a < 0x80) Character.toLowerCase(a) else a) ==
+      (if (b < 0x80) Character.toLowerCase(b) else b)
+
+  private[graft] final val FragNumber = 0
+  private[graft] final val FragAtom = 1
+  private[graft] final val FragSpace = 2
+  private[graft] final val FragPunct = 3
+
+  /** next word fragment of `s` at `from`: (start, end, kind). A number
+    * is [sign] digits [. digits] bounded by non-word characters; a
+    * sign counts only at the start of text or after a break, and
+    * dotted hierarchies (1.2.3) split one segment at a time
+    * (libpdb/pdb-word.c:625 pdb_word_fragment_next).
     */
-  def matches(value: String, pattern: String): Boolean = {
-    if (value == null || pattern == null) return false
-    // a backslash surviving the lexer makes its punctuation a LITERAL
-    // adjacency constraint instead of an elided separator: the wire
-    // pattern ^User\\:* matches "User:foo" but not "User : foo"
-    // (reference goldens substring2/substring3; the single-backslash
-    // form is consumed by the lexer and stays on the elision path)
-    if (pattern.length > 1 && pattern.indexOf('\\') >= 0 &&
-        pattern.indexOf('\\') < pattern.length - 1)
-      return escapedMatches(value, pattern)
-    var pat = pattern
-    val anchorStart = pat.startsWith("^")
-    if (anchorStart) pat = pat.substring(1)
-    val anchorEnd = pat.endsWith("$") && !pat.endsWith("\\$")
-    if (anchorEnd) pat = pat.substring(0, pat.length - 1)
-
-    val vw = words(value)
-    val groups = patternWordGroups(pat)
-    if (groups.flatten.isEmpty) return true
-
-    // punctuation-joined pattern words match either split or joined:
-    // "foo-bar" matches both "foo bar" and "foobar" (reference golden
-    // test/unit/substring.sh: foo-bar hits fOO BaR baZ AND foobar),
-    // while space-separated "foo bar" never matches "foobar".
-    def variants: Seq[Seq[String]] = {
-      val multi = groups.count(_.length > 1)
-      if (multi == 0 || multi > 6) Seq(groups.flatten)
-      else groups.foldLeft(Seq(Seq.empty[String])) { (acc, g) =>
-        val choices: Seq[Seq[String]] =
-          if (g.length > 1) Seq(g, Seq(g.mkString)) else Seq(g)
-        for (a <- acc; c <- choices) yield a ++ c
+  private[graft] def fragmentNext(s: String, from: Int): Option[(Int, Int, Int)] = {
+    val e = s.length
+    if (from >= e) return None
+    var r = from
+    if (isSignCh(s.charAt(r)) && (r == 0 || isBreakCh(s.charAt(r - 1)))) r += 1
+    val preS = r
+    while (r < e && isDigitCh(s.charAt(r))) r += 1
+    val preE = r
+    if ((preS == 0 || s.charAt(preS - 1) != '.') &&
+        (preS < preE || r == 0 || !isDigitCh(s.charAt(r - 1))) &&
+        r < e && s.charAt(r) == '.') {
+      r += 1
+      val postS = r
+      while (r < e && isDigitCh(s.charAt(r))) r += 1
+      val postE = r
+      if ((r >= e || !isWordCh(s.charAt(r))) && (postE > postS || preE > preS)) {
+        if (r >= e || s.charAt(r) != '.') return Some((from, r, FragNumber))
+        if (preS < preE) return Some((from, preE, FragNumber))
+        return Some((from, postS, FragPunct))
       }
     }
-
-    def wordMatch(pw: String, w: String): Boolean =
-      if (pw.contains('*')) globMatch(pw, w) else pw == w
-
-    def seqMatch(pw: Seq[String]): Boolean = {
-      def matchAt(start: Int): Boolean =
-        pw.indices.forall(k => start + k < vw.length && wordMatch(pw(k), vw(start + k)))
-      val starts: Seq[Int] =
-        if (anchorStart) Seq(0)
-        else if (anchorEnd) Seq(vw.length - pw.length).filter(_ >= 0)
-        else 0 to (vw.length - pw.length)
-      starts.exists { st =>
-        matchAt(st) &&
-          (!anchorEnd || st + pw.length == vw.length) &&
-          (!anchorStart || st == 0)
-      }
+    if (preS < preE && (preE == e || !isWordCh(s.charAt(preE))))
+      return Some((from, preE, FragNumber))
+    r = from
+    if (isWordCh(s.charAt(r))) {
+      r += 1
+      while (r < e && isWordCh(s.charAt(r))) r += 1
+      Some((from, r, FragAtom))
+    } else if (isSpaceCh(s.charAt(r))) {
+      r += 1
+      while (r < e && isSpaceCh(s.charAt(r))) r += 1
+      Some((from, r, FragSpace))
+    } else {
+      r += 1
+      while (r < e && isPdbPunct(s.charAt(r)) &&
+          !(isSignCh(s.charAt(r)) && isBreakCh(s.charAt(r - 1)))) r += 1
+      Some((from, r, FragPunct))
     }
-
-    variants.exists(seqMatch)
   }
 
-  /** Escaped-punctuation matcher: compiles the pattern to a regex over
-    * the RAW value. Word runs stay case-insensitive literals (numbers
-    * normalized), unescaped punctuation is an optional separator,
-    * whitespace a required one, `*` an in-word wildcard — but `\x`
-    * demands the exact character adjacent, which the word-sequence
-    * matcher cannot express.
+  /** number normalization (libpdb/pdb-word.c:782): drop '+', -0 is 0,
+    * strip leading integer zeros and trailing fraction zeros, drop a
+    * bare trailing point, ".15" becomes "0.15"
     */
-  private def escapedMatches(value: String, pattern0: String): Boolean = {
-    var pat = pattern0
-    val aStart = pat.startsWith("^")
-    if (aStart) pat = pat.substring(1)
-    val aEnd = pat.endsWith("$") && !pat.endsWith("\\$")
-    if (aEnd) pat = pat.substring(0, pat.length - 1)
-    val Sep = "[^\\p{L}\\p{N}]"
-    val sb = new StringBuilder
+  private[graft] def normalizeNumber(t: String): String = {
     var i = 0
-    val n = pat.length
-    // token boundary class of the last literal run: word tokens split
-    // at letter/digit transitions (words("foo7") = foo,7), so a letter
-    // run is whole-word before a digit and vice versa
-    var lastRun: Char = ' ' // 'L' letter, 'N' digit, other = none
-    while (i < n) {
-      val c = pat.charAt(i)
-      if (c == '\\' && i + 1 < n) {
-        val e = pat.charAt(i + 1)
-        sb.append(java.util.regex.Pattern.quote(e.toString))
-        lastRun = if (Character.isLetter(e)) 'L'
-          else if (Character.isDigit(e)) 'N' else ' '
-        i += 2
-      } else if (Character.isLetter(c)) {
-        val j = i
-        while (i < n && Character.isLetter(pat.charAt(i))) i += 1
-        sb.append(java.util.regex.Pattern.quote(pat.substring(j, i)))
-        lastRun = 'L'
-      } else if (Character.isDigit(c)) {
-        val j = i
-        while (i < n && Character.isDigit(pat.charAt(i))) i += 1
-        sb.append("0*").append(normNumber(pat.substring(j, i)))
-        lastRun = 'N'
-      } else if (c == '*') {
-        sb.append("[\\p{L}\\p{N}]*"); lastRun = ' '; i += 1
-      } else if (Character.isWhitespace(c)) {
-        while (i < n && Character.isWhitespace(pat.charAt(i))) i += 1
-        sb.append(Sep + "+"); lastRun = ' '
+    var sign = ""
+    if (i < t.length && isSignCh(t.charAt(i))) {
+      if (t.charAt(i) == '-') sign = "-"
+      i += 1
+    }
+    val dot = t.indexOf('.', i)
+    var intP = if (dot >= 0) t.substring(i, dot) else t.substring(i)
+    var frac = if (dot >= 0) t.substring(dot + 1) else ""
+    frac = frac.reverse.dropWhile(_ == '0').reverse
+    intP = { val x = intP.dropWhile(_ == '0'); if (x.isEmpty) "0" else x }
+    if (intP == "0" && frac.isEmpty) sign = ""
+    if (frac.isEmpty) sign + intP else sign + intP + "." + frac
+  }
+
+  private def onlyZerosStars(p: String, s: Int, e: Int): Boolean = {
+    var i = s
+    while (i < e) {
+      if (p.charAt(i) != '0' && p.charAt(i) != '*') return false
+      i += 1
+    }
+    true
+  }
+
+  private def allStars(p: String, s: Int, e: Int): Boolean = {
+    if (s >= e) return false
+    var i = s
+    while (i < e) { if (p.charAt(i) != '*') return false; i += 1 }
+    true
+  }
+
+  /** match a numeric pattern word against one number's text
+    * (graphd-comparator-default.c:187): a leading '+' demands a
+    * non-negative number, pattern leading zeros are ignored, '*' skips
+    * sign/digit runs without crossing the decimal point, everything
+    * else compares case-insensitively; a trailing ".000"/".0*" in the
+    * pattern may match a fraction-less number.
+    */
+  private def numberMatch(pat: String, ps0: Int, pe: Int,
+      txt: String, ts: Int, r0: Int, e: Int): Boolean = {
+    var ps = ps0
+    var r = r0
+    var inWord = false
+    if (ps < pe && pat.charAt(ps) == '+') {
+      if (r < e && txt.charAt(r) == '-') return false
+      if (r < e && txt.charAt(r) == '+') r += 1
+      ps += 1
+    }
+    while (pe - ps >= 2 && pat.charAt(ps) == '0' && isDigitCh(pat.charAt(ps + 1))) ps += 1
+    while (true) {
+      if (ps >= pe || isSpaceCh(pat.charAt(ps))) {
+        if (inWord) {
+          if (r < e && isNumWordCh(txt.charAt(r))) return false
+          inWord = false
+        }
+        if (ps >= pe) return true
+        ps += 1
+      } else if (pat.charAt(ps) == '$' && ps + 1 == pe) {
+        while (r < e && !isNumWordCh(txt.charAt(r))) r += 1
+        return r >= e
+      } else if (pat.charAt(ps) == '*') {
+        while (ps < pe && pat.charAt(ps) == '*') ps += 1
+        if (!inWord) {
+          while (r < e && !isNumWordCh(txt.charAt(r))) r += 1
+          if (r >= e) return false
+          inWord = true
+        }
+        if (ps >= pe || (pat.charAt(ps) != '\\' && !isNumWordCh(pat.charAt(ps)))) {
+          while (r < e && isNumWordCh(txt.charAt(r)) && txt.charAt(r) != '.') r += 1
+          inWord = false
+        } else {
+          var ch = 'a'
+          if (pe - ps >= 2 && pat.charAt(ps) == '\\') ch = pat.charAt(ps + 1)
+          var hit = false
+          while (!hit && r < e && (txt.charAt(r) == ch ||
+              (isNumWordCh(txt.charAt(r)) && txt.charAt(r) != '.'))) {
+            if (numberMatch(pat, ps, pe, txt, ts, r, e)) hit = true else r += 1
+          }
+          if (hit) return true
+          // no split matched: fall through with the pattern parked
+          // after the asterisks and r at the stop position
+        }
+      } else if (ps + 1 < pe && pat.charAt(ps) == '\\') {
+        ps += 1
+        if (!inWord) {
+          while (r < e && !isNumWordCh(txt.charAt(r)) && txt.charAt(r) != pat.charAt(ps)) r += 1
+          inWord = true
+        }
+        if (r < e && txt.charAt(r) == pat.charAt(ps)) { ps += 1; r += 1 }
+        else return false
+      } else if (isCmpPunct(pat.charAt(ps)) && !isNumWordCh(pat.charAt(ps))) {
+        if (inWord && (r >= e || !isWordCh(txt.charAt(r)))) inWord = false
+        ps += 1
       } else {
-        sb.append(Sep + "*"); lastRun = ' '; i += 1
+        if (!inWord) {
+          while (r < e && !isNumWordCh(txt.charAt(r)) && txt.charAt(r) != pat.charAt(ps)) r += 1
+          inWord = true
+        }
+        var run = true
+        while (run && ps < pe && isNumWordCh(pat.charAt(ps))) {
+          if (r >= e && pat.charAt(ps) == '.' &&
+              onlyZerosStars(pat, ps + 1, pe) && {
+                val di = txt.indexOf('.', ts); di < 0 || di >= e
+              }) return true
+          if (r >= e || !chEq(txt.charAt(r), pat.charAt(ps))) return false
+          ps += 1
+          r += 1
+          run = ps < pe && isNumWordCh(pat.charAt(ps))
+        }
       }
     }
-    val prefix = if (aStart) "\\A" + Sep + "*" else "(?<![\\p{L}\\p{N}])"
-    // unanchored patterns still end on a whole word: 'User\:foo' must
-    // not match 'User:foobar' (trailing boundary mirrors the leading
-    // lookbehind and the non-escaped matcher's whole-word equality)
-    val suffix =
-      if (aEnd) Sep + "*\\z"
-      else lastRun match {
-        case 'L' => "(?!\\p{L})"
-        case 'N' => "(?!\\p{N})"
-        case _ => ""
+    false
+  }
+
+  /** one alignment attempt of the full pattern from (pr0, r0)
+    * (graphd-comparator-default.c:327 glob_step)
+    */
+  private def globStep(shadow: String, pat: String, pr0: Int,
+      txt: String, r0: Int): Boolean = {
+    val pe = pat.length
+    val e = txt.length
+    var pr = pr0
+    var r = r0
+    var inWord = false
+    while (true) {
+      if (pr >= pe || isSpaceCh(pat.charAt(pr))) {
+        if (inWord) {
+          if (r < e && isWordCh(txt.charAt(r))) return false
+          inWord = false
+        }
+        if (pr >= pe) return true
+        pr += 1
+      } else if (pat.charAt(pr) == '$' && pr + 1 == pe) {
+        while (r < e && !isWordCh(txt.charAt(r))) r += 1
+        return r >= e
+      } else {
+        // a numeric pattern word decides against the next value number
+        // (raw, then normalized); anything else falls through
+        val numVerdict: Int = fragmentNext(shadow, pr) match {
+          case Some((pwS, pwE, FragNumber)) =>
+            var myR = r
+            if (!inWord) while (myR < e && !isNumWordCh(txt.charAt(myR))) myR += 1
+            fragmentNext(txt, myR) match {
+              case Some((twS, twE, FragNumber)) =>
+                val ok = allStars(pat, pwS, pwE) ||
+                  numberMatch(pat, pwS, pwE, txt, twS, twS, twE) || {
+                    val nrm = normalizeNumber(txt.substring(twS, twE))
+                    numberMatch(pat, pwS, pwE, nrm, 0, 0, nrm.length)
+                  }
+                if (ok) { pr = pwE; r = twE; 1 } else 0
+              case _ => -1
+            }
+          case _ => -1
+        }
+        if (numVerdict == 0) return false
+        else if (numVerdict < 0) {
+          if (pat.charAt(pr) == '*') {
+            var ch = 'a'
+            while (pr < pe && pat.charAt(pr) == '*') pr += 1
+            if (pe - pr >= 2 && pat.charAt(pr) == '\\') ch = pat.charAt(pr + 1)
+            if (!inWord) {
+              while (r < e && !isWordCh(txt.charAt(r)) && txt.charAt(r) != ch) r += 1
+              if (r >= e) return false
+              inWord = true
+            }
+            if (pr >= pe || (pat.charAt(pr) != '\\' && !isWordCh(pat.charAt(pr)))) {
+              // '*' alone: skip one word
+              while (r < e && isWordCh(txt.charAt(r))) r += 1
+              inWord = false
+            } else {
+              // '*' as a word fragment: try every split point
+              val rw = r
+              while (r < e && ((r == rw && txt.charAt(r) == ch) || isWordCh(txt.charAt(r)))) {
+                if (globStep(shadow, pat, pr, txt, r)) return true
+                r += 1
+              }
+              return false
+            }
+          } else if (pr + 1 < pe && pat.charAt(pr) == '\\') {
+            // escaped character: literal, adjacent, case-sensitive
+            pr += 1
+            if (!inWord) {
+              while (r < e && !isWordCh(txt.charAt(r)) && txt.charAt(r) != pat.charAt(pr)) r += 1
+              inWord = true
+            }
+            if (r < e && txt.charAt(r) == pat.charAt(pr)) { pr += 1; r += 1 }
+            else return false
+          } else if (isCmpPunct(pat.charAt(pr))) {
+            // unescaped punctuation: elided word separator
+            if (inWord && (r >= e || !isWordCh(txt.charAt(r)))) inWord = false
+            pr += 1
+          } else {
+            // literal word characters
+            if (!inWord) {
+              while (r < e && !isWordCh(txt.charAt(r)) && txt.charAt(r) != pat.charAt(pr)) r += 1
+              inWord = true
+            }
+            while (pr < pe && isWordCh(pat.charAt(pr))) {
+              if (r >= e || !chEq(txt.charAt(r), pat.charAt(pr))) return false
+              pr += 1
+              r += 1
+            }
+          }
+        }
       }
-    java.util.regex.Pattern
-      .compile(prefix + sb + suffix,
-        java.util.regex.Pattern.CASE_INSENSITIVE | java.util.regex.Pattern.UNICODE_CASE)
-      .matcher(value).find()
+    }
+    false
+  }
+
+  /** `value ~= pattern` (graphd-comparator-default.c:483 glob_match) */
+  def matches(value: String, pattern: String): Boolean = {
+    if (value == null || pattern == null) return false
+    val e = value.length
+    // the shadow pattern replaces escapes with 'x' and '*' with '0' so
+    // the word scanner sees the pattern's fragment structure
+    val shadow = {
+      val sb = new StringBuilder(pattern.length)
+      var i = 0
+      var esc = false
+      while (i < pattern.length) {
+        val c = pattern.charAt(i)
+        if (!esc) {
+          if (c == '\\') { esc = true; sb.append('x') }
+          else sb.append(if (c == '*') '0' else c)
+        } else { sb.append('x'); esc = false }
+        i += 1
+      }
+      sb.toString
+    }
+    if (pattern.nonEmpty && pattern.charAt(0) == '^')
+      return globStep(shadow, pattern, 1, value, 0)
+
+    var patPot = 0
+    while (patPot < pattern.length && pattern.charAt(patPot) == '*') patPot += 1
+    var ch = 'a'
+    var chPot = 'a'
+    if (pattern.length >= 2 && pattern.charAt(0) == '\\') {
+      ch = pattern.charAt(1); chPot = pattern.charAt(1)
+    } else if (pattern.length - patPot >= 2 && pattern.charAt(patPot) == '\\')
+      chPot = pattern.charAt(patPot + 1)
+    val patIsNumber = fragmentNext(shadow, 0).exists(_._3 == FragNumber)
+
+    var s = 0
+    while (s < e) {
+      // skip to the next plausible start
+      while (s < e && value.charAt(s) != chPot &&
+          (if (patIsNumber) !isNumWordCh(value.charAt(s)) else !isWordCh(value.charAt(s)))) s += 1
+      if (globStep(shadow, pattern, 0, value, s)) return true
+      if (patIsNumber) {
+        fragmentNext(value, s) match {
+          case Some((_, fe, _)) => s = fe
+          case None =>
+            s += 1
+            while (s < e && isWordCh(value.charAt(s))) s += 1
+        }
+      } else {
+        s += 1
+        while (s < e && (value.charAt(s) == ch || isWordCh(value.charAt(s)))) s += 1
+      }
+    }
+    // a pattern with no word characters and no escapes matches anything
+    var p = 0
+    while (p < pattern.length && pattern.charAt(p) != '\\' && !isWordCh(pattern.charAt(p))) p += 1
+    p >= pattern.length
   }
 
   /** first pattern word usable as an inverted-index key: a fully
@@ -423,6 +687,10 @@ object GraphdText {
     */
   def firstIndexWord(pattern: String): Option[String] = {
     if (pattern.indexOf('\\') >= 0) return None // literal-escape path
+    // fractional number patterns match values under NORMALIZATION
+    // ("0.5" matches ".50"), whose digit-run words (["50"]) need not
+    // contain any pattern word — no sound index key exists
+    if (pattern.matches(""".*\.\d.*""")) return None
     var p = pattern
     if (p.startsWith("^")) p = p.substring(1)
     if (p.endsWith("$") && !p.endsWith("\\$")) p = p.substring(0, p.length - 1)
@@ -440,6 +708,7 @@ object GraphdText {
     */
   def firstIndexPrefix(pattern: String): Option[String] = {
     if (pattern.indexOf('\\') >= 0) return None // literal-escape path
+    if (pattern.matches(""".*\.\d.*""")) return None // see firstIndexWord
     var p = pattern
     if (p.startsWith("^")) p = p.substring(1)
     if (p.endsWith("$") && !p.endsWith("\\$")) p = p.substring(0, p.length - 1)

@@ -92,10 +92,8 @@ object Datatype {
 
   def name(b: Byte): String = names.getOrElse(b, b.toString)
   def code(s: String): Option[Byte] =
-    codes.get(s.toLowerCase).orElse(s.toByte match {
-      case b if b >= 1 && b <= 9 => Some(b)
-      case _ => None
-    })
+    codes.get(s.toLowerCase).orElse(
+      s.toByteOption.filter(b => b >= 1 && b <= 9))
 }
 
 /** GUID wire codec (doc/gr-model.txt:23-51, libgraph/graph-guid.c

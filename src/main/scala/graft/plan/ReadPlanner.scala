@@ -312,6 +312,10 @@ object ReadPlanner {
           }.reduce(_ && _)
         case OpMatch =>
           p.values.flatten.map(v => gmatch(column, lit(v))).reduce(_ || _)
+        case rangeOp if p.values.flatten.isEmpty =>
+          // a range against an empty value list matches nothing
+          // (value.sh golden: value>=() answers EMPTY)
+          lit(false)
         case rangeOp =>
           val v = p.values.flatten.headOption.getOrElse("")
           val key = sort_key(column, comparator)

@@ -56,8 +56,17 @@ object Writer {
     * not collide or timestamp sorts become nondeterministic.
     */
   private val lastTs = new java.util.concurrent.atomic.AtomicLong(0L)
-  private def now(): Long =
-    lastTs.updateAndGet(prev => Math.max(System.currentTimeMillis() * 1000L, prev + 1))
+  /** replay hook: a deterministic tick (the reference's test mode
+    * stamps writes 1970-01-01T00:00:00.0000Z, .0001Z, ... so golden
+    * sessions are byte-reproducible — rungraphd -t). When set, each
+    * append draws ticks of 100µs from here instead of the wall clock.
+    */
+  @volatile private[graft] var tickMicros: Option[java.util.concurrent.atomic.AtomicLong] = None
+  private def now(): Long = tickMicros match {
+    case Some(t) => t.getAndAdd(100L)
+    case None =>
+      lastTs.updateAndGet(prev => Math.max(System.currentTimeMillis() * 1000L, prev + 1))
+  }
 
   /** Append a batch of specs atomically; returns (new store, new ids).
     * Lineage: a spec with prev=P inherits P's lineage (chain heads are
@@ -420,8 +429,11 @@ object Writer {
     */
   def writeKeyed(store: GraphStore, spec: Spec, fields: Seq[String])
       : (GraphStore, Long, String) = {
+    // multiple key-equal candidates: the reference's embedded key-read
+    // produces ids in index order, so the LOWEST id wins (spacematch
+    // golden: two normalized-equal values, the older one is reused)
     val m = matchExisting(store, spec, fields)
-      .orderBy(col("id").desc).limit(1).collect()
+      .orderBy(col("id").asc).limit(1).collect()
     if (m.isEmpty) {
       val (st, ids) = append(store, Seq(spec))
       (st, ids.head, "inserted")

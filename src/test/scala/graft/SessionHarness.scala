@@ -1,0 +1,246 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types.StructType
+
+import graft.gql._
+import graft.model.{Datatype, GTimestamp}
+import graft.plan.ReadPlanner
+import graft.store.GraphStore
+import graft.write.Writer
+
+/** Replays a reference golden session (test/unit sessions) against the
+  * engine and renders responses in the reference's wire form: the same
+  * guid database id, the same test-mode timestamps (0.0000Z + 100µs
+  * per write), the reference's default read pattern
+  * (graphd/graphd-pattern.c:38-59) and nested write results
+  * (doc/gr-protocol.txt:881). Output lines byte-compare against the
+  * session's .out.exp — except that responses to UNSORTED reads
+  * compare as tuple multisets, because the reference's production
+  * order there is an iterator artifact (value-index bin order), not a
+  * semantic guarantee.
+  */
+object SessionHarness {
+
+  // the reference test databases all carry this id (rungraphd -ty)
+  private val RefDb = "0000001240003456"
+  private val SerialBase = 0x8000000000000000L
+
+  def refGuid(id: Long): String =
+    RefDb + f"${SerialBase + id - 1}%016x"
+
+  /** commands of one session: heredoc body lines, parens-balanced.
+    * An UNQUOTED heredoc marker (<<-EOF) gets the shell's backslash
+    * processing: `\\` collapses to `\` (so the wire sees single
+    * escapes — substring.sh); a quoted marker (<<-'EOF') passes text
+    * through verbatim.
+    */
+  def parseScript(sh: String): Seq[String] = {
+    val lines = sh.linesIterator.toSeq
+    val body = scala.collection.mutable.ArrayBuffer.empty[String]
+    var in = false
+    var quoted = false
+    for (l <- lines) {
+      val t = l.trim
+      if (!in && l.contains("<<-")) { in = true; quoted = l.contains("'EOF'") }
+      else if (in && t == "EOF") in = false
+      else if (in) body +=
+        (if (quoted) t
+         else t.replace("\\\\", "\u0000").replace("\\$", "$")
+           .replace("\\`", "`").replace("\u0000", "\\"))
+    }
+    // join continuation lines until parens balance outside strings
+    val cmds = scala.collection.mutable.ArrayBuffer.empty[String]
+    var cur = new StringBuilder
+    def balanced(s: String): Boolean = {
+      var depth = 0; var inStr = false; var i = 0
+      while (i < s.length) {
+        s.charAt(i) match {
+          case '\\' if inStr => i += 1
+          case '"' => inStr = !inStr
+          case '(' if !inStr => depth += 1
+          case ')' if !inStr => depth -= 1
+          case _ =>
+        }
+        i += 1
+      }
+      depth <= 0 && !inStr
+    }
+    for (l <- body if l.nonEmpty) {
+      cur.append(if (cur.isEmpty) l else " " + l)
+      if (balanced(cur.toString)) { cmds += cur.toString; cur = new StringBuilder }
+    }
+    if (cur.nonEmpty) cmds += cur.toString
+    cmds.toSeq
+  }
+
+  /** reference guid literals → this engine's decimal ids */
+  private def translateGuids(cmd: String): String =
+    "[0-9a-f]{32}".r.replaceAllIn(cmd, m => {
+      val hex = m.matched
+      if (hex.startsWith(RefDb))
+        (java.lang.Long.parseUnsignedLong(hex.substring(16), 16) - SerialBase + 1).toString
+      else hex
+    })
+
+  /** split `read id="a" asof="x" (...)` into (verb, echoId, rewritten
+    * command with non-id modifiers folded into the constraint body)
+    */
+  private def splitModifiers(cmd0: String): (String, Option[String], String) = {
+    val cmd = cmd0.trim
+    val verb = cmd.takeWhile(!_.isWhitespace)
+    val open = cmd.indexOf('(')
+    val pre = cmd.substring(verb.length, if (open < 0) cmd.length else open)
+    val mods = """([-\w]+)=("[^"]*"|\S+)""".r.findAllMatchIn(pre).toSeq
+    val echo = mods.collectFirst {
+      case m if m.group(1) == "id" => m.group(2).stripPrefix("\"").stripSuffix("\"")
+    }
+    val keep = mods.filter(_.group(1) != "id").map(_.matched)
+    val rest = if (open < 0) "()" else cmd.substring(open + 1)
+    (verb, echo, verb + " (" + keep.mkString(" ") + (if (keep.nonEmpty) " " else "") + rest)
+  }
+
+  /** the reference's default read pattern (node fields; right/left are
+    * appended by the renderer for link rows only)
+    */
+  private val DefaultReadFields = Seq(
+    "guid", "type", "name", "datatype", "value", "scope",
+    "live", "archival", "timestamp", "right", "left")
+
+  private def defaultReadResult: Pattern =
+    ListPat(Seq(ListPat(DefaultReadFields.map(FieldPat(_)))))
+
+  private val GuidFields =
+    Set("guid", "type", "typeguid", "left", "right", "scope", "previous", "prev")
+
+  private def renderValue(name: String, v: Any): String = v match {
+    case null => "null"
+    case _ if GuidFields(name.replaceAll("_\\d+$", "")) => refGuid(v.asInstanceOf[Long])
+    case _ if name.startsWith("datatype") || name.startsWith("valuetype") =>
+      Datatype.name(v.asInstanceOf[Number].byteValue)
+    case _ if name.startsWith("timestamp") => GTimestamp.render(v.asInstanceOf[Long])
+    case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    case b: Boolean => if (b) "true" else "false"
+    case rows: scala.collection.Seq[_] => // contents: child tuples spliced
+      rows.map { case r: Row => renderTuple(r, r.schema, dropLinkless = false) }
+        .mkString("(", " ", ")")
+    case other => other.toString
+  }
+
+  /** one row → one parenthesized tuple; when the default pattern is in
+    * play, trailing right/left render only for link rows
+    */
+  private def renderTuple(row: Row, schema: StructType,
+      dropLinkless: Boolean): String = {
+    val names = schema.fields.map(_.name)
+    val vals = names.zipWithIndex.map { case (n, i) => (n, row.get(i)) }
+    val kept =
+      if (dropLinkless && names.takeRight(2).sameElements(Array("right", "left")) &&
+          vals.takeRight(2).forall(_._2 == null))
+        vals.dropRight(2)
+      else vals
+    kept.map { case (n, v) => renderValue(n, v) }.mkString("(", " ", ")")
+  }
+
+  final case class Replayed(lines: Seq[String], sortedRead: Seq[Boolean])
+
+  /** run every command against a fresh store; returns one response
+    * line per command plus whether that response order is semantic
+    * (sorted read / write) or an iterator artifact (unsorted read)
+    */
+  def replay(spark: org.apache.spark.sql.SparkSession, cmds: Seq[String]): Replayed = {
+    var store = GraphStore.fromSeq(spark, Seq.empty)
+    Writer.tickMicros = Some(new java.util.concurrent.atomic.AtomicLong(0L))
+    try {
+      val out = cmds.map { raw =>
+        val (verb, echo, cmd) = splitModifiers(translateGuids(raw))
+        val prefix = echo.map(i => s"""id="$i" """).getOrElse("")
+        def okLine(payload: String) = s"ok $prefix$payload".trim
+        // the reference echoes request modifiers AFTER the error code:
+        // `error EMPTY id="n" "not found"` (value.sh golden)
+        def errLine(code: String, msg: String) =
+          s"""error $code $prefix"${msg.replace("\"", "\\\"")}""""
+        try {
+          if (verb == "write") {
+            val tmpl = Parser.parseRead(cmd)
+            val (st2, ids) = Writer.write(store, cmd)
+            store = st2
+            var k = -1
+            def walk(c: Constraint): String = {
+              k += 1
+              val g = refGuid(ids(k))
+              (g +: c.subs.map(walk)).mkString("(", " ", ")")
+            }
+            (okLine(walk(tmpl)), true)
+          } else if (verb == "read") {
+            val c0 = Parser.parseRead(cmd)
+            val injected = c0.result.isEmpty
+            val c = if (injected) c0.copy(result = Some(defaultReadResult)) else c0
+            val df = ReadPlanner.plan(store, c)
+            val rows = df.collect()
+            if (rows.isEmpty) (errLine("EMPTY", "not found"), true)
+            else {
+              // result=(x y) (single parens) renders the SET as one
+              // tuple of the first match; result=((x y)) per row
+              val singleTuple = c0.result.exists {
+                case ListPat(items) =>
+                  items.nonEmpty && !items.exists(_.isInstanceOf[ListPat])
+                case _ => false
+              }
+              val tuples = rows.map(r => renderTuple(r, df.schema, dropLinkless = injected))
+              if (singleTuple) (okLine(tuples.head), c0.sort.nonEmpty)
+              else (okLine(tuples.mkString("(", " ", ")")), c0.sort.nonEmpty)
+            }
+          } else (s"# unsupported verb $verb", true)
+        } catch {
+          case e: Writer.WriteError => (errLine(e.code, e.msg), true)
+          case e: Parser.ParseError => (errLine("SEMANTICS", e.getMessage), true)
+        }
+      }
+      Replayed(out.map(_._1), out.map(_._2))
+    } finally Writer.tickMicros = None
+  }
+
+  /** top-level tuples of an `ok (...)` line, for order-insensitive
+    * comparison of unsorted reads
+    */
+  def topLevelTuples(line: String): Option[(String, Seq[String])] = {
+    if (!line.startsWith("ok ")) return None
+    val body = line.substring(3).trim
+    if (!body.startsWith("(")) return None
+    val items = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; var inStr = false; var start = -1
+    var i = 1 // inside the outer paren
+    while (i < body.length - 1) {
+      body.charAt(i) match {
+        case '\\' if inStr => i += 1
+        case '"' => inStr = !inStr
+        case '(' if !inStr => if (depth == 0) start = i; depth += 1
+        case ')' if !inStr =>
+          depth -= 1
+          if (depth == 0) { items += body.substring(start, i + 1); start = -1 }
+        case _ =>
+      }
+      i += 1
+    }
+    if (depth != 0 || start != -1) None else Some(("ok", items.toSeq))
+  }
+
+  /** compare a replayed line against the golden: byte-equal; or, for
+    * unsorted reads, equal multisets of top-level tuples; error lines
+    * match on the error code (reference messages are prose)
+    */
+  def linesMatch(expected: String, actual: String, sortedRead: Boolean): Boolean = {
+    if (expected == actual) return true
+    if (expected.startsWith("error ") && actual.startsWith("error "))
+      return expected.split("\\s+").take(2).sameElements(actual.split("\\s+").take(2))
+    if (!sortedRead)
+      (topLevelTuples(expected), topLevelTuples(actual)) match {
+        case (Some((_, a)), Some((_, b))) =>
+          return a.groupBy(identity).view.mapValues(_.size).toMap ==
+            b.groupBy(identity).view.mapValues(_.size).toMap
+        case _ =>
+      }
+    false
+  }
+}

@@ -83,7 +83,7 @@ class TextSpec extends AnyFunSuite {
     assert(!m("Userx:foo", "User\\:foo"))
     assert(m("agent:007", "agent\\:7"))    // digits normalized
     assert(!m("agent:0071", "agent\\:7"))  // 71 ≠ 7
-    assert(m("agent:7x", "agent\\:7"))     // "7" is a whole token before a letter
+    assert(!m("agent:7x", "agent\\:7"))    // "7x" is one word, not "7"
     assert(m("v1:go", "v1\\:go*"))         // trailing glob keeps prefix match
   }
 
