@@ -38,20 +38,25 @@ case class GraphdSortKey(child: Expression, comparator: String)
     copy(child = newChild)
 }
 
-/** `value ~= pattern` word/glob match (graphd-comparator-default.c:57-88). */
-case class GraphdMatch(left: Expression, right: Expression)
-    extends BinaryExpression {
+/** `value ~= pattern` word/glob match under a named comparator —
+  * default: graphd-comparator-default.c:87-560; octet: the
+  * case-sensitive variant (graphd-comparator-octet.c:56-180).
+  */
+case class GraphdMatch(left: Expression, right: Expression,
+    comparator: String = "default") extends BinaryExpression {
   override def dataType: DataType = BooleanType
   override def checkInputDataTypes() =
     org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
 
   override protected def nullSafeEval(v: Any, p: Any): Any =
-    GraphdText.matches(v.asInstanceOf[UTF8String].toString,
+    GraphdText.matchesCmp(comparator, v.asInstanceOf[UTF8String].toString,
       p.asInstanceOf[UTF8String].toString)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cmp = ctx.addReferenceObj("cmp", comparator, "java.lang.String")
     defineCodeGen(ctx, ev, (v, p) =>
-      s"graft.functions.GraphdText.matches($v.toString(), $p.toString())")
+      s"graft.functions.GraphdText.matchesCmp($cmp, $v.toString(), $p.toString())")
+  }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): GraphdMatch =
     copy(left = l, right = r)
@@ -94,8 +99,8 @@ object GraphdFunctions {
     column(GraphdSortKey(expression(c), comparator))
 
   /** the reference's `~=` operator */
-  def gmatch(value: Column, pattern: Column): Column =
-    column(GraphdMatch(expression(value), expression(pattern)))
+  def gmatch(value: Column, pattern: Column, comparator: String = "default"): Column =
+    column(GraphdMatch(expression(value), expression(pattern), comparator))
 
   /** word segmentation (backs the inverted word index) */
   def graphd_words(c: Column): Column = column(GraphdWords(expression(c)))

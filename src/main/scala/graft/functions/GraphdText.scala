@@ -681,6 +681,94 @@ object GraphdText {
     p >= pattern.length
   }
 
+  /** octet-comparator `~=`: the same word/glob walk but byte-exact —
+    * case-sensitive, no punctuation elision beyond separators and no
+    * number normalization (graphd-comparator-octet.c:56-180).
+    */
+  def matchesOctet(value: String, pattern: String): Boolean = {
+    if (value == null || pattern == null) return false
+    val e = value.length
+    def step(pr0: Int, r0: Int): Boolean = {
+      val pe = pattern.length
+      var pr = pr0
+      var r = r0
+      var inWord = false
+      while (true) {
+        if (pr >= pe || isSpaceCh(pattern.charAt(pr))) {
+          if (inWord) {
+            if (r < e && isWordCh(value.charAt(r))) return false
+            inWord = false
+          }
+          if (pr >= pe) return true
+          pr += 1
+        } else if (pattern.charAt(pr) == '$' && pr + 1 == pe) {
+          while (r < e && !isWordCh(value.charAt(r))) r += 1
+          return r >= e
+        } else if (pattern.charAt(pr) == '*') {
+          var ch = 'a'
+          while (pr < pe && pattern.charAt(pr) == '*') pr += 1
+          if (pe - pr >= 2 && pattern.charAt(pr) == '\\') ch = pattern.charAt(pr + 1)
+          if (!inWord) {
+            while (r < e && !isWordCh(value.charAt(r))) r += 1
+            if (r >= e) return false
+            inWord = true
+          }
+          if (pr >= pe || (pattern.charAt(pr) != '\\' && !isWordCh(pattern.charAt(pr)))) {
+            while (r < e && isWordCh(value.charAt(r))) r += 1
+            inWord = false
+          } else {
+            while (r < e && (value.charAt(r) == ch || isWordCh(value.charAt(r)))) {
+              if (step(pr, r)) return true
+              r += 1
+            }
+            return false
+          }
+        } else if (pr + 1 < pe && pattern.charAt(pr) == '\\') {
+          pr += 1
+          if (!inWord) {
+            while (r < e && !isWordCh(value.charAt(r)) && value.charAt(r) != pattern.charAt(pr)) r += 1
+            inWord = true
+          }
+          if (r < e && value.charAt(r) == pattern.charAt(pr)) { pr += 1; r += 1 }
+          else return false
+        } else if (isCmpPunct(pattern.charAt(pr))) {
+          if (inWord && (r >= e || !isWordCh(value.charAt(r)))) inWord = false
+          pr += 1
+        } else {
+          if (!inWord) {
+            while (r < e && !isWordCh(value.charAt(r)) && value.charAt(r) != pattern.charAt(pr)) r += 1
+            inWord = true
+          }
+          while (pr < pe && isWordCh(pattern.charAt(pr))) {
+            if (r >= e || value.charAt(r) != pattern.charAt(pr)) return false
+            pr += 1
+            r += 1
+          }
+        }
+      }
+      false
+    }
+    if (pattern.nonEmpty && pattern.charAt(0) == '^') return step(1, 0)
+    val ch = if (pattern.length >= 2 && pattern.charAt(0) == '\\') pattern.charAt(1) else 'a'
+    var s = 0
+    while (s < e) {
+      while (s < e && value.charAt(s) != ch && !isWordCh(value.charAt(s))) s += 1
+      if (step(0, s)) return true
+      s += 1
+      while (s < e && isWordCh(value.charAt(s))) s += 1
+    }
+    var p = 0
+    while (p < pattern.length && pattern.charAt(p) != '\\' && !isWordCh(pattern.charAt(p))) p += 1
+    p >= pattern.length
+  }
+
+  /** `~=` under a named comparator (cmp_glob vtable slot) */
+  def matchesCmp(comparator: String, value: String, pattern: String): Boolean =
+    comparator match {
+      case "octet" => matchesOctet(value, pattern)
+      case _ => matches(value, pattern)
+    }
+
   /** first pattern word usable as an inverted-index key: a fully
     * literal word (no `*`) — the candidate-pruning entry point
     * (graphd/graphd-iterator-prefix.c word candidates).

@@ -50,7 +50,7 @@ object ReadPlanner {
     var solved = solve(st, root, 0)
     after.foreach { tok =>
       solved = solved.filter(
-        if (tok.keys.nonEmpty) keysetAfter(root, tok)
+        if (tok.keys.nonEmpty) keysetAfter(st, root, tok)
         else col("id") > tok.lastId)
     }
     // a fresh cursor pins the store's current dateline so later pages
@@ -58,7 +58,7 @@ object ReadPlanner {
     // graphd/graphd-read-set-cursor.c; Cursor.page does the same)
     def horizonForNewCursor: Long =
       pinned.getOrElse(graft.streaming.Replica.dateline(st.primitives))
-    shapeRoot(solved, root, horizonForNewCursor _)
+    shapeRoot(st, solved, root, horizonForNewCursor _)
   }
 
   def plan(store: GraphStore, query: String): DataFrame =
@@ -119,7 +119,7 @@ object ReadPlanner {
 
     // variables assigned at THIS level (from own fields)
     c.assignments.foreach { a =>
-      df = df.withColumn(varCol(a.variable), fieldExpr(a.pat, c))
+      df = df.withColumn(varCol(a.variable), fieldExpr(store, a.pat, c))
     }
     df
   }
@@ -163,7 +163,10 @@ object ReadPlanner {
 
     df = c.meta match {
       case NodeOnly => df.filter(col("left").isNull && col("right").isNull)
-      case ForwardLink | BackwardLink => df.filter(col("left").isNotNull)
+      // bare `<-` / `->` are linkage sugar, compiled into parent/child
+      // endpoint defaults and never a match-time filter
+      // (graphd-semantic.c:668-728; con_meta is consumed nowhere else)
+      case ForwardLink | BackwardLink => df
       case AnyMeta => df
     }
 
@@ -311,7 +314,7 @@ object ReadPlanner {
             case None => column.isNotNull
           }.reduce(_ && _)
         case OpMatch =>
-          p.values.flatten.map(v => gmatch(column, lit(v))).reduce(_ || _)
+          p.values.flatten.map(v => gmatch(column, lit(v), comparator)).reduce(_ || _)
         case rangeOp if p.values.flatten.isEmpty =>
           // a range against an empty value list matches nothing
           // (value.sh golden: value>=() answers EMPTY)
@@ -366,8 +369,8 @@ object ReadPlanner {
     // following groupBy shuffles on, so no extra exchange at scale.
     val childOrdCols: Seq[Column] =
       sub.sort.map(sk =>
-        if (sk.ascending) sortExpr(sk, sub).asc_nulls_last
-        else sortExpr(sk, sub).desc_nulls_last) :+ col("id").asc
+        if (sk.ascending) sortExpr(store, sk, sub).asc_nulls_last
+        else sortExpr(store, sk, sub).desc_nulls_last) :+ col("id").asc
 
     def ranked(df: DataFrame, partKey: String): DataFrame =
       df.withColumn("__ord", row_number().over(
@@ -376,9 +379,9 @@ object ReadPlanner {
 
     def contentsStructOf(df: DataFrame): Column = struct(
       col("__ord") +:
-        resultFields(sub).map { case (n, e) => e.as(n) }: _*)
+        resultFields(store, sub).map { case (n, e) => e.as(n) }: _*)
 
-    val resultNames = resultFields(sub).map(_._1)
+    val resultNames = resultFields(store, sub).map(_._1)
     // a child with result=count contributes its per-parent cardinality
     // as the contents value (count1.sh shape), not a tuple list
     val childIsCount = sub.result.map(flatten).contains(Seq(CountPat))
@@ -525,13 +528,13 @@ object ReadPlanner {
     * parent's contents); defaults to ((guid contents)) per
     * doc/gr-protocol.txt:876-880 — here: value then guid, flat.
     */
-  private def resultFields(c: Constraint): Seq[(String, Column)] = {
+  private def resultFields(store: GraphStore, c: Constraint): Seq[(String, Column)] = {
     val pat = c.result.getOrElse(ListPat(Seq(FieldPat("guid"), FieldPat("value"))))
     flatten(pat).zipWithIndex.flatMap {
       case (ContentsPat, _) =>
         c.subs.indices.map(i => s"contents_$i" -> col(s"__contents_$i"))
       case (CursorPat, _) => Seq("cursor" -> lit(null)) // filled at root
-      case (p, idx) => Seq(patName(p, idx) -> fieldExpr(p, c))
+      case (p, idx) => Seq(patName(p, idx) -> fieldExpr(store, p, c))
     }
   }
 
@@ -549,9 +552,19 @@ object ReadPlanner {
   }
 
   /** pattern → Column over a solved constraint frame */
-  private def fieldExpr(p: Pattern, c: Constraint): Column = p match {
+  private def fieldExpr(store: GraphStore, p: Pattern, c: Constraint): Column = p match {
     case FieldPat("guid") => col("id")
-    case FieldPat("type") | FieldPat("typeguid") => col("typeguid")
+    case FieldPat("type") =>
+      // `type` echoes the type node's NAME (substring2/atleast goldens:
+      // `result=((value type))` prints the written type string); the
+      // raw guid is the `typeguid` pattern below
+      val tn = store.typeNamesById
+      if (tn.isEmpty) lit(null).cast("string")
+      else when(col("typeguid").isNull, lit(null).cast("string"))
+        .otherwise(element_at(
+          map(tn.flatMap { case (id, n) => Seq(lit(id), lit(n)) }: _*),
+          col("typeguid")))
+    case FieldPat("typeguid") => col("typeguid")
     case FieldPat("valuetype") | FieldPat("datatype") => col("datatype")
     case FieldPat("generation") => lit(0L) // newest view default
     case FieldPat("previous") => col("prev")
@@ -560,7 +573,7 @@ object ReadPlanner {
     case FieldPat(f) => col(f) // name value timestamp left right scope live archival
     case LiteralPat(s) => lit(s)
     case VarPat(v) => col(varCol(v))
-    case PickPat(items) => coalesce(items.map(fieldExpr(_, c)): _*)
+    case PickPat(items) => coalesce(items.map(fieldExpr(store, _, c)): _*)
     case NonePat => lit(null)
     case ContentsPat => col("__contents_0")
     case CountPat => lit(null) // set-level; handled at root
@@ -572,8 +585,9 @@ object ReadPlanner {
     * or all tied and id past — with per-key direction and nulls-last
     * ("after a non-null under asc = bigger values or nulls").
     */
-  private def keysetAfter(c: Constraint, tok: graft.plan.Cursor.Token): Column = {
-    val keyCols = c.sort.map(sk => sortExpr(sk, c))
+  private def keysetAfter(store: GraphStore, c: Constraint,
+      tok: graft.plan.Cursor.Token): Column = {
+    val keyCols = c.sort.map(sk => sortExpr(store, sk, c))
     def litOf(k: graft.plan.Cursor.SortKeyVal): Column = k.tag match {
       case 'l' => lit(k.v.toLong)
       case 'd' => lit(k.v.toDouble)
@@ -597,16 +611,16 @@ object ReadPlanner {
     }.foldLeft(allSame && col("id") > tok.lastId)(_ || _)
   }
 
-  private def sortExpr(sk: SortKey, c: Constraint): Column = {
+  private def sortExpr(store: GraphStore, sk: SortKey, c: Constraint): Column = {
     val cmp = sk.comparator.getOrElse(c.comparator)
     sk.pat match {
       case FieldPat("value") => sort_key(col("value"), cmp)
       case FieldPat("name") => sort_key(col("name"), cmp)
-      case other => fieldExpr(other, c)
+      case other => fieldExpr(store, other, c)
     }
   }
 
-  private def shapeRoot(df: DataFrame, c: Constraint,
+  private def shapeRoot(store: GraphStore, df: DataFrame, c: Constraint,
       cursorHorizon: () => Long = () => Long.MaxValue): DataFrame = {
     // set-level count result (result=count → one row); countlimit stops
     // counting past N (the reference returns TOOMANY beyond — callers
@@ -637,8 +651,8 @@ object ReadPlanner {
       flatten(pat).contains(CursorPat)
     if (needsOrder) {
       val orderCols: Seq[Column] =
-        c.sort.map(sk => if (sk.ascending) sortExpr(sk, c).asc_nulls_last
-          else sortExpr(sk, c).desc_nulls_last) :+ col("id").asc
+        c.sort.map(sk => if (sk.ascending) sortExpr(store, sk, c).asc_nulls_last
+          else sortExpr(store, sk, c).desc_nulls_last) :+ col("id").asc
       out = out.orderBy(orderCols: _*)
     }
     // a resume cursor already encodes the position — re-applying
@@ -666,7 +680,7 @@ object ReadPlanner {
           // page row's sort-key values + id; resume is the keyset
           // predicate in keysetAfter — no offset re-scan, stable under
           // the pinned horizon
-          val keyCols = c.sort.map(sk => sortExpr(sk, c)) :+ col("id")
+          val keyCols = c.sort.map(sk => sortExpr(store, sk, c)) :+ col("id")
           val rows = out.select(keyCols: _*).collect()
           if (rows.length < ps) "null:"
           else {
@@ -679,7 +693,7 @@ object ReadPlanner {
         }
       }
 
-    val cols = resultFields(c).collect {
+    val cols = resultFields(store, c).collect {
       case (n, e) if n != "cursor" => e.as(n)
     }
     val shaped = out.select(cols: _*)

@@ -103,6 +103,16 @@ final case class GraphStore(spark: SparkSession, primitives: DataFrame,
       current.filter(col("left").isNull && col("name") === n)
         .select("id").collect().map(_.getLong(0)).toSeq))
 
+  /** id → name over named nodes — the type vocabulary. Backs the
+    * `type` result pattern, which echoes the type node's NAME (the
+    * reverse of resolveTypeIds; bounded like any type system, so a
+    * driver-side literal map is the right plan shape).
+    */
+  lazy val typeNamesById: Seq[(Long, String)] =
+    current.filter(col("left").isNull && col("name").isNotNull)
+      .select("id", "name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+
   /** One-row store status — the reference's `status` request
     * (doc/gr-protocol.txt:910-1211, graphd/graphd-status.c) reduced to
     * the engine-meaningful facts: primitive/node/link/tombstone counts,

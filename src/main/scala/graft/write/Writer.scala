@@ -44,7 +44,8 @@ object Writer {
       scope: Option[Long] = None,
       live: Boolean = true,
       archival: Boolean = true,
-      prev: Option[Long] = None)
+      prev: Option[Long] = None,
+      comparator: String = "default")
 
   /** next dense id — the reference's istore append cursor */
   def nextId(store: GraphStore): Long =
@@ -169,10 +170,16 @@ object Writer {
     def firstEq(preds: Seq[StrPred]): Option[String] =
       preds.collectFirst { case StrPred(OpEq, vs) => vs.flatten.headOption }.flatten
 
-    def linkSerial(c: Constraint, f: String): Option[Long] =
+    def linkSerial(c: Constraint, f: String): Option[Long] = {
+      c.linkFields.get(f).foreach(_.foreach { p =>
+        if (p.serials.length > 1)
+          throw WriteError("SEMANTICS",
+            "multiple GUID values are only allowed in read requests")
+      })
       c.linkFields.get(f).flatMap(_.collectFirst {
         case GuidPred(true, serials, false) => serials.flatten.headOption
       }.flatten)
+    }
 
     def setField(i: Int, f: String, id: Long): Unit = specs(i) = f match {
       case "left" => specs(i).copy(left = Some(id))
@@ -187,7 +194,9 @@ object Writer {
       specs += Spec(
         name = firstEq(c.name),
         value = firstEq(c.value),
-        datatype = c.datatype.getOrElse(graft.model.Datatype.String),
+        datatype = c.datatype.getOrElse(
+          if (firstEq(c.value).isDefined) graft.model.Datatype.String
+          else graft.model.Datatype.Null),
         typeguid = c.typeNames.map(typeIdOf).orElse(linkSerial(c, "typeguid")),
         left = linkSerial(c, "left"),
         right = linkSerial(c, "right"),
@@ -282,20 +291,29 @@ object Writer {
     def firstEq(preds: Seq[StrPred]): Option[String] =
       preds.collectFirst { case StrPred(OpEq, vs) => vs.flatten.headOption }.flatten
 
-    def linkSerial(c: Constraint, f: String): Option[Long] =
+    def linkSerial(c: Constraint, f: String): Option[Long] = {
+      c.linkFields.get(f).foreach(_.foreach { p =>
+        if (p.serials.length > 1)
+          throw WriteError("SEMANTICS",
+            "multiple GUID values are only allowed in read requests")
+      })
       c.linkFields.get(f).flatMap(_.collectFirst {
         case GuidPred(true, serials, false) => serials.flatten.headOption
       }.flatten)
+    }
 
     def specOf(c: Constraint): Spec = Spec(
       name = firstEq(c.name),
       value = firstEq(c.value),
-      datatype = c.datatype.getOrElse(graft.model.Datatype.String),
+      datatype = c.datatype.getOrElse(
+        if (firstEq(c.value).isDefined) graft.model.Datatype.String
+        else graft.model.Datatype.Null),
       typeguid = c.typeNames.map(typeIdOf).orElse(linkSerial(c, "typeguid")),
       left = linkSerial(c, "left"),
       right = linkSerial(c, "right"),
       scope = linkSerial(c, "scope"),
-      live = c.live != MustBeFalse)
+      live = c.live != MustBeFalse,
+      comparator = c.comparator)
 
     def withLinkage(s: Spec, f: String, id: Long): Spec = f match {
       case "left" => s.copy(left = Some(id))
@@ -393,9 +411,13 @@ object Writer {
         case None => df.filter(col(c).isNull)
       }
     }
+    // string identity honors the template's comparator: the default
+    // normalizes (spacematch golden), octet is byte-exact (octet.sh:
+    // unique=value comparator="octet" admits "Foo" next to "foo")
     def eqStr(c: String, v: Option[String]): Unit = {
       df = v match {
-        case Some(x) => df.filter(sort_key(col(c)) === sort_key(lit(x)))
+        case Some(x) =>
+          df.filter(sort_key(col(c), s.comparator) === sort_key(lit(x), s.comparator))
         case None => df.filter(col(c).isNull)
       }
     }
@@ -445,13 +467,19 @@ object Writer {
       // string identity is comparator-normalized: rewriting "A   B"
       // over "A B" is a no-op, not a new version (spacematch golden)
       def norm(v: Option[String]) =
-        v.map(graft.functions.GraphdText.defaultSortKey)
+        v.map(graft.functions.GraphdText.sortKey(spec.comparator, _))
+      // fields the template leaves out are UNSPECIFIED, not null: a
+      // keyed rewrite that only restates the key fields is a no-op
+      // even when the existing primitive carries extra fields (octet
+      // golden: key=value value="foo" answers the original guid)
+      def same[T](specV: Option[T], rowV: Option[T]) =
+        specV.isEmpty || specV == rowV
       val identical =
-        norm(g[String]("name")) == norm(spec.name) &&
-          norm(g[String]("value")) == norm(spec.value) &&
-          g[Long]("typeguid") == spec.typeguid &&
-          g[Long]("left") == spec.left && g[Long]("right") == spec.right &&
-          row.getAs[Byte]("datatype") == spec.datatype
+        same(norm(spec.name), norm(g[String]("name"))) &&
+          same(norm(spec.value), norm(g[String]("value"))) &&
+          same(spec.typeguid, g[Long]("typeguid")) &&
+          same(spec.left, g[Long]("left")) && same(spec.right, g[Long]("right")) &&
+          (spec.value.isEmpty || row.getAs[Byte]("datatype") == spec.datatype)
       if (identical) (store, row.getAs[Long]("id"), "unchanged")
       else {
         val (st, id) = versionOf(store, row.getAs[Long]("id"), spec,

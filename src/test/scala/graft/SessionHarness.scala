@@ -74,12 +74,14 @@ object SessionHarness {
     cmds.toSeq
   }
 
-  /** reference guid literals → this engine's decimal ids */
-  private def translateGuids(cmd: String): String =
+  /** reference guid literals → this engine's decimal ids (through the
+    * session's id translation when bootstrap writes shifted serials)
+    */
+  private def translateGuids(cmd: String, fromRef: Long => Long): String =
     "[0-9a-f]{32}".r.replaceAllIn(cmd, m => {
       val hex = m.matched
       if (hex.startsWith(RefDb))
-        (java.lang.Long.parseUnsignedLong(hex.substring(16), 16) - SerialBase + 1).toString
+        fromRef(java.lang.Long.parseUnsignedLong(hex.substring(16), 16) - SerialBase + 1).toString
       else hex
     })
 
@@ -110,28 +112,32 @@ object SessionHarness {
   private def defaultReadResult: Pattern =
     ListPat(Seq(ListPat(DefaultReadFields.map(FieldPat(_)))))
 
+  // `type` is NOT here: it renders as the type node's NAME string
   private val GuidFields =
-    Set("guid", "type", "typeguid", "left", "right", "scope", "previous", "prev")
+    Set("guid", "typeguid", "left", "right", "scope", "previous", "prev")
 
-  private def renderValue(name: String, v: Any): String = v match {
+  private def renderValue(name: String, v: Any, g: Long => String): String = v match {
     case null => "null"
-    case _ if GuidFields(name.replaceAll("_\\d+$", "")) => refGuid(v.asInstanceOf[Long])
+    case _ if GuidFields(name.replaceAll("_\\d+$", "")) => g(v.asInstanceOf[Long])
     case _ if name.startsWith("datatype") || name.startsWith("valuetype") =>
       Datatype.name(v.asInstanceOf[Number].byteValue)
     case _ if name.startsWith("timestamp") => GTimestamp.render(v.asInstanceOf[Long])
     case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     case b: Boolean => if (b) "true" else "false"
     case rows: scala.collection.Seq[_] => // contents: child tuples spliced
-      rows.map { case r: Row => renderTuple(r, r.schema, dropLinkless = false) }
+      rows.map { case r: Row => renderTuple(r, r.schema, dropLinkless = false, g) }
         .mkString("(", " ", ")")
     case other => other.toString
   }
 
   /** one row → one parenthesized tuple; when the default pattern is in
-    * play, trailing right/left render only for link rows
+    * play, trailing right/left render only for link rows. When the
+    * tuple carries a guid, its timestamp renders from the mapped
+    * reference serial — the reference's test clock stamps primitive N
+    * with N×100µs, and bootstrap/type writes shift serials.
     */
   private def renderTuple(row: Row, schema: StructType,
-      dropLinkless: Boolean): String = {
+      dropLinkless: Boolean, g: Long => String): String = {
     val names = schema.fields.map(_.name)
     val vals = names.zipWithIndex.map { case (n, i) => (n, row.get(i)) }
     val kept =
@@ -139,7 +145,18 @@ object SessionHarness {
           vals.takeRight(2).forall(_._2 == null))
         vals.dropRight(2)
       else vals
-    kept.map { case (n, v) => renderValue(n, v) }.mkString("(", " ", ")")
+    val guidIdx = names.indexOf("guid")
+    val tsOverride: Option[String] =
+      if (guidIdx < 0 || row.isNullAt(guidIdx)) None
+      else {
+        val hex = g(row.getLong(guidIdx))
+        val serial = java.lang.Long.parseUnsignedLong(hex.substring(16), 16) - SerialBase
+        Some(GTimestamp.render(serial * 100L))
+      }
+    kept.map {
+      case (n, _) if n.startsWith("timestamp") && tsOverride.isDefined => tsOverride.get
+      case (n, v) => renderValue(n, v, g)
+    }.mkString("(", " ", ")")
   }
 
   final case class Replayed(lines: Seq[String], sortedRead: Seq[Boolean])
@@ -151,9 +168,25 @@ object SessionHarness {
   def replay(spark: org.apache.spark.sql.SparkSession, cmds: Seq[String]): Replayed = {
     var store = GraphStore.fromSeq(spark, Seq.empty)
     Writer.tickMicros = Some(new java.util.concurrent.atomic.AtomicLong(0L))
+    // id translation to the reference's serial space: the reference's
+    // first TYPED write bootstraps its type system with 7 primitives
+    // and every new type name mints 2 more (graphd/graphd-type.c:899
+    // graphd_type_bootstrap), while this engine mints one type node.
+    // The harness keeps the engine's ids and maps them onto the
+    // reference layout for wire rendering / literal translation.
+    val toRef = scala.collection.mutable.Map.empty[Long, Long]
+    val fromRefM = scala.collection.mutable.Map.empty[Long, Long]
+    var refNext = 1L // reference serials, 1-based like our ids
+    var bootstrapped = false
+    val seenTypes = scala.collection.mutable.Set.empty[String]
+    def link(our: Long, ref: Long): Unit = { toRef(our) = ref; fromRefM(ref) = our }
+    def refOf(our: Long): String = refGuid(toRef.getOrElse(our, our))
+    def typeNamesDfs(c: Constraint): Seq[String] =
+      c.typeNames.getOrElse(Nil) ++ c.subs.flatMap(typeNamesDfs)
     try {
       val out = cmds.map { raw =>
-        val (verb, echo, cmd) = splitModifiers(translateGuids(raw))
+        val (verb, echo, cmd) = splitModifiers(
+          translateGuids(raw, r => fromRefM.getOrElse(r, r)))
         val prefix = echo.map(i => s"""id="$i" """).getOrElse("")
         def okLine(payload: String) = s"ok $prefix$payload".trim
         // the reference echoes request modifiers AFTER the error code:
@@ -163,12 +196,50 @@ object SessionHarness {
         try {
           if (verb == "write") {
             val tmpl = Parser.parseRead(cmd)
+            val newTypes = typeNamesDfs(tmpl).distinct.filterNot(seenTypes)
+            if (!bootstrapped && newTypes.nonEmpty) { refNext += 7; bootstrapped = true }
+            val ourBase = Writer.nextId(store)
             val (st2, ids) = Writer.write(store, cmd)
             store = st2
+            // Simulate the reference's id layout for this write
+            // (graphd-write.c): allocation is DFS with nodes BEFORE
+            // their children and ChildPointsToParent links AFTER their
+            // subtree; a first-use type name mints its 2-primitive pair
+            // at the allocation position. Our engine allocates [type
+            // nodes in first-use order][template preorder] — both
+            // deterministic, so the map bridges them.
+            if (ids.exists(_ >= ourBase)) {
+              val typeRef = scala.collection.mutable.Map.empty[String, Long]
+              var pre = -1 // our template preorder counter
+              def alloc(c: Constraint): Unit = {
+                c.typeNames.getOrElse(Nil).foreach { t =>
+                  if (!seenTypes(t) && !typeRef.contains(t)) {
+                    typeRef(t) = refNext; refNext += 2
+                  }
+                }
+                val isLinkChild = c.effectiveLinkage.exists(_.isInstanceOf[ChildPointsToParent])
+                pre += 1
+                val myPre = pre
+                if (!isLinkChild) {
+                  if (ids(myPre) >= ourBase) { link(ids(myPre), refNext); refNext += 1 }
+                  c.subs.foreach(alloc)
+                } else {
+                  c.subs.foreach(alloc)
+                  if (ids(myPre) >= ourBase) { link(ids(myPre), refNext); refNext += 1 }
+                }
+              }
+              alloc(tmpl)
+              // our minted type nodes (one per new name, before the
+              // batch, in first-use DFS order) → first of each ref pair
+              newTypes.zipWithIndex.foreach { case (t, i) =>
+                seenTypes += t
+                typeRef.get(t).foreach(r => link(ourBase + i, r))
+              }
+            }
             var k = -1
             def walk(c: Constraint): String = {
               k += 1
-              val g = refGuid(ids(k))
+              val g = refOf(ids(k))
               (g +: c.subs.map(walk)).mkString("(", " ", ")")
             }
             (okLine(walk(tmpl)), true)
@@ -180,16 +251,25 @@ object SessionHarness {
             val rows = df.collect()
             if (rows.isEmpty) (errLine("EMPTY", "not found"), true)
             else {
-              // result=(x y) (single parens) renders the SET as one
-              // tuple of the first match; result=((x y)) per row
-              val singleTuple = c0.result.exists {
-                case ListPat(items) =>
-                  items.nonEmpty && !items.exists(_.isInstanceOf[ListPat])
-                case _ => false
+              // nesting depth follows the written pattern: result=((x))
+              // = per-row tuples in set parens; result=(x y) = ONE
+              // tuple of the first match; a bare pattern (contents,
+              // count, value) = that value alone, unwrapped
+              val mode: Int = c0.result match {
+                case Some(ListPat(items)) if items.exists(_.isInstanceOf[ListPat]) => 2
+                case Some(ListPat(items)) if items.nonEmpty => 1
+                case Some(_) => 0
+                case None => 2 // injected default pattern
               }
-              val tuples = rows.map(r => renderTuple(r, df.schema, dropLinkless = injected))
-              if (singleTuple) (okLine(tuples.head), c0.sort.nonEmpty)
-              else (okLine(tuples.mkString("(", " ", ")")), c0.sort.nonEmpty)
+              if (mode == 0) {
+                val v = renderValue(df.schema.fields.head.name, rows.head.get(0), refOf)
+                (okLine(v), c0.sort.nonEmpty)
+              } else {
+                val tuples = rows.map(r =>
+                  renderTuple(r, df.schema, dropLinkless = injected, refOf))
+                if (mode == 1) (okLine(tuples.head), c0.sort.nonEmpty)
+                else (okLine(tuples.mkString("(", " ", ")")), c0.sort.nonEmpty)
+              }
             }
           } else (s"# unsupported verb $verb", true)
         } catch {

@@ -35,7 +35,9 @@ class SessionReplaySpec extends AnyFunSuite {
     }
   }
 
-  Seq("sort1", "value", "intrange", "spacematch", "datatype", "substring").foreach { n =>
+  Seq("sort1", "value", "intrange", "spacematch", "datatype", "substring",
+    "numbermatch", "octet", "compare", "substring2",
+    "substring3", "count1", "atleast", "optional").foreach { n =>
     test(s"replay reference session $n")(replaySession(n))
   }
 }
