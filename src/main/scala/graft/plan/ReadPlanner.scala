@@ -37,6 +37,20 @@ object ReadPlanner {
     * doc/gr-protocol.txt:203-221).
     */
   def plan(store: GraphStore, root: Constraint): DataFrame = {
+    // write-only keywords are rejected in reads, like the reference's
+    // semantic phase (anchor.sh: `read (key=())` answers SYNTAX)
+    def rejectWriteOnly(c: Constraint): Unit = {
+      if (c.keyFields.isDefined)
+        throw Parser.ParseError("SYNTAX: \"key=\" only works with \"write\"", 0)
+      if (c.uniqueFields.isDefined)
+        throw Parser.ParseError("SYNTAX: \"unique=\" only works with \"write\"", 0)
+      if (c.anchorFlag)
+        throw Parser.ParseError(
+          "SYNTAX: \"anchor\" flag cannot be used in a \"read\" command", 0)
+      c.subs.foreach(rejectWriteOnly)
+      c.orBranches.foreach(rejectWriteOnly)
+    }
+    rejectWriteOnly(root)
     var st = root.asof.map(store.asOf).getOrElse(store)
     root.asofTs.foreach(ts => st = st.asOfTimestamp(ts))
     // cursor="tok" resumes a prior id-ordered page: pin the snapshot
@@ -447,10 +461,10 @@ object ReadPlanner {
         joinWithBounds(parent, agg, parent(f) === agg(s"__pk_$i"), bounds, i)
 
       case None =>
-        // linkage-less child: a global existence subquery
-        val cnt = child0.agg(count(lit(1)).as(s"__count_$i"))
-        val ok = cnt.filter(boundsPred(col(s"__count_$i"), bounds))
-        parent.join(broadcast(ok.select(lit(1).as(s"__ok_$i"))), lit(true), "left_semi")
+        // a child with no way to relate to its parent is a semantic
+        // error, as in the reference (nodenode.sh golden:
+        // `read (node (node))` answers SEMANTICS, not a cross join)
+        throw Parser.ParseError("unknown subconstraint linkage", 0)
     }
   }
 

@@ -151,7 +151,12 @@ object Writer {
         .select("id").limit(2).collect()
       if (rows.nonEmpty) rows.head.getLong(0)
       else {
-        val (st2, ids) = append(st, Seq(Spec(name = names.headOption)))
+        // the minted node carries the type name as BOTH name and value:
+        // the reference's type machinery registers the name in a
+        // value-carrying has_key primitive, and sessions find it by
+        // value (or.sh: write ("foo") then read (value="foo") matches)
+        val (st2, ids) = append(st,
+          Seq(Spec(name = names.headOption, value = names.headOption)))
         st = st2
         ids.head
       }
@@ -282,7 +287,12 @@ object Writer {
         .select("id").limit(2).collect()
       if (rows.nonEmpty) rows.head.getLong(0)
       else {
-        val (st2, ids) = append(st, Seq(Spec(name = names.headOption)))
+        // the minted node carries the type name as BOTH name and value:
+        // the reference's type machinery registers the name in a
+        // value-carrying has_key primitive, and sessions find it by
+        // value (or.sh: write ("foo") then read (value="foo") matches)
+        val (st2, ids) = append(st,
+          Seq(Spec(name = names.headOption, value = names.headOption)))
         st = st2
         ids.head
       }
@@ -325,69 +335,128 @@ object Writer {
 
     def matchOne(s: Spec, fields: Seq[String]) = {
       val rows = matchExisting(st, s, fields)
-        .orderBy(col("id").desc).limit(2).collect()
+        .orderBy(col("id").asc).limit(2).collect()
       rows.headOption
     }
 
-    // phase 1: pre-match keyed children whose key fields are
-    // independent of the (possibly unresolved) parent linkage
-    val rootSpec = specOf(template)
-    val children = template.subs.map { sub =>
-      val linkage = sub.effectiveLinkage match {
-        case Some(ChildPointsToParent(f)) => f
-        case other => throw WriteError("SYNTAX",
-          s"upsert child must point at its parent (got $other)")
-      }
-      val spec = specOf(sub)
-      val preMatch =
-        if (sub.anchorFlag)
-          // anchor identifies the existing primitive by its own fields;
-          // the parent linkage is learned FROM the match (pointed reuse)
-          matchOne(spec, anchorMatchFields(spec))
-        else sub.keyFields.filter(ks => !ks.contains(linkage))
-          .flatMap(ks => matchOne(spec, ks))
-      (sub, linkage, spec, preMatch)
-    }
+    // linkage with the free-endpoint defaulting a bare child of a
+    // link gets (same rule as writeTemplate/ReadPlanner)
+    def linkOf(parent: Constraint, sub: Constraint): Option[Linkage] =
+      sub.effectiveLinkage.orElse(parent.effectiveLinkage match {
+        case Some(ChildPointsToParent("right")) => Some(ParentPointsToChild("left"))
+        case Some(ChildPointsToParent("left")) => Some(ParentPointsToChild("right"))
+        case _ => None
+      })
 
-    // phase 2: resolve the root — own key/unique/anchor, or pointed
-    // reuse from a matched child, or a fresh primitive
-    val rootId: Long =
-      if (template.anchorFlag) {
-        anchor(st, rootSpec, anchorMatchFields(rootSpec))
-      } else if (template.uniqueFields.isDefined) {
-        val (st2, id) = writeUnique(st, rootSpec, template.uniqueFields.get)
-        st = st2; id
-      } else if (template.keyFields.isDefined) {
-        val (st2, id, _) = writeKeyed(st, rootSpec, template.keyFields.get)
-        st = st2; id
-      } else children.collectFirst {
-        case (_, linkage, _, Some(row)) if !row.isNullAt(row.fieldIndex(linkage)) =>
-          row.getAs[Long](linkage) // pointed reuse
-      }.getOrElse {
-        val (st2, ids) = append(st, Seq(rootSpec))
-        st = st2; ids.head
-      }
-
-    // phase 3: children, linkage now resolved
-    val childIds = children.map { case (sub, linkage, spec0, preMatch) =>
-      val spec = withLinkage(spec0, linkage, rootId)
-      if (sub.anchorFlag) {
-        preMatch match {
-          case Some(row) => row.getAs[Long]("id")
-          case None => throw WriteError("NOTFOUND", "anchor matched nothing")
+    /** Resolve one constraint subtree recursively. The subtrees this
+      * constraint points at resolve first (their ids wire into its
+      * spec); then the constraint itself (anchor/unique/key, pointed
+      * reuse inside a keyed cluster, or a fresh append); then the
+      * links into it. Returns (id, preorder ids of the subtree).
+      */
+    def resolve(c: Constraint, parentLink: Option[(String, Long)],
+        inCluster: Boolean): (Long, Seq[Long]) = {
+      var spec = specOf(c)
+      parentLink.foreach { case (f, pid) => spec = withLinkage(spec, f, pid) }
+      val pointedIds = scala.collection.mutable.Map.empty[Int, (Long, Seq[Long])]
+      c.subs.zipWithIndex.foreach { case (sub, i) =>
+        linkOf(c, sub) match {
+          case Some(ParentPointsToChild(f)) =>
+            val r = resolve(sub, None, inCluster || hasKeys(c))
+            spec = withLinkage(spec, f, r._1)
+            pointedIds(i) = r
+          case _ => ()
         }
-      } else if (sub.uniqueFields.isDefined) {
-        val (st2, id) = writeUnique(st, spec, sub.uniqueFields.get)
-        st = st2; id
-      } else if (sub.keyFields.isDefined) {
-        val (st2, id, _) = writeKeyed(st, spec, sub.keyFields.get)
-        st = st2; id
-      } else {
-        val (st2, ids) = append(st, Seq(spec))
-        st = st2; ids.head
+      }
+      val selfId: Long =
+        if (c.anchorFlag) anchor(st, spec, anchorMatchFields(spec))
+        else if (c.uniqueFields.isDefined) {
+          val (st2, id) = writeUnique(st, spec, c.uniqueFields.get)
+          st = st2; id
+        } else if (c.keyFields.isDefined) {
+          val (st2, id, _) = writeKeyed(st, spec, c.keyFields.get)
+          st = st2; id
+        } else if (inCluster) {
+          // pointed reuse: an unkeyed member of a keyed/anchored
+          // cluster reuses an existing primitive matching all its
+          // populated fields (doc/gr-protocol.txt:801-807)
+          matchOne(spec, anchorMatchFields(spec)) match {
+            case Some(row) => row.getAs[Long]("id")
+            case None =>
+              val (st2, ids) = append(st, Seq(spec))
+              st = st2; ids.head
+          }
+        } else {
+          val (st2, ids) = append(st, Seq(spec))
+          st = st2; ids.head
+        }
+      val keyed = hasKeys(c) || inCluster
+      val intoIds = c.subs.zipWithIndex.map { case (sub, i) =>
+        pointedIds.get(i).map(_._2).getOrElse {
+          val f = linkOf(c, sub) match {
+            case Some(ChildPointsToParent(x)) => x
+            case other => throw WriteError("SYNTAX",
+              s"upsert child must relate to its parent (got $other)")
+          }
+          resolve(sub, Some((f, selfId)), keyed)._2
+        }
+      }
+      (selfId, selfId +: intoIds.flatten)
+    }
+
+    def hasKeys(c: Constraint): Boolean =
+      c.anchorFlag || c.uniqueFields.isDefined || c.keyFields.isDefined
+
+    // the ROOT may be identified by a keyed/anchored child that points
+    // at it ("pointed root reuse": the bob-link anchor names the node
+    // it hangs off — anchor.sh). Peek those children before deciding
+    // the root is fresh.
+    val rootHasKeys = hasKeys(template)
+    if (!rootHasKeys) {
+      val hint = template.subs.flatMap { sub =>
+        linkOf(template, sub) match {
+          case Some(ChildPointsToParent(f)) if hasKeys(sub) =>
+            val spec = specOf(sub)
+            val fields =
+              if (sub.anchorFlag) anchorMatchFields(spec)
+              else sub.keyFields.getOrElse(sub.uniqueFields.getOrElse(Nil))
+                .filter(_ != f)
+            matchOne(spec, fields)
+              .filter(r => !r.isNullAt(r.fieldIndex(f)))
+              .map(_.getAs[Long](f))
+          case _ => None
+        }
+      }.headOption
+      hint match {
+        case Some(rootId) =>
+          // root exists: resolve the whole tree as a keyed cluster
+          // around it
+          var spec = specOf(template)
+          val pointedIds = scala.collection.mutable.Map.empty[Int, Seq[Long]]
+          template.subs.zipWithIndex.foreach { case (sub, i) =>
+            linkOf(template, sub) match {
+              case Some(ParentPointsToChild(f)) =>
+                val r = resolve(sub, None, inCluster = true)
+                pointedIds(i) = r._2
+              case _ => ()
+            }
+          }
+          val intoIds = template.subs.zipWithIndex.map { case (sub, i) =>
+            pointedIds.get(i).getOrElse {
+              val f = linkOf(template, sub) match {
+                case Some(ChildPointsToParent(x)) => x
+                case other => throw WriteError("SYNTAX",
+                  s"upsert child must relate to its parent (got $other)")
+              }
+              resolve(sub, Some((f, rootId)), inCluster = true)._2
+            }
+          }
+          return (st, rootId +: intoIds.flatten)
+        case None => ()
       }
     }
-    (st, rootId +: childIds)
+    val (_, allIds) = resolve(template, None, inCluster = false)
+    (st, allIds)
   }
 
   /** all populated fields — the anchor match set */
@@ -494,10 +563,9 @@ object Writer {
     */
   def anchor(store: GraphStore, spec: Spec, fields: Seq[String]): Long = {
     val m = matchExisting(store, spec, fields).limit(2).collect()
-    m.length match {
-      case 1 => m.head.getAs[Long]("id")
-      case 0 => throw WriteError("NOTFOUND", "anchor matched nothing")
-      case _ => throw WriteError("TOOMANY", "anchor matched more than one")
-    }
+    // zero AND ambiguous matches both answer EMPTY (anchor.sh golden:
+    // id="toomany" gets `error EMPTY "anchor constraint not found"`)
+    if (m.length != 1) throw WriteError("EMPTY", "anchor constraint not found")
+    m.head.getAs[Long]("id")
   }
 }

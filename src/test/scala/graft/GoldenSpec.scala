@@ -174,10 +174,10 @@ class GoldenSpec extends AnyFunSuite {
       """write ((-> anchor right=1 value="tag"))""")
     assert(ids2 == ids1)
     assert(st2.all.count() == n1)
-    // anchoring a non-existent subtree errors NOTFOUND
+    // anchoring a non-existent subtree errors EMPTY (anchor.sh)
     val e = intercept[Writer.WriteError](Writer.write(st2,
       """write ((-> anchor right=1 value="no-such-tag"))"""))
-    assert(e.code == "NOTFOUND")
+    assert(e.code == "EMPTY")
   }
 
   /** test/unit/guid.sh — guid lists and multi-lineage guid~= */

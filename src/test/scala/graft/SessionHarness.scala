@@ -91,7 +91,21 @@ object SessionHarness {
   private def splitModifiers(cmd0: String): (String, Option[String], String) = {
     val cmd = cmd0.trim
     val verb = cmd.takeWhile(!_.isWhitespace)
-    val open = cmd.indexOf('(')
+    // first '(' outside quotes — modifier values may contain parens
+    // (count2: read id="()" (...))
+    val open = {
+      var i = 0; var inStr = false; var found = -1
+      while (found < 0 && i < cmd.length) {
+        cmd.charAt(i) match {
+          case '\\' if inStr => i += 1
+          case '"' => inStr = !inStr
+          case '(' if !inStr => found = i
+          case _ =>
+        }
+        i += 1
+      }
+      found
+    }
     val pre = cmd.substring(verb.length, if (open < 0) cmd.length else open)
     val mods = """([-\w]+)=("[^"]*"|\S+)""".r.findAllMatchIn(pre).toSeq
     val echo = mods.collectFirst {
@@ -210,23 +224,36 @@ object SessionHarness {
             // deterministic, so the map bridges them.
             if (ids.exists(_ >= ourBase)) {
               val typeRef = scala.collection.mutable.Map.empty[String, Long]
-              var pre = -1 // our template preorder counter
+              // document preorder index per constraint (our id order)
+              val preOf = new java.util.IdentityHashMap[Constraint, Integer]()
+              var pre = -1
+              def number(c: Constraint): Unit = {
+                pre += 1; preOf.put(c, pre); c.subs.foreach(number)
+              }
+              number(tmpl)
+              // reference allocation: mint first-use types at visit,
+              // then the subtrees this constraint POINTS AT, then the
+              // constraint itself, then the links INTO it
+              // linkage with the free-endpoint defaulting a bare
+              // child of a link gets (mirrors Writer/ReadPlanner)
+              def linkOf(parent: Constraint, sub: Constraint): Option[Linkage] =
+                sub.effectiveLinkage.orElse(parent.effectiveLinkage match {
+                  case Some(ChildPointsToParent("right")) => Some(ParentPointsToChild("left"))
+                  case Some(ChildPointsToParent("left")) => Some(ParentPointsToChild("right"))
+                  case _ => None
+                })
               def alloc(c: Constraint): Unit = {
                 c.typeNames.getOrElse(Nil).foreach { t =>
                   if (!seenTypes(t) && !typeRef.contains(t)) {
                     typeRef(t) = refNext; refNext += 2
                   }
                 }
-                val isLinkChild = c.effectiveLinkage.exists(_.isInstanceOf[ChildPointsToParent])
-                pre += 1
-                val myPre = pre
-                if (!isLinkChild) {
-                  if (ids(myPre) >= ourBase) { link(ids(myPre), refNext); refNext += 1 }
-                  c.subs.foreach(alloc)
-                } else {
-                  c.subs.foreach(alloc)
-                  if (ids(myPre) >= ourBase) { link(ids(myPre), refNext); refNext += 1 }
-                }
+                val (pointed, into) = c.subs.partition(sub =>
+                  linkOf(c, sub).exists(_.isInstanceOf[ParentPointsToChild]))
+                pointed.foreach(alloc)
+                val myId = ids(preOf.get(c))
+                if (myId >= ourBase) { link(myId, refNext); refNext += 1 }
+                into.foreach(alloc)
               }
               alloc(tmpl)
               // our minted type nodes (one per new name, before the
@@ -249,7 +276,18 @@ object SessionHarness {
             val c = if (injected) c0.copy(result = Some(defaultReadResult)) else c0
             val df = ReadPlanner.plan(store, c)
             val rows = df.collect()
-            if (rows.isEmpty) (errLine("EMPTY", "not found"), true)
+            // root count bounds assert on the MATCH count before
+            // paging (count2: count=0 value="twin" errors EMPTY even
+            // though the page is empty; count=0 on no matches is ok ())
+            val b = c0.effectiveCount
+            val total: Long =
+              if (b.min == 1L && b.max.isEmpty)
+                (if (rows.nonEmpty) 1L else 0L) // default bounds: page tells
+              else ReadPlanner.plan(store,
+                c.copy(pagesize = None, start = None)).count()
+            val boundsOk = total >= b.min && b.max.forall(total <= _)
+            if (!boundsOk) (errLine("EMPTY", "not found"), true)
+            else if (rows.isEmpty) (okLine("()"), true)
             else {
               // nesting depth follows the written pattern: result=((x))
               // = per-row tuples in set parens; result=(x y) = ONE
@@ -274,7 +312,12 @@ object SessionHarness {
           } else (s"# unsupported verb $verb", true)
         } catch {
           case e: Writer.WriteError => (errLine(e.code, e.msg), true)
-          case e: Parser.ParseError => (errLine("SEMANTICS", e.getMessage), true)
+          case e: Parser.ParseError =>
+            val m = e.getMessage
+            if (m.startsWith("SYNTAX: "))
+              (errLine("SYNTAX", m.stripPrefix("SYNTAX: ")), true)
+            else (errLine("SEMANTICS", m), true)
+          case e: Throwable => (errLine("SYSTEM", String.valueOf(e.getMessage)), true)
         }
       }
       Replayed(out.map(_._1), out.map(_._2))

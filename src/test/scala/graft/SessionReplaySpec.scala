@@ -37,7 +37,9 @@ class SessionReplaySpec extends AnyFunSuite {
 
   Seq("sort1", "value", "intrange", "spacematch", "datatype", "substring",
     "numbermatch", "octet", "compare", "substring2",
-    "substring3", "count1", "atleast", "optional").foreach { n =>
+    "substring3", "count1", "atleast", "optional",
+    "count0", "count2", "or", "sort2", "sort4",
+    "nodenode", "anchor", "unique1", "version1").foreach { n =>
     test(s"replay reference session $n")(replaySession(n))
   }
 }

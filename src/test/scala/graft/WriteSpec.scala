@@ -89,13 +89,15 @@ class WriteSpec extends AnyFunSuite {
 
   test("anchor: exactly-one matching semantics") {
     assert(Writer.anchor(freshStore, Spec(value = Some("red")), Seq("value")) == 2L)
+    // zero and ambiguous matches both answer EMPTY, as the reference
+    // does (test/unit/anchor.sh: id="toomany" gets error EMPTY)
     assert(intercept[WriteError](
       Writer.anchor(freshStore, Spec(value = Some("nope")), Seq("value")))
-      .code == "NOTFOUND")
+      .code == "EMPTY")
     val (st, _) = Writer.append(freshStore, Seq(Spec(value = Some("red"))))
     assert(intercept[WriteError](
       Writer.anchor(st, Spec(value = Some("red")), Seq("value")))
-      .code == "TOOMANY")
+      .code == "EMPTY")
   }
 
   test("dump/restore round-trips exactly, including escapes") {
