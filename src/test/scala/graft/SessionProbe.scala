@@ -1,0 +1,71 @@
+package graft
+
+/** Bulk probe: attempts to replay EVERY reference test/unit session and
+  * prints PASS / FAIL-with-first-diff / ERROR per session. Not a test —
+  * run with `sbt "Test/runMain graft.SessionProbe [name...]"` to find
+  * which sessions are ready to promote into SessionReplaySpec and what
+  * the top failure modes are.
+  */
+object SessionProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = TestSpark.spark
+    val refDir = new java.io.File("/root/reference/test/unit")
+    def slurp(p: java.io.File): String = {
+      val src = scala.io.Source.fromFile(p)
+      try src.mkString finally src.close()
+    }
+    // smallest scripts first: fast feedback, and the heavyweight
+    // stress sessions (100x100, random*) land at the tail
+    val all = refDir.listFiles().filter(_.getName.endsWith(".sh"))
+      .sortBy(_.length).map(_.getName.stripSuffix(".sh"))
+    val names = if (args.nonEmpty) args.toSeq else all.toSeq
+    val budgetMs = sys.env.getOrElse("PROBE_BUDGET_MS", "60000").toLong
+    val exec = java.util.concurrent.Executors.newSingleThreadExecutor()
+    var pass, fail, err = 0
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    names.foreach { name =>
+      val sh = new java.io.File(refDir, s"$name.sh")
+      val expF = new java.io.File(refDir, s"$name.out.exp")
+      if (!sh.exists() || !expF.exists()) ()
+      else {
+        System.err.println(s"[probe] $name")
+        try {
+          val cmds = SessionHarness.parseScript(slurp(sh))
+          val exp = slurp(expF).linesIterator.filter(_.nonEmpty).toSeq
+          val fut = exec.submit(new java.util.concurrent.Callable[SessionHarness.Replayed] {
+            def call() = SessionHarness.replay(spark, cmds)
+          })
+          val rep =
+            try fut.get(budgetMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+            catch { case _: java.util.concurrent.TimeoutException =>
+              fut.cancel(true); throw new RuntimeException("TIMEOUT")
+            }
+          if (rep.lines.length != exp.length) {
+            fail += 1
+            failures += f"$name%-16s LEN ${rep.lines.length} vs ${exp.length}"
+          } else {
+            val bad = rep.lines.lazyZip(exp).lazyZip(rep.sortedRead).zipWithIndex
+              .collectFirst {
+                case ((a, e, s), i) if !SessionHarness.linesMatch(e, a, s) => (i, e, a)
+              }
+            bad match {
+              case None => pass += 1; println(f"PASS $name")
+              case Some((i, e, a)) =>
+                fail += 1
+                failures += f"$name%-16s L${i + 1} exp=${e.take(120)}\n${" " * 20}act=${a.take(120)}"
+            }
+          }
+        } catch {
+          case e: Throwable =>
+            err += 1
+            failures += f"$name%-16s ERR ${String.valueOf(e.getMessage).take(140)}"
+        }
+      }
+    }
+    println(s"\n== $pass pass / $fail fail / $err error ==")
+    failures.foreach(f => println("FAIL " + f))
+    exec.shutdownNow()
+    spark.stop()
+    sys.exit(0)
+  }
+}

@@ -39,7 +39,15 @@ class SessionReplaySpec extends AnyFunSuite {
     "numbermatch", "octet", "compare", "substring2",
     "substring3", "count1", "atleast", "optional",
     "count0", "count2", "or", "sort2", "sort4",
-    "nodenode", "anchor", "unique1", "version1").foreach { n =>
+    "nodenode", "anchor", "unique1", "version1",
+    // promoted by SessionProbe sweeps
+    "bigkey", "bug5473", "byguid", "camera", "chris4", "colors",
+    "david_3", "duck", "empty", "empty2", "guid", "id", "keyburn3",
+    "keyburn4", "kurt6", "nullguid2", "numberequal2", "previous", "ques",
+    "random3", "rollback", "search", "sort14", "sort6", "sortcomparators",
+    "source", "start", "stror", "tab", "tiling", "timestamp-3",
+    "timestamp-4", "triad", "twovars", "typo", "unique2", "vars",
+    "version2", "will8").foreach { n =>
     test(s"replay reference session $n")(replaySession(n))
   }
 }
