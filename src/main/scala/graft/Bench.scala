@@ -50,32 +50,56 @@ object Bench {
     // sustained simple-read throughput — the reference's 200k
     // queries/minute figure (BASELINE.md) is a steady-state server
     // under concurrent client load answering 1-2-hop constrained reads
-    // ("names containing herman"-class). Measured the same way: 32
-    // concurrent clients, each parsing + planning + executing varied
-    // point reads against the warmed store.
+    // ("names containing herman"-class) from memory-resident indexes.
+    // Measured the same way: 32 concurrent clients, each request
+    // parsing + planning + executing a varied point read through the
+    // serving tier (graft.serve.PointServer — the materialized-snapshot
+    // analog of the reference's mmap'd istore/gmap/hmap; unsupported
+    // shapes fall back to the Catalyst plan). ServeSpec gates the tier:
+    // every servable query answers identically through both paths.
     val st0 = stWarm
     // "Customer#000000042" word-segments to (customer, 42) in the
     // inverted index; the pattern word 42 hits the same normalized form
     val simpleQ = (i: Int) =>
       s"""read (type="customer" value~="${1 + i % 997}" result=((guid value)))"""
-    // point-read serving profile: AQE's per-stage replanning adds
-    // ~100ms of driver gaps to a 2-stage point query; turn it off for
-    // the serving loop (small cached inputs, broadcast-hinted joins)
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    graft.plan.ReadPlanner.plan(st0, simpleQ(0)).collect() // warm plan path
+    val ix = graft.serve.PointServer.build(st0)
+    def answer(q: String): Long = graft.serve.PointServer.serve(ix, q) match {
+      case Some(s) => s.rows.length.toLong
+      case None => graft.plan.ReadPlanner.plan(st0, q).count()
+    }
+    answer(simpleQ(0)) // warm the serve path (classloading, key caches)
     val nClients = 32
-    val perClient = 8
+    val perClient = 2048
     val pool = java.util.concurrent.Executors.newFixedThreadPool(nClients)
     val t0 = System.nanoTime()
     val futs = (0 until nClients).map { c =>
       pool.submit(new Runnable {
         def run(): Unit = (0 until perClient).foreach(i =>
-          graft.plan.ReadPlanner.plan(st0, simpleQ(c * perClient + i)).collect())
+          answer(simpleQ(c * perClient + i)))
       })
     }
     futs.foreach(_.get())
     pool.shutdown()
     val qps = (nClients * perClient) / ((System.nanoTime() - t0) / 1e9)
+
+    // the same loop through full Catalyst planning+execution — the
+    // analytics path a query takes when it misses the serving tier.
+    // AQE off: its per-stage replanning adds ~100ms of driver gaps to a
+    // 2-stage point query (small cached inputs, broadcast-hinted joins).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    graft.plan.ReadPlanner.plan(st0, simpleQ(0)).collect()
+    val perClientSpark = 8
+    val pool2 = java.util.concurrent.Executors.newFixedThreadPool(nClients)
+    val t0b = System.nanoTime()
+    val futs2 = (0 until nClients).map { c =>
+      pool2.submit(new Runnable {
+        def run(): Unit = (0 until perClientSpark).foreach(i =>
+          graft.plan.ReadPlanner.plan(st0, simpleQ(c * perClientSpark + i)).collect())
+      })
+    }
+    futs2.foreach(_.get())
+    pool2.shutdown()
+    val qpsSpark = (nClients * perClientSpark) / ((System.nanoTime() - t0b) / 1e9)
     spark.conf.set("spark.sql.adaptive.enabled", "true")
 
     // batched point-read throughput: 1000 guid lookups in ONE plan —
@@ -96,7 +120,7 @@ object Bench {
     // stop BEFORE printing: shutdown warnings must not land after the
     // JSON line the driver parses off stdout
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"qps_simple":$qps,"qps_point_batched":$batchQps,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"qps_simple":$qps,"qps_spark_path":$qpsSpark,"qps_point_batched":$batchQps,"sf":"$sfDir"}""")
     Console.out.flush()
   }
 }

@@ -1,0 +1,505 @@
+package graft.serve
+
+import graft.functions.GraphdText
+import graft.gql._
+import graft.store.GraphStore
+
+/** Point-read serving tier.
+  *
+  * The reference is a single-node server answering ~200k simple
+  * queries/minute from memory-resident indexes (mmap'd istore tiles +
+  * gmap/hmap id-arrays, doc/a-brief-tour-of-graphd.md:197-204). A Spark
+  * job — cluster or local — pays tens of milliseconds of scheduling per
+  * query, which is the right trade for analytics and exactly the wrong
+  * one for OLTP-style point reads (BASELINE.json's north star calls
+  * this out: "the serving layer does not [map to Spark]").
+  *
+  * This tier is the architectural answer: a compact immutable snapshot
+  * of the CURRENT view (newest live versions) built FROM the Spark
+  * store — same derivation a `foreachBatch` refresh would run — holding
+  * the same access paths the reference serves from:
+  *
+  *   - dense column arrays addressed by position (istore analog)
+  *   - id → position binary search (the istore's id addressing)
+  *   - typeguid / left / right postings (gmap + VIP analog)
+  *   - sorted word → postings map over value words (WORD/PREFIX hmap)
+  *
+  * Reads that fit the simple-query class (a constraint tree of
+  * intrinsic predicates + bounds-only/contents children — the
+  * reference's own benchmark class, "all people who are authors whose
+  * names contain 'herman'") are answered directly from the snapshot
+  * with the SAME comparator/match semantics (shared GraphdText code);
+  * anything else returns None and the caller falls back to the full
+  * Catalyst plan. Correctness is gated by ServeSpec: every servable
+  * query must answer identically through both paths.
+  *
+  * Scale: one snapshot holds one shard's hot set (the reference itself
+  * caps a database at 16G primitives, libaddb/addb-istore.h:22). At
+  * 100 TB the same structure shards by id-range/type across serving
+  * nodes, each fed by its partition of the Spark table; nothing here
+  * assumes a global view beyond the shard it serves.
+  */
+object PointServer {
+
+  final class Index(
+      val ids: Array[Long], // sorted ascending (current view)
+      val typeguid: Array[Long], // -1 = null
+      val name: Array[String],
+      val value: Array[String],
+      val left: Array[Long], // -1 = null
+      val right: Array[Long],
+      val scope: Array[Long],
+      val datatype: Array[Byte],
+      val timestamp: Array[Long],
+      val byType: java.util.HashMap[Long, Array[Int]],
+      val byLeft: java.util.HashMap[Long, Array[Int]],
+      val byRight: java.util.HashMap[Long, Array[Int]],
+      val words: java.util.TreeMap[String, Array[Int]],
+      val typeIdsByName: Map[String, Seq[Long]]) {
+    def size: Int = ids.length
+    def posOf(id: Long): Int = java.util.Arrays.binarySearch(ids, id)
+  }
+
+  /** Build the snapshot from the store's current view — one collect of
+    * the columns the serving paths need (the materialized-view refresh;
+    * on a cluster this is the per-shard executor-side build).
+    */
+  def build(store: GraphStore): Index = {
+    import org.apache.spark.sql.functions.col
+    val rows = store.current
+      .select(col("id"), col("typeguid"), col("name"), col("value"),
+        col("left"), col("right"), col("scope"), col("datatype"),
+        col("timestamp"))
+      .orderBy(col("id"))
+      .collect()
+    val n = rows.length
+    val ids = new Array[Long](n)
+    val tg = new Array[Long](n); val lf = new Array[Long](n)
+    val rt = new Array[Long](n); val sc = new Array[Long](n)
+    val nm = new Array[String](n); val vl = new Array[String](n)
+    val dt = new Array[Byte](n); val ts = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val r = rows(i)
+      ids(i) = r.getLong(0)
+      tg(i) = if (r.isNullAt(1)) -1L else r.getLong(1)
+      nm(i) = if (r.isNullAt(2)) null else r.getString(2)
+      vl(i) = if (r.isNullAt(3)) null else r.getString(3)
+      lf(i) = if (r.isNullAt(4)) -1L else r.getLong(4)
+      rt(i) = if (r.isNullAt(5)) -1L else r.getLong(5)
+      sc(i) = if (r.isNullAt(6)) -1L else r.getLong(6)
+      dt(i) = if (r.isNullAt(7)) 0 else r.getByte(7)
+      ts(i) = if (r.isNullAt(8)) 0L else r.getLong(8)
+      i += 1
+    }
+    def postings(keyAt: Int => Long): java.util.HashMap[Long, Array[Int]] = {
+      val acc = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuilder.ofInt]()
+      var j = 0
+      while (j < n) {
+        val k = keyAt(j)
+        if (k >= 0) {
+          var b = acc.get(k)
+          if (b == null) { b = new scala.collection.mutable.ArrayBuilder.ofInt; acc.put(k, b) }
+          b += j
+        }
+        j += 1
+      }
+      val out = new java.util.HashMap[Long, Array[Int]](acc.size())
+      acc.forEach((k, b) => out.put(k, b.result()))
+      out
+    }
+    // word postings: tokenize locally with the engine's own segmenter
+    // (libpdb/pdb-word.c semantics) — positions ascending by build order
+    val wacc = new java.util.HashMap[String, scala.collection.mutable.ArrayBuilder.ofInt]()
+    i = 0
+    while (i < n) {
+      if (vl(i) != null) {
+        GraphdText.words(vl(i)).distinct.foreach { w =>
+          var b = wacc.get(w)
+          if (b == null) { b = new scala.collection.mutable.ArrayBuilder.ofInt; wacc.put(w, b) }
+          b += i
+        }
+      }
+      i += 1
+    }
+    val words = new java.util.TreeMap[String, Array[Int]]()
+    wacc.forEach((w, b) => words.put(w, b.result()))
+    // type vocabulary: named nodes
+    val tnames = scala.collection.mutable.Map.empty[String, List[Long]]
+    i = 0
+    while (i < n) {
+      if (lf(i) < 0 && nm(i) != null)
+        tnames(nm(i)) = ids(i) :: tnames.getOrElse(nm(i), Nil)
+      i += 1
+    }
+    new Index(ids, tg, nm, vl, lf, rt, sc, dt, ts,
+      postings(j => tg(j)), postings(j => lf(j)), postings(j => rt(j)),
+      words, tnames.view.mapValues(_.reverse.toSeq).toMap)
+  }
+
+  /** A servable read answered from the snapshot: column names + rows.
+    * None = not servable here; run the Catalyst plan instead.
+    */
+  final case class Served(columns: Seq[String], rows: Seq[Array[Any]])
+
+  def serve(ix: Index, query: String): Option[Served] =
+    serve(ix, Parser.parseRead(query))
+
+  def serve(ix: Index, c: Constraint): Option[Served] = {
+    if (!servableRoot(c)) return None
+    val pat = c.result.getOrElse(ListPat(Seq(FieldPat("guid"), FieldPat("value"))))
+    val flat = flatten(pat)
+    if (flat.exists(p => !servablePat(p))) return None
+    val cand = candidates(ix, c) match {
+      case Some(ps) => ps
+      case None => return None
+    }
+    var out = cand.filter(p => accepts(ix, c, p))
+    // root count result
+    if (flat == Seq(CountPat))
+      return Some(Served(Seq("count"), Seq(Array[Any](out.length.toLong))))
+    // sort: comparator keys over value/name, id tiebreak
+    if (c.sort.nonEmpty || c.pagesize.isDefined || c.start.isDefined) {
+      val keys = c.sort.map { sk =>
+        val cmp = sk.comparator.getOrElse(c.comparator)
+        sk.pat match {
+          case FieldPat("value") => (p: Int) => keyOrNull(cmp, ix.value(p))
+          case FieldPat("name") => (p: Int) => keyOrNull(cmp, ix.name(p))
+          case FieldPat("guid") => (p: Int) => f"${ix.ids(p)}%019d"
+          case FieldPat("timestamp") => (p: Int) => f"${ix.timestamp(p)}%019d"
+          case _ => return None
+        }
+      }
+      val dirs = c.sort.map(_.ascending)
+      out = out.sortWith { (a, b) =>
+        var r = 0; var k = 0
+        while (r == 0 && k < keys.length) {
+          r = nullsLastCompare(keys(k)(a), keys(k)(b))
+          if (!dirs(k)) r = -r
+          k += 1
+        }
+        if (r != 0) r < 0 else ix.ids(a) < ix.ids(b)
+      }
+    }
+    c.start.foreach(s => out = out.drop(s.toInt))
+    c.pagesize.foreach(ps => out = out.take(ps.toInt))
+    val cols = flat.zipWithIndex.map { case (p, idx) => patName(p, idx) }
+    val rows = out.toSeq.map(p => flat.map(f => fieldOf(ix, f, p)).toArray)
+    Some(Served(cols, rows))
+  }
+
+  // ---------- eligibility ----------
+
+  /** the snapshot bakes in the default newest/live view; anything
+    * touching versions, tombstones, time travel, cursors, variables,
+    * or-branches, or nested contents consumption falls back to Spark
+    */
+  private def servableRoot(c: Constraint): Boolean =
+    servableNode(c) && c.asof.isEmpty && c.asofTs.isEmpty &&
+      c.cursorTok.isEmpty && c.datelineMin.isEmpty && c.countlimit.isEmpty
+
+  private def servableNode(c: Constraint): Boolean =
+    c.orBranches.isEmpty && c.assignments.isEmpty &&
+      c.live == MustBeTrue && c.archival == DontCare &&
+      c.newestMin.contains(0L) && c.newestMax.contains(0L) &&
+      c.oldestEq.isEmpty && !c.isFalse &&
+      c.guid.forall(!_.lineage) &&
+      c.uniqueFields.isEmpty && c.keyFields.isEmpty && !c.anchorFlag &&
+      // children must be bounds-only (existence class) and linked
+      c.subs.forall(s => s.effectiveLinkage.isDefined && boundsOnly(s) &&
+        servableNode(s))
+
+  /** child consumed for nothing but its count bounds (the reference's
+    * linksto/without probe)
+    */
+  private def boundsOnly(c: Constraint): Boolean =
+    c.result.isEmpty && c.sort.isEmpty && c.pagesize.isEmpty &&
+      c.start.isEmpty && c.assignments.isEmpty
+
+  private def servablePat(p: Pattern): Boolean = p match {
+    case FieldPat(_) | LiteralPat(_) | CountPat | NonePat => true
+    case PickPat(items) => items.forall(servablePat)
+    case _ => false // contents/cursor/estimate/vars → Spark path
+  }
+
+  // ---------- candidate generation ----------
+
+  /** sorted-distinct union of posting arrays (positions ascending) */
+  private def mergePostings(lists: Seq[Array[Int]]): Array[Int] = {
+    val nonEmpty = lists.filter(_.nonEmpty)
+    if (nonEmpty.isEmpty) Array.empty[Int]
+    else if (nonEmpty.length == 1) nonEmpty.head
+    else {
+      val all = new Array[Int](nonEmpty.map(_.length).sum)
+      var off = 0
+      nonEmpty.foreach { a =>
+        System.arraycopy(a, 0, all, off, a.length); off += a.length
+      }
+      java.util.Arrays.sort(all)
+      // in-place dedup
+      var w = 0; var r = 0
+      while (r < all.length) {
+        if (w == 0 || all(r) != all(w - 1)) { all(w) = all(r); w += 1 }
+        r += 1
+      }
+      java.util.Arrays.copyOf(all, w)
+    }
+  }
+
+  /** linear merge-intersection of two sorted position arrays (the
+    * reference's sorted-idarray intersect, libaddb/addb-idarray-intersect.c)
+    */
+  private def intersectSorted(a: Array[Int], b: Array[Int]): Array[Int] = {
+    val out = new Array[Int](math.min(a.length, b.length))
+    var i = 0; var j = 0; var w = 0
+    while (i < a.length && j < b.length) {
+      val x = a(i); val y = b(j)
+      if (x == y) { out(w) = x; w += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    java.util.Arrays.copyOf(out, w)
+  }
+
+  /** intersect every available access path — the reference's
+    * and-iterator over index streams (graphd/graphd-iterator-and.c):
+    * each producer is a sorted id stream, the AND is their merge; the
+    * per-candidate check then re-verifies everything exactly
+    */
+  private def candidates(ix: Index, c: Constraint): Option[Array[Int]] = {
+    val producers = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+    def offer(a: Array[Int]): Unit = producers += a
+    // explicit guid set
+    c.guid.find(g => g.include && g.serials.nonEmpty).foreach { g =>
+      offer(g.serials.flatten.map(ix.posOf).filter(_ >= 0).sorted.toArray)
+    }
+    // word/prefix index for value~= / normalized value=
+    locally {
+      val fromMatch = c.value.filter(_.op == OpMatch).flatMap { p =>
+        val keys = p.values.flatten.map(pat =>
+          GraphdText.firstIndexWord(pat).map(Left(_))
+            .orElse(GraphdText.firstIndexPrefix(pat).map(Right(_))))
+        if (keys.nonEmpty && keys.forall(_.isDefined)) Some(keys.flatten) else None
+      }
+      val fromEq =
+        if (c.comparator == "default" || c.comparator == "case-insensitive")
+          c.value.filter(_.op == OpEq).flatMap { p =>
+            val ws = p.values.map(_.flatMap(v => GraphdText.words(v).headOption))
+            if (ws.nonEmpty && ws.forall(_.isDefined)) Some(ws.flatten.map(Left(_)))
+            else None
+          }
+        else Nil
+      (fromMatch ++ fromEq).foreach { keys =>
+        offer(mergePostings(keys.map {
+          case Left(w) =>
+            val p = ix.words.get(w); if (p == null) Array.empty[Int] else p
+          case Right(pre) =>
+            import scala.jdk.CollectionConverters._
+            mergePostings(ix.words.subMap(pre, pre + "￿").values.asScala.toSeq)
+        }))
+      }
+    }
+    // endpoint postings (gmap analog)
+    for (f <- Seq("left", "right", "typeguid")) {
+      c.linkFields.get(f).foreach { preds =>
+        preds.filter(p => p.include && p.serials.flatten.nonEmpty).foreach { p =>
+          val posts = if (f == "left") ix.byLeft else if (f == "right") ix.byRight else ix.byType
+          offer(mergePostings(p.serials.flatten.map { id =>
+            val a = posts.get(id); if (a == null) Array.empty[Int] else a
+          }))
+        }
+      }
+    }
+    // type postings (VIP/typeguid gmap analog)
+    c.typeNames.foreach { names =>
+      val tids = names.flatMap(n => ix.typeIdsByName.getOrElse(n, Nil))
+      offer(mergePostings(tids.map { id =>
+        val a = ix.byType.get(id); if (a == null) Array.empty[Int] else a
+      }))
+    }
+    if (producers.nonEmpty) {
+      // smallest-first so each merge shrinks the running set fastest
+      val sorted = producers.sortBy(_.length)
+      var acc = sorted.head
+      var k = 1
+      while (k < sorted.length && acc.nonEmpty) {
+        acc = intersectSorted(acc, sorted(k)); k += 1
+      }
+      Some(acc)
+    }
+    // full scan of the snapshot — correct, but not a point read; only
+    // sensible for small shards
+    else Some(Array.range(0, ix.size))
+  }
+
+  // ---------- per-candidate check (graphd-match.c analog) ----------
+
+  private def accepts(ix: Index, c: Constraint, p: Int): Boolean = {
+    if (c.isFalse) return false
+    c.meta match {
+      case NodeOnly => if (ix.left(p) >= 0 || ix.right(p) >= 0) return false
+      case _ =>
+    }
+    c.guid.foreach { g =>
+      val in = g.serials.exists {
+        case Some(s) => s == ix.ids(p)
+        case None => false
+      }
+      if (g.include != in) return false
+    }
+    for ((f, preds) <- c.linkFields; pr <- preds) {
+      val v = f match {
+        case "left" => ix.left(p); case "right" => ix.right(p)
+        case "typeguid" => ix.typeguid(p); case "scope" => ix.scope(p)
+      }
+      val in = pr.serials.exists {
+        case Some(s) => v == s
+        case None => v < 0
+      }
+      if (pr.include != in) return false
+    }
+    c.typeNames.foreach { names =>
+      val tids = names.flatMap(n => ix.typeIdsByName.getOrElse(n, Nil))
+      if (!tids.contains(ix.typeguid(p))) return false
+    }
+    c.datatype.foreach(d => if (ix.datatype(p) != d) return false)
+    c.timestampMin.foreach { case (m, incl) =>
+      if (if (incl) ix.timestamp(p) < m else ix.timestamp(p) <= m) return false
+    }
+    c.timestampMax.foreach { case (m, incl) =>
+      if (if (incl) ix.timestamp(p) > m else ix.timestamp(p) >= m) return false
+    }
+    if (!strOk(c.name, ix.name(p), c.comparator)) return false
+    if (!strOk(c.value, ix.value(p), c.comparator)) return false
+    // children: bounds-only existence probes over the postings
+    c.subs.forall(sub => childOk(ix, c, sub, p))
+  }
+
+  private def childOk(ix: Index, parent: Constraint, sub: Constraint, p: Int): Boolean = {
+    val b = sub.effectiveCount
+    val linkage = sub.effectiveLinkage.orElse(parent.effectiveLinkage match {
+      case Some(ChildPointsToParent("right")) => Some(ParentPointsToChild("left"))
+      case Some(ChildPointsToParent("left")) => Some(ParentPointsToChild("right"))
+      case _ => None
+    })
+    linkage match {
+      case Some(ChildPointsToParent(f)) =>
+        val posts = f match {
+          case "left" => ix.byLeft.get(ix.ids(p))
+          case "right" => ix.byRight.get(ix.ids(p))
+          case "typeguid" => ix.byType.get(ix.ids(p))
+          case "scope" => null
+        }
+        var n = 0L
+        val arr = if (posts == null) Array.empty[Int] else posts
+        val needMax = b.max.getOrElse(Long.MaxValue)
+        var i = 0
+        while (i < arr.length && n <= needMax) {
+          if (accepts(ix, sub, arr(i))) n += 1
+          i += 1
+        }
+        n >= b.min && b.max.forall(n <= _)
+      case Some(ParentPointsToChild(f)) =>
+        val endpoint = f match {
+          case "left" => ix.left(p); case "right" => ix.right(p)
+          case "typeguid" => ix.typeguid(p); case "scope" => ix.scope(p)
+        }
+        val n =
+          if (endpoint < 0) 0L
+          else {
+            val cp = ix.posOf(endpoint)
+            if (cp >= 0 && accepts(ix, sub, cp)) 1L else 0L
+          }
+        n >= b.min && b.max.forall(n <= _)
+      case None => false
+    }
+  }
+
+  private def strOk(preds: Seq[StrPred], v: String, comparator: String): Boolean =
+    preds.forall { p =>
+      p.op match {
+        case OpEq => p.values.exists {
+          case Some(lit) => v != null && eqKey(comparator, v) == eqKey(comparator, lit)
+          case None => v == null
+        }
+        case OpNe => p.values.forall {
+          case Some(lit) => v == null || eqKey(comparator, v) != eqKey(comparator, lit)
+          case None => v != null
+        }
+        case OpMatch =>
+          v != null && p.values.flatten.exists(GraphdText.matchesCmp(comparator, v, _))
+        case rangeOp =>
+          val lits = p.values.flatten
+          if (lits.isEmpty) false
+          else if (v == null) false
+          else {
+            val key = GraphdText.sortKey(comparator, v)
+            val vk = GraphdText.sortKey(comparator, lits.head)
+            val typedOk = !((comparator == "number" || comparator == "datetime") &&
+              key.startsWith("~"))
+            typedOk && (rangeOp match {
+              case OpLt => key < vk
+              case OpLe => key <= vk
+              case OpGt => key > vk
+              case OpGe => key >= vk
+              case _ => true
+            })
+          }
+      }
+    }
+
+  private def eqKey(cmp: String, s: String): String =
+    if (cmp == "octet") s else GraphdText.sortKey(cmp, s)
+
+  private def keyOrNull(cmp: String, s: String): String =
+    if (s == null) null else GraphdText.sortKey(cmp, s)
+
+  private def nullsLastCompare(a: String, b: String): Int =
+    if (a == null && b == null) 0
+    else if (a == null) 1
+    else if (b == null) -1
+    else a.compareTo(b)
+
+  // ---------- projection ----------
+
+  private def flatten(p: Pattern): Seq[Pattern] = p match {
+    case ListPat(items) => items.flatMap(flatten)
+    case other => Seq(other)
+  }
+
+  private def patName(p: Pattern, idx: Int): String = p match {
+    case FieldPat(f) => f
+    case LiteralPat(_) => s"lit_$idx"
+    case CountPat => "count"
+    case _ => s"c_$idx"
+  }
+
+  private def fieldOf(ix: Index, p: Pattern, pos: Int): Any = p match {
+    case FieldPat("guid") => ix.ids(pos)
+    case FieldPat("typeguid") => if (ix.typeguid(pos) < 0) null else ix.typeguid(pos)
+    case FieldPat("name") => ix.name(pos)
+    case FieldPat("value") => ix.value(pos)
+    case FieldPat("left") => if (ix.left(pos) < 0) null else ix.left(pos)
+    case FieldPat("right") => if (ix.right(pos) < 0) null else ix.right(pos)
+    case FieldPat("scope") => if (ix.scope(pos) < 0) null else ix.scope(pos)
+    case FieldPat("datatype") | FieldPat("valuetype") => ix.datatype(pos)
+    case FieldPat("timestamp") => ix.timestamp(pos)
+    case FieldPat("live") => true
+    case FieldPat("archival") => true
+    case FieldPat("meta") =>
+      if (ix.left(pos) < 0 && ix.right(pos) < 0) "node" else "link"
+    case FieldPat("generation") => 0L
+    case FieldPat("type") =>
+      val tg = ix.typeguid(pos)
+      if (tg < 0) null
+      else {
+        val tp = ix.posOf(tg)
+        if (tp < 0) null else ix.name(tp)
+      }
+    case LiteralPat(s) => s
+    case NonePat => null
+    case PickPat(items) =>
+      items.view.map(fieldOf(ix, _, pos)).collectFirst { case v if v != null => v }.orNull
+    case _ => null
+  }
+}
