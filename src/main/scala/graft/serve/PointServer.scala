@@ -54,6 +54,7 @@ object PointServer {
       val byType: java.util.HashMap[Long, Array[Int]],
       val byLeft: java.util.HashMap[Long, Array[Int]],
       val byRight: java.util.HashMap[Long, Array[Int]],
+      val byScope: java.util.HashMap[Long, Array[Int]],
       val words: java.util.TreeMap[String, Array[Int]],
       val typeIdsByName: Map[String, Seq[Long]]) {
     def size: Int = ids.length
@@ -134,7 +135,7 @@ object PointServer {
     }
     new Index(ids, tg, nm, vl, lf, rt, sc, dt, ts,
       postings(j => tg(j)), postings(j => lf(j)), postings(j => rt(j)),
-      words, tnames.view.mapValues(_.reverse.toSeq).toMap)
+      postings(j => sc(j)), words, tnames.view.mapValues(_.reverse.toSeq).toMap)
   }
 
   /** A servable read answered from the snapshot: column names + rows.
@@ -284,7 +285,13 @@ object PointServer {
       val fromEq =
         if (c.comparator == "default" || c.comparator == "case-insensitive")
           c.value.filter(_.op == OpEq).flatMap { p =>
-            val ws = p.values.map(_.flatMap(v => GraphdText.words(v).headOption))
+            // fractional decimals compare NORMALIZED under these
+            // comparators (sortKey("0.5")==sortKey(".50")) but the word
+            // index holds raw digit runs (words(".50")=["50"]) — no
+            // sound index key exists; same guard as firstIndexWord
+            val ws = p.values.map(_.flatMap(v =>
+              if (v.matches(""".*\.\d.*""")) None
+              else GraphdText.words(v).headOption))
             if (ws.nonEmpty && ws.forall(_.isDefined)) Some(ws.flatten.map(Left(_)))
             else None
           }
@@ -302,7 +309,11 @@ object PointServer {
     // endpoint postings (gmap analog)
     for (f <- Seq("left", "right", "typeguid")) {
       c.linkFields.get(f).foreach { preds =>
-        preds.filter(p => p.include && p.serials.flatten.nonEmpty).foreach { p =>
+        // a pred mixing null with ids (left=(null 5)) also matches
+        // null-left rows, which no postings list surfaces — only
+        // all-id preds are sound producers; the rest stay as checks
+        preds.filter(p => p.include && p.serials.nonEmpty &&
+            p.serials.forall(_.isDefined)).foreach { p =>
           val posts = if (f == "left") ix.byLeft else if (f == "right") ix.byRight else ix.byType
           offer(mergePostings(p.serials.flatten.map { id =>
             val a = posts.get(id); if (a == null) Array.empty[Int] else a
@@ -388,7 +399,7 @@ object PointServer {
           case "left" => ix.byLeft.get(ix.ids(p))
           case "right" => ix.byRight.get(ix.ids(p))
           case "typeguid" => ix.byType.get(ix.ids(p))
-          case "scope" => null
+          case "scope" => ix.byScope.get(ix.ids(p))
         }
         var n = 0L
         val arr = if (posts == null) Array.empty[Int] else posts
