@@ -773,12 +773,26 @@ object GraphdText {
     * literal word (no `*`) — the candidate-pruning entry point
     * (graphd/graphd-iterator-prefix.c word candidates).
     */
+  /** '.' immediately followed by a digit anywhere in the string — a
+    * char scan rather than a regex so embedded newlines can't slip past
+    * a non-DOTALL `.`
+    */
+  def hasFractionalDigit(s: String): Boolean = {
+    var i = s.indexOf('.')
+    while (i >= 0) {
+      if (i + 1 < s.length && s.charAt(i + 1) >= '0' && s.charAt(i + 1) <= '9')
+        return true
+      i = s.indexOf('.', i + 1)
+    }
+    false
+  }
+
   def firstIndexWord(pattern: String): Option[String] = {
     if (pattern.indexOf('\\') >= 0) return None // literal-escape path
     // fractional number patterns match values under NORMALIZATION
     // ("0.5" matches ".50"), whose digit-run words (["50"]) need not
     // contain any pattern word — no sound index key exists
-    if (pattern.matches(""".*\.\d.*""")) return None
+    if (hasFractionalDigit(pattern)) return None
     var p = pattern
     if (p.startsWith("^")) p = p.substring(1)
     if (p.endsWith("$") && !p.endsWith("\\$")) p = p.substring(0, p.length - 1)
@@ -796,7 +810,7 @@ object GraphdText {
     */
   def firstIndexPrefix(pattern: String): Option[String] = {
     if (pattern.indexOf('\\') >= 0) return None // literal-escape path
-    if (pattern.matches(""".*\.\d.*""")) return None // see firstIndexWord
+    if (hasFractionalDigit(pattern)) return None // see firstIndexWord
     var p = pattern
     if (p.startsWith("^")) p = p.substring(1)
     if (p.endsWith("$") && !p.endsWith("\\$")) p = p.substring(0, p.length - 1)

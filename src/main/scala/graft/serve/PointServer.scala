@@ -290,7 +290,7 @@ object PointServer {
             // index holds raw digit runs (words(".50")=["50"]) — no
             // sound index key exists; same guard as firstIndexWord
             val ws = p.values.map(_.flatMap(v =>
-              if (v.matches(""".*\.\d.*""")) None
+              if (GraphdText.hasFractionalDigit(v)) None
               else GraphdText.words(v).headOption))
             if (ws.nonEmpty && ws.forall(_.isDefined)) Some(ws.flatten.map(Left(_)))
             else None
@@ -306,15 +306,21 @@ object PointServer {
         }))
       }
     }
-    // endpoint postings (gmap analog)
-    for (f <- Seq("left", "right", "typeguid")) {
+    // endpoint postings (gmap analog — the reference indexes all four
+    // linkages incl. scope, PDB_LINKAGE_SCOPE)
+    for (f <- Seq("left", "right", "typeguid", "scope")) {
       c.linkFields.get(f).foreach { preds =>
         // a pred mixing null with ids (left=(null 5)) also matches
         // null-left rows, which no postings list surfaces — only
         // all-id preds are sound producers; the rest stay as checks
         preds.filter(p => p.include && p.serials.nonEmpty &&
             p.serials.forall(_.isDefined)).foreach { p =>
-          val posts = if (f == "left") ix.byLeft else if (f == "right") ix.byRight else ix.byType
+          val posts = f match {
+            case "left" => ix.byLeft
+            case "right" => ix.byRight
+            case "typeguid" => ix.byType
+            case "scope" => ix.byScope
+          }
           offer(mergePostings(p.serials.flatten.map { id =>
             val a = posts.get(id); if (a == null) Array.empty[Int] else a
           }))

@@ -38,7 +38,13 @@ class ServeSpec extends AnyFunSuite {
           link(34, 10, Some(21), typeguid = Some(3L), value = Some("co-wrote v2"))) ++
         Seq(node(40, value = Some("42.5")), node(41, value = Some("42.5000")),
           node(42, value = Some("x9")), node(43, value = Some("x10")),
-          node(44, value = Some("2008-01-02")), node(45, value = Some("2007")))
+          node(44, value = Some("2008-01-02")), node(45, value = Some("2007")),
+          // fractional decimals whose word sets share nothing with the
+          // normalized-equal query literal (".5" / "\n.5")
+          node(46, value = Some("0.50")), node(47, value = Some(" .50")),
+          // scope-linked primitives (PDB_LINKAGE_SCOPE coverage)
+          node(51, value = Some("note-a")).copy(scope = Some(10L)),
+          node(52, value = Some("note-b")).copy(scope = Some(10L)))
     GraphStore.fromSeq(spark, prims).copy(versioned = false)
   }
   lazy val ix: PointServer.Index = PointServer.build(store)
@@ -46,8 +52,11 @@ class ServeSpec extends AnyFunSuite {
   /** both paths, compared as value matrices (order-sensitive when the
     * query sorts, multiset otherwise)
     */
-  private def check(q: String, expectServable: Boolean = true): Unit = {
-    val c = graft.gql.Parser.parseRead(q)
+  private def check(q: String, expectServable: Boolean = true): Unit =
+    checkC(graft.gql.Parser.parseRead(q), q, expectServable)
+
+  private def checkC(c: graft.gql.Constraint, q: String,
+      expectServable: Boolean = true): Unit = {
     val served = PointServer.serve(ix, c)
     if (!expectServable) { assert(served.isEmpty, s"unexpectedly served: $q"); return }
     assert(served.isDefined, s"not served: $q")
@@ -144,5 +153,30 @@ class ServeSpec extends AnyFunSuite {
 
   test("timestamp range") {
     check("""read (any timestamp>1970-01-01T00:00:00.0000Z result=count)""")
+  }
+
+  test("scope postings: candidates and scope-linked child") {
+    check("""read (scope=10 result=((guid value)))""")
+    check("""read (type="person" result=((guid value)) (<-scope))""")
+    check("""read (type="person" result=((guid value)) (<-scope count=0))""")
+  }
+
+  test("mixed null+id endpoint pred is not used as a producer") {
+    // matches every node (null left) plus links with left=10; a
+    // postings-only producer would drop all the null-left rows
+    check("""read (left=(null 10) result=((guid value)))""")
+    check("""read (right=(null 21) result=((guid value)))""")
+  }
+
+  test("fractional-decimal equality bypasses the word-index producer") {
+    // sortKey(".5") == sortKey("0.50") == sortKey(" .50") under the
+    // default comparator, but words(".5")=["5"] shares nothing with
+    // words("0.50")=["0","50"] — an unguarded eq-producer returns 0 rows
+    check("""read (any value=".5" result=((guid value)))""")
+    // newline before the fractional digit: a non-DOTALL `.*\.\d.*`
+    // guard misses this form and the producer drops comparator-equal rows
+    val c = graft.gql.Parser.parseRead("""read (any value="x" result=((guid value)))""")
+    checkC(c.copy(value = Seq(graft.gql.StrPred(graft.gql.OpEq, Seq(Some("\n.5"))))),
+      """read (any value="\n.5" ...)""")
   }
 }
