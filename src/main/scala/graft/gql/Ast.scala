@@ -107,6 +107,7 @@ final case class Constraint(
     asof: Option[Long] = None, // request modifier: snapshot id horizon
     asofTs: Option[Long] = None, // asof=<timestamp>: written at/before (micros)
     datelineMin: Option[Long] = None, // dateline > "tok": only primitives after
+    datelineMax: Option[Long] = None, // dateline < "tok": only primitives before
     cursorTok: Option[String] = None, // cursor="..." resume token
     // write-side upsert markers (doc/gr-protocol.txt:661-857)
     uniqueFields: Option[Seq[String]] = None, // unique=(fields)

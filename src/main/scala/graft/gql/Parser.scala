@@ -43,6 +43,12 @@ object Parser {
     while (i < n) {
       val c = input(i)
       if (c.isWhitespace) i += 1
+      // `(: ... :)` comment (gdp-lexer.c): no nesting, runs to the
+      // first `:)` (or EOF); elided entirely
+      else if (c == '(' && i + 1 < n && input(i + 1) == ':') {
+        val end = input.indexOf(":)", i + 2)
+        i = if (end < 0) n else end + 2
+      }
       else if (c == '(') { out += TOpen(i); i += 1 }
       else if (c == ')') { out += TClose(i); i += 1 }
       else if (c == '{') { out += TBrace(open = true, i); i += 1 }
@@ -458,18 +464,31 @@ object Parser {
               }
           }
         case "dateline" =>
-          // dateline > "odometer": only primitives written after the
-          // horizon — the incremental-read / read-your-writes predicate
+          // dateline >/< "odometer": only primitives written after /
+          // before the horizon — the incremental-read predicate
           // (doc/gr-protocol.txt:228-244, graphd/graphd-dateline.c).
-          // Accepts a bare id or a db:count odometer (count part used).
+          // Accepts a 32-hex guid or an instance.count odometer whose
+          // count renders in HEX ("123456.10" = 16 primitives —
+          // 033-1.sh) — both classified SYNTAX when malformed.
           val v = rhsVals(rhs, "dateline", pos).head
-            .getOrElse(throw ParseError("dateline needs a value", pos))
-          val ser = Guid.serialOf(v.split("[.:]").last)
-            .getOrElse(throw ParseError(s"bad dateline '$v'", pos))
+            .getOrElse(throw ParseError("SYNTAX: dateline needs a value", pos))
+          // all forms resolve to a primitive COUNT horizon ("N exist")
+          val ser: Long =
+            if (v.matches("""[\w]+[.:][0-9a-fA-F]+"""))
+              java.lang.Long.parseLong(v.split("[.:]").last, 16)
+            else if (v.matches("""\d+""")) v.toLong - 1 // horizon id (1-based next)
+            else Guid.parse(v) match {
+              case Some((_, serial)) => serial & ~(1L << 63)
+              case None =>
+                throw ParseError(s"""SYNTAX: invalid dateline "$v"""", pos)
+            }
           op match {
             case ">" => c.copy(datelineMin = Some(ser))
             case ">=" => c.copy(datelineMin = Some(ser - 1))
-            case o => throw ParseError(s"dateline does not support $o", pos)
+            case "<" => c.copy(datelineMax = Some(ser))
+            case "<=" => c.copy(datelineMax = Some(ser + 1))
+            case o => throw ParseError(
+              s"SYNTAX: '$o': expected '<' or '>' after dateline", pos)
           }
         case "pagesize" | "resultpagesize" => c.copy(pagesize = Some(longOf(rhsVals(rhs, wl, pos).head, pos)))
         case "start" => c.copy(start = Some(longOf(rhsVals(rhs, "start", pos).head, pos)))

@@ -296,6 +296,7 @@ object ReadPlanner {
     // predicate, so parquet min/max + id_part partition pruning both
     // engage on a persisted store (the mirror image of asOf).
     c.datelineMin.foreach(h => df = df.filter(col("id") > h))
+    c.datelineMax.foreach(h => df = df.filter(col("id") <= h))
 
     c.timestampMin.foreach { case (m, incl) =>
       df = df.filter(if (incl) col("timestamp") >= m else col("timestamp") > m)
@@ -583,7 +584,13 @@ object ReadPlanner {
     case FieldPat("generation") => lit(0L) // newest view default
     case FieldPat("previous") => col("prev")
     case FieldPat("meta") =>
-      when(col("left").isNull && col("right").isNull, "node").otherwise("link")
+      // the reference renders link rows as their arrow relative to the
+      // parent: `<-` when this constraint's linkage is "my right points
+      // at parent", else `->` (graphd/graphd-pattern.c:419-431)
+      val arrow =
+        if (c.effectiveLinkage.contains(ChildPointsToParent("right"))) "<-"
+        else "->"
+      when(col("left").isNull && col("right").isNull, "node").otherwise(arrow)
     case FieldPat(f) => col(f) // name value timestamp left right scope live archival
     case LiteralPat(s) => lit(s)
     case VarPat(v) => col(varCol(v))

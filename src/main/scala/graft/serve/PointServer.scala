@@ -504,7 +504,9 @@ object PointServer {
     case FieldPat("live") => true
     case FieldPat("archival") => true
     case FieldPat("meta") =>
-      if (ix.left(pos) < 0 && ix.right(pos) < 0) "node" else "link"
+      // root constraints have no parent: links render "->"
+      // (graphd/graphd-pattern.c:419-431)
+      if (ix.left(pos) < 0 && ix.right(pos) < 0) "node" else "->"
     case FieldPat("generation") => 0L
     case FieldPat("type") =>
       val tg = ix.typeguid(pos)

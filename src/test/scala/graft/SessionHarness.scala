@@ -29,27 +29,64 @@ object SessionHarness {
   def refGuid(id: Long): String =
     RefDb + f"${SerialBase + id - 1}%016x"
 
-  /** commands of one session: heredoc body lines, parens-balanced.
-    * An UNQUOTED heredoc marker (<<-EOF) gets the shell's backslash
-    * processing: `\\` collapses to `\` (so the wire sees single
-    * escapes — substring.sh); a quoted marker (<<-'EOF') passes text
-    * through verbatim.
+  /** Marker commands parseScript emits for shell-level effects the
+    * replay must reproduce: `echo` output lines and mid-script fresh
+    * databases (`rm -rf $D` between rungraphd invocations).
     */
-  def parseScript(sh: String): Seq[String] = {
+  val EchoMark = "#ECHO# "
+  val ResetMark = "#RESET#"
+
+  /** commands of one session: heredoc body lines (`<<-EOF`, `<< EOF`,
+    * quoted or not) or a redirected `.in` file, parens-balanced.
+    * An UNQUOTED heredoc marker gets the shell's backslash processing:
+    * `\\` collapses to `\` (so the wire sees single escapes —
+    * substring.sh); a quoted marker (<<-'EOF') passes text through
+    * verbatim. Top-level `echo` lines become EchoMark commands (their
+    * output interleaves with responses in the goldens); an `rm -rf $D`
+    * between server invocations becomes a ResetMark (fresh db).
+    */
+  def parseScript(sh: String,
+      dir: String = "/root/reference/test/unit"): Seq[String] = {
     val lines = sh.linesIterator.toSeq
     val body = scala.collection.mutable.ArrayBuffer.empty[String]
     var in = false
     var quoted = false
+    var sawBlock = false
+    var pendingReset = false
+    val heredoc = """<<-?\s*'?EOF'?""".r
+    val inRedir = """<\s*(\S+\.in)""".r
+    def beginBlock(): Unit = {
+      if (pendingReset && sawBlock) body += ResetMark
+      pendingReset = false; sawBlock = true
+    }
     for (l <- lines) {
       val t = l.trim
-      if (!in && l.contains("<<-")) { in = true; quoted = l.contains("'EOF'") }
-      else if (in && t == "EOF") in = false
-      else if (in) body +=
-        (if (quoted) t
-         else t.replace("\\\\", "\u0000").replace("\\$", "$")
-           .replace("\\`", "`").replace("\u0000", "\\"))
+      if (in) {
+        if (t == "EOF") in = false
+        else body +=
+          (if (quoted) t
+           else t.replace("\\\\", "\u0000").replace("\\$", "$")
+             .replace("\\`", "`").replace("\u0000", "\\"))
+      } else if (l.contains("<<") && heredoc.findFirstIn(l).isDefined) {
+        beginBlock()
+        in = true; quoted = l.contains("'EOF'")
+      } else if (t.matches("""rm\s+-rf?\s+.*\$\{?D\}?.*""")) {
+        pendingReset = true
+      } else if (t.contains("rungraphd") && inRedir.findFirstMatchIn(t).isDefined) {
+        beginBlock()
+        val f = inRedir.findFirstMatchIn(t).get.group(1)
+        val file = new java.io.File(dir, f)
+        if (file.exists()) {
+          val src = scala.io.Source.fromFile(file)
+          try body ++= src.getLines() finally src.close()
+        }
+      } else if (t.startsWith("echo ") && !t.contains(">")) {
+        body += EchoMark + t.stripPrefix("echo ").trim
+      }
     }
-    // join continuation lines until parens balance outside strings
+    // join continuation lines until parens balance outside strings;
+    // `(:...:)` comments are elided from the balance (they may contain
+    // parens and quotes — comments.sh)
     val cmds = scala.collection.mutable.ArrayBuffer.empty[String]
     var cur = new StringBuilder
     def balanced(s: String): Boolean = {
@@ -58,6 +95,9 @@ object SessionHarness {
         s.charAt(i) match {
           case '\\' if inStr => i += 1
           case '"' => inStr = !inStr
+          case '(' if !inStr && i + 1 < s.length && s.charAt(i + 1) == ':' =>
+            val end = s.indexOf(":)", i + 2)
+            i = if (end < 0) s.length else end + 1
           case '(' if !inStr => depth += 1
           case ')' if !inStr => depth -= 1
           case _ =>
@@ -67,8 +107,13 @@ object SessionHarness {
       depth <= 0 && !inStr
     }
     for (l <- body if l.nonEmpty) {
-      cur.append(if (cur.isEmpty) l else " " + l)
-      if (balanced(cur.toString)) { cmds += cur.toString; cur = new StringBuilder }
+      if (l.startsWith(EchoMark) || l == ResetMark) { // markers stand alone
+        if (cur.nonEmpty) { cmds += cur.toString; cur = new StringBuilder }
+        cmds += l
+      } else {
+        cur.append(if (cur.isEmpty) l else " " + l)
+        if (balanced(cur.toString)) { cmds += cur.toString; cur = new StringBuilder }
+      }
     }
     if (cur.nonEmpty) cmds += cur.toString
     cmds.toSeq
@@ -85,10 +130,12 @@ object SessionHarness {
       else hex
     })
 
-  /** split `read id="a" asof="x" (...)` into (verb, echoId, rewritten
-    * command with non-id modifiers folded into the constraint body)
+  /** split `read id="a" asof="x" (...)` into (verb, echoed modifiers,
+    * rewritten command with the remaining modifiers folded into the
+    * constraint body). `id` and `dateline` are extracted (they echo in
+    * the response rather than constrain); everything else stays.
     */
-  private def splitModifiers(cmd0: String): (String, Option[String], String) = {
+  private def splitModifiers(cmd0: String): (String, Seq[(String, String)], String) = {
     val cmd = cmd0.trim
     val verb = cmd.takeWhile(!_.isWhitespace)
     // first '(' outside quotes — modifier values may contain parens
@@ -108,13 +155,27 @@ object SessionHarness {
     }
     val pre = cmd.substring(verb.length, if (open < 0) cmd.length else open)
     val mods = """([-\w]+)=("[^"]*"|\S+)""".r.findAllMatchIn(pre).toSeq
-    val echo = mods.collectFirst {
-      case m if m.group(1) == "id" => m.group(2).stripPrefix("\"").stripSuffix("\"")
+    val extracted = mods.collect {
+      case m if m.group(1) == "id" || m.group(1) == "dateline" =>
+        m.group(1) -> m.group(2).stripPrefix("\"").stripSuffix("\"")
     }
-    val keep = mods.filter(_.group(1) != "id").map(_.matched)
+    val keep = mods.filterNot(m => m.group(1) == "id" || m.group(1) == "dateline")
+      .map(_.matched)
     val rest = if (open < 0) "()" else cmd.substring(open + 1)
-    (verb, echo, verb + " (" + keep.mkString(" ") + (if (keep.nonEmpty) " " else "") + rest)
+    (verb, extracted, verb + " (" + keep.mkString(" ") + (if (keep.nonEmpty) " " else "") + rest)
   }
+
+  /** dateline request-modifier validation (graph-dateline.c forms):
+    * "" and guid/odometer forms are valid; a comma'd multi-instance
+    * dateline naming an instance this server doesn't know is DATELINE;
+    * anything else SYNTAX. Returns the error code, None = valid.
+    */
+  private def datelineError(v: String): Option[String] =
+    if (v.isEmpty) None
+    else if (v.matches("[0-9a-fA-F]{32}")) None
+    else if (v.matches("""\d+\.\d+""")) None
+    else if (v.contains(',')) Some("DATELINE")
+    else Some("SYNTAX")
 
   /** the reference's default read pattern (node fields; right/left are
     * appended by the renderer for link rows only)
@@ -197,17 +258,37 @@ object SessionHarness {
     def refOf(our: Long): String = refGuid(toRef.getOrElse(our, our))
     def typeNamesDfs(c: Constraint): Seq[String] =
       c.typeNames.getOrElse(Nil) ++ c.subs.flatMap(typeNamesDfs)
+    def freshDb(): Unit = {
+      store = GraphStore.fromSeq(spark, Seq.empty)
+      Writer.tickMicros.foreach(_.set(0L))
+      toRef.clear(); fromRefM.clear()
+      refNext = 1L; bootstrapped = false; seenTypes.clear()
+    }
     try {
-      val out = cmds.map { raw =>
-        val (verb, echo, cmd) = splitModifiers(
+      val out = cmds.flatMap { raw =>
+        if (raw == ResetMark) { freshDb(); None }
+        else if (raw.startsWith(EchoMark))
+          Some((raw.stripPrefix(EchoMark), true))
+        else Some {
+        val (verb, mods, cmd) = splitModifiers(
           translateGuids(raw, r => fromRefM.getOrElse(r, r)))
+        val echo = mods.collectFirst { case ("id", v) => v }
+        val dlMod = mods.collectFirst { case ("dateline", v) => v }
+        // current dateline rendered the reference way: the horizon
+        // serial in guid form (doc/gr-protocol.txt:228-244). Evaluated
+        // at response time so writes echo their post-write horizon.
+        def dlEcho =
+          if (dlMod.isEmpty) ""
+          else s"""dateline="$RefDb${f"${SerialBase + (refNext - 1)}%016x"}" """
         val prefix = echo.map(i => s"""id="$i" """).getOrElse("")
-        def okLine(payload: String) = s"ok $prefix$payload".trim
+        def okLine(payload: String) = s"ok $prefix$dlEcho$payload".trim
         // the reference echoes request modifiers AFTER the error code:
         // `error EMPTY id="n" "not found"` (value.sh golden)
         def errLine(code: String, msg: String) =
           s"""error $code $prefix"${msg.replace("\"", "\\\"")}""""
         try {
+          dlMod.flatMap(datelineError).foreach(code =>
+            throw Writer.WriteError(code, "invalid dateline value"))
           if (verb == "write") {
             val tmpl = Parser.parseRead(cmd)
             val newTypes = typeNamesDfs(tmpl).distinct.filterNot(seenTypes)
@@ -318,6 +399,7 @@ object SessionHarness {
               (errLine("SYNTAX", m.stripPrefix("SYNTAX: ")), true)
             else (errLine("SEMANTICS", m), true)
           case e: Throwable => (errLine("SYSTEM", String.valueOf(e.getMessage)), true)
+        }
         }
       }
       Replayed(out.map(_._1), out.map(_._2))
