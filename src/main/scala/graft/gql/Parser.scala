@@ -33,6 +33,11 @@ object Parser {
   final case class TVar(name: String, pos: Int) extends Tok
   final case class TOr(pos: Int) extends Tok // ||
   final case class TBrace(open: Boolean, pos: Int) extends Tok // { }
+  /** an invalid character; the LEXICAL error fires only when the
+    * parser actually reaches it — `write (quack, x)` reports 'quack'
+    * as an invalid constraint BEFORE the comma (duck golden)
+    */
+  final case class TBad(msg: String, pos: Int) extends Tok
 
   def lex(input: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -93,7 +98,9 @@ object Parser {
           !(input(j) == '-' && j + 1 < n && input(j + 1) == '>')) j += 1
         out += TAtom(input.substring(i, j), i); i = j
       }
-      else throw ParseError(s"unexpected char '$c'", i)
+      // gdp-lexer.c rejects stray operator characters at the lexical
+      // layer (`~>` in link1.sh → "error LEXICAL ... invalid token")
+      else { out += TBad(s"'$c': invalid token", i); i += 1 }
     }
     out.result()
   }
@@ -117,6 +124,43 @@ object Parser {
     peek match {
       case Some(TAtom("read" | "write", _)) => next()
       case _ => ()
+    }
+
+    /** Linkage inference for bare subconstraints, the reference's
+      * set_subcon (libgdp/gdp-parse.c:390-485): a sub passes with (1)
+      * explicit linkage or (2) its own `<-`/`->` meta; otherwise (3)
+      * the parent's meta marker donates its free endpoint — `-> (x)` ≡
+      * `right->(x)`, `<- (x)` ≡ `left->(x)` — but each endpoint only
+      * once and only if no attribute/outward sub already claimed it
+      * (the linkmap). Anything else is the reference's SEMANTICS
+      * "unknown subconstraint linkage" (will8/link1/nodenode goldens).
+      */
+    def inferSubLinkages(x: Constraint): Constraint = {
+      if (x.subs.isEmpty) x
+      else {
+        val used = scala.collection.mutable.Set.empty[String]
+        used ++= x.linkFields.keys
+        x.subs.foreach(_.linkage match {
+          case Some(ParentPointsToChild(f)) => used += f
+          case _ =>
+        })
+        def fail() =
+          throw ParseError("')': unknown subconstraint linkage", 0)
+        x.copy(subs = x.subs.map { sub =>
+          if (sub.linkage.nonEmpty || sub.meta == ForwardLink ||
+              sub.meta == BackwardLink) sub
+          else {
+            val cand = x.meta match {
+              case ForwardLink => "right"
+              case BackwardLink => "left"
+              case _ => fail()
+            }
+            if (used(cand)) fail()
+            used += cand
+            sub.copy(linkage = Some(ParentPointsToChild(cand)))
+          }
+        })
+      }
     }
 
     // merge positional sort-comparator overrides into the sort keys
@@ -214,17 +258,19 @@ object Parser {
               braceDepth -= 1
               if (braceDepth < 0) throw ParseError("unmatched '}'", p)
             }
+          case Some(TBad(m, p)) => throw ParseError(s"LEXICAL: $m", p)
+
           case Some(TOr(_)) =>
             next()
             // snapshot with this branch's own sort-comparator merge, so
             // a sort-comparator= written in an earlier segment is not
             // dropped (the reference merges per constraint clause)
-            branches :+= mergeSortCmp(c)
+            branches :+= inferSubLinkages(mergeSortCmp(c))
             c = Constraint(linkage = linkage)
           case Some(t) => throw ParseError(s"unexpected $t", t.pos)
         }
       }
-      c = mergeSortCmp(c)
+      c = inferSubLinkages(mergeSortCmp(c))
       if (branches.isEmpty) c
       else {
         // shaping modifiers (result/sort/paging) may be written in any
@@ -476,7 +522,7 @@ object Parser {
           val ser: Long =
             if (v.matches("""[\w]+[.:][0-9a-fA-F]+"""))
               java.lang.Long.parseLong(v.split("[.:]").last, 16)
-            else if (v.matches("""\d+""")) v.toLong - 1 // horizon id (1-based next)
+            else if (v.matches("""\d+""")) v.toLong // bare id horizon
             else Guid.parse(v) match {
               case Some((_, serial)) => serial & ~(1L << 63)
               case None =>

@@ -256,10 +256,38 @@ object Writer {
     */
   def write(store: GraphStore, gqlText: String): (GraphStore, Seq[Long]) = {
     val t = graft.gql.Parser.parseRead(gqlText)
+    checkLinkageMix(t)
     def hasUpsert(c: graft.gql.Constraint): Boolean =
       c.uniqueFields.isDefined || c.keyFields.isDefined || c.anchorFlag ||
         c.subs.exists(hasUpsert)
     if (hasUpsert(t)) upsertTemplate(store, t) else writeTemplate(store, t)
+  }
+
+  /** Write-side linkage conflict checks (graphd-write.c:438-478): a
+    * SUBconstraint may not both BE a link through endpoint L (`<-L` /
+    * `<-` / `->` meta) and pin L with an explicit guid (`L=G`), nor
+    * may a parent point at a child through L while also pinning L. The
+    * root is exempt — con_linkage is only assigned to subconstraints
+    * (unique2.sh: `write (-> left=G right=G unique=...)` is legal).
+    */
+  private def checkLinkageMix(c: graft.gql.Constraint,
+      isRoot: Boolean = true): Unit = {
+    import graft.gql._
+    if (!isRoot) c.effectiveLinkage match {
+      case Some(ChildPointsToParent(f)) if c.linkFields.get(f)
+          .exists(_.exists(_.include)) =>
+        throw WriteError("SEMANTICS", s"cannot mix <-$f and $f=...")
+      case _ =>
+    }
+    c.subs.foreach { sub =>
+      sub.linkage match {
+        case Some(ParentPointsToChild(f)) if c.linkFields.get(f)
+            .exists(_.exists(_.include)) =>
+          throw WriteError("SEMANTICS", s"cannot mix $f->() and $f=")
+        case _ =>
+      }
+      checkLinkageMix(sub, isRoot = false)
+    }
   }
 
   /** Upsert executor for templates with unique/key/anchor markers

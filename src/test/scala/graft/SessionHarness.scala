@@ -397,6 +397,8 @@ object SessionHarness {
             val m = e.getMessage
             if (m.startsWith("SYNTAX: "))
               (errLine("SYNTAX", m.stripPrefix("SYNTAX: ")), true)
+            else if (m.startsWith("LEXICAL: "))
+              (errLine("LEXICAL", m.stripPrefix("LEXICAL: ")), true)
             else (errLine("SEMANTICS", m), true)
           case e: Throwable => (errLine("SYSTEM", String.valueOf(e.getMessage)), true)
         }

@@ -47,7 +47,7 @@ class SessionReplaySpec extends AnyFunSuite {
     "random3", "rollback", "search", "sort14", "sort6", "sortcomparators",
     "source", "start", "stror", "tab", "tiling", "timestamp-3",
     "timestamp-4", "triad", "twovars", "typo", "unique2", "vars",
-    "version2", "will8").foreach { n =>
+    "version2", "will8", "link1").foreach { n =>
     test(s"replay reference session $n")(replaySession(n))
   }
 }
