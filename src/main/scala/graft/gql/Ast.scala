@@ -62,7 +62,11 @@ final case class CountBounds(min: Long = 1L, max: Option[Long] = None)
 /** Result pattern (graphd/graphd.h:567-677, libgdp/gdp-parse.c:258-313). */
 sealed trait Pattern
 final case class FieldPat(name: String) extends Pattern // guid value name ...
-final case class LiteralPat(s: String) extends Pattern
+/** `literal=x` renders as a bare ATOM (graphd-pattern.c:400-412,
+  * graphd_value_atom_set_constant); a quoted string in pattern position
+  * stays a string value. `atom` records which form was written.
+  */
+final case class LiteralPat(s: String, atom: Boolean = false) extends Pattern
 case object ContentsPat extends Pattern
 case object CountPat extends Pattern
 case object CursorPat extends Pattern

@@ -341,9 +341,12 @@ object Parser {
           case "estimate-count" => EstimateCountPat
           case "none" => NonePat
           case "literal" =>
-            expect({ case TOp("=", p) => p }, "'=' after literal")
-            val s = expect({ case TStr(s, _) => s }, "string")
-            LiteralPat(s)
+            expect({ case TOp("=", p) => p }, "missing '=' after 'literal'")
+            // literal payload may be a string OR a bare atom
+            // ($sub=literal=a in varsort.sh); both render unquoted
+            val s = expect({ case TStr(s, _) => s; case TAtom(a, _) => a },
+              "literal value")
+            LiteralPat(s, atom = true)
           case "pick" =>
             expect({ case t: TOpen => t }, "'(' after pick")
             val items = Seq.newBuilder[Pattern]

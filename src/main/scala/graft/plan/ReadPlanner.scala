@@ -547,7 +547,9 @@ object ReadPlanner {
     val pat = c.result.getOrElse(ListPat(Seq(FieldPat("guid"), FieldPat("value"))))
     flatten(pat).zipWithIndex.flatMap {
       case (ContentsPat, _) =>
-        c.subs.indices.map(i => s"contents_$i" -> col(s"__contents_$i"))
+        // count=0 children are planned as anti-joins and never carry a
+        // __contents_i column; they also can't contribute contents
+        contributingSubs(c).map(i => s"contents_$i" -> col(s"__contents_$i"))
       case (CursorPat, _) => Seq("cursor" -> lit(null)) // filled at root
       case (p, idx) => Seq(patName(p, idx) -> fieldExpr(store, p, c))
     }
@@ -558,10 +560,18 @@ object ReadPlanner {
     case other => Seq(other)
   }
 
+  /** indices of children that can contribute contents tuples (everything
+    * except count=0 anti-join children) — the renderer mirrors this
+    */
+  def contributingSubs(c: Constraint): Seq[Int] =
+    c.subs.zipWithIndex.collect {
+      case (s, i) if !s.effectiveCount.max.contains(0L) => i
+    }
+
   private def patName(p: Pattern, idx: Int): String = p match {
     case FieldPat(f) => f
     case VarPat(v) => v
-    case LiteralPat(_) => s"lit_$idx"
+    case LiteralPat(_, _) => s"lit_$idx"
     case CountPat => "count"
     case _ => s"c_$idx"
   }
@@ -592,7 +602,7 @@ object ReadPlanner {
         else "->"
       when(col("left").isNull && col("right").isNull, "node").otherwise(arrow)
     case FieldPat(f) => col(f) // name value timestamp left right scope live archival
-    case LiteralPat(s) => lit(s)
+    case LiteralPat(s, _) => lit(s)
     case VarPat(v) => col(varCol(v))
     case PickPat(items) => coalesce(items.map(fieldExpr(store, _, c)): _*)
     case NonePat => lit(null)

@@ -218,7 +218,7 @@ object PointServer {
       c.start.isEmpty && c.assignments.isEmpty
 
   private def servablePat(p: Pattern): Boolean = p match {
-    case FieldPat(_) | LiteralPat(_) | CountPat | NonePat => true
+    case FieldPat(_) | LiteralPat(_, _) | CountPat | NonePat => true
     case PickPat(items) => items.forall(servablePat)
     case _ => false // contents/cursor/estimate/vars → Spark path
   }
@@ -486,7 +486,7 @@ object PointServer {
 
   private def patName(p: Pattern, idx: Int): String = p match {
     case FieldPat(f) => f
-    case LiteralPat(_) => s"lit_$idx"
+    case LiteralPat(_, _) => s"lit_$idx"
     case CountPat => "count"
     case _ => s"c_$idx"
   }
@@ -515,7 +515,7 @@ object PointServer {
         val tp = ix.posOf(tg)
         if (tp < 0) null else ix.name(tp)
       }
-    case LiteralPat(s) => s
+    case LiteralPat(s, _) => s
     case NonePat => null
     case PickPat(items) =>
       items.view.map(fieldOf(ix, _, pos)).collectFirst { case v if v != null => v }.orNull

@@ -177,61 +177,189 @@ object SessionHarness {
     else if (v.contains(',')) Some("DATELINE")
     else Some("SYNTAX")
 
-  /** the reference's default read pattern (node fields; right/left are
-    * appended by the renderer for link rows only)
+  /** the reference's default read pattern (graphd-pattern.c:38-59):
+    * ((meta guid type name datatype value scope live archival timestamp
+    *   right left contents)) — meta/right/left render for LINK rows
+    * only, contents only when the constraint has subconstraints.
+    * Injected recursively into every constraint that lacks result=.
     */
-  private val DefaultReadFields = Seq(
-    "guid", "type", "name", "datatype", "value", "scope",
+  private val RefDefaultFields = Seq(
+    "meta", "guid", "type", "name", "datatype", "value", "scope",
     "live", "archival", "timestamp", "right", "left")
 
-  private def defaultReadResult: Pattern =
-    ListPat(Seq(ListPat(DefaultReadFields.map(FieldPat(_)))))
+  /** tracks the ListPats this harness injected (identity — the drop
+    * rule for meta/right/left applies only to the injected default,
+    * never to an explicit result= that happens to spell the same
+    * fields, which the reference renders unconditionally)
+    */
+  private final class Injected {
+    val marks = new java.util.IdentityHashMap[Pattern, java.lang.Boolean]()
+    def inject(c: Constraint): Constraint = {
+      val subs2 = c.subs.map(inject)
+      val res2 = c.result.orElse {
+        val inner = ListPat(RefDefaultFields.map(FieldPat(_)) ++
+          (if (subs2.nonEmpty) Seq(ContentsPat) else Nil))
+        marks.put(inner, java.lang.Boolean.TRUE)
+        Some(ListPat(Seq(inner)))
+      }
+      c.copy(result = res2, subs = subs2)
+    }
+    def isDefault(p: Pattern): Boolean = marks.containsKey(p)
+  }
 
-  // `type` is NOT here: it renders as the type node's NAME string
-  private val GuidFields =
-    Set("guid", "typeguid", "left", "right", "scope", "previous", "prev")
+  /** reference value rendering: elements joined so that an element
+    * rendering EMPTY (literal="", none) contributes neither itself nor
+    * its separator, while a non-first non-empty element gets exactly
+    * one leading space (emptylit golden: `( "a")`, `("a" "a")`).
+    */
+  private def joinElems(elems: Seq[String]): String =
+    elems.zipWithIndex.map { case (e, i) =>
+      if (e.isEmpty) "" else if (i == 0) e else " " + e
+    }.mkString
 
-  private def renderValue(name: String, v: Any, g: Long => String): String = v match {
+  private def quote(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  private def genericValue(v: Any, g: Long => String): String = v match {
     case null => "null"
-    case _ if GuidFields(name.replaceAll("_\\d+$", "")) => g(v.asInstanceOf[Long])
-    case _ if name.startsWith("datatype") || name.startsWith("valuetype") =>
-      Datatype.name(v.asInstanceOf[Number].byteValue)
-    case _ if name.startsWith("timestamp") => GTimestamp.render(v.asInstanceOf[Long])
-    case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    case s: String => quote(s)
     case b: Boolean => if (b) "true" else "false"
-    case rows: scala.collection.Seq[_] => // contents: child tuples spliced
-      rows.map { case r: Row => renderTuple(r, r.schema, dropLinkless = false, g) }
-        .mkString("(", " ", ")")
     case other => other.toString
   }
 
-  /** one row → one parenthesized tuple; when the default pattern is in
-    * play, trailing right/left render only for link rows. When the
-    * tuple carries a guid, its timestamp renders from the mapped
-    * reference serial — the reference's test clock stamps primitive N
-    * with N×100µs, and bootstrap/type writes shift serials.
+  /** Pattern-driven renderer. Leaves consume columns positionally in
+    * ReadPlanner.resultFields order (flatten of the pattern; contents
+    * expands to one column per contributing child; at root the cursor
+    * column is excluded from its slot and appended last by shapeRoot).
     */
-  private def renderTuple(row: Row, schema: StructType,
-      dropLinkless: Boolean, g: Long => String): String = {
-    val names = schema.fields.map(_.name)
-    val vals = names.zipWithIndex.map { case (n, i) => (n, row.get(i)) }
-    val kept =
-      if (dropLinkless && names.takeRight(2).sameElements(Array("right", "left")) &&
-          vals.takeRight(2).forall(_._2 == null))
-        vals.dropRight(2)
-      else vals
-    val guidIdx = names.indexOf("guid")
-    val tsOverride: Option[String] =
-      if (guidIdx < 0 || row.isNullAt(guidIdx)) None
-      else {
-        val hex = g(row.getLong(guidIdx))
-        val serial = java.lang.Long.parseUnsignedLong(hex.substring(16), 16) - SerialBase
-        Some(GTimestamp.render(serial * 100L))
+  private final class Renderer(inj: Injected, g: Long => String) {
+
+    private def widthOf(p: Pattern, c: Constraint, root: Boolean): Int = p match {
+      case ContentsPat => graft.plan.ReadPlanner.contributingSubs(c).length
+      case CursorPat => if (root) 0 else 1
+      case ListPat(items) => items.map(widthOf(_, c, root)).sum
+      case _ => 1
+    }
+
+    private def fieldValue(f: String, row: Row, i: Int,
+        tsOverride: Option[String]): String = {
+      val v = if (row.isNullAt(i)) null else row.get(i)
+      f match {
+        case "guid" | "typeguid" | "left" | "right" | "scope" |
+             "previous" | "prev" | "next" =>
+          if (v == null) "null" else g(v.asInstanceOf[Long])
+        case "datatype" | "valuetype" =>
+          if (v == null) "null" else Datatype.name(v.asInstanceOf[Number].byteValue)
+        case "timestamp" =>
+          tsOverride.getOrElse(
+            if (v == null) "null" else GTimestamp.render(v.asInstanceOf[Long]))
+        case "meta" => if (v == null) "null" else v.toString // bare atom
+        case _ => genericValue(v, g)
       }
-    kept.map {
-      case (n, _) if n.startsWith("timestamp") && tsOverride.isDefined => tsOverride.get
-      case (n, v) => renderValue(n, v, g)
-    }.mkString("(", " ", ")")
+    }
+
+    /** render the leaves of `items` against one row starting at column
+      * `off`; returns (rendered elements, columns consumed)
+      */
+    private def tupleElems(items: Seq[Pattern], c: Constraint, row: Row,
+        off: Int, root: Boolean, injected: Boolean): (Seq[String], Int) = {
+      // injected default: timestamp renders from the mapped reference
+      // serial (test clock = serial×100µs); node rows drop meta/right/left
+      val guidAt = items.indexWhere { case FieldPat("guid") => true; case _ => false }
+      val tsOverride: Option[String] =
+        if (guidAt < 0 || row.isNullAt(off + guidAt)) None
+        else {
+          val hex = g(row.getLong(off + guidAt))
+          val serial =
+            java.lang.Long.parseUnsignedLong(hex.substring(16), 16) - SerialBase
+          Some(GTimestamp.render(serial * 100L))
+        }
+      val isNode = injected && {
+        val r = items.indexWhere { case FieldPat("right") => true; case _ => false }
+        val l = items.indexWhere { case FieldPat("left") => true; case _ => false }
+        r >= 0 && l >= 0 && row.isNullAt(off + r) && row.isNullAt(off + l)
+      }
+      var i = off
+      val elems = items.flatMap { p =>
+        val w = widthOf(p, c, root)
+        val out: Seq[String] = p match {
+          case FieldPat(f) =>
+            if (isNode && (f == "meta" || f == "right" || f == "left")) Nil
+            else Seq(fieldValue(f, row, i, tsOverride))
+          case LiteralPat(s, _) => Seq(s) // atom, unquoted; "" skips via join
+          case NonePat => Seq("")
+          case VarPat(_) | PickPat(_) =>
+            Seq(genericValue(if (row.isNullAt(i)) null else row.get(i), g))
+          case CountPat | EstimateCountPat =>
+            Seq(if (row.isNullAt(i)) "null" else row.get(i).toString)
+          case CursorPat =>
+            if (root) { // appended by shapeRoot under the name "cursor"
+              val ci = row.schema.fieldNames.indexOf("cursor")
+              Seq(if (ci < 0 || row.isNullAt(ci)) "null" else quote(row.getString(ci)))
+            } else Seq(genericValue(if (row.isNullAt(i)) null else row.get(i), g))
+          case ContentsPat =>
+            graft.plan.ReadPlanner.contributingSubs(c).zipWithIndex.map {
+              case (subIdx, k) =>
+                renderChild(c.subs(subIdx),
+                  if (row.isNullAt(i + k)) null else row.get(i + k))
+            }
+          case ListPat(sub) => // nested list inside a tuple
+            val (es, _) = tupleElems(sub, c, row, i, root, inj.isDefault(p))
+            Seq("(" + joinElems(es) + ")")
+          case other => Seq(genericValue(row.get(i), g))
+        }
+        i += w
+        out
+      }
+      (elems, i - off)
+    }
+
+    /** a constraint's result value over its matched rows: the outer
+      * list frame — inner ListPat items expand per-row, scalar items
+      * evaluate set-level / on the first row (reference result frames,
+      * graphd-pattern-frame.c)
+      */
+    def renderResult(c: Constraint, rows: Seq[Row], root: Boolean): String =
+      c.result match {
+        case Some(ListPat(items)) =>
+          var off = 0
+          val elems = items.flatMap { p =>
+            val w = widthOf(p, c, root)
+            val out: Seq[String] = p match {
+              case lp @ ListPat(sub) => // per-row expansion
+                rows.map { r =>
+                  val (es, _) = tupleElems(sub, c, r, off, root, inj.isDefault(lp))
+                  "(" + joinElems(es) + ")"
+                }
+              case other =>
+                if (rows.isEmpty) Nil
+                else tupleElems(Seq(other), c, rows.head, off, root,
+                  injected = false)._1
+            }
+            off += w
+            out
+          }
+          "(" + joinElems(elems) + ")"
+        case Some(single) => // bare pattern: first row / set value, no parens
+          if (rows.isEmpty) "()"
+          else joinElems(tupleElems(Seq(single), c, rows.head, 0, root,
+            injected = false)._1)
+        case None => "()"
+      }
+
+    /** one child's spliced contents value: the child's own result frame
+      * over its collected tuples (null/empty collect → empty frame)
+      */
+    private def renderChild(sub: Constraint, v: Any): String = v match {
+      case null => sub.result match {
+        case Some(ListPat(_)) => "()"
+        case _ => "" // bare child pattern with nothing: skips entirely
+      }
+      case rows: scala.collection.Seq[_] =>
+        renderResult(sub, rows.asInstanceOf[scala.collection.Seq[Row]].toSeq,
+          root = false)
+      case other => other.toString // result=count child: per-parent cardinality
+    }
   }
 
   final case class Replayed(lines: Seq[String], sortedRead: Seq[Boolean])
@@ -281,7 +409,9 @@ object SessionHarness {
           if (dlMod.isEmpty) ""
           else s"""dateline="$RefDb${f"${SerialBase + (refNext - 1)}%016x"}" """
         val prefix = echo.map(i => s"""id="$i" """).getOrElse("")
-        def okLine(payload: String) = s"ok $prefix$dlEcho$payload".trim
+        // NOT trimmed: a valued response keeps its separator space even
+        // when the value renders empty (emptylit golden: `ok `)
+        def okLine(payload: String) = s"ok $prefix$dlEcho$payload"
         // the reference echoes request modifiers AFTER the error code:
         // `error EMPTY id="n" "not found"` (value.sh golden)
         def errLine(code: String, msg: String) =
@@ -353,8 +483,8 @@ object SessionHarness {
             (okLine(walk(tmpl)), true)
           } else if (verb == "read") {
             val c0 = Parser.parseRead(cmd)
-            val injected = c0.result.isEmpty
-            val c = if (injected) c0.copy(result = Some(defaultReadResult)) else c0
+            val inj = new Injected
+            val c = inj.inject(c0)
             val df = ReadPlanner.plan(store, c)
             val rows = df.collect()
             // root count bounds assert on the MATCH count before
@@ -370,25 +500,8 @@ object SessionHarness {
             if (!boundsOk) (errLine("EMPTY", "not found"), true)
             else if (rows.isEmpty) (okLine("()"), true)
             else {
-              // nesting depth follows the written pattern: result=((x))
-              // = per-row tuples in set parens; result=(x y) = ONE
-              // tuple of the first match; a bare pattern (contents,
-              // count, value) = that value alone, unwrapped
-              val mode: Int = c0.result match {
-                case Some(ListPat(items)) if items.exists(_.isInstanceOf[ListPat]) => 2
-                case Some(ListPat(items)) if items.nonEmpty => 1
-                case Some(_) => 0
-                case None => 2 // injected default pattern
-              }
-              if (mode == 0) {
-                val v = renderValue(df.schema.fields.head.name, rows.head.get(0), refOf)
-                (okLine(v), c0.sort.nonEmpty)
-              } else {
-                val tuples = rows.map(r =>
-                  renderTuple(r, df.schema, dropLinkless = injected, refOf))
-                if (mode == 1) (okLine(tuples.head), c0.sort.nonEmpty)
-                else (okLine(tuples.mkString("(", " ", ")")), c0.sort.nonEmpty)
-              }
+              val r = new Renderer(inj, refOf)
+              (okLine(r.renderResult(c, rows.toSeq, root = true)), c0.sort.nonEmpty)
             }
           } else (s"# unsupported verb $verb", true)
         } catch {

@@ -60,6 +60,12 @@ object SessionProbe {
             err += 1
             failures += f"$name%-16s ERR ${String.valueOf(e.getMessage).take(140)}"
         }
+        // every replay caches/localCheckpoints per-store RDDs that are
+        // never reused across sessions; without draining them a long
+        // sweep degrades until everything times out
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
     }
     println(s"\n== $pass pass / $fail fail / $err error ==")
