@@ -125,13 +125,25 @@ object PointServer {
     }
     val words = new java.util.TreeMap[String, Array[Int]]()
     wacc.forEach((w, b) => words.put(w, b.result()))
-    // type vocabulary: named nodes
+    // type vocabulary: named nodes, plus has_key naming links of a
+    // reference-bootstrapped store (value names the node on the right)
     val tnames = scala.collection.mutable.Map.empty[String, List[Long]]
+    var hasKey = -1L
     i = 0
     while (i < n) {
-      if (lf(i) < 0 && nm(i) != null)
+      if (lf(i) < 0 && nm(i) != null) {
         tnames(nm(i)) = ids(i) :: tnames.getOrElse(nm(i), Nil)
+        if (hasKey < 0 && nm(i) == "HAS_KEY") hasKey = ids(i)
+      }
       i += 1
+    }
+    if (hasKey >= 0) {
+      i = 0
+      while (i < n) {
+        if (tg(i) == hasKey && lf(i) >= 0 && rt(i) >= 0 && vl(i) != null)
+          tnames(vl(i)) = rt(i) :: tnames.getOrElse(vl(i), Nil)
+        i += 1
+      }
     }
     new Index(ids, tg, nm, vl, lf, rt, sc, dt, ts,
       postings(j => tg(j)), postings(j => lf(j)), postings(j => rt(j)),

@@ -99,19 +99,47 @@ final case class GraphStore(spark: SparkSession, primitives: DataFrame,
     */
   private val typeIdCache = scala.collection.concurrent.TrieMap.empty[String, Seq[Long]]
   def resolveTypeIds(names: Seq[String]): Seq[Long] =
-    names.flatMap(n => typeIdCache.getOrElseUpdate(n,
-      current.filter(col("left").isNull && col("name") === n)
-        .select("id").collect().map(_.getLong(0)).toSeq))
+    names.flatMap(n => typeIdCache.getOrElseUpdate(n, {
+      val named = current.filter(col("left").isNull && col("name") === n)
+        .select("id").collect().map(_.getLong(0)).toSeq
+      // reference physical type registry (graphd-type.c:518
+      // graphd_type_guid_from_name): a live has_key naming link whose
+      // value is the name (case-insensitive) names the node it points
+      // at with its right
+      val viaLinks = hasKeyId.toSeq.flatMap { hk =>
+        current.filter(col("typeguid") === hk && col("left").isNotNull &&
+            col("right").isNotNull && lower(col("value")) === n.toLowerCase)
+          .select("right").collect().map(_.getLong(0)).toSeq
+      }
+      (named ++ viaLinks).distinct
+    }))
+
+  /** the HAS_KEY attribute node of a reference-bootstrapped store */
+  private lazy val hasKeyId: Option[Long] =
+    current.filter(col("left").isNull && col("name") === "HAS_KEY")
+      .select("id").orderBy(col("id")).limit(1).collect()
+      .headOption.map(_.getLong(0))
 
   /** id → name over named nodes — the type vocabulary. Backs the
     * `type` result pattern, which echoes the type node's NAME (the
     * reverse of resolveTypeIds; bounded like any type system, so a
-    * driver-side literal map is the right plan shape).
+    * driver-side literal map is the right plan shape). A
+    * reference-bootstrapped store names its (unnamed) type nodes
+    * through has_key naming links instead.
     */
-  lazy val typeNamesById: Seq[(Long, String)] =
-    current.filter(col("left").isNull && col("name").isNotNull)
+  lazy val typeNamesById: Seq[(Long, String)] = {
+    val named = current.filter(col("left").isNull && col("name").isNotNull)
       .select("id", "name").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    val viaLinks = hasKeyId.toSeq.flatMap { hk =>
+      current.filter(col("typeguid") === hk && col("left").isNotNull &&
+          col("right").isNotNull && col("value").isNotNull)
+        .select("right", "value").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    }
+    val seen = named.map(_._1).toSet
+    named ++ viaLinks.filterNot(p => seen(p._1))
+  }
 
   /** One-row store status — the reference's `status` request
     * (doc/gr-protocol.txt:910-1211, graphd/graphd-status.c) reduced to

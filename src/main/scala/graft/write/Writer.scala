@@ -76,7 +76,14 @@ object Writer {
   def append(store: GraphStore, specs: Seq[Spec],
       timestamp: Option[Long] = None): (GraphStore, Seq[Long]) = {
     val base = nextId(store)
-    val ts = timestamp.getOrElse(now())
+    // deterministic tick mode stamps each primitive its own tick (the
+    // reference's test clock is per-primitive, not per-request), so the
+    // clock stays in lockstep with the id sequence
+    val perRow = timestamp.isEmpty && tickMicros.isDefined
+    val ts = timestamp.getOrElse(tickMicros match {
+      case Some(t) => t.getAndAdd(100L * specs.length)
+      case None => now()
+    })
     val prevIds = specs.flatMap(_.prev)
     val lineageOf: Map[Long, Long] =
       if (prevIds.isEmpty) Map.empty
@@ -92,7 +99,8 @@ object Writer {
           throw WriteError("NOTFOUND", s"prev id $p does not exist")
       }
       Primitive(id, s.typeguid, s.name, s.datatype, s.value, s.scope,
-        s.live, s.archival, txstart = i == 0, ts, s.left, s.right, s.prev,
+        s.live, s.archival, txstart = i == 0,
+        if (perRow) ts + i * 100L else ts, s.left, s.right, s.prev,
         s.prev.map(lineageOf).getOrElse(id))
     }
     import store.spark.implicits._
@@ -130,6 +138,99 @@ object Writer {
   // upsert machinery
   // ------------------------------------------------------------------
 
+  // ------------------------------------------------------------------
+  // reference type bootstrap (physical layout)
+  // ------------------------------------------------------------------
+
+  /** When true, first-use type names mint the reference's physical
+    * primitive layout (graphd/graphd-type.c:899 graphd_type_bootstrap;
+    * :656 make_node_has_key): a 7-primitive core type system on the
+    * first typed write, then per name an unnamed node plus a `has_key`
+    * naming link whose value is the name. Engine ids then coincide
+    * with the reference's istore serials — the session replay harness
+    * depends on that. Default off: library users get the compact
+    * single-node type registry.
+    */
+  @volatile private[graft] var refBootstrap: Boolean = false
+
+  private[graft] object Boot {
+    val CoreScope = "CORE_SCOPE"
+    val RootNs = "ROOT_NAMESPACE"
+    val HasKey = "HAS_KEY"
+    val Anchor = "Metaweb_Bootstrap_Anchor"
+  }
+
+  /** (coreScope, rootNamespace, hasKey) node ids when the store
+    * carries the reference bootstrap (graphd_type_bootstrap_read)
+    */
+  private def bootCore(st: GraphStore): Option[(Long, Long, Long)] = {
+    val rows = st.current
+      .filter(col("left").isNull &&
+        col("name").isin(Boot.CoreScope, Boot.RootNs, Boot.HasKey))
+      .select("name", "id").collect()
+    val m = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (cs <- m.get(Boot.CoreScope); rn <- m.get(Boot.RootNs);
+         hk <- m.get(Boot.HasKey)) yield (cs, rn, hk)
+  }
+
+  /** the seven bootstrap primitives, ids base..base+6
+    * (graphd/graphd-type.c:899-1035)
+    */
+  private def bootstrapSpecs(base: Long): Seq[Spec] = {
+    val cs = base; val rn = base + 1; val hk = base + 2; val ns = base + 3
+    Seq(
+      Spec(name = Some(Boot.CoreScope), datatype = Datatype.Null),
+      Spec(name = Some(Boot.RootNs), scope = Some(cs), datatype = Datatype.Null),
+      Spec(name = Some(Boot.HasKey), scope = Some(cs), datatype = Datatype.Null),
+      Spec(scope = Some(cs), datatype = Datatype.Null),
+      Spec(left = Some(rn), right = Some(ns), typeguid = Some(hk),
+        scope = Some(cs), value = Some("boot")),
+      Spec(left = Some(ns), right = Some(rn), typeguid = Some(hk),
+        scope = Some(cs), value = Some("root_namespace")),
+      Spec(left = Some(ns), right = Some(hk), typeguid = Some(hk),
+        scope = Some(cs), name = Some(Boot.Anchor), value = Some("has_key")))
+  }
+
+  /** make_node_has_key's search: a live current naming link
+    * (typeguid=HAS_KEY, both endpoints, value case-insensitively
+    * equal) names the node on its right
+    */
+  private def refTypeId(st: GraphStore, hasKey: Long, name: String): Option[Long] =
+    st.current
+      .filter(col("typeguid") === hasKey && col("left").isNotNull &&
+        col("right").isNotNull && lower(col("value")) === name.toLowerCase)
+      .orderBy(col("id"))
+      .select("right").limit(1).collect().headOption.map(_.getLong(0))
+
+  /** resolve-or-mint one type under refBootstrap (upsert path: each
+    * mint is its own append)
+    */
+  private def refTypeIdOf(st0: GraphStore, names: Seq[String])
+      : (GraphStore, Long) = {
+    var st = st0
+    var core = bootCore(st)
+    val existing = core.flatMap { case (_, _, hk) =>
+      names.view.map(n => refTypeId(st, hk, n))
+        .collectFirst { case Some(id) => id }
+    }
+    existing match {
+      case Some(id) => (st, id)
+      case None =>
+        if (core.isEmpty) {
+          val (st2, ids) = append(st, bootstrapSpecs(nextId(st)))
+          st = st2
+          core = Some((ids(0), ids(1), ids(2)))
+        }
+        val (cs, rn, hk) = core.get
+        val base = nextId(st)
+        val (st2, ids) = append(st, Seq(
+          Spec(scope = Some(cs), datatype = Datatype.Null),
+          Spec(left = Some(rn), right = Some(base), typeguid = Some(hk),
+            scope = Some(cs), value = Some(names.head))))
+        (st2, ids.head)
+    }
+  }
+
   /** Write a parsed `write (...)` template: one primitive per
     * constraint node, children wired to parents through their linkage
     * — `(<-left ...)` children get left=parent, `right->(...)` children
@@ -140,6 +241,7 @@ object Writer {
     */
   def writeTemplate(store: GraphStore, template: graft.gql.Constraint)
       : (GraphStore, Seq[Long]) = {
+    if (refBootstrap) return writeTemplateRef(store, template)
     import graft.gql._
     // write-side type names resolve against existing type nodes or are
     // created implicitly (the reference mints type primitives on first
@@ -250,6 +352,137 @@ object Writer {
     append(st, specs.toSeq)
   }
 
+  /** writeTemplate under refBootstrap: one batch whose allocation
+    * order is the reference's (graphd-write.c) — at each constraint
+    * visit, first-use type pairs mint in place, then the subtrees the
+    * constraint points at, then the constraint itself, then the links
+    * into it; a first typed write prepends the 7-primitive bootstrap.
+    */
+  private def writeTemplateRef(store: GraphStore,
+      template: graft.gql.Constraint): (GraphStore, Seq[Long]) = {
+    import graft.gql._
+    var st = store
+    def namesDfs(c: Constraint): Seq[String] =
+      c.typeNames.getOrElse(Nil) ++ c.subs.flatMap(namesDfs)
+    val wanted = namesDfs(template).distinct
+    val typeId = scala.collection.mutable.Map.empty[String, Long]
+    var core = bootCore(st)
+    if (wanted.nonEmpty) {
+      core.foreach { case (_, _, hk) =>
+        wanted.foreach(n => refTypeId(st, hk, n).foreach(typeId(n) = _))
+      }
+      // first typed write creates the core type system
+      if (core.isEmpty && wanted.exists(!typeId.contains(_))) {
+        val (st2, ids) = append(st, bootstrapSpecs(nextId(st)))
+        st = st2
+        core = Some((ids(0), ids(1), ids(2)))
+      }
+    }
+
+    val base = nextId(st)
+    val specs = scala.collection.mutable.ArrayBuffer.empty[Spec]
+    val idOf = new java.util.IdentityHashMap[Constraint, java.lang.Long]()
+
+    def firstEq(preds: Seq[StrPred]): Option[String] =
+      preds.collectFirst { case StrPred(OpEq, vs) => vs.flatten.headOption }.flatten
+
+    def linkSerial(c: Constraint, f: String): Option[Long] = {
+      c.linkFields.get(f).foreach(_.foreach { p =>
+        if (p.serials.length > 1)
+          throw WriteError("SEMANTICS",
+            "multiple GUID values are only allowed in read requests")
+      })
+      c.linkFields.get(f).flatMap(_.collectFirst {
+        case GuidPred(true, serials, false) => serials.flatten.headOption
+      }.flatten)
+    }
+
+    def mintType(t: String): Unit = {
+      val (cs, rn, hk) = core.get
+      val nodeId = base + specs.length
+      specs += Spec(scope = Some(cs), datatype = Datatype.Null)
+      specs += Spec(left = Some(rn), right = Some(nodeId), typeguid = Some(hk),
+        scope = Some(cs), value = Some(t))
+      typeId(t) = nodeId
+    }
+
+    def linkOf(parent: Constraint, sub: Constraint): Option[Linkage] =
+      sub.effectiveLinkage.orElse(parent.effectiveLinkage match {
+        case Some(ChildPointsToParent("right")) => Some(ParentPointsToChild("left"))
+        case Some(ChildPointsToParent("left")) => Some(ParentPointsToChild("right"))
+        case _ => None
+      })
+
+    def withField(s: Spec, f: String, id: Long): Spec = f match {
+      case "left" => s.copy(left = Some(id))
+      case "right" => s.copy(right = Some(id))
+      case "typeguid" => s.copy(typeguid = Some(id))
+      case "scope" => s.copy(scope = Some(id))
+      case other => throw WriteError("SYNTAX", s"bad linkage $other")
+    }
+
+    def alloc(c: Constraint, parentField: Option[(String, Long)]): Long = {
+      val names = c.typeNames.getOrElse(Nil)
+      // an already-known name wins; otherwise the head name is minted
+      val pick = names.find(typeId.contains).getOrElse(names.headOption.orNull)
+      names.foreach(t => if (!typeId.contains(t)) mintType(t))
+      val (pointed, into) = c.subs.partition(sub =>
+        linkOf(c, sub).exists(_.isInstanceOf[ParentPointsToChild]))
+      val pointedId = pointed.map(sub => sub -> alloc(sub, None))
+      var spec = Spec(
+        name = firstEq(c.name),
+        value = firstEq(c.value),
+        datatype = c.datatype.getOrElse(
+          if (firstEq(c.value).isDefined) graft.model.Datatype.String
+          else graft.model.Datatype.Null),
+        typeguid = Option(pick).map(typeId)
+          .orElse(linkSerial(c, "typeguid")),
+        left = linkSerial(c, "left"),
+        right = linkSerial(c, "right"),
+        scope = linkSerial(c, "scope"),
+        live = c.live != MustBeFalse)
+      parentField.foreach { case (f, pid) => spec = withField(spec, f, pid) }
+      pointedId.foreach { case (sub, cid) =>
+        val f = linkOf(c, sub).get.asInstanceOf[ParentPointsToChild].field
+        spec = withField(spec, f, cid)
+      }
+      val myId = base + specs.length
+      specs += spec
+      idOf.put(c, myId)
+      into.foreach { sub =>
+        linkOf(c, sub) match {
+          case Some(ChildPointsToParent(f)) => alloc(sub, Some((f, myId)))
+          case _ => alloc(sub, None)
+        }
+      }
+      myId
+    }
+
+    alloc(template, None)
+
+    // guid=G / guid~=G versioning of the root (same as the legacy path)
+    val rootIdx = (idOf.get(template).longValue - base).toInt
+    template.guid.collectFirst {
+      case GuidPred(true, serials, lineage) =>
+        serials.flatten.headOption.map(g => (g, lineage))
+    }.flatten.foreach { case (g, opportunistic) =>
+      val linRows = st.primitives.filter(col("id") === g)
+        .select("lineage").limit(1).collect()
+      if (linRows.isEmpty) throw WriteError("NOTFOUND", s"no primitive $g")
+      val head = st.newestAll
+        .filter(col("lineage") === linRows.head.getLong(0))
+        .select("id").head.getLong(0)
+      if (!opportunistic && head != g)
+        throw WriteError("OUTDATED", s""""$g" has been versioned""")
+      specs(rootIdx) = specs(rootIdx).copy(prev = Some(head))
+    }
+
+    val (st2, _) = append(st, specs.toSeq)
+    def pre(c: Constraint): Seq[Long] =
+      idOf.get(c).longValue +: c.subs.flatMap(pre)
+    (st2, pre(template))
+  }
+
   /** parse-and-write convenience: `write (value="x" (<-left ...))`.
     * Templates carrying unique/key/anchor markers go through the
     * upsert executor; plain templates append directly.
@@ -310,6 +543,11 @@ object Writer {
     var st = st0
 
     def typeIdOf(names: Seq[String]): Long = {
+      if (refBootstrap) {
+        val (st2, id) = refTypeIdOf(st, names)
+        st = st2
+        return id
+      }
       val rows = st.current
         .filter(col("left").isNull && col("name").isin(names: _*))
         .select("id").limit(2).collect()

@@ -371,26 +371,18 @@ object SessionHarness {
   def replay(spark: org.apache.spark.sql.SparkSession, cmds: Seq[String]): Replayed = {
     var store = GraphStore.fromSeq(spark, Seq.empty)
     Writer.tickMicros = Some(new java.util.concurrent.atomic.AtomicLong(0L))
-    // id translation to the reference's serial space: the reference's
-    // first TYPED write bootstraps its type system with 7 primitives
-    // and every new type name mints 2 more (graphd/graphd-type.c:899
-    // graphd_type_bootstrap), while this engine mints one type node.
-    // The harness keeps the engine's ids and maps them onto the
-    // reference layout for wire rendering / literal translation.
-    val toRef = scala.collection.mutable.Map.empty[Long, Long]
-    val fromRefM = scala.collection.mutable.Map.empty[Long, Long]
-    var refNext = 1L // reference serials, 1-based like our ids
-    var bootstrapped = false
-    val seenTypes = scala.collection.mutable.Set.empty[String]
-    def link(our: Long, ref: Long): Unit = { toRef(our) = ref; fromRefM(ref) = our }
-    def refOf(our: Long): String = refGuid(toRef.getOrElse(our, our))
-    def typeNamesDfs(c: Constraint): Seq[String] =
-      c.typeNames.getOrElse(Nil) ++ c.subs.flatMap(typeNamesDfs)
+    // physical reference bootstrap: the Writer mints the reference's
+    // own primitive layout (7 bootstrap primitives on the first typed
+    // write, a node + has_key naming link per first-use type name —
+    // graphd/graphd-type.c:899), so engine ids COINCIDE with reference
+    // istore serials and guid literals translate 1:1.
+    Writer.refBootstrap = true
+    var lastId = 0L // highest allocated id == the reference's horizon
+    def refOf(our: Long): String = refGuid(our)
     def freshDb(): Unit = {
       store = GraphStore.fromSeq(spark, Seq.empty)
       Writer.tickMicros.foreach(_.set(0L))
-      toRef.clear(); fromRefM.clear()
-      refNext = 1L; bootstrapped = false; seenTypes.clear()
+      lastId = 0L
     }
     try {
       val out = cmds.flatMap { raw =>
@@ -398,8 +390,7 @@ object SessionHarness {
         else if (raw.startsWith(EchoMark))
           Some((raw.stripPrefix(EchoMark), true))
         else Some {
-        val (verb, mods, cmd) = splitModifiers(
-          translateGuids(raw, r => fromRefM.getOrElse(r, r)))
+        val (verb, mods, cmd) = splitModifiers(translateGuids(raw, identity))
         val echo = mods.collectFirst { case ("id", v) => v }
         val dlMod = mods.collectFirst { case ("dateline", v) => v }
         // current dateline rendered the reference way: the horizon
@@ -407,7 +398,7 @@ object SessionHarness {
         // at response time so writes echo their post-write horizon.
         def dlEcho =
           if (dlMod.isEmpty) ""
-          else s"""dateline="$RefDb${f"${SerialBase + (refNext - 1)}%016x"}" """
+          else s"""dateline="$RefDb${f"${SerialBase + lastId}%016x"}" """
         val prefix = echo.map(i => s"""id="$i" """).getOrElse("")
         // NOT trimmed: a valued response keeps its separator space even
         // when the value renders empty (emptylit golden: `ok `)
@@ -421,59 +412,9 @@ object SessionHarness {
             throw Writer.WriteError(code, "invalid dateline value"))
           if (verb == "write") {
             val tmpl = Parser.parseRead(cmd)
-            val newTypes = typeNamesDfs(tmpl).distinct.filterNot(seenTypes)
-            if (!bootstrapped && newTypes.nonEmpty) { refNext += 7; bootstrapped = true }
-            val ourBase = Writer.nextId(store)
             val (st2, ids) = Writer.write(store, cmd)
             store = st2
-            // Simulate the reference's id layout for this write
-            // (graphd-write.c): allocation is DFS with nodes BEFORE
-            // their children and ChildPointsToParent links AFTER their
-            // subtree; a first-use type name mints its 2-primitive pair
-            // at the allocation position. Our engine allocates [type
-            // nodes in first-use order][template preorder] — both
-            // deterministic, so the map bridges them.
-            if (ids.exists(_ >= ourBase)) {
-              val typeRef = scala.collection.mutable.Map.empty[String, Long]
-              // document preorder index per constraint (our id order)
-              val preOf = new java.util.IdentityHashMap[Constraint, Integer]()
-              var pre = -1
-              def number(c: Constraint): Unit = {
-                pre += 1; preOf.put(c, pre); c.subs.foreach(number)
-              }
-              number(tmpl)
-              // reference allocation: mint first-use types at visit,
-              // then the subtrees this constraint POINTS AT, then the
-              // constraint itself, then the links INTO it
-              // linkage with the free-endpoint defaulting a bare
-              // child of a link gets (mirrors Writer/ReadPlanner)
-              def linkOf(parent: Constraint, sub: Constraint): Option[Linkage] =
-                sub.effectiveLinkage.orElse(parent.effectiveLinkage match {
-                  case Some(ChildPointsToParent("right")) => Some(ParentPointsToChild("left"))
-                  case Some(ChildPointsToParent("left")) => Some(ParentPointsToChild("right"))
-                  case _ => None
-                })
-              def alloc(c: Constraint): Unit = {
-                c.typeNames.getOrElse(Nil).foreach { t =>
-                  if (!seenTypes(t) && !typeRef.contains(t)) {
-                    typeRef(t) = refNext; refNext += 2
-                  }
-                }
-                val (pointed, into) = c.subs.partition(sub =>
-                  linkOf(c, sub).exists(_.isInstanceOf[ParentPointsToChild]))
-                pointed.foreach(alloc)
-                val myId = ids(preOf.get(c))
-                if (myId >= ourBase) { link(myId, refNext); refNext += 1 }
-                into.foreach(alloc)
-              }
-              alloc(tmpl)
-              // our minted type nodes (one per new name, before the
-              // batch, in first-use DFS order) → first of each ref pair
-              newTypes.zipWithIndex.foreach { case (t, i) =>
-                seenTypes += t
-                typeRef.get(t).foreach(r => link(ourBase + i, r))
-              }
-            }
+            lastId = Writer.nextId(store) - 1
             var k = -1
             def walk(c: Constraint): String = {
               k += 1
@@ -518,7 +459,10 @@ object SessionHarness {
         }
       }
       Replayed(out.map(_._1), out.map(_._2))
-    } finally Writer.tickMicros = None
+    } finally {
+      Writer.tickMicros = None
+      Writer.refBootstrap = false
+    }
   }
 
   /** top-level tuples of an `ok (...)` line, for order-insensitive
