@@ -64,7 +64,11 @@ object Parser {
         var closed = false
         while (j < n && !closed) {
           input(j) match {
-            case '\\' if j + 1 < n => sb.append(input(j + 1)); j += 2
+            case '\\' if j + 1 < n =>
+              // gdp-lexer.c:122 fix_string: \n is newline; any other
+              // escaped char stands for itself
+              sb.append(if (input(j + 1) == 'n') '\n' else input(j + 1))
+              j += 2
             case '"' => closed = true; j += 1
             case ch => sb.append(ch); j += 1
           }
@@ -523,7 +527,8 @@ object Parser {
             .getOrElse(throw ParseError("SYNTAX: dateline needs a value", pos))
           // all forms resolve to a primitive COUNT horizon ("N exist")
           val ser: Long =
-            if (v.matches("""[\w]+[.:][0-9a-fA-F]+"""))
+            if (v.isEmpty) 0L // dateline>"": no constraint (dateline-2)
+            else if (v.matches("""[\w]+[.:][0-9a-fA-F]+"""))
               java.lang.Long.parseLong(v.split("[.:]").last, 16)
             else if (v.matches("""\d+""")) v.toLong // bare id horizon
             else Guid.parse(v) match {

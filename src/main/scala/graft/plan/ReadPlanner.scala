@@ -62,8 +62,13 @@ object ReadPlanner {
       tok
     }
     var solved = solve(st, root, 0)
+    var shapeRoot_c = root
     after.foreach { tok =>
-      solved = solved.filter(
+      if (tok.skip > 0)
+        // positional iterator cursor (gmap): skip consumed candidates
+        // in id order — applied as a start offset after ordering
+        shapeRoot_c = root.copy(cursorTok = None, start = Some(tok.skip))
+      else solved = solved.filter(
         if (tok.keys.nonEmpty) keysetAfter(st, root, tok)
         else col("id") > tok.lastId)
     }
@@ -72,7 +77,7 @@ object ReadPlanner {
     // graphd/graphd-read-set-cursor.c; Cursor.page does the same)
     def horizonForNewCursor: Long =
       pinned.getOrElse(graft.streaming.Replica.dateline(st.primitives))
-    shapeRoot(st, solved, root, horizonForNewCursor _)
+    shapeRoot(st, solved, shapeRoot_c, horizonForNewCursor _)
   }
 
   def plan(store: GraphStore, query: String): DataFrame =
@@ -261,7 +266,9 @@ object ReadPlanner {
           graft.functions.GraphdText.firstIndexWord(pat).map(Left(_))
             .orElse(graft.functions.GraphdText.firstIndexPrefix(pat).map(Right(_)))
         }
-        if (keys.forall(_.isDefined)) {
+        // a null alternative (value~=null) matches unindexed rows —
+        // index pruning would be unsound for the whole predicate
+        if (p.values.forall(_.isDefined) && keys.forall(_.isDefined)) {
           val exact = keys.flatten.collect { case Left(w) => w }
           val prefixes = keys.flatten.collect { case Right(pre) => pre }
           val candPred = (exact.map(w => col("word") === w) ++
@@ -329,7 +336,13 @@ object ReadPlanner {
             case None => column.isNotNull
           }.reduce(_ && _)
         case OpMatch =>
-          p.values.flatten.map(v => gmatch(column, lit(v), comparator)).reduce(_ || _)
+          // `value~=null` (and an empty alternative list) matches the
+          // NULL value (guidlist2: value~=() / ~=null / ~=(null))
+          if (p.values.flatten.isEmpty) column.isNull
+          else p.values.map {
+            case Some(v) => gmatch(column, lit(v), comparator)
+            case None => column.isNull
+          }.reduce(_ || _)
         case rangeOp if p.values.flatten.isEmpty =>
           // a range against an empty value list matches nothing
           // (value.sh golden: value>=() answers EMPTY)
@@ -619,26 +632,42 @@ object ReadPlanner {
   private def keysetAfter(store: GraphStore, c: Constraint,
       tok: graft.plan.Cursor.Token): Column = {
     val keyCols = c.sort.map(sk => sortExpr(store, sk, c))
-    def litOf(k: graft.plan.Cursor.SortKeyVal): Column = k.tag match {
-      case 'l' => lit(k.v.toLong)
-      case 'd' => lit(k.v.toDouble)
-      case 'b' => lit(k.v.toBoolean)
+    // frozen keys carry RAW wire values (reference sort-cursor form);
+    // normalize to the same domain sortExpr compares in
+    def litOf(i: Int, k: graft.plan.Cursor.SortKeyVal): Column = k.tag match {
+      case 's' | 'a' =>
+        val sk = c.sort(i)
+        sk.pat match {
+          case FieldPat("value") | FieldPat("name") =>
+            sort_key(lit(k.v), sk.comparator.getOrElse(c.comparator))
+          case _ => lit(k.v)
+        }
+      case 't' => lit(graft.model.GTimestamp.parse(k.v).getOrElse(0L))
+      case 'g' => lit(graft.plan.Cursor.parseGuidId(k.v))
+      case 'b' => lit(k.v == "1" || k.v == "true")
+      case 'd' => lit(k.v.toInt)
+      case '#' => lit(k.v.toLong)
       case _ => lit(k.v)
     }
-    def past(kc: Column, v: Option[graft.plan.Cursor.SortKeyVal], asc: Boolean): Column =
+    def past(i: Int, v: Option[graft.plan.Cursor.SortKeyVal], asc: Boolean): Column =
       v match {
         case None => lit(false) // nulls sort last: nothing after a null key
-        case Some(k) => (if (asc) kc > litOf(k) else kc < litOf(k)) || kc.isNull
+        case Some(k) =>
+          (if (asc) keyCols(i) > litOf(i, k) else keyCols(i) < litOf(i, k)) ||
+            keyCols(i).isNull
       }
-    def same(kc: Column, v: Option[graft.plan.Cursor.SortKeyVal]): Column =
-      v match { case None => kc.isNull; case Some(k) => kc === litOf(k) }
+    def same(i: Int, v: Option[graft.plan.Cursor.SortKeyVal]): Column =
+      v match {
+        case None => keyCols(i).isNull
+        case Some(k) => keyCols(i) === litOf(i, k)
+      }
     val n = math.min(keyCols.length, tok.keys.length)
-    val allSame = (0 until n).map(j => same(keyCols(j), tok.keys(j)))
+    val allSame = (0 until n).map(j => same(j, tok.keys(j)))
       .foldLeft(lit(true))(_ && _)
     (0 until n).map { i =>
-      val prefix = (0 until i).map(j => same(keyCols(j), tok.keys(j)))
+      val prefix = (0 until i).map(j => same(j, tok.keys(j)))
         .foldLeft(lit(true))(_ && _)
-      prefix && past(keyCols(i), tok.keys(i), c.sort(i).ascending)
+      prefix && past(i, tok.keys(i), c.sort(i).ascending)
     }.foldLeft(allSame && col("id") > tok.lastId)(_ || _)
   }
 
@@ -650,6 +679,22 @@ object ReadPlanner {
       case other => fieldExpr(store, other, c)
     }
   }
+
+  /** RAW value to freeze into a sort cursor + its wire type tag
+    * (graphd_value_serialize) — sortExpr's normalized key is
+    * re-derived from this at resume
+    */
+  private def freezeExpr(store: GraphStore, sk: SortKey, c: Constraint): (Column, Char) =
+    sk.pat match {
+      case FieldPat("value") => (col("value"), 's')
+      case FieldPat("name") => (col("name"), 's')
+      case FieldPat("timestamp") => (col("timestamp"), 't')
+      case FieldPat("guid") => (col("id"), 'g')
+      case FieldPat(f @ ("left" | "right" | "typeguid" | "scope")) => (col(f), 'g')
+      case FieldPat("datatype") | FieldPat("valuetype") => (col("datatype"), 'd')
+      case FieldPat(f @ ("live" | "archival")) => (col(f), 'b')
+      case other => (fieldExpr(store, other, c), 's')
+    }
 
   private def shapeRoot(store: GraphStore, df: DataFrame, c: Constraint,
       cursorHorizon: () => Long = () => Long.MaxValue): DataFrame = {
@@ -691,35 +736,40 @@ object ReadPlanner {
     // (reference cursors subsume the original offset)
     if (c.cursorTok.isEmpty)
       c.start.foreach(n => out = out.offset(n.toInt))
+    val preLimit = out // for the trailing-row probe below
     c.pagesize.foreach(n => out = out.limit(n.toInt))
 
     // `result=(cursor (...))`: attach the resume token as a constant
-    // column — "null:" past the last page, like the reference's empty
-    // final cursor (test/unit/cursor1; only meaningful for id-ordered
-    // pages, which is the default order above).
+    // column — "null:" when nothing follows this page (the reference
+    // emits the empty cursor whenever there is no trailing row,
+    // graphd-sort.c:1480), else the frozen keyset.
     val wantsCursor = flatten(pat).contains(CursorPat)
     val cursorTok: Option[String] =
       if (!wantsCursor) None
       else c.pagesize.map { ps =>
+        val off = c.cursorTok.map(t => graft.plan.Cursor.decode(t).offset)
+          .getOrElse(0L)
         if (c.sort.isEmpty) {
-          val stats = out.agg(max(col("id")), count(lit(1))).head
-          if (stats.isNullAt(0) || stats.getLong(1) < ps) "null:"
-          else graft.plan.Cursor.encode(
-            graft.plan.Cursor.Token(stats.getLong(0), cursorHorizon()))
+          val ids = preLimit.select(col("id")).limit(ps.toInt + 1).collect()
+          if (ids.length <= ps) "null:"
+          else graft.plan.Cursor.encode(graft.plan.Cursor.Token(
+            ids(ps.toInt - 1).getLong(0), cursorHorizon(), Nil, off + ps))
         } else {
-          // SORT cursor (reference "sort:..." tokens): freeze the last
-          // page row's sort-key values + id; resume is the keyset
-          // predicate in keysetAfter — no offset re-scan, stable under
-          // the pinned horizon
-          val keyCols = c.sort.map(sk => sortExpr(store, sk, c)) :+ col("id")
-          val rows = out.select(keyCols: _*).collect()
-          if (rows.length < ps) "null:"
+          // SORT cursor (reference "sort:..." wire form): freeze the
+          // last page row's RAW sort values + guid tiebreak; resume is
+          // the keyset predicate in keysetAfter — no offset re-scan,
+          // stable under the pinned horizon
+          val frozen = c.sort.map(sk => freezeExpr(store, sk, c))
+          val rows = preLimit
+            .select(frozen.map(_._1) :+ col("id"): _*)
+            .limit(ps.toInt + 1).collect()
+          if (rows.length <= ps) "null:"
           else {
-            val last = rows.last
+            val last = rows(ps.toInt - 1)
             val keys = c.sort.indices.map(i =>
-              graft.plan.Cursor.keyValOf(last.get(i)))
+              graft.plan.Cursor.frozenKey(last.get(i), frozen(i)._2))
             graft.plan.Cursor.encode(graft.plan.Cursor.Token(
-              last.getLong(c.sort.length), cursorHorizon(), keys))
+              last.getLong(c.sort.length), cursorHorizon(), keys, off + ps))
           }
         }
       }

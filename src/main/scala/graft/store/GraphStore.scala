@@ -131,14 +131,19 @@ final case class GraphStore(spark: SparkSession, primitives: DataFrame,
     val named = current.filter(col("left").isNull && col("name").isNotNull)
       .select("id", "name").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    // naming links WIN over node names: the reference's reverse lookup
+    // goes through has_key links, so HAS_KEY itself displays as
+    // "has_key" (the anchor's value), not its node name (onerestore)
     val viaLinks = hasKeyId.toSeq.flatMap { hk =>
       current.filter(col("typeguid") === hk && col("left").isNotNull &&
           col("right").isNotNull && col("value").isNotNull)
-        .select("right", "value").collect()
-        .map(r => r.getLong(0) -> r.getString(1)).toSeq
+        .select("id", "right", "value").collect()
+        .sortBy(_.getLong(0))
+        .map(r => r.getLong(1) -> r.getString(2)).toSeq
     }
-    val seen = named.map(_._1).toSet
-    named ++ viaLinks.filterNot(p => seen(p._1))
+    val linked = viaLinks.groupBy(_._1).view.mapValues(_.head._2)
+    val covered = linked.keySet
+    linked.toSeq ++ named.filterNot(p => covered(p._1))
   }
 
   /** One-row store status — the reference's `status` request

@@ -45,7 +45,12 @@ object Writer {
       live: Boolean = true,
       archival: Boolean = true,
       prev: Option[Long] = None,
-      comparator: String = "default")
+      comparator: String = "default",
+      // explicit per-primitive timestamp (restore path); rows without
+      // one draw from the writer clock
+      timestamp: Option[Long] = None,
+      // explicit transaction bit (restore v6 carries one per tuple)
+      txstart: Option[Boolean] = None)
 
   /** next dense id — the reference's istore append cursor */
   def nextId(store: GraphStore): Long =
@@ -73,15 +78,28 @@ object Writer {
     * Lineage: a spec with prev=P inherits P's lineage (chain heads are
     * resolved against the existing store — no full recompute).
     */
+  /** request-scoped txstart (the reference's transaction bit marks the
+    * FIRST primitive of a write/restore request, even when the engine
+    * materializes the request as several appends — bootstrap + type
+    * mints + template are one transaction). The replay harness clears
+    * this before each command; outside refBootstrap every append is
+    * its own transaction, as before.
+    */
+  @volatile private[graft] var txContOpen: Boolean = false
+
   def append(store: GraphStore, specs: Seq[Spec],
       timestamp: Option[Long] = None): (GraphStore, Seq[Long]) = {
     val base = nextId(store)
+    val txFirst = !(refBootstrap && txContOpen)
+    if (refBootstrap) txContOpen = true
     // deterministic tick mode stamps each primitive its own tick (the
     // reference's test clock is per-primitive, not per-request), so the
-    // clock stays in lockstep with the id sequence
+    // clock stays in lockstep with the id sequence; rows with explicit
+    // timestamps (restore) do not consume ticks
+    val needTicks = specs.count(_.timestamp.isEmpty)
     val perRow = timestamp.isEmpty && tickMicros.isDefined
     val ts = timestamp.getOrElse(tickMicros match {
-      case Some(t) => t.getAndAdd(100L * specs.length)
+      case Some(t) => t.getAndAdd(100L * needTicks)
       case None => now()
     })
     val prevIds = specs.flatMap(_.prev)
@@ -92,15 +110,22 @@ object Writer {
         .select("id", "lineage").collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
 
+    var tick = 0
     val rows = specs.zipWithIndex.map { case (s, i) =>
       val id = base + i
       s.prev.foreach { p =>
         if (!lineageOf.contains(p))
           throw WriteError("NOTFOUND", s"prev id $p does not exist")
       }
+      val rowTs = s.timestamp.getOrElse {
+        val v = if (perRow) ts + tick * 100L else ts
+        if (perRow) tick += 1
+        v
+      }
       Primitive(id, s.typeguid, s.name, s.datatype, s.value, s.scope,
-        s.live, s.archival, txstart = i == 0,
-        if (perRow) ts + i * 100L else ts, s.left, s.right, s.prev,
+        s.live, s.archival,
+        txstart = s.txstart.getOrElse(i == 0 && txFirst),
+        rowTs, s.left, s.right, s.prev,
         s.prev.map(lineageOf).getOrElse(id))
     }
     import store.spark.implicits._
@@ -202,10 +227,17 @@ object Writer {
       .orderBy(col("id"))
       .select("right").limit(1).collect().headOption.map(_.getLong(0))
 
+  /** write the core type system if absent (restore v1 bootstraps
+    * unconditionally — graphd-restore.c:79-87)
+    */
+  private[graft] def ensureBootstrap(st: GraphStore): GraphStore =
+    if (bootCore(st).isDefined) st
+    else append(st, bootstrapSpecs(nextId(st)))._1
+
   /** resolve-or-mint one type under refBootstrap (upsert path: each
     * mint is its own append)
     */
-  private def refTypeIdOf(st0: GraphStore, names: Seq[String])
+  private[graft] def refTypeIdOf(st0: GraphStore, names: Seq[String])
       : (GraphStore, Long) = {
     var st = st0
     var core = bootCore(st)
@@ -367,20 +399,20 @@ object Writer {
     val wanted = namesDfs(template).distinct
     val typeId = scala.collection.mutable.Map.empty[String, Long]
     var core = bootCore(st)
-    if (wanted.nonEmpty) {
-      core.foreach { case (_, _, hk) =>
-        wanted.foreach(n => refTypeId(st, hk, n).foreach(typeId(n) = _))
-      }
-      // first typed write creates the core type system
-      if (core.isEmpty && wanted.exists(!typeId.contains(_))) {
-        val (st2, ids) = append(st, bootstrapSpecs(nextId(st)))
-        st = st2
-        core = Some((ids(0), ids(1), ids(2)))
-      }
+    core.foreach { case (_, _, hk) =>
+      wanted.foreach(n => refTypeId(st, hk, n).foreach(typeId(n) = _))
     }
 
-    val base = nextId(st)
     val specs = scala.collection.mutable.ArrayBuffer.empty[Spec]
+    // first typed write creates the core type system — INSIDE the same
+    // batch: the whole request is one transaction (txstart on its
+    // first primitive only) and one contiguous id range
+    val boot0 = nextId(st)
+    if (core.isEmpty && wanted.exists(!typeId.contains(_))) {
+      specs ++= bootstrapSpecs(boot0)
+      core = Some((boot0, boot0 + 1, boot0 + 2))
+    }
+    val base = boot0
     val idOf = new java.util.IdentityHashMap[Constraint, java.lang.Long]()
 
     def firstEq(preds: Seq[StrPred]): Option[String] =

@@ -490,13 +490,10 @@ class GoldenSpec extends AnyFunSuite {
       s"""read (any pagesize=2 sort=(value name)
          |  result=(cursor ((value))) cursor="$tok")""".stripMargin).collect()
     assert(p2.map(_.getAs[String]("value")).toSeq == Seq("3", "4"))
-    // final page is full, so one more token; the page after is empty
-    val tok2 = p2.head.getAs[String]("cursor")
-    assert(tok2 != "null:")
-    val p3 = ReadPlanner.plan(st,
-      s"""read (any pagesize=2 sort=(value name)
-         |  result=(cursor ((value))) cursor="$tok2")""".stripMargin).collect()
-    assert(p3.isEmpty)
+    // final page is full but nothing trails it: the reference answers
+    // the empty cursor (graphd-sort.c:1480; sortcursor.sh golden
+    // `ok ("null:" ("3") ("4"))`)
+    assert(p2.head.getAs[String]("cursor") == "null:")
   }
 
   /** test/unit/numberequal.sh — number comparator: zero forms,

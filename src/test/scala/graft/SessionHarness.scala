@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 
 import graft.gql._
@@ -77,11 +78,18 @@ object SessionHarness {
         val f = inRedir.findFirstMatchIn(t).get.group(1)
         val file = new java.io.File(dir, f)
         if (file.exists()) {
-          val src = scala.io.Source.fromFile(file)
+          val src = scala.io.Source.fromFile(file)(scala.io.Codec.ISO8859)
           try body ++= src.getLines() finally src.close()
         }
       } else if (t.startsWith("echo ") && !t.contains(">")) {
-        body += EchoMark + t.stripPrefix("echo ").trim
+        // shell quoting: echo 'Round 1' prints Round 1 (keyburn2)
+        val e0 = t.stripPrefix("echo ").trim
+        val e =
+          if (e0.length >= 2 &&
+              ((e0.head == '\'' && e0.last == '\'') ||
+               (e0.head == '"' && e0.last == '"'))) e0.substring(1, e0.length - 1)
+          else e0
+        body += EchoMark + e
       }
     }
     // join continuation lines until parens balance outside strings;
@@ -119,15 +127,24 @@ object SessionHarness {
     cmds.toSeq
   }
 
-  /** reference guid literals → this engine's decimal ids (through the
-    * session's id translation when bootstrap writes shifted serials)
+  /** reference guid literals → this engine's decimal ids. `lookup`
+    * resolves guids from a non-default id space (restored primitives,
+    * post-restore server writes); the arithmetic fallback covers the
+    * common session with no restores, where id == serial + 1.
     */
-  private def translateGuids(cmd: String, fromRef: Long => Long): String =
-    "[0-9a-f]{32}".r.replaceAllIn(cmd, m => {
+  private def translateGuids(cmd: String,
+      lookup: String => Option[Long]): String =
+    // (?<!g): guids inside cursor strings ride as `g<hex>` serialized
+    // values (sortcursor) — those are wire payload, not references
+    "(?<!g)[0-9a-f]{32}".r.replaceAllIn(cmd, m => {
       val hex = m.matched
-      if (hex.startsWith(RefDb))
-        fromRef(java.lang.Long.parseUnsignedLong(hex.substring(16), 16) - SerialBase + 1).toString
-      else hex
+      lookup(hex) match {
+        case Some(id) => id.toString
+        case None if hex.startsWith(RefDb) =>
+          (java.lang.Long.parseUnsignedLong(hex.substring(16), 16) -
+            SerialBase + 1).toString
+        case None => hex
+      }
     })
 
   /** split `read id="a" asof="x" (...)` into (verb, echoed modifiers,
@@ -137,7 +154,8 @@ object SessionHarness {
     */
   private def splitModifiers(cmd0: String): (String, Seq[(String, String)], String) = {
     val cmd = cmd0.trim
-    val verb = cmd.takeWhile(!_.isWhitespace)
+    // request names are case-insensitive (random2: rEsTORe)
+    val verb = cmd.takeWhile(c => !c.isWhitespace && c != '(').toLowerCase
     // first '(' outside quotes — modifier values may contain parens
     // (count2: read id="()" (...))
     val open = {
@@ -155,11 +173,13 @@ object SessionHarness {
     }
     val pre = cmd.substring(verb.length, if (open < 0) cmd.length else open)
     val mods = """([-\w]+)=("[^"]*"|\S+)""".r.findAllMatchIn(pre).toSeq
+    // modifier names are case-insensitive too (random2: dateliNe=)
+    def modName(m: scala.util.matching.Regex.Match) = m.group(1).toLowerCase
     val extracted = mods.collect {
-      case m if m.group(1) == "id" || m.group(1) == "dateline" =>
-        m.group(1) -> m.group(2).stripPrefix("\"").stripSuffix("\"")
+      case m if modName(m) == "id" || modName(m) == "dateline" =>
+        modName(m) -> m.group(2).stripPrefix("\"").stripSuffix("\"")
     }
-    val keep = mods.filterNot(m => m.group(1) == "id" || m.group(1) == "dateline")
+    val keep = mods.filterNot(m => modName(m) == "id" || modName(m) == "dateline")
       .map(_.matched)
     val rest = if (open < 0) "()" else cmd.substring(open + 1)
     (verb, extracted, verb + " (" + keep.mkString(" ") + (if (keep.nonEmpty) " " else "") + rest)
@@ -218,7 +238,8 @@ object SessionHarness {
     }.mkString
 
   private def quote(s: String): String =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n") + "\"" // '\n' escapes on the wire (dumpnl)
 
   private def genericValue(v: Any, g: Long => String): String = v match {
     case null => "null"
@@ -263,17 +284,9 @@ object SessionHarness {
       */
     private def tupleElems(items: Seq[Pattern], c: Constraint, row: Row,
         off: Int, root: Boolean, injected: Boolean): (Seq[String], Int) = {
-      // injected default: timestamp renders from the mapped reference
-      // serial (test clock = serial×100µs); node rows drop meta/right/left
-      val guidAt = items.indexWhere { case FieldPat("guid") => true; case _ => false }
-      val tsOverride: Option[String] =
-        if (guidAt < 0 || row.isNullAt(off + guidAt)) None
-        else {
-          val hex = g(row.getLong(off + guidAt))
-          val serial =
-            java.lang.Long.parseUnsignedLong(hex.substring(16), 16) - SerialBase
-          Some(GTimestamp.render(serial * 100L))
-        }
+      // stored timestamps are already in lockstep with the reference
+      // test clock (per-primitive ticks; restores carry their own)
+      val tsOverride: Option[String] = None
       val isNode = injected && {
         val r = items.indexWhere { case FieldPat("right") => true; case _ => false }
         val l = items.indexWhere { case FieldPat("left") => true; case _ => false }
@@ -295,7 +308,10 @@ object SessionHarness {
           case CursorPat =>
             if (root) { // appended by shapeRoot under the name "cursor"
               val ci = row.schema.fieldNames.indexOf("cursor")
-              Seq(if (ci < 0 || row.isNullAt(ci)) "null" else quote(row.getString(ci)))
+              // no token = iteration exhausted → the reference's empty
+              // cursor string (graphd-sort.c:1484 "null:")
+              Seq(if (ci < 0 || row.isNullAt(ci)) quote("null:")
+                  else quote(row.getString(ci)))
             } else Seq(genericValue(if (row.isNullAt(i)) null else row.get(i), g))
           case ContentsPat =>
             graft.plan.ReadPlanner.contributingSubs(c).zipWithIndex.map {
@@ -331,6 +347,8 @@ object SessionHarness {
                   val (es, _) = tupleElems(sub, c, r, off, root, inj.isDefault(lp))
                   "(" + joinElems(es) + ")"
                 }
+              case CursorPat if rows.isEmpty && root =>
+                Seq(quote("null:")) // empty page still answers a cursor
               case other =>
                 if (rows.isEmpty) Nil
                 else tupleElems(Seq(other), c, rows.head, off, root,
@@ -362,6 +380,60 @@ object SessionHarness {
     }
   }
 
+  // ------------------------------------------------------------------
+  // dump / restore payload s-expressions
+  // ------------------------------------------------------------------
+  private sealed trait RTok
+  private case object ROpen extends RTok
+  private case object RClose extends RTok
+  private final case class RAtom(s: String) extends RTok
+  private final case class RStr(s: String) extends RTok
+
+  private def rTokens(s: String): Seq[RTok] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[RTok]
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case c if c.isWhitespace => i += 1
+        case '(' => out += ROpen; i += 1
+        case ')' => out += RClose; i += 1
+        case '"' =>
+          val sb = new StringBuilder; i += 1
+          while (i < s.length && s.charAt(i) != '"') {
+            if (s.charAt(i) == '\\' && i + 1 < s.length) {
+              sb.append(s.charAt(i + 1) match {
+                case 'n' => '\n'; case 't' => '\t'; case c => c
+              })
+              i += 2
+            } else { sb.append(s.charAt(i)); i += 1 }
+          }
+          i += 1
+          out += RStr(sb.toString)
+        case _ =>
+          val j0 = i
+          while (i < s.length && !s.charAt(i).isWhitespace &&
+                 s.charAt(i) != '(' && s.charAt(i) != ')') i += 1
+          out += RAtom(s.substring(j0, i))
+      }
+    }
+    out.toSeq
+  }
+
+  /** nested lists → Vector[Any]; quoted strings → String; atoms → RAtom */
+  private def rParse(toks: Seq[RTok], pos: Int): (Vector[Any], Int) = {
+    val buf = Vector.newBuilder[Any]
+    var i = pos + 1 // past ROpen
+    while (i < toks.length && toks(i) != RClose) {
+      toks(i) match {
+        case ROpen => val (l, j) = rParse(toks, i); buf += l; i = j
+        case RStr(s) => buf += s; i += 1
+        case a: RAtom => buf += a; i += 1
+        case RClose => ()
+      }
+    }
+    (buf.result(), i + 1)
+  }
+
   final case class Replayed(lines: Seq[String], sortedRead: Seq[Boolean])
 
   /** run every command against a fresh store; returns one response
@@ -377,12 +449,41 @@ object SessionHarness {
     // graphd/graphd-type.c:899), so engine ids COINCIDE with reference
     // istore serials and guid literals translate 1:1.
     Writer.refBootstrap = true
+    // cursor tokens render/parse guids in the reference wire space
+    graft.plan.Cursor.renderGuid = refGuid
+    graft.plan.Cursor.parseGuidId =
+      h => (java.lang.Long.parseUnsignedLong(h.substring(16), 16) &
+        0x3FFFFFFFFL) + 1
     var lastId = 0L // highest allocated id == the reference's horizon
-    def refOf(our: Long): String = refGuid(our)
+    // guid spaces: restores place primitives under foreign database
+    // ids and bump the server's own id (pdb-restore.c
+    // avoid/adopt_database_id), so guids stop being pure id arithmetic
+    var serverDb = RefDb // 16-hex db prefix of the server's own writes
+    var serverBHigh = SerialBase // guid_b bits above the 34-bit serial
+    var restoredMode = false
+    val hexOf = scala.collection.mutable.Map.empty[Long, String]
+    val idOfHex = scala.collection.mutable.Map.empty[String, Long]
+    def recordGuid(id: Long, hex: String): Unit = {
+      hexOf(id) = hex; idOfHex(hex) = id
+    }
+    def serverHex(id: Long): String =
+      serverDb + f"${serverBHigh | (id - 1)}%016x"
+    def refOf(our: Long): String = hexOf.getOrElse(our, refGuid(our))
+    /** register server-space guids for ids allocated since lastId */
+    def sweepNewIds(): Unit = {
+      val newLast = Writer.nextId(store) - 1
+      if (restoredMode)
+        ((lastId + 1) to newLast).foreach { id =>
+          if (!hexOf.contains(id)) recordGuid(id, serverHex(id))
+        }
+      lastId = newLast
+    }
     def freshDb(): Unit = {
       store = GraphStore.fromSeq(spark, Seq.empty)
       Writer.tickMicros.foreach(_.set(0L))
       lastId = 0L
+      serverDb = RefDb; serverBHigh = SerialBase; restoredMode = false
+      hexOf.clear(); idOfHex.clear()
     }
     try {
       val out = cmds.flatMap { raw =>
@@ -390,7 +491,15 @@ object SessionHarness {
         else if (raw.startsWith(EchoMark))
           Some((raw.stripPrefix(EchoMark), true))
         else Some {
-        val (verb, mods, cmd) = splitModifiers(translateGuids(raw, identity))
+        Writer.txContOpen = false // fresh request = fresh transaction
+        // restore payload guids are wire-space data, not references
+        val rawVerb = raw.trim.takeWhile(c => !c.isWhitespace && c != '(')
+        val translated =
+          if (rawVerb.equalsIgnoreCase("restore")) raw
+          else translateGuids(raw,
+            h => if (restoredMode) Some(idOfHex.getOrElse(h, 9999999999L))
+                 else idOfHex.get(h))
+        val (verb, mods, cmd) = splitModifiers(translated)
         val echo = mods.collectFirst { case ("id", v) => v }
         val dlMod = mods.collectFirst { case ("dateline", v) => v }
         // current dateline rendered the reference way: the horizon
@@ -407,6 +516,11 @@ object SessionHarness {
         // `error EMPTY id="n" "not found"` (value.sh golden)
         def errLine(code: String, msg: String) =
           s"""error $code $prefix"${msg.replace("\"", "\\\"")}""""
+        // a failed request rolls back its writes AND its clock ticks —
+        // the reference test clock stamps only persisted primitives
+        val tickMark = Writer.tickMicros.map(_.get())
+        def rollbackTicks(): Unit =
+          tickMark.foreach(m => Writer.tickMicros.foreach(_.set(m)))
         try {
           dlMod.flatMap(datelineError).foreach(code =>
             throw Writer.WriteError(code, "invalid dateline value"))
@@ -414,7 +528,7 @@ object SessionHarness {
             val tmpl = Parser.parseRead(cmd)
             val (st2, ids) = Writer.write(store, cmd)
             store = st2
-            lastId = Writer.nextId(store) - 1
+            sweepNewIds()
             var k = -1
             def walk(c: Constraint): String = {
               k += 1
@@ -439,22 +553,308 @@ object SessionHarness {
                 c.copy(pagesize = None, start = None)).count()
             val boundsOk = total >= b.min && b.max.forall(total <= _)
             if (!boundsOk) (errLine("EMPTY", "not found"), true)
-            else if (rows.isEmpty) (okLine("()"), true)
             else {
+              // empty pages still render the pattern frame (a cursor
+              // element answers "null:" — dateline-2/3)
               val r = new Renderer(inj, refOf)
               (okLine(r.renderResult(c, rows.toSeq, root = true)), c0.sort.nonEmpty)
             }
-          } else (s"# unsupported verb $verb", true)
+          } else if (verb == "dump") {
+            // dump (start=N end=N pagesize=N) — graphd-dump.c
+            val o = cmd.indexOf('('); val cl = cmd.lastIndexOf(')')
+            val toks = rTokens(
+              if (o >= 0 && cl > o) cmd.substring(o + 1, cl) else "")
+            if (toks.exists { case RAtom(a) => !a.contains('='); case _ => true })
+              (errLine("SYNTAX", "expected a dump constraint, or ')'"), true)
+            else {
+              val kv = toks.collect { case RAtom(a) => a }
+                .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
+              val n = lastId
+              val start = kv.get("start").flatMap(_.toLongOption).getOrElse(0L)
+              var end = kv.get("end").flatMap(_.toLongOption)
+                .map(math.min(_, n)).getOrElse(n)
+              var pagesize = if (start < end) end - start else 0L
+              kv.get("pagesize").flatMap(_.toLongOption).foreach(p => pagesize = p)
+              if (start + pagesize < end) end = start + pagesize
+              if (start > end)
+                (errLine("SEMANTICS", s"start $start exceeds end $end"), true)
+              else {
+                val rows = store.primitives
+                  .filter(col("id") > start && col("id") <= end)
+                  .orderBy(col("id"))
+                  .select("id", "typeguid", "name", "datatype", "value",
+                    "scope", "live", "archival", "txstart", "timestamp",
+                    "left", "right", "prev")
+                  .collect()
+                def og(r: Row, i: Int): String = // linkage: null → "0"
+                  if (r.isNullAt(i)) "0" else refOf(r.getLong(i))
+                val tuples = rows.map { r =>
+                  val elems = Seq(
+                    refOf(r.getLong(0)),
+                    if (r.isNullAt(1)) "null" else refOf(r.getLong(1)),
+                    if (r.isNullAt(2)) "null" else quote(r.getString(2)),
+                    Datatype.name(r.getByte(3)),
+                    if (r.isNullAt(4)) "null" else quote(r.getString(4)),
+                    og(r, 5),
+                    if (r.getBoolean(6)) "true" else "false",
+                    if (r.getBoolean(7)) "true" else "false",
+                    if (r.getBoolean(8)) "true" else "false",
+                    GTimestamp.render(r.getLong(9)),
+                    og(r, 10), og(r, 11), og(r, 12))
+                  elems.mkString("(", " ", ")")
+                }
+                val payload = (s""""6" $start $end""" +: tuples)
+                  .mkString("(", " ", ")")
+                (okLine(payload), true)
+              }
+            }
+          } else if (verb == "restore") {
+            // restore ("V" lo hi (tuple)...) — graphd-restore.c
+            val o = cmd.indexOf('(')
+            if (o < 0) throw Writer.WriteError("SYNTAX", "expected payload")
+            val (top, _) = rParse(rTokens(cmd.substring(o)), 0)
+            val version = top.headOption match {
+              case Some(s: String) => s
+              case _ => throw Writer.WriteError("SYNTAX", "expected version")
+            }
+            if (!Set("1", "2", "4", "5", "6")(version))
+              throw Writer.WriteError("SYNTAX", s"bad restore version $version")
+            def num(a: Any): Long = a match {
+              case RAtom(s) if s.nonEmpty && s.forall(_.isDigit) => s.toLong
+              case _ => throw Writer.WriteError("SYNTAX", "expected a number")
+            }
+            if (top.length < 3)
+              throw Writer.WriteError("SYNTAX", "expected start and end")
+            val lo = num(top(1)); val hi = num(top(2))
+            if (lo > hi)
+              throw Writer.WriteError("SEMANTICS",
+                s"'$hi': start value cannot exceed end value")
+            val tuples = top.drop(3).collect {
+              case v: Vector[_] => v.asInstanceOf[Vector[Any]]
+            }
+            if (tuples.length < hi - lo)
+              throw Writer.WriteError("SEMANTICS",
+                s"'$hi': too many records")
+            if (lo > lastId)
+              throw Writer.WriteError("SEMANTICS",
+                "restored records must be contiguous - cannot restore " +
+                  s"records above $lastId (attempted: $lo)")
+
+            val SerialMask = 0x3FFFFFFFFL // GRAPH_GUID_SERIAL: low 34 bits
+            def hexSerial(h: String): Long =
+              java.lang.Long.parseUnsignedLong(h.substring(16), 16) & SerialMask
+            def hexBHigh(h: String): Long =
+              java.lang.Long.parseUnsignedLong(h.substring(16), 16) & ~SerialMask
+            /** v1/v2 guids convert to the v5 layout (libgdp
+              * gdp-parse.c:2524, graph.h:256 GRAPH_V2GUID_DB,
+              * graph-guid.c graph_guid_from_db_serial): db = low-18
+              * bits of guid_a ++ bits 34..63 of guid_b; new guid =
+              * host(db>>16) "4000" random(db&0xffff) | 8000…|serial.
+              */
+            def convertHex(h: String): String =
+              if (version != "1" && version != "2") h
+              else {
+                val a = java.lang.Long.parseUnsignedLong(h.substring(0, 16), 16)
+                val bBits = java.lang.Long.parseUnsignedLong(h.substring(16), 16)
+                val db = ((a & 0x3FFFFL) << 30) | ((bBits >>> 34) & 0x3FFFFFFFL)
+                f"${db >>> 16}%08x4000${db & 0xFFFFL}%04x" +
+                  f"${SerialBase | (bBits & SerialMask)}%016x"
+              }
+
+            // working state, committed only on success (a failed
+            // restore request rolls back like any request)
+            var st = store
+            val truncating = lo == 0L
+            val origLast = if (truncating) 0L else lastId
+            if (truncating) st = GraphStore.fromSeq(spark, Seq.empty)
+            var wServerDb = serverDb
+            var wBHigh = serverBHigh
+            var wRestored = restoredMode
+            val newHex = scala.collection.mutable.Map.empty[Long, String]
+            val newRev = scala.collection.mutable.Map.empty[String, Long]
+            val serialToLocal = scala.collection.mutable.Map.empty[Long, Long]
+            var maxTs = -1L
+
+            val firstHex: Option[String] =
+              tuples.headOption.flatMap(_.headOption).collect {
+                case RAtom(h) if h.length == 32 => convertHex(h)
+              }
+            if (tuples.nonEmpty && truncating) {
+              if (version == "1") {
+                // avoid_database_id: if the incoming (converted) space
+                // is the server's own, the server id moves aside while
+                // the restored stream keeps it. v1 bootstraps the type
+                // system unconditionally (graphd-restore.c:79)
+                if (firstHex.exists(_.substring(0, 16) == wServerDb)) {
+                  wServerDb =
+                    f"${java.lang.Long.parseUnsignedLong(wServerDb, 16) + 1}%016x"
+                  wRestored = true
+                }
+                st = Writer.ensureBootstrap(st)
+              } else {
+                // adopt_database_id: the incoming space becomes ours
+                firstHex.foreach { h =>
+                  wServerDb = h.substring(0, 16)
+                  wBHigh = hexBHigh(h)
+                  if (wServerDb != RefDb || wBHigh != SerialBase) wRestored = true
+                }
+              }
+            }
+
+            val typeCache = scala.collection.mutable.Map.empty[String, Long]
+            val pending = scala.collection.mutable.ArrayBuffer.empty[Writer.Spec]
+            var flushBase = -1L
+            def flush(): Unit = if (pending.nonEmpty) {
+              val (st2, _) = Writer.append(st, pending.toSeq)
+              st = st2
+              pending.clear(); flushBase = -1L
+            }
+            def predictId(): Long = {
+              if (flushBase < 0) flushBase = Writer.nextId(st)
+              flushBase + pending.length
+            }
+            def typeIdOf(name: String): Long =
+              typeCache.getOrElseUpdate(name, {
+                flush()
+                val (st2, id) = Writer.refTypeIdOf(st, Seq(name))
+                st = st2
+                id
+              })
+            def aGuid(a: Any): Option[String] = a match {
+              case RAtom("0") | RAtom("null") => None
+              case RAtom(h) if h.length == 32 => Some(h)
+              case _ => throw Writer.WriteError("SYNTAX", "expected a guid")
+            }
+            def aStr(a: Any): Option[String] = a match {
+              case s: String => Some(s)
+              case RAtom("null") => None
+              case RAtom(x) => Some(x)
+              case _ => None
+            }
+            def targetOf(h: String): Option[Long] =
+              newRev.get(h).orElse(idOfHex.get(h))
+                .filter(_ < 0x4000000000000000L) // sentinels aren't prims
+                .orElse {
+                  if (!wRestored && h.startsWith(RefDb))
+                    Some(hexSerial(h) + 1).filter(_ <= origLast)
+                  else None
+                }
+            // the guid space this restore populates (first tuple)
+            val restoreSpace: Option[(String, Long)] =
+              firstHex.map(h => (h.substring(0, 16), hexBHigh(h)))
+            var sentinelNext = 0x4000000000000000L
+            def resolveRef(field: String, h0: String): Long = {
+              val h = convertHex(h0)
+              val r =
+                if (version == "1") serialToLocal.get(hexSerial(h))
+                else {
+                  val s = hexSerial(h)
+                  val sameSpace = restoreSpace.exists { case (p, bh) =>
+                    p == h.substring(0, 16) && bh == hexBHigh(h) }
+                  if (sameSpace) {
+                    // ids are pre-allocated serial+1 across the whole
+                    // window, so FORWARD references resolve (chris5)
+                    if (s < hi || s + 1 <= origLast) Some(s + 1) else None
+                  } else newRev.get(h).orElse(idOfHex.get(h)).orElse {
+                    // cross-database reference: restores verbatim with
+                    // no local primitive behind it (pdb stores whole
+                    // guids) — back it with a sentinel id
+                    val id = sentinelNext; sentinelNext += 1
+                    newHex(id) = h; newRev(h) = id
+                    Some(id)
+                  }
+                }
+              r.getOrElse(throw Writer.WriteError("SEMANTICS",
+                s"cannot allocate primitive: not found: $field=$h does not exist"))
+            }
+
+            tuples.zipWithIndex.foreach { case (t, i) =>
+              val v6 = version == "4" || version == "6"
+              if (t.length < (if (v6) 13 else 12))
+                throw Writer.WriteError("SYNTAX", "short restore tuple")
+              val guidHex = aGuid(t(0)).getOrElse(
+                throw Writer.WriteError("SYNTAX", "expected a guid"))
+              val myHex = convertHex(guidHex)
+              val serial = hexSerial(myHex)
+              val typeRef: Option[Long] =
+                if (version == "1") aStr(t(1)).map(typeIdOf)
+                else aGuid(t(1)).map(resolveRef("typeguid", _))
+              val nameF = aStr(t(2))
+              val dtF = aStr(t(3)).flatMap(Datatype.code)
+              val valueF = aStr(t(4))
+              val scopeRef = aGuid(t(5)).map(resolveRef("scope", _))
+              val live = t(6) == RAtom("true")
+              val archival = t(7) == RAtom("true")
+              val txs = if (v6) Some(t(8) == RAtom("true")) else None
+              val tsAt = if (v6) 9 else 8
+              val ts = aStr(t(tsAt)).flatMap(GTimestamp.parse).getOrElse(0L)
+              if (ts > maxTs) maxTs = ts
+              val leftRef = aGuid(t(tsAt + 1)).map(resolveRef("left", _))
+              val rightRef = aGuid(t(tsAt + 2)).map(resolveRef("right", _))
+              val prevRef = aGuid(t(tsAt + 3)).map(resolveRef("previous", _))
+              val spec = Writer.Spec(
+                name = nameF, value = valueF,
+                datatype = dtF.getOrElse(
+                  if (valueF.isDefined) Datatype.String else Datatype.Null),
+                typeguid = typeRef, left = leftRef, right = rightRef,
+                scope = scopeRef, live = live, archival = archival,
+                prev = prevRef, timestamp = Some(ts), txstart = txs)
+              targetOf(myHex) match {
+                case Some(id) => // restore over an existing serial
+                  flush()
+                  import org.apache.spark.sql.functions.{col => c2}
+                  val p = graft.model.Primitive(id, spec.typeguid, spec.name,
+                    spec.datatype, spec.value, spec.scope, spec.live,
+                    spec.archival, spec.txstart.getOrElse(false), ts,
+                    spec.left, spec.right, spec.prev, id)
+                  val sqlImp = spark.implicits
+                  import sqlImp._
+                  st = st.copy(primitives = st.primitives
+                    .filter(c2("id") =!= id)
+                    .unionByName(Seq(p).toDS().toDF(),
+                      allowMissingColumns = true))
+                  serialToLocal(serial) = id
+                  newHex(id) = myHex; newRev(myHex) = id
+                case None =>
+                  if (spec.prev.isDefined) flush() // lineage lookup needs store
+                  val id = predictId()
+                  pending += spec
+                  serialToLocal(serial) = id
+                  newHex(id) = myHex; newRev(myHex) = id
+              }
+            }
+            flush()
+
+            // success — publish
+            store = st
+            if (truncating) { hexOf.clear(); idOfHex.clear() }
+            serverDb = wServerDb; serverBHigh = wBHigh; restoredMode = wRestored
+            newHex.foreach { case (id, h) => recordGuid(id, h) }
+            lastId = origLast
+            sweepNewIds()
+            if (maxTs >= 0)
+              Writer.tickMicros.foreach(t =>
+                t.updateAndGet(c => Math.max(c, maxTs + 100L)))
+            (s"ok $prefix$dlEcho".trim, true)
+          } else if (verb == "status") {
+            // minimal status: an empty/comment-only property list
+            // answers an empty tuple (comments.sh)
+            (okLine("()"), true)
+          } else (errLine("SYNTAX", s"'$verb': no such request"), true)
         } catch {
-          case e: Writer.WriteError => (errLine(e.code, e.msg), true)
+          case e: Writer.WriteError =>
+            rollbackTicks(); (errLine(e.code, e.msg), true)
           case e: Parser.ParseError =>
+            rollbackTicks()
             val m = e.getMessage
             if (m.startsWith("SYNTAX: "))
               (errLine("SYNTAX", m.stripPrefix("SYNTAX: ")), true)
             else if (m.startsWith("LEXICAL: "))
               (errLine("LEXICAL", m.stripPrefix("LEXICAL: ")), true)
             else (errLine("SEMANTICS", m), true)
-          case e: Throwable => (errLine("SYSTEM", String.valueOf(e.getMessage)), true)
+          case e: Throwable =>
+            rollbackTicks()
+            (errLine("SYSTEM", String.valueOf(e.getMessage)), true)
         }
         }
       }
@@ -462,6 +862,9 @@ object SessionHarness {
     } finally {
       Writer.tickMicros = None
       Writer.refBootstrap = false
+      graft.plan.Cursor.renderGuid = id => graft.model.Guid.render(id)
+      graft.plan.Cursor.parseGuidId =
+        h => graft.model.Guid.parse(h).map(_._2).getOrElse(0L)
     }
   }
 
@@ -470,7 +873,12 @@ object SessionHarness {
     */
   def topLevelTuples(line: String): Option[(String, Seq[String])] = {
     if (!line.startsWith("ok ")) return None
-    val body = line.substring(3).trim
+    // skip echoed request modifiers (id="..." dateline="...") so the
+    // multiset comparison still applies to modifier-carrying responses
+    val rest = line.substring(3)
+    val modRe = """^(\s*[-\w]+="[^"]*")*\s*""".r
+    val prefix = modRe.findFirstIn(rest).getOrElse("").trim
+    val body = modRe.replaceFirstIn(rest, "").trim
     if (!body.startsWith("(")) return None
     val items = scala.collection.mutable.ArrayBuffer.empty[String]
     var depth = 0; var inStr = false; var start = -1
@@ -487,7 +895,7 @@ object SessionHarness {
       }
       i += 1
     }
-    if (depth != 0 || start != -1) None else Some(("ok", items.toSeq))
+    if (depth != 0 || start != -1) None else Some((prefix, items.toSeq))
   }
 
   /** compare a replayed line against the golden: byte-equal; or, for
@@ -500,9 +908,10 @@ object SessionHarness {
       return expected.split("\\s+").take(2).sameElements(actual.split("\\s+").take(2))
     if (!sortedRead)
       (topLevelTuples(expected), topLevelTuples(actual)) match {
-        case (Some((_, a)), Some((_, b))) =>
-          return a.groupBy(identity).view.mapValues(_.size).toMap ==
-            b.groupBy(identity).view.mapValues(_.size).toMap
+        case (Some((pa, a)), Some((pb, b))) =>
+          return pa == pb &&
+            a.groupBy(identity).view.mapValues(_.size).toMap ==
+              b.groupBy(identity).view.mapValues(_.size).toMap
         case _ =>
       }
     false

@@ -11,7 +11,7 @@ object SessionProbe {
     val spark = TestSpark.spark
     val refDir = new java.io.File("/root/reference/test/unit")
     def slurp(p: java.io.File): String = {
-      val src = scala.io.Source.fromFile(p)
+      val src = scala.io.Source.fromFile(p)(scala.io.Codec.ISO8859)
       try src.mkString finally src.close()
     }
     // smallest scripts first: fast feedback, and the heavyweight
@@ -20,7 +20,7 @@ object SessionProbe {
       .sortBy(_.length).map(_.getName.stripSuffix(".sh"))
     val names = if (args.nonEmpty) args.toSeq else all.toSeq
     val budgetMs = sys.env.getOrElse("PROBE_BUDGET_MS", "60000").toLong
-    val exec = java.util.concurrent.Executors.newSingleThreadExecutor()
+    var exec = java.util.concurrent.Executors.newSingleThreadExecutor()
     var pass, fail, err = 0
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     names.foreach { name =>
@@ -33,12 +33,30 @@ object SessionProbe {
           val cmds = SessionHarness.parseScript(slurp(sh))
           val exp = slurp(expF).linesIterator.filter(_.nonEmpty).toSeq
           val fut = exec.submit(new java.util.concurrent.Callable[SessionHarness.Replayed] {
-            def call() = SessionHarness.replay(spark, cmds)
+            def call() = {
+              // job group so a timeout can cancel the Spark jobs too —
+              // otherwise the abandoned job keeps the local executor
+              // busy and every later session times out behind it
+              spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+              try SessionHarness.replay(spark, cmds)
+              finally spark.sparkContext.clearJobGroup()
+            }
           })
           val rep =
             try fut.get(budgetMs, java.util.concurrent.TimeUnit.MILLISECONDS)
             catch { case _: java.util.concurrent.TimeoutException =>
-              fut.cancel(true); throw new RuntimeException("TIMEOUT")
+              fut.cancel(true)
+              spark.sparkContext.cancelJobGroup(name)
+              // give the worker thread a moment to unwind; if it's
+              // still wedged, replace the executor entirely
+              if (!exec.awaitTermination(0, java.util.concurrent.TimeUnit.MILLISECONDS)) ()
+              val probeDone = new java.util.concurrent.CountDownLatch(1)
+              exec.submit(new Runnable { def run() = probeDone.countDown() })
+              if (!probeDone.await(5000, java.util.concurrent.TimeUnit.MILLISECONDS)) {
+                exec.shutdownNow()
+                exec = java.util.concurrent.Executors.newSingleThreadExecutor()
+              }
+              throw new RuntimeException("TIMEOUT")
             }
           if (rep.lines.length != exp.length) {
             fail += 1

@@ -15,7 +15,7 @@ class SessionReplaySpec extends AnyFunSuite {
   private val refDir = "/root/reference/test/unit"
 
   private def slurp(p: String): String = {
-    val src = scala.io.Source.fromFile(p)
+    val src = scala.io.Source.fromFile(p)(scala.io.Codec.ISO8859)
     try src.mkString finally src.close()
   }
 
