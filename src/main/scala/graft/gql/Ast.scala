@@ -98,6 +98,12 @@ final case class Constraint(
     // linkage-field predicates by field name (left/right/typeguid/scope)
     linkFields: Map[String, Seq[GuidPred]] = Map.empty,
     typeNames: Option[Seq[String]] = None, // type="t" (resolved to typeguids)
+    /** read-side type predicates: each `type=(...)` is one pred, preds
+      * INTERSECT, and a null entry matches the typeless primitive
+      * (group.sh "7xnull", guidlist3). `typeNames` stays the flattened
+      * union for the write path and type minting.
+      */
+    typePreds: Seq[Seq[Option[String]]] = Nil,
     name: Seq[StrPred] = Nil,
     value: Seq[StrPred] = Nil,
     datatype: Option[Byte] = None,
@@ -121,6 +127,9 @@ final case class Constraint(
     count: CountBounds = CountBounds(),
     optional: Boolean = false,
     isFalse: Boolean = false,
+    // parse-time bookkeeping: flags assigned so far (duplicate
+    // assignment is an error — random6, yesno)
+    setFlags: Set[String] = Set.empty,
     result: Option[Pattern] = None,
     sort: Seq[SortKey] = Nil,
     /** positional sort-key comparator overrides; merged into `sort`

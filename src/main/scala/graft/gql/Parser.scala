@@ -73,7 +73,7 @@ object Parser {
             case ch => sb.append(ch); j += 1
           }
         }
-        if (!closed) throw ParseError("unterminated string", i)
+        if (!closed) throw ParseError("LEXICAL: unterminated string", i)
         out += TStr(sb.toString, i); i = j
       }
       // `||` and single `|` are both disjunction (test/unit/or.sh uses
@@ -123,11 +123,12 @@ object Parser {
     }
 
     // optional leading verb (read templates and write templates share
-    // the constraint grammar; restrictions are enforced by the
-    // consumer — libgdp/gdp-parse.c verb dispatch :222-248)
-    peek match {
-      case Some(TAtom("read" | "write", _)) => next()
-      case _ => ()
+    // the constraint grammar; per-verb restrictions fire at parse like
+    // the reference's verb dispatch — libgdp/gdp-parse.c :222-248)
+    val isWrite = peek match {
+      case Some(TAtom("read", _)) => next(); false
+      case Some(TAtom("write", _)) => next(); true
+      case _ => false
     }
 
     /** Linkage inference for bare subconstraints, the reference's
@@ -195,9 +196,13 @@ object Parser {
 
           case Some(TStr(s, _)) =>
             // bare string in a constraint body = type name sugar:
-            // `write ("Person" name="x")` (test/unit/version1.sh)
+            // `write ("Person" name="x")` (test/unit/version1.sh);
+            // writes take at most one (186.sh)
             next()
-            c = c.copy(typeNames = Some(c.typeNames.getOrElse(Nil) :+ s))
+            if (isWrite && c.typeNames.exists(_.nonEmpty))
+              throw ParseError("SYNTAX: more than one value for \"type\"", 0)
+            c = c.copy(typeNames = Some(c.typeNames.getOrElse(Nil) :+ s),
+              typePreds = c.typePreds :+ Seq(Some(s): Option[String]))
 
           case Some(TArrowIn(_)) => // `<-` or `<-left (...)` / standalone meta
             next()
@@ -213,7 +218,11 @@ object Parser {
                     // `<-left` as this constraint's own linkage marker
                     c = c.copy(linkage = Some(ChildPointsToParent(f)))
                 }
-              case _ => c = c.copy(meta = BackwardLink)
+              case _ =>
+                if (c.meta != AnyMeta)
+                  throw ParseError(
+                    "'<-': a meta constraint has already been defined", 0)
+                c = c.copy(meta = BackwardLink)
             }
 
           case Some(TVar(v, _)) => // $var = pattern
@@ -249,7 +258,12 @@ object Parser {
                 c = applyBareWord(c, word, pos)
             }
 
-          case Some(TArrowOut(_)) => next(); c = c.copy(meta = ForwardLink)
+          case Some(TArrowOut(p)) =>
+            next()
+            if (c.meta != AnyMeta)
+              throw ParseError(
+                "'->': a meta constraint has already been defined", p)
+            c = c.copy(meta = ForwardLink)
           // `{ ... }` groups an or-branch's contents (or2/or4 goldens:
           // `(<-left ...) $a=guid || {}`); structurally the branch
           // boundary is `||`, so balanced braces are grouping no-ops —
@@ -301,14 +315,31 @@ object Parser {
 
     // right-hand sides: single value or parenthesized list
     sealed trait Rhs
-    final case class RVal(s: Option[String]) extends Rhs
+    final case class RVal(s: Option[String], atom: Boolean = false) extends Rhs
     final case class RList(vs: Seq[Option[String]]) extends Rhs
     final case class RPattern(p: Pattern) extends Rhs
+
+    /** name=/value= take quoted strings, lists or null — a bare atom
+      * is a syntax error (yesno.sh: `name=5`)
+      */
+    def rejectBareAtom(rhs: Rhs, pos: Int): Unit = rhs match {
+      case RVal(Some(v), true) =>
+        throw ParseError(s"SYNTAX: '$v': expected a string or '('", pos)
+      case _ => ()
+    }
+
+    /** single-valued fields take one value in writes (group.sh) */
+    def rejectWriteMulti(rhs: Rhs, pos: Int): Unit = rhs match {
+      case RList(vs) if isWrite && vs.length > 1 =>
+        throw ParseError(
+          "multiple values are only allowed in read requests", pos)
+      case _ => ()
+    }
 
     def parseRhs(): Rhs = peek match {
       case Some(TStr(s, _)) => next(); RVal(Some(s))
       case Some(TAtom("null", _)) => next(); RVal(None)
-      case Some(TAtom(a, _)) => next(); RVal(Some(a))
+      case Some(TAtom(a, _)) => next(); RVal(Some(a), atom = true)
       case Some(TVar(v, _)) => next(); RPattern(VarPat(v))
       case Some(_: TOpen) =>
         // could be a value list or a result pattern list; parse as raw
@@ -345,7 +376,10 @@ object Parser {
           case "estimate-count" => EstimateCountPat
           case "none" => NonePat
           case "literal" =>
-            expect({ case TOp("=", p) => p }, "missing '=' after 'literal'")
+            if (!peek.exists { case TOp("=", _) => true; case _ => false })
+              throw ParseError("SYNTAX: missing '=' after 'literal'",
+                peek.map(_.pos).getOrElse(pos))
+            next()
             // literal payload may be a string OR a bare atom
             // ($sub=literal=a in varsort.sh); both render unquoted
             val s = expect({ case TStr(s, _) => s; case TAtom(a, _) => a },
@@ -371,7 +405,7 @@ object Parser {
     }
 
     def rhsVals(r: Rhs, what: String, pos: Int): Seq[Option[String]] = r match {
-      case RVal(v) => Seq(v)
+      case RVal(v, _) => Seq(v)
       case RList(vs) => vs
       case RPattern(_) => throw ParseError(s"$what takes values, not a pattern", pos)
     }
@@ -427,6 +461,12 @@ object Parser {
       wl match {
         case "guid" =>
           val gs = rhsGuids(rhs, "guid", pos)
+          // a null guid can appear in linkage fields (left=(null 5))
+          // but not in the guid constraint itself (nullguid.sh,
+          // guidlist4: != too)
+          if (gs.contains(None))
+            throw ParseError(
+              "'null': null GUIDs cannot be used in this context", pos)
           op match {
             case "=" => c.copy(guid = c.guid :+ GuidPred(include = true, gs))
             case "!=" => c.copy(guid = c.guid :+ GuidPred(include = false, gs))
@@ -438,23 +478,46 @@ object Parser {
           op match {
             case "=" => addLinkField(c, wl, GuidPred(include = true, gs))
             case "!=" => addLinkField(c, wl, GuidPred(include = false, gs))
+            case "~=" => // any generation of the target (guidlist3)
+              addLinkField(c, wl, GuidPred(include = true, gs, lineage = true))
             case o => throw ParseError(s"$wl does not support $o", pos)
           }
         case "type" =>
           op match {
             case "=" =>
-              val names = rhsVals(rhs, "type", pos).flatten
-              c.copy(typeNames = Some(c.typeNames.getOrElse(Nil) ++ names))
+              val vals = rhsVals(rhs, "type", pos)
+              if (isWrite && vals.length > 1)
+                throw ParseError(
+                  "multiple values are only allowed in read requests", pos)
+              if (isWrite && c.typeNames.exists(_.nonEmpty))
+                throw ParseError("SYNTAX: more than one value for \"type\"", pos)
+              val names = vals.flatten
+              c.copy(typeNames = Some(c.typeNames.getOrElse(Nil) ++ names),
+                typePreds = c.typePreds :+ vals)
             case o => throw ParseError(s"type does not support $o", pos)
           }
-        case "name" => c.copy(name = c.name :+ strPred(op, rhsVals(rhs, "name", pos), pos))
-        case "value" => c.copy(value = c.value :+ strPred(op, rhsVals(rhs, "value", pos), pos))
+        case "name" =>
+          // `~=` is a value-only operator (cannotmatch.sh)
+          if (op == "~=")
+            throw ParseError(
+              "'~=': operator can only be used with 'value' constraints", pos)
+          rejectBareAtom(rhs, pos)
+          rejectWriteMulti(rhs, pos)
+          c.copy(name = c.name :+ strPred(op, rhsVals(rhs, "name", pos), pos))
+        case "value" =>
+          rejectBareAtom(rhs, pos)
+          rejectWriteMulti(rhs, pos)
+          c.copy(value = c.value :+ strPred(op, rhsVals(rhs, "value", pos), pos))
         case "datatype" | "valuetype" =>
+          if (c.datatype.isDefined)
+            throw ParseError("more than one valuetype", pos)
           val v = rhsVals(rhs, wl, pos).head
             .getOrElse(throw ParseError("datatype needs a value", pos))
           val dt = Datatype.code(v).getOrElse(throw ParseError(s"bad datatype $v", pos))
           c.copy(datatype = Some(dt))
         case "live" | "archival" =>
+          if (c.setFlags(wl))
+            throw ParseError(s"""duplicate assignment to "$wl" flag""", pos)
           val v = rhsVals(rhs, wl, pos).head.map(_.toLowerCase)
           val t = v match {
             case Some("true") => MustBeTrue
@@ -462,7 +525,8 @@ object Parser {
             case Some("dontcare") => DontCare
             case other => throw ParseError(s"bad flag value $other", pos)
           }
-          if (wl == "live") c.copy(live = t) else c.copy(archival = t)
+          val c2 = c.copy(setFlags = c.setFlags + wl)
+          if (wl == "live") c2.copy(live = t) else c2.copy(archival = t)
         case "timestamp" => tsBound(op, rhsVals(rhs, "timestamp", pos).head, c, pos)
         case "newest" =>
           val v = longOf(rhsVals(rhs, "newest", pos).head, pos)
@@ -561,9 +625,34 @@ object Parser {
           c.copy(sortComparators = rhsVals(rhs, wl, pos).flatten
             .map(_.split(";").last))
         case "result" =>
+          if (c.result.isDefined)
+            throw ParseError("more than one value for result", pos)
+          def checkPat(p: Pattern, depth: Int): Unit = p match {
+            case ListPat(items) =>
+              if (depth >= 2)
+                throw ParseError(
+                  "result expression nests lists more than two levels deep", pos)
+              if (items.count(_.isInstanceOf[ListPat]) > 1)
+                throw ParseError("SYNTAX: can only have one nested list per " +
+                  "result list - (x (y)) and ((x y)) work, ((x) (y)) doesn't.",
+                  pos)
+              items.foreach(checkPat(_, depth + 1))
+            case _ => ()
+          }
+          if (!isWrite) // write results allow deeper nesting (writeresult)
+            rhs match { case RPattern(p) => checkPat(p, 0); case _ => () }
           rhs match {
+            case RVal(Some("literal"), true) =>
+              // result=literal="..." (writeresult.sh)
+              if (!peek.exists { case TOp("=", _) => true; case _ => false })
+                throw ParseError("SYNTAX: missing '=' after 'literal'",
+                  peek.map(_.pos).getOrElse(pos))
+              next()
+              val s = expect({ case TStr(s, _) => s; case TAtom(a, _) => a },
+                "literal value")
+              c.copy(result = Some(LiteralPat(s, atom = true)))
             case RPattern(p) => c.copy(result = Some(p))
-            case RVal(Some(s)) => c.copy(result = Some(
+            case RVal(Some(s), _) => c.copy(result = Some(
               if (FieldPat.fields(s)) FieldPat(s)
               else s match {
                 case "contents" => ContentsPat

@@ -90,10 +90,13 @@ object Datatype {
     Url -> "url", Bytestring -> "bytestring", Boolean -> "boolean")
   private val codes = names.map(_.swap)
 
-  def name(b: Byte): String = names.getOrElse(b, b.toString)
+  def name(b: Byte): String = names.getOrElse(b, (b & 0xFF).toString)
+  /** numeric datatypes beyond the named nine are user-defined and
+    * legal up to 255 (valuetype.sh writes datatype=10 and 200)
+    */
   def code(s: String): Option[Byte] =
     codes.get(s.toLowerCase).orElse(
-      s.toByteOption.filter(b => b >= 1 && b <= 9))
+      s.toIntOption.filter(v => v >= 1 && v <= 255).map(v => (v & 0xFF).toByte))
 }
 
 /** GUID wire codec (doc/gr-model.txt:23-51, libgraph/graph-guid.c

@@ -47,6 +47,16 @@ object ReadPlanner {
       if (c.anchorFlag)
         throw Parser.ParseError(
           "SYNTAX: \"anchor\" flag cannot be used in a \"read\" command", 0)
+      // contents needs subconstraints to splice (nick1)
+      def hasContents(p: Pattern): Boolean = p match {
+        case ContentsPat => true
+        case ListPat(items) => items.exists(hasContents)
+        case PickPat(items) => items.exists(hasContents)
+        case _ => false
+      }
+      if (c.subs.isEmpty && c.orBranches.isEmpty && c.result.exists(hasContents))
+        throw Parser.ParseError("can't use \"contents\" return instruction " +
+          "in template without contained templates", 0)
       c.subs.foreach(rejectWriteOnly)
       c.orBranches.foreach(rejectWriteOnly)
     }
@@ -205,28 +215,52 @@ object ReadPlanner {
     }
 
     // linkage-field constraints (left= right= typeguid= scope=)
+    // linkage guid sets (guidlist3 semantics): include predicates
+    // intersect (null admitted only where listed); excludes drop the
+    // listed targets (an explicit `!=null` requires presence); a field
+    // constrained ONLY by excludes must be present at all
     c.linkFields.foreach { case (f, preds) =>
-      preds.foreach { p =>
-        val nonNull = p.serials.flatten
-        val hasNull = p.serials.contains(None)
-        val incl: Column = {
-          val in = if (nonNull.nonEmpty) col(f).isin(nonNull.map(Long.box): _*) else lit(false)
-          if (hasNull) col(f).isNull || in else in
-        }
-        df = df.filter(if (p.include) incl
-        else (if (hasNull) col(f).isNotNull else col(f).isNull || !incl))
+      // `left~=G`: any generation of G's lineage (typeguid = ~=)
+      def expand(p: GuidPred): Seq[Long] =
+        if (p.lineage) store.lineageMembers(p.serials.flatten)
+        else p.serials.flatten
+      val (incls, excls) = preds.partition(_.include)
+      incls.foreach { p =>
+        val in = expand(p)
+        val base =
+          if (in.nonEmpty) col(f).isin(in.map(Long.box): _*) else lit(false)
+        df = df.filter(
+          // an EMPTY include set matches the absent linkage, like
+          // type=() (guidlist3 "typeguid = ~= null": typeguid~=())
+          if (p.serials.contains(None) || p.serials.isEmpty)
+            col(f).isNull || base
+          else base)
       }
+      excls.foreach { p =>
+        val ex = expand(p)
+        val pass =
+          if (ex.nonEmpty) !col(f).isin(ex.map(Long.box): _*) else lit(true)
+        df = df.filter(
+          if (p.serials.contains(None)) col(f).isNotNull && pass
+          else col(f).isNull || pass)
+      }
+      if (incls.isEmpty && excls.nonEmpty)
+        df = df.filter(col(f).isNotNull)
     }
 
     // type="name" → resolve names to type-node ids at plan time, like
     // the reference's semantic phase (graphd/graphd-read.c:28-37);
     // an unresolvable name short-circuits to the empty set (con_false,
-    // graphd/graphd.h:1235-1251 → PropagateEmptyRelation).
-    c.typeNames.foreach { names =>
-      val ids = store.resolveTypeIds(names)
-      df =
-        if (ids.isEmpty) df.filter(lit(false))
-        else df.filter(col("typeguid").isin(ids.map(Long.box): _*))
+    // graphd/graphd.h:1235-1251 → PropagateEmptyRelation). Each
+    // type=(...) pred applies independently (intersection), and null /
+    // an empty list match the TYPELESS primitive (group.sh).
+    c.typePreds.foreach { vals =>
+      val ids = store.resolveTypeIds(vals.flatten)
+      val hasNull = vals.contains(None) || vals.isEmpty
+      val base =
+        if (ids.nonEmpty) col("typeguid").isin(ids.map(Long.box): _*)
+        else lit(false)
+      df = df.filter(if (hasNull) col("typeguid").isNull || base else base)
     }
 
     c.datatype.foreach(dt => df = df.filter(col("datatype") === dt))
@@ -326,12 +360,16 @@ object ReadPlanner {
     preds.foreach { p =>
       val pred: Column = p.op match {
         case OpEq =>
-          p.values.map {
+          // `name=()` matches the NULL name (group.sh: ok ((null)))
+          if (p.values.isEmpty) column.isNull
+          else p.values.map {
             case Some(v) => eqKey(column) === eqKey(lit(v))
             case None => column.isNull
           }.reduce(_ || _)
         case OpNe =>
-          p.values.map {
+          // `name!=()` keeps every named row (ne.sh: ok (("a") ("b")))
+          if (p.values.isEmpty) column.isNotNull
+          else p.values.map {
             case Some(v) => !(eqKey(column) <=> eqKey(lit(v)))
             case None => column.isNotNull
           }.reduce(_ && _)
@@ -614,6 +652,7 @@ object ReadPlanner {
         if (c.effectiveLinkage.contains(ChildPointsToParent("right"))) "<-"
         else "->"
       when(col("left").isNull && col("right").isNull, "node").otherwise(arrow)
+    case FieldPat("valuetype") => col("datatype") // numeric datatype view
     case FieldPat(f) => col(f) // name value timestamp left right scope live archival
     case LiteralPat(s, _) => lit(s)
     case VarPat(v) => col(varCol(v))
@@ -711,9 +750,17 @@ object ReadPlanner {
     if (flatten(pat) == Seq(EstimateCountPat)) {
       val spark = df.sparkSession
       import spark.implicits._
-      val est = df.queryExecution.optimizedPlan.stats.rowCount
-        .map(_.toLong)
-        .getOrElse(df.queryExecution.optimizedPlan.stats.sizeInBytes.toLong)
+      // the reference's estimate for an unconstrained read is the
+      // iterator's candidate count — pdb_primitive_n for `all`
+      // (estimate-count.sh: 1 primitive -> 1, 5 -> 5); Catalyst plan
+      // statistics replace the per-iterator guesses otherwise
+      val est =
+        if (c.guid.isEmpty && c.linkFields.isEmpty && c.typePreds.isEmpty &&
+            c.name.isEmpty && c.value.isEmpty && c.subs.isEmpty)
+          store.all.count()
+        else df.queryExecution.optimizedPlan.stats.rowCount
+          .map(_.toLong)
+          .getOrElse(df.count())
       return Seq(est).toDF("estimate_count")
     }
 

@@ -339,9 +339,10 @@ object PointServer {
         }
       }
     }
-    // type postings (VIP/typeguid gmap analog)
-    c.typeNames.foreach { names =>
-      val tids = names.flatMap(n => ix.typeIdsByName.getOrElse(n, Nil))
+    // type postings (VIP/typeguid gmap analog); a pred admitting the
+    // typeless primitive (null / empty list) can't produce soundly
+    c.typePreds.filterNot(v => v.isEmpty || v.contains(None)).foreach { vals =>
+      val tids = vals.flatten.flatMap(n => ix.typeIdsByName.getOrElse(n, Nil))
       offer(mergePostings(tids.map { id =>
         val a = ix.byType.get(id); if (a == null) Array.empty[Int] else a
       }))
@@ -387,9 +388,11 @@ object PointServer {
       }
       if (pr.include != in) return false
     }
-    c.typeNames.foreach { names =>
-      val tids = names.flatMap(n => ix.typeIdsByName.getOrElse(n, Nil))
-      if (!tids.contains(ix.typeguid(p))) return false
+    c.typePreds.foreach { vals =>
+      val tids = vals.flatten.flatMap(n => ix.typeIdsByName.getOrElse(n, Nil))
+      val hasNull = vals.contains(None) || vals.isEmpty
+      val tg = ix.typeguid(p)
+      if (!((hasNull && tg < 0) || tids.contains(tg))) return false
     }
     c.datatype.foreach(d => if (ix.datatype(p) != d) return false)
     c.timestampMin.foreach { case (m, incl) =>

@@ -114,6 +114,18 @@ final case class GraphStore(spark: SparkSession, primitives: DataFrame,
       (named ++ viaLinks).distinct
     }))
 
+  /** every id sharing a lineage with any of the given ids — backs
+    * `field~=G` generation-relaxed linkage matching (guidlist3)
+    */
+  def lineageMembers(ids: Seq[Long]): Seq[Long] = {
+    if (ids.isEmpty) return Nil
+    val lins = primitives.filter(col("id").isin(ids.map(Long.box): _*))
+      .select("lineage").distinct().collect().map(_.getLong(0))
+    if (lins.isEmpty) Nil
+    else primitives.filter(col("lineage").isin(lins.map(Long.box): _*))
+      .select("id").collect().map(_.getLong(0)).toSeq
+  }
+
   /** the HAS_KEY attribute node of a reference-bootstrapped store */
   private lazy val hasKeyId: Option[Long] =
     current.filter(col("left").isNull && col("name") === "HAS_KEY")

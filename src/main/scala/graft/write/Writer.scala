@@ -115,7 +115,7 @@ object Writer {
       val id = base + i
       s.prev.foreach { p =>
         if (!lineageOf.contains(p))
-          throw WriteError("NOTFOUND", s"prev id $p does not exist")
+          throw WriteError("SEMANTICS", s"not found: cannot read predecessor record $p")
       }
       val rowTs = s.timestamp.getOrElse {
         val v = if (perRow) ts + tick * 100L else ts
@@ -144,7 +144,7 @@ object Writer {
       opportunistic: Boolean = false): (GraphStore, Long) = {
     val linRows = store.primitives.filter(col("id") === target)
       .select("lineage").limit(1).collect()
-    if (linRows.isEmpty) throw WriteError("NOTFOUND", s"no primitive $target")
+    if (linRows.isEmpty) throw WriteError("SEMANTICS", s"not found: cannot read predecessor record $target")
     val head = store.newestAll
       .filter(col("lineage") === linRows.head.getLong(0))
       .select("id").head.getLong(0)
@@ -333,14 +333,17 @@ object Writer {
       specs += Spec(
         name = firstEq(c.name),
         value = firstEq(c.value),
+        // `value=null` is an explicit STRING-typed null (nullvalue.sh)
         datatype = c.datatype.getOrElse(
-          if (firstEq(c.value).isDefined) graft.model.Datatype.String
+          if (c.value.nonEmpty) graft.model.Datatype.String
           else graft.model.Datatype.Null),
         typeguid = c.typeNames.map(typeIdOf).orElse(linkSerial(c, "typeguid")),
         left = linkSerial(c, "left"),
         right = linkSerial(c, "right"),
         scope = linkSerial(c, "scope"),
-        live = c.live != MustBeFalse)
+        live = c.live != MustBeFalse,
+        archival = c.archival != MustBeFalse, // flags-1/flags-2
+        timestamp = explicitTs(c))
       c.subs.foreach { sub =>
         // a linkage-less child of a LINK attaches to the link's free
         // endpoint (mirrors the planner's defaulting — optional.sh)
@@ -372,7 +375,7 @@ object Writer {
     }.flatten.foreach { case (g, opportunistic) =>
       val linRows = st.primitives.filter(col("id") === g)
         .select("lineage").limit(1).collect()
-      if (linRows.isEmpty) throw WriteError("NOTFOUND", s"no primitive $g")
+      if (linRows.isEmpty) throw WriteError("SEMANTICS", s"not found: cannot read predecessor record $g")
       val head = st.newestAll
         .filter(col("lineage") === linRows.head.getLong(0))
         .select("id").head.getLong(0)
@@ -465,14 +468,16 @@ object Writer {
         name = firstEq(c.name),
         value = firstEq(c.value),
         datatype = c.datatype.getOrElse(
-          if (firstEq(c.value).isDefined) graft.model.Datatype.String
+          if (c.value.nonEmpty) graft.model.Datatype.String
           else graft.model.Datatype.Null),
         typeguid = Option(pick).map(typeId)
           .orElse(linkSerial(c, "typeguid")),
         left = linkSerial(c, "left"),
         right = linkSerial(c, "right"),
         scope = linkSerial(c, "scope"),
-        live = c.live != MustBeFalse)
+        live = c.live != MustBeFalse,
+        archival = c.archival != MustBeFalse,
+        timestamp = explicitTs(c))
       parentField.foreach { case (f, pid) => spec = withField(spec, f, pid) }
       pointedId.foreach { case (sub, cid) =>
         val f = linkOf(c, sub).get.asInstanceOf[ParentPointsToChild].field
@@ -500,7 +505,7 @@ object Writer {
     }.flatten.foreach { case (g, opportunistic) =>
       val linRows = st.primitives.filter(col("id") === g)
         .select("lineage").limit(1).collect()
-      if (linRows.isEmpty) throw WriteError("NOTFOUND", s"no primitive $g")
+      if (linRows.isEmpty) throw WriteError("SEMANTICS", s"not found: cannot read predecessor record $g")
       val head = st.newestAll
         .filter(col("lineage") === linRows.head.getLong(0))
         .select("id").head.getLong(0)
@@ -522,10 +527,99 @@ object Writer {
   def write(store: GraphStore, gqlText: String): (GraphStore, Seq[Long]) = {
     val t = graft.gql.Parser.parseRead(gqlText)
     checkLinkageMix(t)
+    checkWriteSemantics(store, t)
     def hasUpsert(c: graft.gql.Constraint): Boolean =
       c.uniqueFields.isDefined || c.keyFields.isDefined || c.anchorFlag ||
         c.subs.exists(hasUpsert)
     if (hasUpsert(t)) upsertTemplate(store, t) else writeTemplate(store, t)
+  }
+
+  /** `timestamp=T` written in a template pins the primitive's
+    * timestamp (timestamp.sh) — parsed as an equality bound
+    */
+  private def explicitTs(c: graft.gql.Constraint): Option[Long] =
+    (c.timestampMin, c.timestampMax) match {
+      case (Some((lo, true)), Some((hi, true))) if lo == hi => Some(lo)
+      case _ => None
+    }
+
+  /** Write-side template validation, mirroring the reference's
+    * semantic phase for write requests (graphd-ast.c / graphd-write.c
+    * checks exercised by the error-path sessions named below).
+    */
+  private def checkWriteSemantics(store: GraphStore,
+      root: graft.gql.Constraint): Unit = {
+    import graft.gql._
+    // a write root may carry a meta arrow but not an explicit linkage
+    // (linklink4: `write (<-left ...)`)
+    if (root.linkage.isDefined)
+      throw WriteError("SEMANTICS",
+        "can't use (<-left ..) on the outermost constraint - " +
+          "do you mean left=GUID?")
+    def walk(c: Constraint): Unit = {
+      if (c.typeNames.isDefined &&
+          c.linkFields.get("typeguid").exists(_.exists(_.include)))
+        throw WriteError("SEMANTICS",
+          "can't have a type and a typeguid in the same write request.")
+      if (c.name.length > 1)
+        throw WriteError("SYNTAX", "more than one value for \"name\"") // yesno
+      if (c.value.length > 1)
+        throw WriteError("SYNTAX", "more than one value for \"value\"")
+      (c.name ++ c.value).foreach { p =>
+        if (p.op == OpNe)
+          throw WriteError("SEMANTICS",
+            "'!=': operator cannot be used in write requests") // ne
+        if (p.op == OpMatch)
+          throw WriteError("SEMANTICS",
+            "'~=': operator cannot be used in write requests")
+      }
+      if (c.isFalse)
+        throw WriteError("SEMANTICS",
+          "'false': constraint can only be used in read requests")
+      if (c.optional)
+        throw WriteError("SEMANTICS",
+          "'optional': constraint can only be used in read requests")
+      if (c.keyFields.isDefined && c.guid.exists(_.lineage))
+        throw WriteError("SYNTAX",
+          "cannot mix \"key=\" and \"guid~=\" constraints - " +
+            "did you mean \"unique\"?") // keyburn5
+      if (c.datelineMin.isDefined || c.datelineMax.isDefined)
+        throw WriteError("SEMANTICS",
+          "dateline constraints cannot be used in write requests") // dateline-1
+      def patHasContents(p: Pattern): Boolean = p match {
+        case ContentsPat => true
+        case ListPat(items) => items.exists(patHasContents)
+        case PickPat(items) => items.exists(patHasContents)
+        case _ => false
+      }
+      if (c.subs.isEmpty && c.result.exists(patHasContents))
+        throw WriteError("SEMANTICS",
+          "can't use \"contents\" return instruction in template " +
+            "without contained templates") // nick1 (write side)
+      c.subs.foreach(walk)
+    }
+    walk(root)
+    // explicitly referenced endpoints must exist (link2, 3323)
+    val refs = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    def collect(c: Constraint): Unit = {
+      c.linkFields.foreach { case (f, preds) =>
+        preds.foreach { p =>
+          if (p.include) p.serials.flatten.foreach(s => refs += ((f, s)))
+        }
+      }
+      c.subs.foreach(collect)
+    }
+    collect(root)
+    if (refs.nonEmpty) {
+      val wanted = refs.map(_._2).distinct.toSeq
+      val present = store.primitives
+        .filter(org.apache.spark.sql.functions.col("id")
+          .isin(wanted.map(Long.box): _*))
+        .select("id").collect().map(_.getLong(0)).toSet
+      refs.find(r => !present(r._2)).foreach { case (f, s) =>
+        throw WriteError("SEMANTICS", s"$f=$s: not found")
+      }
+    }
   }
 
   /** Write-side linkage conflict checks (graphd-write.c:438-478): a
@@ -614,14 +708,16 @@ object Writer {
       name = firstEq(c.name),
       value = firstEq(c.value),
       datatype = c.datatype.getOrElse(
-        if (firstEq(c.value).isDefined) graft.model.Datatype.String
+        if (c.value.nonEmpty) graft.model.Datatype.String
         else graft.model.Datatype.Null),
       typeguid = c.typeNames.map(typeIdOf).orElse(linkSerial(c, "typeguid")),
       left = linkSerial(c, "left"),
       right = linkSerial(c, "right"),
       scope = linkSerial(c, "scope"),
       live = c.live != MustBeFalse,
-      comparator = c.comparator)
+      archival = c.archival != MustBeFalse,
+      comparator = c.comparator,
+      timestamp = explicitTs(c))
 
     def withLinkage(s: Spec, f: String, id: Long): Spec = f match {
       case "left" => s.copy(left = Some(id))

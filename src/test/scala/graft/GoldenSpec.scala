@@ -481,14 +481,14 @@ class GoldenSpec extends AnyFunSuite {
       node(3, name = Some("a"), value = Some("1")),
       node(4, name = Some("c"), value = Some("3"))))
     val q = """read (any pagesize=2 sort=(value name)
-              |  result=(cursor ((value))))""".stripMargin
+              |  result=(cursor (value)))""".stripMargin
     val p1 = ReadPlanner.plan(st, q).collect()
     assert(p1.map(_.getAs[String]("value")).toSeq == Seq("1", "2"))
     val tok = p1.head.getAs[String]("cursor")
     assert(tok != "null:")
     val p2 = ReadPlanner.plan(st,
       s"""read (any pagesize=2 sort=(value name)
-         |  result=(cursor ((value))) cursor="$tok")""".stripMargin).collect()
+         |  result=(cursor (value)) cursor="$tok")""".stripMargin).collect()
     assert(p2.map(_.getAs[String]("value")).toSeq == Seq("3", "4"))
     // final page is full but nothing trails it: the reference answers
     // the empty cursor (graphd-sort.c:1480; sortcursor.sh golden

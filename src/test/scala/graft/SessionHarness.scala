@@ -114,13 +114,52 @@ object SessionHarness {
       }
       depth <= 0 && !inStr
     }
+    def inOpenString(s: String): Boolean = {
+      var inStr = false; var i = 0
+      while (i < s.length) {
+        s.charAt(i) match {
+          case '\\' if inStr => i += 1
+          case '"' => inStr = !inStr
+          case _ =>
+        }
+        i += 1
+      }
+      inStr
+    }
     for (l <- body if l.nonEmpty) {
       if (l.startsWith(EchoMark) || l == ResetMark) { // markers stand alone
         if (cur.nonEmpty) { cmds += cur.toString; cur = new StringBuilder }
         cmds += l
       } else {
+        // a fresh verb line closes a dangling request IF what has
+        // accumulated is already a hard parse error — the reference
+        // resynchronizes after failures but keeps joining an
+        // incomplete-but-valid prefix (micro.sh R02 vs R21)
+        val verbLine =
+          """^(read|write|restore|dump|status|set|sync)\b.*""".r
+        def hardBroken(s: String): Boolean = {
+          val (_, mods, body) = splitModifiers(s)
+          if (mods.exists { case (n, v) =>
+                n == "loglevel" && v.contains(' ') }) return true
+          try { graft.gql.Parser.parseRead(body); false }
+          catch {
+            case e: graft.gql.Parser.ParseError =>
+              !e.getMessage.contains("EOF")
+            case _: Throwable => false
+          }
+        }
+        if (cur.nonEmpty && !balanced(cur.toString) &&
+            verbLine.pattern.matcher(l.trim).matches() &&
+            hardBroken(cur.toString)) {
+          cmds += cur.toString; cur = new StringBuilder
+        }
         cur.append(if (cur.isEmpty) l else " " + l)
-        if (balanced(cur.toString)) { cmds += cur.toString; cur = new StringBuilder }
+        // strings do NOT span lines: an open quote terminates the
+        // request at end-of-line with a LEXICAL error and the next
+        // line begins a new request (newline.sh)
+        if (inOpenString(cur.toString) || balanced(cur.toString)) {
+          cmds += cur.toString; cur = new StringBuilder
+        }
       }
     }
     if (cur.nonEmpty) cmds += cur.toString
@@ -156,33 +195,38 @@ object SessionHarness {
     val cmd = cmd0.trim
     // request names are case-insensitive (random2: rEsTORe)
     val verb = cmd.takeWhile(c => !c.isWhitespace && c != '(').toLowerCase
-    // first '(' outside quotes — modifier values may contain parens
-    // (count2: read id="()" (...))
-    val open = {
-      var i = 0; var inStr = false; var found = -1
-      while (found < 0 && i < cmd.length) {
-        cmd.charAt(i) match {
-          case '\\' if inStr => i += 1
-          case '"' => inStr = !inStr
-          case '(' if !inStr => found = i
-          case _ =>
-        }
-        i += 1
+    // scan `name=value` modifiers from the front; values may be quoted
+    // strings (count2: id="()"), parenthesized groups (random1:
+    // loglevel=(fatal)) or bare words — the constraint starts at the
+    // first '(' that is NOT a modifier value
+    val modRe =
+      """\G\s*([-\w]+)\s*=\s*("[^"]*"|\([^()"]*\)|\([^)"]*|[^\s()]+)""".r
+    var at = verb.length
+    val mods = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var more = true
+    while (more) {
+      modRe.findPrefixMatchOf(cmd.subSequence(at, cmd.length)) match {
+        case Some(m) =>
+          mods += ((m.group(1).toLowerCase, m.group(2)))
+          at += m.end
+        case None => more = false
       }
-      found
     }
-    val pre = cmd.substring(verb.length, if (open < 0) cmd.length else open)
-    val mods = """([-\w]+)=("[^"]*"|\S+)""".r.findAllMatchIn(pre).toSeq
-    // modifier names are case-insensitive too (random2: dateliNe=)
-    def modName(m: scala.util.matching.Regex.Match) = m.group(1).toLowerCase
+    val open = cmd.indexOf('(', at)
+    // extracted: echo in the response / handled by the harness;
+    // dropped: accepted but semantically inert here (logging)
+    val extract = Set("id", "dateline", "cost", "loglevel")
+    val drop = Set("timeout", "heatmap")
     val extracted = mods.collect {
-      case m if modName(m) == "id" || modName(m) == "dateline" =>
-        modName(m) -> m.group(2).stripPrefix("\"").stripSuffix("\"")
+      case (n, v) if extract(n) =>
+        n -> v.stripPrefix("\"").stripSuffix("\"")
+    }.toSeq
+    val keep = mods.collect {
+      case (n, v) if !extract(n) && !drop(n) => s"$n=$v"
     }
-    val keep = mods.filterNot(m => modName(m) == "id" || modName(m) == "dateline")
-      .map(_.matched)
     val rest = if (open < 0) "()" else cmd.substring(open + 1)
-    (verb, extracted, verb + " (" + keep.mkString(" ") + (if (keep.nonEmpty) " " else "") + rest)
+    (verb, extracted,
+      verb + " (" + keep.mkString(" ") + (if (keep.nonEmpty) " " else "") + rest)
   }
 
   /** dateline request-modifier validation (graph-dateline.c forms):
@@ -237,6 +281,13 @@ object SessionHarness {
       if (e.isEmpty) "" else if (i == 0) e else " " + e
     }.mkString
 
+  private def patLabel(p: Pattern): String = p match {
+    case FieldPat(f) => f
+    case CountPat => "count"
+    case CursorPat => "cursor"
+    case _ => "that pattern"
+  }
+
   private def quote(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replace("\n", "\\n") + "\"" // '\n' escapes on the wire (dumpnl)
@@ -269,8 +320,11 @@ object SessionHarness {
         case "guid" | "typeguid" | "left" | "right" | "scope" |
              "previous" | "prev" | "next" =>
           if (v == null) "null" else g(v.asInstanceOf[Long])
-        case "datatype" | "valuetype" =>
+        case "datatype" => // name form ("string", "null", ...)
           if (v == null) "null" else Datatype.name(v.asInstanceOf[Number].byteValue)
+        case "valuetype" => // numeric form (valuetype.sh: ("1" 1 null))
+          if (v == null) "null"
+          else (v.asInstanceOf[Number].byteValue & 0xFF).toString
         case "timestamp" =>
           tsOverride.getOrElse(
             if (v == null) "null" else GTimestamp.render(v.asInstanceOf[Long]))
@@ -359,7 +413,8 @@ object SessionHarness {
           }
           "(" + joinElems(elems) + ")"
         case Some(single) => // bare pattern: first row / set value, no parens
-          if (rows.isEmpty) "()"
+          // an empty optional set renders the null VALUE (nullcontent)
+          if (rows.isEmpty) "null"
           else joinElems(tupleElems(Seq(single), c, rows.head, 0, root,
             injected = false)._1)
         case None => "()"
@@ -501,17 +556,24 @@ object SessionHarness {
                  else idOfHex.get(h))
         val (verb, mods, cmd) = splitModifiers(translated)
         val echo = mods.collectFirst { case ("id", v) => v }
-        val dlMod = mods.collectFirst { case ("dateline", v) => v }
-        // current dateline rendered the reference way: the horizon
-        // serial in guid form (doc/gr-protocol.txt:228-244). Evaluated
-        // at response time so writes echo their post-write horizon.
-        def dlEcho =
-          if (dlMod.isEmpty) ""
-          else s"""dateline="$RefDb${f"${SerialBase + lastId}%016x"}" """
-        val prefix = echo.map(i => s"""id="$i" """).getOrElse("")
+        val dlMod = mods.collectFirst { case ("dateline", v) =>
+          v.stripPrefix("\"").stripSuffix("\"") }
+        // modifiers echo back in REQUEST order (param-order.sh):
+        // id= verbatim, cost= as the sed-normalized "omitted", and
+        // dateline= as the CURRENT horizon serial in guid form
+        // (doc/gr-protocol.txt:228-244) — evaluated at response time so
+        // writes echo their post-write horizon
+        var echoMods = mods
+        def prefix = echoMods.collect {
+          case ("id", v) =>
+            s"""id="${v.stripPrefix("\"").stripSuffix("\"")}" """
+          case ("cost", _) => "cost=\"omitted\" "
+          case ("dateline", _) =>
+            s"""dateline="$RefDb${f"${SerialBase + lastId}%016x"}" """
+        }.mkString
         // NOT trimmed: a valued response keeps its separator space even
         // when the value renders empty (emptylit golden: `ok `)
-        def okLine(payload: String) = s"ok $prefix$dlEcho$payload"
+        def okLine(payload: String) = s"ok $prefix$payload"
         // the reference echoes request modifiers AFTER the error code:
         // `error EMPTY id="n" "not found"` (value.sh golden)
         def errLine(code: String, msg: String) =
@@ -524,18 +586,79 @@ object SessionHarness {
         try {
           dlMod.flatMap(datelineError).foreach(code =>
             throw Writer.WriteError(code, "invalid dateline value"))
+          // cost="a=1 b=2 ..." must parse as cost elements; modifier
+          // processing stops AT the bad one, so later modifiers do not
+          // echo (param-order: id="foo" cost=BAD id="bak")
+          mods.zipWithIndex.collectFirst {
+            case (("cost", v), i)
+                if v.nonEmpty && !v.matches("""\s*([a-z]+=\d+\s*)*""") =>
+              (v, i)
+          }.foreach { case (cv, i) =>
+            echoMods = mods.take(i + 1)
+            throw Writer.WriteError("SYNTAX",
+              s"error parsing cost element at \"$cv\"")
+          }
+          // loglevel values must be known level names (micro.sh R09)
+          val levels = Set("fatal", "error", "overview", "fail", "info",
+            "debug", "detail", "spew", "verbose", "ultra", "entry")
+          mods.zipWithIndex.collectFirst {
+            case (("loglevel", v), i) if !v.stripPrefix("(").stripSuffix(")")
+                .split("""[\s,]+""").filter(_.nonEmpty)
+                .forall(w => levels(w.toLowerCase)) => i
+          }.foreach { i =>
+            echoMods = mods.take(i)
+            throw Writer.WriteError("SYNTAX", "invalid loglevel value")
+          }
           if (verb == "write") {
             val tmpl = Parser.parseRead(cmd)
+            // result patterns validate BEFORE anything writes
+            // (writeresult: the failed request allocates nothing)
+            def checkWPat(p: Pattern): Unit = p match {
+              case FieldPat("guid") | LiteralPat(_, _) | NonePat |
+                   ContentsPat => ()
+              case ListPat(items) => items.foreach(checkWPat)
+              case PickPat(items) => items.foreach(checkWPat)
+              case other => throw Writer.WriteError("SEMANTICS",
+                "cannot use " + patLabel(other) + " as a write result, " +
+                  "only literal=, guid, contents, or none")
+            }
+            def checkWTree(c: Constraint): Unit = {
+              c.result.foreach(checkWPat)
+              c.subs.foreach(checkWTree)
+            }
+            checkWTree(tmpl)
             val (st2, ids) = Writer.write(store, cmd)
             store = st2
             sweepNewIds()
+            // ids are returned in template preorder
+            val idOf = new java.util.IdentityHashMap[Constraint, java.lang.Long]()
             var k = -1
-            def walk(c: Constraint): String = {
-              k += 1
-              val g = refOf(ids(k))
-              (g +: c.subs.map(walk)).mkString("(", " ", ")")
+            def number(c: Constraint): Unit = {
+              k += 1; idOf.put(c, ids(k)); c.subs.foreach(number)
             }
-            (okLine(walk(tmpl)), true)
+            number(tmpl)
+            // write results build from the template tree
+            // (graphd-write.c; default pattern = (guid contents)):
+            // guid → the written id, literal= → a bare atom, none → "",
+            // contents → the children's own result values spliced
+            def evalW(c: Constraint, p: Pattern): Seq[String] = p match {
+              case FieldPat("guid") => Seq(refOf(idOf.get(c).longValue))
+              case LiteralPat(s, _) => Seq(s)
+              case NonePat => Seq("")
+              case ContentsPat => c.subs.map(renderW)
+              case ListPat(items) =>
+                Seq("(" + joinElems(items.flatMap(evalW(c, _))) + ")")
+              case PickPat(items) => items.headOption.toSeq.flatMap(evalW(c, _))
+              case other => throw Writer.WriteError("SEMANTICS",
+                "cannot use " + patLabel(other) + " as a write result, " +
+                  "only literal=, guid, contents, or none")
+            }
+            def renderW(c: Constraint): String = {
+              val pat = c.result.getOrElse(
+                ListPat(Seq(FieldPat("guid"), ContentsPat)))
+              joinElems(evalW(c, pat))
+            }
+            (okLine(renderW(tmpl)), true)
           } else if (verb == "read") {
             val c0 = Parser.parseRead(cmd)
             val inj = new Injected
@@ -835,7 +958,7 @@ object SessionHarness {
             if (maxTs >= 0)
               Writer.tickMicros.foreach(t =>
                 t.updateAndGet(c => Math.max(c, maxTs + 100L)))
-            (s"ok $prefix$dlEcho".trim, true)
+            (s"ok $prefix".trim, true)
           } else if (verb == "status") {
             // minimal status: an empty/comment-only property list
             // answers an empty tuple (comments.sh)
