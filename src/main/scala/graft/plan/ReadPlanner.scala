@@ -146,9 +146,18 @@ object ReadPlanner {
       df = attachChild(store, df, sub, c, i, depth)
     }
 
-    // variables assigned at THIS level (from own fields)
-    c.assignments.foreach { a =>
-      df = df.withColumn(varCol(a.variable), fieldExpr(store, a.pat, c))
+    // variables assigned at THIS level (from own fields); LIST-pattern
+    // assignments ($x=((value)) — sort5/7/8) aggregate over this
+    // constraint's matched rows at the parent join, like contents
+    // $foo=$bar chains resolve after their dependencies (sort7)
+    val (dep, plain) = c.assignments.partition(_.pat.isInstanceOf[VarPat])
+    (plain ++ dep).foreach { a =>
+      a.pat match {
+        case _: ListPat => () // collected in attachChild
+        case VarPat(o) if !df.columns.contains(varCol(o)) =>
+          df = df.withColumn(varCol(a.variable), lit(null))
+        case p => df = df.withColumn(varCol(a.variable), fieldExpr(store, p, c))
+      }
     }
     df
   }
@@ -425,6 +434,11 @@ object ReadPlanner {
     val child0 = solve(store, sub, depth + 1)
     val bounds = sub.effectiveCount
     val childVars = child0.columns.filter(_.startsWith("__var_")).toSeq
+    // list-pattern variables of this child: one array column per var,
+    // built like contents but shaped by the assignment's own pattern
+    val listVars: Seq[(String, ListPat)] = sub.assignments.collect {
+      case Assignment(v, lp: ListPat) => (varCol(v), lp)
+    }
 
     // contents ordering: rank over ALL child sort keys with per-key
     // direction (sort=(value -name) honors the descending second key),
@@ -448,6 +462,19 @@ object ReadPlanner {
         resultFields(store, sub).map { case (n, e) => e.as(n) }: _*)
 
     val resultNames = resultFields(store, sub).map(_._1)
+    // per-row leaves of a list-var pattern, positionally (the renderer
+    // re-applies the pattern shape over these)
+    def varLeafFields(lp: ListPat): Seq[(String, Column)] =
+      flatten(lp).zipWithIndex.map { case (p, idx) =>
+        (s"f$idx", fieldExpr(store, p, sub))
+      }
+    def listVarAggs: Seq[Column] = listVars.map { case (cn, lp) =>
+      val leaves = varLeafFields(lp)
+      val st2 = struct(col("__ord") +: leaves.map { case (n, e) => e.as(n) }: _*)
+      val sorted = sort_array(collect_list(st2), asc = true)
+      transform(sorted, x =>
+        struct(leaves.map { case (n, _) => x.getField(n).as(n) }: _*)).as(cn)
+    }
     // a child with result=count contributes its per-parent cardinality
     // as the contents value (count1.sh shape), not a tuple list
     val childIsCount = sub.result.map(flatten).contains(Seq(CountPat))
@@ -468,7 +495,8 @@ object ReadPlanner {
     // linksto/without iterators produce exactly an id-set probe here,
     // SURVEY §2.3). At scale this removes a per-parent groupBy shuffle
     // and an unbounded collect_list from every EXISTS-shaped query.
-    val childConsumed = childVars.nonEmpty || usesContents(parentC)
+    val childConsumed = childVars.nonEmpty || listVars.nonEmpty ||
+      usesContents(parentC)
     if (!childConsumed && linkageEff.isDefined) {
       val (keyExpr, parentKey) = linkageEff.get match {
         case ChildPointsToParent(f) => (col(f), parent("id"))
@@ -492,7 +520,8 @@ object ReadPlanner {
         val aggCols: Seq[Column] =
           Seq(count(lit(1)).as(s"__count_$i"),
             contentsAgg(child).as(s"__contents_$i")) ++
-            childVars.map(v => min(struct(col("id"), col(v))).getField(v).as(v))
+            childVars.map(v => min(struct(col("id"), col(v))).getField(v).as(v)) ++
+            listVarAggs
         val agg = child
           .groupBy(col(f).as(s"__pk_$i"))
           .agg(aggCols.head, aggCols.tail: _*)
@@ -506,7 +535,8 @@ object ReadPlanner {
         val aggCols: Seq[Column] =
           Seq(count(lit(1)).as(s"__count_$i"),
             contentsAgg(child).as(s"__contents_$i")) ++
-            childVars.map(v => first(col(v)).as(v))
+            childVars.map(v => first(col(v)).as(v)) ++
+            listVarAggs
         val agg = child
           .groupBy(col("id").as(s"__pk_$i"))
           .agg(aggCols.head, aggCols.tail: _*)

@@ -304,7 +304,37 @@ object SessionHarness {
     * expands to one column per contributing child; at root the cursor
     * column is excluded from its slot and appended last by shapeRoot).
     */
-  private final class Renderer(inj: Injected, g: Long => String) {
+  private final class Renderer(inj: Injected, g: Long => String,
+      rootC: Option[Constraint] = None) {
+
+    /** the assignment pattern behind a variable, wherever it was
+      * declared in the tree — with the constraint that owns it
+      */
+    private def assignmentOf(v: String): Option[(Constraint, Pattern)] = {
+      def walk(c: Constraint): Option[(Constraint, Pattern)] =
+        c.assignments.collectFirst { case Assignment(`v`, p) => (c, p) }
+          .orElse(c.subs.view.flatMap(walk(_)).headOption)
+          .orElse(c.orBranches.view.flatMap(walk(_)).headOption)
+      rootC.flatMap(walk)
+    }
+
+    /** a variable's value rendered by its ASSIGNED pattern: list
+      * patterns collect child frames (sort5/7/8), literal atoms render
+      * bare (varsort), everything else renders by runtime type
+      */
+    private def renderVar(v: String, cell: Any): String =
+      assignmentOf(v) match {
+        case Some((owner, lp: ListPat)) => cell match {
+          case null => "null"
+          case rows: scala.collection.Seq[_] =>
+            renderResult(owner.copy(result = Some(lp)),
+              rows.asInstanceOf[scala.collection.Seq[Row]].toSeq, root = false)
+          case other => genericValue(other, g)
+        }
+        case Some((_, LiteralPat(s, _))) =>
+          if (cell == null) "null" else s // bare atom
+        case _ => genericValue(cell, g)
+      }
 
     private def widthOf(p: Pattern, c: Constraint, root: Boolean): Int = p match {
       case ContentsPat => graft.plan.ReadPlanner.contributingSubs(c).length
@@ -355,7 +385,9 @@ object SessionHarness {
             else Seq(fieldValue(f, row, i, tsOverride))
           case LiteralPat(s, _) => Seq(s) // atom, unquoted; "" skips via join
           case NonePat => Seq("")
-          case VarPat(_) | PickPat(_) =>
+          case VarPat(v) =>
+            Seq(renderVar(v, if (row.isNullAt(i)) null else row.get(i)))
+          case PickPat(_) =>
             Seq(genericValue(if (row.isNullAt(i)) null else row.get(i), g))
           case CountPat | EstimateCountPat =>
             Seq(if (row.isNullAt(i)) "null" else row.get(i).toString)
@@ -679,7 +711,7 @@ object SessionHarness {
             else {
               // empty pages still render the pattern frame (a cursor
               // element answers "null:" — dateline-2/3)
-              val r = new Renderer(inj, refOf)
+              val r = new Renderer(inj, refOf, Some(c))
               (okLine(r.renderResult(c, rows.toSeq, root = true)), c0.sort.nonEmpty)
             }
           } else if (verb == "dump") {
