@@ -35,19 +35,33 @@ class SessionReplaySpec extends AnyFunSuite {
     }
   }
 
-  Seq("sort1", "value", "intrange", "spacematch", "datatype", "substring",
-    "numbermatch", "octet", "compare", "substring2",
-    "substring3", "count1", "atleast", "optional",
-    "count0", "count2", "or", "sort2", "sort4",
-    "nodenode", "anchor", "unique1", "version1",
-    // promoted by SessionProbe sweeps
-    "bigkey", "bug5473", "byguid", "camera", "chris4", "colors",
-    "david_3", "duck", "empty", "empty2", "guid", "id", "keyburn3",
-    "keyburn4", "kurt6", "nullguid2", "numberequal2", "previous", "ques",
-    "random3", "rollback", "search", "sort14", "sort6", "sortcomparators",
-    "source", "start", "stror", "tab", "tiling", "timestamp-3",
-    "timestamp-4", "triad", "twovars", "typo", "unique2", "vars",
-    "version2", "will8", "link1").foreach { n =>
+  Seq(
+    "186", "3323", "anchor", "atleast", "badcompare", "badrestore",
+    "bigkey", "brendan1", "brendan2", "bug5473", "byguid", "camera",
+    "cannotmatch", "chris1", "chris2", "chris3", "chris4", "chris5",
+    "colors", "comments", "compare", "count0", "count1", "count2",
+    "cursor1", "cursor4", "datatype", "dateline-1", "dateline-2", "dateline-3",
+    "dateline-4", "david_3", "duck", "dump", "dump2", "dumpnl",
+    "empty", "empty-result", "empty2", "emptydump", "emptyrestore", "estimate-count",
+    "false", "flags-1", "flags-2", "gpush", "group", "guid",
+    "guidlist", "guidlist2", "guidlist3", "guidlist4", "id", "infcur",
+    "intrange", "joburg", "keyburn", "keyburn3", "keyburn4", "keyburn5",
+    "kurt1", "kurt2", "kurt3", "kurt4", "kurt5", "kurt6",
+    "link1", "link2", "linklink1", "linklink2", "linklink4", "literal1",
+    "localtype", "micro", "multirestore", "newline", "nick1", "nodenode",
+    "now", "nullguid", "nullguid2", "nullvalue", "numberequal2", "numbermatch",
+    "octet", "ok", "onedump", "onerestore", "optional", "or",
+    "or4", "param-order", "previous", "ques", "random1", "random2",
+    "random3", "random4", "random5", "random6", "rerestore2", "rest-over1",
+    "rest-over2", "results", "rollback", "search", "sort1", "sort14",
+    "sort15", "sort16", "sort19", "sort2", "sort4", "sort5",
+    "sort6", "sortcomparators", "sortcursor", "source", "spacematch", "start",
+    "stror", "substring", "substring2", "substring3", "syntaxerrs", "tab",
+    "threedump", "threerestore", "tiling", "timestamp", "timestamp-3", "timestamp-4",
+    "triad", "twovars", "typeandtypeguid", "typo", "unique1", "unique2",
+    "value", "valuetype", "vars", "version1", "version2", "version4",
+    "version5", "will4", "will5", "will8", "wordnet1", "writeresult",
+    "yesno", "zeroguid").foreach { n =>
     test(s"replay reference session $n")(replaySession(n))
   }
 }
