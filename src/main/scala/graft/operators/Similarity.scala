@@ -158,38 +158,80 @@ object Similarity {
     * means are rounded to 6dp — summation order differs between
     * engines (and between Spark partitionings), and the rounding snaps
     * both to the same value, making assignments (computed from
-    * identical centroids by an ordered fold) engine-portable. Returns
-    * (cid, cvec) with cvec double.
+    * identical centroids by an ordered fold) engine-portable.
+    *
+    * The centroid table is DRIVER-resident (nlist × dims doubles —
+    * a coarse quantizer is small by construction), so each Lloyd
+    * round is one narrow scan (assignment = literal argmin expression,
+    * no join, no window shuffle) plus one small aggregation, and the
+    * round's result is materialized by the collect — the lineage never
+    * nests round over round. For an nlist too large to inline in an
+    * expression (≳10k), the same rounds run with the centroids as a
+    * broadcast DataFrame and a (dist, cid) min-struct aggregation.
     */
   def ivfCentroids(df: DataFrame, idCol: String, vecCol: String,
-      nlist: Int, iters: Int): DataFrame = {
-    val v = df.select(col(idCol).cast("long").as("id"),
-      transform(col(vecCol), x => x.cast("double")).as("vec"))
-    var cents = v.filter(col("id") < nlist)
-      .select(col("id").cast("int").as("cid"), col("vec").as("cvec"))
+      nlist: Int, iters: Int): Array[(Int, Array[Double])] = {
+    // ONE job collects the training vectors; the Lloyd rounds are
+    // plain driver arithmetic (a 16×64 quantizer needs no cluster).
+    // At 100 TB the only change is a `.limit(sampleN)` here — IVF
+    // quantizers train on a corpus sample by construction.
+    val rows = df.select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("vec"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    var cents: Array[(Int, Array[Double])] =
+      rows.filter(_._1 < nlist).map { case (id, v) => (id.toInt, v) }
     for (_ <- 1 to iters) {
-      val asg = ivfAssign(v, cents)
-      // element-wise mean: explode dims, average, re-collect in dim
-      // order (sort_array on (dim, mean) structs)
-      cents = v.join(asg, "id")
-        .select(col("cid"), posexplode(col("vec")).as(Seq("d", "x")))
-        .groupBy(col("cid"), col("d")).agg(avg(col("x")).as("m"))
-        .groupBy(col("cid"))
-        .agg(transform(sort_array(collect_list(struct(col("d"), col("m")))),
-          s => round(s.getField("m"), 6)).as("cvec"))
+      val sum = scala.collection.mutable.Map.empty[Int, Array[Double]]
+      val cnt = scala.collection.mutable.Map.empty[Int, Long]
+      rows.foreach { case (_, v) =>
+        // nearest centroid, L2 asc with cid-asc tiebreak; the distance
+        // is the same left-to-right fold the scoring expressions use
+        var bestD = 0.0; var bestC = -1
+        cents.foreach { case (cid, cv) =>
+          var s = 0.0; var i = 0
+          while (i < cv.length) { val d = v(i) - cv(i); s += d * d; i += 1 }
+          if (bestC < 0 || s < bestD) { bestD = s; bestC = cid }
+        }
+        val acc = sum.getOrElseUpdate(bestC, new Array[Double](v.length))
+        var i = 0
+        while (i < v.length) { acc(i) += v(i); i += 1 }
+        cnt(bestC) = cnt.getOrElse(bestC, 0L) + 1
+      }
+      // per-dimension means rounded to 6dp: summation order differs
+      // between engines, the rounding snaps them to the same value
+      cents = sum.keys.toArray.sorted.map { cid =>
+        val m = sum(cid).map(s =>
+          BigDecimal(s / cnt(cid))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        (cid, m)
+      }
     }
     cents
   }
 
-  /** nearest-centroid assignment (id → cid), L2 with cid tiebreak */
-  private def ivfAssign(v: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("id"))
-      .orderBy(col("__dist").asc, col("cid").asc)
-    v.crossJoin(broadcast(cents))
-      .withColumn("__dist", l2sq(col("vec"), col("cvec")))
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") === 1)
-      .select(col("id"), col("cid"))
+  /** the `n` nearest centroid ids (L2 asc, cid-asc tiebreak) for a
+    * double-array vector column. A closure over the driver-resident
+    * centroids: each distance is the same left-to-right
+    * sum-of-squared-diffs fold the SQL `aggregate` form computes
+    * (identical doubles, identical ranking), but runs as compiled
+    * scalar code instead of nlist interpreted higher-order folds —
+    * the centroid table rides into executors with the task closure.
+    */
+  private def nearestCids(vec: Column, cents: Array[(Int, Array[Double])],
+      n: Int): Column = {
+    val f = udf { (v: Seq[Double]) =>
+      val scored = cents.map { case (cid, cvec) =>
+        var s = 0.0
+        var i = 0
+        while (i < cvec.length) {
+          val d = v(i) - cvec(i); s += d * d; i += 1
+        }
+        (s, cid)
+      }
+      scored.sortBy(identity).take(n).map(_._2)
+    }
+    f(vec)
   }
 
   /** IVF approximate top-k: corpus vectors are partitioned into
@@ -204,26 +246,19 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4, iters: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = broadcast(ivfCentroids(corpus, idCol, vecCol, nlist, iters).cache())
-    val v = corpus.select(col(idCol).cast("long").as("id"),
-      transform(col(vecCol), x => x.cast("double")).as("vec"))
-    // the inverted lists: corpus + norm, keyed by centroid
-    val inv = ivfAssign(v, cents)
-      .join(corpus.select(col(idCol).cast("long").as("id"),
-        col(vecCol).as("n_vec"), norm(col(vecCol)).as("n_norm")), "id")
-      .select(col("cid"), col("id").as("n_id"), col("n_vec"), col("n_norm"))
-    // nprobe nearest lists per query
-    val wq = Window.partitionBy(col("q_id"))
-      .orderBy(col("__dist").asc, col("cid").asc)
-    val probes = queries
-      .select(col(idCol).cast("long").as("q_id"),
-        transform(col(vecCol), x => x.cast("double")).as("qd"),
-        col(vecCol).as("q_vec"), norm(col(vecCol)).as("q_norm"))
-      .crossJoin(cents)
-      .withColumn("__dist", l2sq(col("qd"), col("cvec")))
-      .withColumn("__rk", row_number().over(wq))
-      .filter(col("__rk") <= nprobe)
-      .select(col("q_id"), col("q_vec"), col("q_norm"), col("cid"))
+    val cents = ivfCentroids(corpus, idCol, vecCol, nlist, iters)
+    def vd(c: Column) = transform(c, x => x.cast("double"))
+    // the inverted lists: corpus + norm, keyed by centroid — the cid
+    // is a projection (literal argmin), so building the index is one
+    // shuffle-free scan of the corpus
+    val inv = corpus.select(
+      element_at(nearestCids(vd(col(vecCol)), cents, 1), 1).as("cid"),
+      col(idCol).cast("long").as("n_id"),
+      col(vecCol).as("n_vec"), norm(col(vecCol)).as("n_norm"))
+    // nprobe nearest lists per query, again a projection
+    val probes = queries.select(col(idCol).cast("long").as("q_id"),
+      col(vecCol).as("q_vec"), norm(col(vecCol)).as("q_norm"),
+      explode(nearestCids(vd(col(vecCol)), cents, nprobe)).as("cid"))
     val wr = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("n_id").asc)
     broadcast(probes).join(inv, "cid")

@@ -89,6 +89,24 @@ object Writer {
 
   def append(store: GraphStore, specs: Seq[Spec],
       timestamp: Option[Long] = None): (GraphStore, Seq[Long]) = {
+    // Primitive size ceiling (pdb-primitive-alloc.c:88-116,170-182):
+    // the name length field is 2 bytes, the value length field 3, and
+    // the encoded primitive must fit one 32 KiB tile. Checked before
+    // any mutation, so a TOOBIG write consumes no ids (big.sh/big1.sh).
+    specs.foreach { s =>
+      val nameLen = s.name.map(_.getBytes("UTF-8").length).getOrElse(0)
+      val valueLen = s.value.map(_.getBytes("UTF-8").length).getOrElse(0)
+      if (nameLen >= (1 << 16))
+        throw WriteError("TOOBIG", "name too long")
+      if (valueLen >= (1 << 24) - (13 + nameLen))
+        throw WriteError("TOOBIG", "value too long")
+      val prLen = 11L + s.prev.map(_ => 10).getOrElse(0) +
+        (if (nameLen > 0) nameLen + 2 else 0) +
+        (if (valueLen > 0) valueLen + 3 else 0) +
+        Seq(s.typeguid, s.left, s.right, s.scope).flatten.size * 16
+      if (prLen > 32L * 1024)
+        throw WriteError("TOOBIG", "primitive too big")
+    }
     val base = nextId(store)
     val txFirst = !(refBootstrap && txContOpen)
     if (refBootstrap) txContOpen = true

@@ -36,6 +36,10 @@ object SessionHarness {
     */
   val EchoMark = "#ECHO# "
   val ResetMark = "#RESET#"
+  /** server (re)start: runtime properties reset; payload = the
+    * block's `-I <instance-id>` flag or conf-file instance-id
+    */
+  val ConfMark = "#CONF# "
 
   /** commands of one session: heredoc body lines (`<<-EOF`, `<< EOF`,
     * quoted or not) or a redirected `.in` file, parens-balanced.
@@ -56,9 +60,27 @@ object SessionHarness {
     var pendingReset = false
     val heredoc = """<<-?\s*'?EOF'?""".r
     val inRedir = """<\s*(\S+\.in)""".r
-    def beginBlock(): Unit = {
+    def beginBlock(launch: String): Unit = {
       if (pendingReset && sawBlock) body += ResetMark
       pendingReset = false; sawBlock = true
+      // a server (re)start resets runtime properties; its -I flag (or
+      // a conf file's `instance-id <v>` line) seeds the instance id
+      var iid = """-I\s*(\S+)""".r.findFirstMatchIn(launch).map(_.group(1))
+      if (iid.isEmpty)
+        """-f\s*(\S+\.conf)""".r.findFirstMatchIn(launch).foreach { m =>
+          val f = new java.io.File(dir, m.group(1).stripPrefix("./"))
+          if (f.exists()) {
+            val src = scala.io.Source.fromFile(f)(scala.io.Codec.ISO8859)
+            try iid = src.getLines().map(_.trim)
+              .collectFirst {
+                case l if l.startsWith("instance-id") =>
+                  l.stripPrefix("instance-id").trim.stripPrefix("\"")
+                    .stripSuffix("\"")
+              }
+            finally src.close()
+          }
+        }
+      body += ConfMark + iid.getOrElse("")
     }
     for (l <- lines) {
       val t = l.trim
@@ -69,12 +91,12 @@ object SessionHarness {
            else t.replace("\\\\", "\u0000").replace("\\$", "$")
              .replace("\\`", "`").replace("\u0000", "\\"))
       } else if (l.contains("<<") && heredoc.findFirstIn(l).isDefined) {
-        beginBlock()
+        beginBlock(t)
         in = true; quoted = l.contains("'EOF'")
       } else if (t.matches("""rm\s+-rf?\s+.*\$\{?D\}?.*""")) {
         pendingReset = true
       } else if (t.contains("rungraphd") && inRedir.findFirstMatchIn(t).isDefined) {
-        beginBlock()
+        beginBlock(t)
         val f = inRedir.findFirstMatchIn(t).get.group(1)
         val file = new java.io.File(dir, f)
         if (file.exists()) {
@@ -127,7 +149,8 @@ object SessionHarness {
       inStr
     }
     for (l <- body if l.nonEmpty) {
-      if (l.startsWith(EchoMark) || l == ResetMark) { // markers stand alone
+      if (l.startsWith(EchoMark) || l.startsWith(ConfMark) ||
+          l == ResetMark) { // markers stand alone
         if (cur.nonEmpty) { cmds += cur.toString; cur = new StringBuilder }
         cmds += l
       } else {
@@ -230,16 +253,48 @@ object SessionHarness {
   }
 
   /** dateline request-modifier validation (graph-dateline.c forms):
-    * "" and guid/odometer forms are valid; a comma'd multi-instance
-    * dateline naming an instance this server doesn't know is DATELINE;
-    * anything else SYNTAX. Returns the error code, None = valid.
+    * "" and guid/odometer forms are valid only when the server has no
+    * instance-id; an `instance,guid` dateline must name THIS server's
+    * instance (instance-id.sh); anything else SYNTAX. Returns the
+    * error code, None = valid.
     */
-  private def datelineError(v: String): Option[String] =
+  private def datelineError(v: String, instanceId: String): Option[String] = {
+    // guid literals may already be translated to decimal engine ids
+    def guidish(s: String): Boolean =
+      s.matches("[0-9a-fA-F]{32}") || s.matches("""\d+(\.\d+)?""")
     if (v.isEmpty) None
-    else if (v.matches("[0-9a-fA-F]{32}")) None
-    else if (v.matches("""\d+\.\d+""")) None
-    else if (v.contains(',')) Some("DATELINE")
+    else if (v.contains(',')) {
+      val (inst, rest) = v.splitAt(v.lastIndexOf(','))
+      if (inst == instanceId && guidish(rest.drop(1))) None
+      else Some("DATELINE")
+    }
+    else if (guidish(v))
+      (if (instanceId.isEmpty) None else Some("DATELINE"))
     else Some("SYNTAX")
+  }
+
+  /** `set (cost="...")` parser (graphd-cost.c graphd_cost_from_string
+    * via graphd_cost_to_address): only the runtime-addressable keys
+    * parse — fm/mm/ft/mt are config-file-only and reject the whole
+    * string (cost1.sh). Returns the canonical rendering in
+    * graphd_cost_limit_to_string's member order.
+    */
+  private val CostKeys = Seq("tr", "ts", "tu", "te", "pr", "pf", "va",
+    "dr", "dw", "iw", "ir", "in")
+  private def parseCostLimit(s: String): String = {
+    val set = scala.collection.mutable.Map.empty[String, String]
+    s.split("""\s+""").filter(_.nonEmpty).foreach { tok =>
+      tok.split("=", 2) match {
+        case Array(k, v) if CostKeys.contains(k.toLowerCase) &&
+            v.matches("""\d+""") => set(k.toLowerCase) = v
+        case _ =>
+          throw Writer.WriteError("SEMANTICS",
+            s"""cannot parse cost string \"$s\"""")
+      }
+    }
+    CostKeys.collect { case k if set.contains(k) => s"$k=${set(k)}" }
+      .mkString(" ")
+  }
 
   /** the reference's default read pattern (graphd-pattern.c:38-59):
     * ((meta guid type name datatype value scope live archival timestamp
@@ -542,6 +597,18 @@ object SessionHarness {
       h => (java.lang.Long.parseUnsignedLong(h.substring(16), 16) &
         0x3FFFFFFFFL) + 1
     var lastId = 0L // highest allocated id == the reference's horizon
+    // every write stacks another union on the primitives plan; long
+    // sessions (100+ writes) pay the whole tree on every read unless
+    // the lineage is truncated periodically
+    var sinceCompact = 0
+    def maybeCompact(): Unit = {
+      sinceCompact += 1
+      if (sinceCompact >= 8) {
+        store = store.copy(primitives =
+          store.primitives.coalesce(1).localCheckpoint())
+        sinceCompact = 0
+      }
+    }
     // guid spaces: restores place primitives under foreign database
     // ids and bump the server's own id (pdb-restore.c
     // avoid/adopt_database_id), so guids stop being pure id arithmetic
@@ -572,9 +639,23 @@ object SessionHarness {
       serverDb = RefDb; serverBHigh = SerialBase; restoredMode = false
       hexOf.clear(); idOfHex.clear()
     }
+    // runtime properties (graphd-property.c): reset at each server
+    // (re)start (ConfMark); `set`/`status` read and write them
+    var instanceId = ""
+    var costLimit = ""
+    val boolProps = scala.collection.mutable.Map.empty[String, String]
+    def resetProps(iid: String): Unit = {
+      instanceId = iid; costLimit = ""; boolProps.clear()
+      boolProps ++= Seq("core" -> "true", "sync" -> "true",
+        "logflush" -> "true")
+    }
+    resetProps("")
     try {
       val out = cmds.flatMap { raw =>
         if (raw == ResetMark) { freshDb(); None }
+        else if (raw.startsWith(ConfMark)) {
+          resetProps(raw.stripPrefix(ConfMark)); None
+        }
         else if (raw.startsWith(EchoMark))
           Some((raw.stripPrefix(EchoMark), true))
         else Some {
@@ -601,7 +682,8 @@ object SessionHarness {
             s"""id="${v.stripPrefix("\"").stripSuffix("\"")}" """
           case ("cost", _) => "cost=\"omitted\" "
           case ("dateline", _) =>
-            s"""dateline="$RefDb${f"${SerialBase + lastId}%016x"}" """
+            val iid = if (instanceId.isEmpty) "" else instanceId + ","
+            s"""dateline="$iid$RefDb${f"${SerialBase + lastId}%016x"}" """
         }.mkString
         // NOT trimmed: a valued response keeps its separator space even
         // when the value renders empty (emptylit golden: `ok `)
@@ -616,8 +698,11 @@ object SessionHarness {
         def rollbackTicks(): Unit =
           tickMark.foreach(m => Writer.tickMicros.foreach(_.set(m)))
         try {
-          dlMod.flatMap(datelineError).foreach(code =>
-            throw Writer.WriteError(code, "invalid dateline value"))
+          dlMod.flatMap(datelineError(_, instanceId)).foreach(code =>
+            throw Writer.WriteError(code,
+              if (code == "DATELINE" && instanceId.nonEmpty)
+                "your dateline is not valid on this server"
+              else "invalid dateline value"))
           // cost="a=1 b=2 ..." must parse as cost elements; modifier
           // processing stops AT the bad one, so later modifiers do not
           // echo (param-order: id="foo" cost=BAD id="bak")
@@ -662,6 +747,7 @@ object SessionHarness {
             val (st2, ids) = Writer.write(store, cmd)
             store = st2
             sweepNewIds()
+            maybeCompact()
             // ids are returned in template preorder
             val idOf = new java.util.IdentityHashMap[Constraint, java.lang.Long]()
             var k = -1
@@ -987,14 +1073,53 @@ object SessionHarness {
             newHex.foreach { case (id, h) => recordGuid(id, h) }
             lastId = origLast
             sweepNewIds()
+            sinceCompact = 7; maybeCompact() // restores append in bulk
             if (maxTs >= 0)
               Writer.tickMicros.foreach(t =>
                 t.updateAndGet(c => Math.max(c, maxTs + 100L)))
             (s"ok $prefix".trim, true)
           } else if (verb == "status") {
-            // minimal status: an empty/comment-only property list
-            // answers an empty tuple (comments.sh)
-            (okLine("()"), true)
+            // graphd-property.c status: each named property renders its
+            // current value; an empty/comment-only list answers ()
+            val names = cmd.dropWhile(_ != '(').stripPrefix("(")
+              .reverse.dropWhile(_ != ')').drop(1).reverse
+              .replaceAll("""(?s)\(:.*?:\)""", " ")
+              .split("""\s+""").filter(_.nonEmpty).toSeq
+            val vals = names.map {
+              case p @ ("core" | "sync" | "logflush") => boolProps(p)
+              case "cost" => "\"" + costLimit + "\""
+              case "instance-id" => "\"" + instanceId + "\""
+              case "loglevel" => "(operator-error)"
+              case "access" => "\"read-write\""
+              case other =>
+                throw Writer.WriteError("SEMANTICS",
+                  s"unknown property \"$other\"")
+            }
+            (okLine(s"(${vals.mkString(" ")})"), true)
+          } else if (verb == "set") {
+            // graphd-property.c set: (name=value ...); cost strings
+            // reparse from scratch (unset members revert to maximum)
+            val body = cmd.dropWhile(_ != '(').stripPrefix("(")
+              .reverse.dropWhile(_ != ')').drop(1).reverse
+            val pair = """([-\w]+)\s*=\s*("[^"]*"|\S+)""".r
+            pair.findAllMatchIn(body).foreach { m =>
+              val name = m.group(1).toLowerCase
+              val value = m.group(2).stripPrefix("\"").stripSuffix("\"")
+              name match {
+                case "core" | "sync" | "logflush" =>
+                  if (value != "true" && value != "false")
+                    throw Writer.WriteError("SYNTAX",
+                      s""""$name" can be set to "true" or "false", got "$value"""")
+                  boolProps(name) = value
+                case "cost" => costLimit = parseCostLimit(value)
+                case "instance-id" => instanceId = value
+                case "loglevel" => // accepted, no visible effect here
+                case other =>
+                  throw Writer.WriteError("SEMANTICS",
+                    s"unknown property \"$other\"")
+              }
+            }
+            (s"ok $prefix".trim, true)
           } else (errLine("SYNTAX", s"'$verb': no such request"), true)
         } catch {
           case e: Writer.WriteError =>

@@ -36,6 +36,10 @@ class SessionReplaySpec extends AnyFunSuite {
   }
 
   Seq(
+    "033-1", "5230", "asof", "big", "big1", "bootstrap", "chris7",
+    "cost1", "cost2", "datetime", "instance-id", "loglevel", "status", "sync2",
+    "default-results", "emptylit", "guidlist5", "linklink3", "ne", "nick6",
+    "pol", "random7", "timestamp-2", "will1",
     "186", "3323", "anchor", "atleast", "badcompare", "badrestore",
     "bigkey", "brendan1", "brendan2", "bug5473", "byguid", "camera",
     "cannotmatch", "chris1", "chris2", "chris3", "chris4", "chris5",
