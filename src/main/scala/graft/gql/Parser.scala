@@ -306,10 +306,23 @@ object Parser {
         // sort= and sort-comparator= may land in different segments of
         // the merged modifier set — re-merge on the combined shape
         val shapedCmp = mergeSortCmp(shaped)
-        all.head.copy(
+        // $x=count is a per-SET aggregate (counts the whole or-union
+        // per parent), not a per-row binding — hoist it to the carrier
+        // wherever it was written (cvt: `{...} | {...} $limbs=count`)
+        val countAssigns = all.flatMap(_.assignments.filter(_.pat == CountPat))
+        val head2 = all.head.copy(assignments =
+          all.head.assignments.filterNot(_.pat == CountPat) ++ countAssigns)
+        // shaping modifiers were lifted onto the carrier — a branch
+        // keeping its own copy would look like an independent result
+        // (and trip variable validation on branch-scoped bindings)
+        val tail2 = all.tail.map(b =>
+          b.copy(assignments = b.assignments.filterNot(_.pat == CountPat),
+            result = None, sort = Nil, sortComparators = Nil,
+            pagesize = None, start = None))
+        head2.copy(
           result = shaped.result, sort = shapedCmp.sort,
           pagesize = shaped.pagesize, start = shaped.start,
-          orBranches = all.tail)
+          orBranches = tail2)
       }
     }
 
@@ -697,8 +710,26 @@ object Parser {
         next()
         parseOneSortKey().copy(ascending = false)
       case Some(TVar(v, _)) => next(); SortKey(VarPat(v), ascending = true)
+      case Some(TAtom("literal", p)) =>
+        // sort=(literal="foo") — a constant is not a sort key (sort20)
+        next()
+        peek match {
+          case Some(TOp("=", _)) =>
+            next()
+            val s = peek match {
+              case Some(TStr(v, _)) => next(); v
+              case Some(TAtom(v, _)) => next(); v
+              case _ => ""
+            }
+            throw ParseError(s"""cannot sort by \"$s\"""", p)
+          case _ => throw ParseError("bad sort key 'literal'", p)
+        }
       case Some(TAtom(s, p)) => next(); sortKeyOf(s, p)
       case Some(TStr(s, p)) => next(); sortKeyOf(s, p)
+      case Some(TOpen(p)) =>
+        // a nested list in sort-key position (sort=(()) / a bare
+        // sort=() consumed the outer list already)
+        throw ParseError("SYNTAX: cannot sort by nested lists.", p)
       case t => throw ParseError(s"bad sort key $t", t.map(_.pos).getOrElse(0))
     }
 

@@ -61,25 +61,26 @@ object ReadPlanner {
       c.orBranches.foreach(rejectWriteOnly)
     }
     rejectWriteOnly(root)
-    var st = root.asof.map(store.asOf).getOrElse(store)
-    root.asofTs.foreach(ts => st = st.asOfTimestamp(ts))
+    val rootN = normalizeVars(root)
+    var st = rootN.asof.map(store.asOf).getOrElse(store)
+    rootN.asofTs.foreach(ts => st = st.asOfTimestamp(ts))
     // cursor="tok" resumes a prior id-ordered page: pin the snapshot
     // horizon and skip everything at or before the last-seen id
     var pinned: Option[Long] = None
-    val after: Option[Cursor.Token] = root.cursorTok.map { t =>
+    val after: Option[Cursor.Token] = rootN.cursorTok.map { t =>
       val tok = Cursor.decode(t)
       if (tok.horizon != Long.MaxValue) { st = st.asOf(tok.horizon); pinned = Some(tok.horizon) }
       tok
     }
-    var solved = solve(st, root, 0)
-    var shapeRoot_c = root
+    var solved = solve(st, rootN, 0)
+    var shapeRoot_c = rootN
     after.foreach { tok =>
       if (tok.skip > 0)
         // positional iterator cursor (gmap): skip consumed candidates
         // in id order — applied as a start offset after ordering
-        shapeRoot_c = root.copy(cursorTok = None, start = Some(tok.skip))
+        shapeRoot_c = rootN.copy(cursorTok = None, start = Some(tok.skip))
       else solved = solved.filter(
-        if (tok.keys.nonEmpty) keysetAfter(st, root, tok)
+        if (tok.keys.nonEmpty) keysetAfter(st, rootN, tok)
         else col("id") > tok.lastId)
     }
     // a fresh cursor pins the store's current dateline so later pages
@@ -92,6 +93,153 @@ object ReadPlanner {
 
   def plan(store: GraphStore, query: String): DataFrame =
     plan(store, Parser.parseRead(query))
+
+  /** Variable semantic phase (the reference's graphd-semantic.c
+    * variable checks, exercised by sort7/sort20/varerrs/vars2/cvt):
+    * validates in the reference's error order — used-but-unset,
+    * circular, assigned-twice, assigned-but-unused — then inlines
+    * same-level assignment chains ($foo=$bar $bar=value) into the
+    * patterns that reference them and drops the fully-inlined
+    * assignments. Idempotent, so the session harness can normalize for
+    * rendering and plan() may normalize again.
+    */
+  private[graft] def normalizeVars(root: Constraint): Constraint = {
+    def varsInPat(p: Pattern): Seq[String] = p match {
+      case VarPat(v) => Seq(v)
+      case ListPat(items) => items.flatMap(varsInPat)
+      case PickPat(items) => items.flatMap(varsInPat)
+      case _ => Nil
+    }
+    def kids(c: Constraint): Seq[Constraint] = c.subs ++ c.orBranches
+    def usesAt(c: Constraint): Seq[String] =
+      c.result.toSeq.flatMap(varsInPat) ++
+        c.sort.flatMap(k => varsInPat(k.pat)) ++
+        c.assignments.flatMap(a => varsInPat(a.pat))
+    def assignedIn(c: Constraint): Seq[String] =
+      c.assignments.map(_.variable) ++ kids(c).flatMap(assignedIn)
+    def err(msg: String): Nothing = throw Parser.ParseError(msg, 0)
+    def checkUnset(c: Constraint): Unit = {
+      val avail = assignedIn(c).toSet
+      usesAt(c).find(!avail(_)).foreach(v => err(
+        s"SYNTAX: variable $$$v is returned, but not set in the " +
+          "constraint or any subconstraint"))
+      kids(c).foreach(checkUnset)
+    }
+    checkUnset(root)
+    def checkCycles(c: Constraint): Unit = {
+      val rhs: Map[String, Seq[String]] =
+        c.assignments.groupBy(_.variable).view
+          .mapValues(_.flatMap(a => varsInPat(a.pat))).toMap
+      c.assignments.map(_.variable).foreach { v0 =>
+        var seen = Set.empty[String]
+        def reach(v: String): Boolean =
+          rhs.getOrElse(v, Nil).exists(n =>
+            n == v0 || (!seen(n) && { seen += n; reach(n) }))
+        if (reach(v0))
+          err(s"SYNTAX: circular assignment of $$$v0 to itself")
+      }
+      kids(c).foreach(checkCycles)
+    }
+    checkCycles(root)
+    def checkDouble(c: Constraint): Unit = {
+      val dup = c.assignments.map(_.variable)
+        .diff(c.assignments.map(_.variable).distinct)
+      dup.headOption.foreach(v =>
+        err(s"SYNTAX: variable $$$v is assigned to twice"))
+      kids(c).foreach(checkDouble)
+    }
+    checkDouble(root)
+    def checkUnused(c: Constraint, above: Set[String]): Unit = {
+      val here = above ++ usesAt(c)
+      c.assignments.map(_.variable).find(!here(_)).foreach(v => err(
+        s"SYNTAX: variable $$$v is assigned, but not returned in this " +
+          "or any containing constraint"))
+      kids(c).foreach(checkUnused(_, here))
+    }
+    checkUnused(root, Set.empty)
+    // inline same-level chains; keep assignments still referenced
+    // anywhere (cross-level uses resolve through __var_ columns)
+    def substitute(c: Constraint): Constraint = {
+      // an or-carrier's own assignments are branch-0-scoped: they bind
+      // only when branch 0 matches (or4 first-match-wins), so they
+      // must stay runtime columns, never inline
+      val m =
+        if (c.orBranches.nonEmpty) Map.empty[String, Pattern]
+        else c.assignments.map(a => a.variable -> a.pat).toMap
+      def subst(p: Pattern): Pattern = p match {
+        case VarPat(v) if m.contains(v) => subst(m(v))
+        case ListPat(items) => ListPat(items.map(subst))
+        case PickPat(items) => PickPat(items.map(subst))
+        case other => other
+      }
+      c.copy(
+        result = c.result.map(subst),
+        sort = c.sort.map(k => k.copy(pat = subst(k.pat))),
+        // RHS chains dissolve too ($foo=$bar $bar=value ⇒ $foo=value),
+        // so a fully-inlined variable leaves no dangling reference
+        // (cycles were rejected above, so substitution terminates)
+        assignments = c.assignments.map(a => a.copy(pat = subst(a.pat))),
+        subs = c.subs.map(substitute),
+        orBranches = c.orBranches.map(substitute))
+    }
+    var out = substitute(root)
+    def referenced(c: Constraint): Seq[String] = usesAt(c) ++
+      kids(c).flatMap(referenced)
+    val live = referenced(out).toSet
+    def prune(c: Constraint): Constraint = c.copy(
+      assignments = c.assignments.filter(a => live(a.variable)),
+      subs = c.subs.map(prune),
+      orBranches = c.orBranches.map(prune))
+    out = prune(out)
+    // sort keys that survive substitution must be sortable
+    def checkSort(c: Constraint): Unit = {
+      c.sort.foreach { k =>
+        k.pat match {
+          case _: ListPat => err("SYNTAX: cannot sort by nested lists.")
+          case CountPat => err("cannot sort by count")
+          case CursorPat => err("cannot sort by cursor")
+          case EstimateCountPat => err("cannot sort by estimate-count")
+          case LiteralPat(s, _) => err(s"""cannot sort by \"$s\"""")
+          case _ => ()
+        }
+      }
+      kids(c).foreach(checkSort)
+    }
+    checkSort(out)
+    // result lists nest at most two levels deep, one nested list per
+    // list (sort7 / vars2)
+    def renderPat(p: Pattern): String = p match {
+      case FieldPat(f) => f
+      case VarPat(v) => "$" + v
+      case LiteralPat(s, true) => s"literal=$s"
+      case LiteralPat(s, false) => "\"" + s + "\""
+      case ContentsPat => "contents"
+      case CountPat => "count"
+      case CursorPat => "cursor"
+      case EstimateCountPat => "estimate-count"
+      case NonePat => "none"
+      case ListPat(items) => items.map(renderPat).mkString("(", " ", ")")
+      case PickPat(items) => items.map(renderPat).mkString("pick(", " ", ")")
+    }
+    def checkDepth(p: Pattern, d: Int): Unit = p match {
+      case ListPat(items) =>
+        if (d >= 2)
+          err(s"result expression \"${renderPat(p)}\" nests lists " +
+            "more than two levels deep")
+        if (items.count(_.isInstanceOf[ListPat]) > 1)
+          err("SYNTAX: can only have one nested list per result list - " +
+            "(x (y)) and ((x y)) work, ((x) (y)) doesn't.")
+        items.foreach(checkDepth(_, d + 1))
+      case PickPat(items) => items.foreach(checkDepth(_, d))
+      case _ => ()
+    }
+    def checkResults(c: Constraint): Unit = {
+      c.result.foreach(checkDepth(_, 0))
+      kids(c).foreach(checkResults)
+    }
+    checkResults(out)
+    out
+  }
 
   // ------------------------------------------------------------------
   // per-constraint evaluation
@@ -154,6 +302,7 @@ object ReadPlanner {
     (plain ++ dep).foreach { a =>
       a.pat match {
         case _: ListPat => () // collected in attachChild
+        case CountPat => () // per-parent cardinality, set in attachChild
         case VarPat(o) if !df.columns.contains(varCol(o)) =>
           df = df.withColumn(varCol(a.variable), lit(null))
         case p => df = df.withColumn(varCol(a.variable), fieldExpr(store, p, c))
@@ -439,6 +588,12 @@ object ReadPlanner {
     val listVars: Seq[(String, ListPat)] = sub.assignments.collect {
       case Assignment(v, lp: ListPat) => (varCol(v), lp)
     }
+    // $x=count in a child: the per-parent cardinality as a variable
+    // (sort17/sort18/cvt ordinal variables); parents without matches
+    // read 0, so the column coalesces after the outer join
+    val countVars: Seq[String] = sub.assignments.collect {
+      case Assignment(v, CountPat) => varCol(v)
+    }
 
     // contents ordering: rank over ALL child sort keys with per-key
     // direction (sort=(value -name) honors the descending second key),
@@ -496,7 +651,7 @@ object ReadPlanner {
     // SURVEY §2.3). At scale this removes a per-parent groupBy shuffle
     // and an unbounded collect_list from every EXISTS-shaped query.
     val childConsumed = childVars.nonEmpty || listVars.nonEmpty ||
-      usesContents(parentC)
+      countVars.nonEmpty || usesContents(parentC)
     if (!childConsumed && linkageEff.isDefined) {
       val (keyExpr, parentKey) = linkageEff.get match {
         case ChildPointsToParent(f) => (col(f), parent("id"))
@@ -521,11 +676,15 @@ object ReadPlanner {
           Seq(count(lit(1)).as(s"__count_$i"),
             contentsAgg(child).as(s"__contents_$i")) ++
             childVars.map(v => min(struct(col("id"), col(v))).getField(v).as(v)) ++
+            countVars.map(v => count(lit(1)).cast("long").as(v)) ++
             listVarAggs
         val agg = child
           .groupBy(col(f).as(s"__pk_$i"))
           .agg(aggCols.head, aggCols.tail: _*)
-        joinWithBounds(parent, agg, parent("id") === agg(s"__pk_$i"), bounds, i)
+        var out = joinWithBounds(parent, agg, parent("id") === agg(s"__pk_$i"), bounds, i)
+        countVars.foreach(v =>
+          out = out.withColumn(v, coalesce(col(v), lit(0L))))
+        out
 
       case Some(ParentPointsToChild(f)) =>
         // parent's `f` endpoint must be a child match (the reference's
@@ -536,11 +695,15 @@ object ReadPlanner {
           Seq(count(lit(1)).as(s"__count_$i"),
             contentsAgg(child).as(s"__contents_$i")) ++
             childVars.map(v => first(col(v)).as(v)) ++
+            countVars.map(v => count(lit(1)).cast("long").as(v)) ++
             listVarAggs
         val agg = child
           .groupBy(col("id").as(s"__pk_$i"))
           .agg(aggCols.head, aggCols.tail: _*)
-        joinWithBounds(parent, agg, parent(f) === agg(s"__pk_$i"), bounds, i)
+        var out = joinWithBounds(parent, agg, parent(f) === agg(s"__pk_$i"), bounds, i)
+        countVars.foreach(v =>
+          out = out.withColumn(v, coalesce(col(v), lit(0L))))
+        out
 
       case None =>
         // a child with no way to relate to its parent is a semantic
@@ -674,6 +837,7 @@ object ReadPlanner {
     case FieldPat("valuetype") | FieldPat("datatype") => col("datatype")
     case FieldPat("generation") => lit(0L) // newest view default
     case FieldPat("previous") => col("prev")
+    case FieldPat("next") => lit(null).cast("long") // newest has no next
     case FieldPat("meta") =>
       // the reference renders link rows as their arrow relative to the
       // parent: `<-` when this constraint's linkage is "my right points

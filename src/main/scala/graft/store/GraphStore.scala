@@ -24,8 +24,28 @@ import graft.model.{Guid, Primitive}
 final case class GraphStore(spark: SparkSession, primitives: DataFrame,
     versioned: Boolean = true,
     /** route `~=` predicates through the inverted word index */
-    useWordIndex: Boolean = false) {
+    useWordIndex: Boolean = false,
+    /** Driver-resident mirror of the primitives, kept by stores built
+      * row-by-row (session replay, unit fixtures). Point lookups the
+      * write path makes per request (next id, lineage heads, type-name
+      * resolution) answer from the mirror instead of a Spark job each —
+      * the same role the reference's in-process istore cursor and
+      * hmap caches play for its single-writer appends. Bulk stores
+      * (parquet-backed) carry None and use the distributed paths.
+      */
+    localRows: Option[Vector[graft.model.Primitive]] = None) {
   import GraphStore._
+
+  /** the mirror filtered to the current (newest live) view */
+  lazy val currentLocal: Option[Vector[graft.model.Primitive]] =
+    localRows.map { rows =>
+      val base =
+        if (versioned)
+          rows.groupBy(_.lineage).valuesIterator
+            .map(_.maxBy(_.id)).toVector.sortBy(_.id)
+        else rows
+      base.filter(_.live)
+    }
 
   /** Default visibility: current (newest) live versions only —
     * the reference's default `newest=0 live=true` view
@@ -56,7 +76,8 @@ final case class GraphStore(spark: SparkSession, primitives: DataFrame,
         col("id") <= horizon &&
           (col("id_part").isNull || col("id_part") <= (horizon >> PartShift).toInt)
       else col("id") <= horizon
-    copy(primitives = primitives.filter(pred))
+    copy(primitives = primitives.filter(pred),
+      localRows = localRows.map(_.filter(_.id <= horizon)))
   }
 
   /** snapshot by WRITE TIME: primitives stamped at or before the
@@ -64,7 +85,8 @@ final case class GraphStore(spark: SparkSession, primitives: DataFrame,
     * timestamps are monotone with ids, which the writer guarantees)
     */
   def asOfTimestamp(micros: Long): GraphStore =
-    copy(primitives = primitives.filter(col("timestamp") <= micros))
+    copy(primitives = primitives.filter(col("timestamp") <= micros),
+      localRows = localRows.map(_.filter(_.timestamp <= micros)))
 
   def nodes: DataFrame = current.filter(col("left").isNull)
   def links: DataFrame = current.filter(col("left").isNotNull)
@@ -99,19 +121,28 @@ final case class GraphStore(spark: SparkSession, primitives: DataFrame,
     */
   private val typeIdCache = scala.collection.concurrent.TrieMap.empty[String, Seq[Long]]
   def resolveTypeIds(names: Seq[String]): Seq[Long] =
-    names.flatMap(n => typeIdCache.getOrElseUpdate(n, {
-      val named = current.filter(col("left").isNull && col("name") === n)
-        .select("id").collect().map(_.getLong(0)).toSeq
-      // reference physical type registry (graphd-type.c:518
-      // graphd_type_guid_from_name): a live has_key naming link whose
-      // value is the name (case-insensitive) names the node it points
-      // at with its right
-      val viaLinks = hasKeyId.toSeq.flatMap { hk =>
-        current.filter(col("typeguid") === hk && col("left").isNotNull &&
-            col("right").isNotNull && lower(col("value")) === n.toLowerCase)
-          .select("right").collect().map(_.getLong(0)).toSeq
-      }
-      (named ++ viaLinks).distinct
+    names.flatMap(n => typeIdCache.getOrElseUpdate(n, currentLocal match {
+      case Some(rows) =>
+        val named = rows.filter(p => p.left.isEmpty && p.name.contains(n))
+          .map(_.id)
+        val viaLinks = hasKeyId.toSeq.flatMap(hk =>
+          rows.filter(p => p.typeguid.contains(hk) && p.left.isDefined &&
+              p.right.isDefined && p.value.exists(_.equalsIgnoreCase(n)))
+            .flatMap(_.right))
+        (named ++ viaLinks).distinct
+      case None =>
+        val named = current.filter(col("left").isNull && col("name") === n)
+          .select("id").collect().map(_.getLong(0)).toSeq
+        // reference physical type registry (graphd-type.c:518
+        // graphd_type_guid_from_name): a live has_key naming link whose
+        // value is the name (case-insensitive) names the node it points
+        // at with its right
+        val viaLinks = hasKeyId.toSeq.flatMap { hk =>
+          current.filter(col("typeguid") === hk && col("left").isNotNull &&
+              col("right").isNotNull && lower(col("value")) === n.toLowerCase)
+            .select("right").collect().map(_.getLong(0)).toSeq
+        }
+        (named ++ viaLinks).distinct
     }))
 
   /** every id sharing a lineage with any of the given ids — backs
@@ -119,18 +150,30 @@ final case class GraphStore(spark: SparkSession, primitives: DataFrame,
     */
   def lineageMembers(ids: Seq[Long]): Seq[Long] = {
     if (ids.isEmpty) return Nil
-    val lins = primitives.filter(col("id").isin(ids.map(Long.box): _*))
-      .select("lineage").distinct().collect().map(_.getLong(0))
-    if (lins.isEmpty) Nil
-    else primitives.filter(col("lineage").isin(lins.map(Long.box): _*))
-      .select("id").collect().map(_.getLong(0)).toSeq
+    localRows match {
+      case Some(rows) =>
+        val idSet = ids.toSet
+        val lins = rows.filter(p => idSet(p.id)).map(_.lineage).toSet
+        rows.filter(p => lins(p.lineage)).map(_.id)
+      case None =>
+        val lins = primitives.filter(col("id").isin(ids.map(Long.box): _*))
+          .select("lineage").distinct().collect().map(_.getLong(0))
+        if (lins.isEmpty) Nil
+        else primitives.filter(col("lineage").isin(lins.map(Long.box): _*))
+          .select("id").collect().map(_.getLong(0)).toSeq
+    }
   }
 
   /** the HAS_KEY attribute node of a reference-bootstrapped store */
-  private lazy val hasKeyId: Option[Long] =
-    current.filter(col("left").isNull && col("name") === "HAS_KEY")
-      .select("id").orderBy(col("id")).limit(1).collect()
-      .headOption.map(_.getLong(0))
+  private lazy val hasKeyId: Option[Long] = currentLocal match {
+    case Some(rows) =>
+      rows.filter(p => p.left.isEmpty && p.name.contains("HAS_KEY"))
+        .sortBy(_.id).headOption.map(_.id)
+    case None =>
+      current.filter(col("left").isNull && col("name") === "HAS_KEY")
+        .select("id").orderBy(col("id")).limit(1).collect()
+        .headOption.map(_.getLong(0))
+  }
 
   /** id → name over named nodes — the type vocabulary. Backs the
     * `type` result pattern, which echoes the type node's NAME (the
@@ -140,18 +183,31 @@ final case class GraphStore(spark: SparkSession, primitives: DataFrame,
     * through has_key naming links instead.
     */
   lazy val typeNamesById: Seq[(Long, String)] = {
-    val named = current.filter(col("left").isNull && col("name").isNotNull)
-      .select("id", "name").collect()
-      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    val named = currentLocal match {
+      case Some(rows) => rows.collect {
+        case p if p.left.isEmpty && p.name.isDefined => p.id -> p.name.get
+      }
+      case None => current.filter(col("left").isNull && col("name").isNotNull)
+        .select("id", "name").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    }
     // naming links WIN over node names: the reference's reverse lookup
     // goes through has_key links, so HAS_KEY itself displays as
     // "has_key" (the anchor's value), not its node name (onerestore)
     val viaLinks = hasKeyId.toSeq.flatMap { hk =>
-      current.filter(col("typeguid") === hk && col("left").isNotNull &&
-          col("right").isNotNull && col("value").isNotNull)
-        .select("id", "right", "value").collect()
-        .sortBy(_.getLong(0))
-        .map(r => r.getLong(1) -> r.getString(2)).toSeq
+      currentLocal match {
+        case Some(rows) => rows.collect {
+          case p if p.typeguid.contains(hk) && p.left.isDefined &&
+            p.right.isDefined && p.value.isDefined =>
+            (p.id, p.right.get, p.value.get)
+        }.sortBy(_._1).map(t => t._2 -> t._3)
+        case None =>
+          current.filter(col("typeguid") === hk && col("left").isNotNull &&
+              col("right").isNotNull && col("value").isNotNull)
+            .select("id", "right", "value").collect()
+            .sortBy(_.getLong(0))
+            .map(r => r.getLong(1) -> r.getString(2)).toSeq
+      }
     }
     val linked = viaLinks.groupBy(_._1).view.mapValues(_.head._2)
     val covered = linked.keySet
@@ -231,7 +287,19 @@ object GraphStore {
 
   def fromSeq(spark: SparkSession, ps: Seq[Primitive]): GraphStore = {
     import spark.implicits._
-    GraphStore(spark, resolveLineage(spark, ps.toDS().toDF()))
+    // lineage resolved driver-side (same chain-following semantics as
+    // resolveLineage): follow prev to the chain root, dangling prev
+    // keeps its target id as the lineage — then the mirror and the
+    // DataFrame agree by construction
+    val byId = ps.map(p => p.id -> p).toMap
+    def root(p: Primitive, seen: Set[Long]): Long = p.prev match {
+      case Some(pr) if byId.contains(pr) && !seen(pr) =>
+        root(byId(pr), seen + p.id)
+      case Some(pr) => pr
+      case None => p.id
+    }
+    val fixed = ps.map(p => p.copy(lineage = root(p, Set.empty))).toVector
+    GraphStore(spark, fixed.toDS().toDF(), localRows = Some(fixed))
   }
 
   def fromDf(spark: SparkSession, df: DataFrame,

@@ -53,8 +53,11 @@ object Writer {
       txstart: Option[Boolean] = None)
 
   /** next dense id — the reference's istore append cursor */
-  def nextId(store: GraphStore): Long =
-    store.primitives.agg(coalesce(max(col("id")), lit(0L))).head.getLong(0) + 1L
+  def nextId(store: GraphStore): Long = store.localRows match {
+    case Some(rows) => rows.iterator.map(_.id).maxOption.getOrElse(0L) + 1L
+    case None =>
+      store.primitives.agg(coalesce(max(col("id")), lit(0L))).head.getLong(0) + 1L
+  }
 
   /** unique monotone per-writer timestamps — the reference guarantees
     * "unique per local system, monotone per writer"
@@ -123,10 +126,16 @@ object Writer {
     val prevIds = specs.flatMap(_.prev)
     val lineageOf: Map[Long, Long] =
       if (prevIds.isEmpty) Map.empty
-      else store.primitives
-        .filter(col("id").isin(prevIds.map(Long.box): _*))
-        .select("id", "lineage").collect()
-        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      else store.localRows match {
+        case Some(rows) =>
+          val want = prevIds.toSet
+          rows.iterator.filter(p => want(p.id))
+            .map(p => p.id -> p.lineage).toMap
+        case None => store.primitives
+          .filter(col("id").isin(prevIds.map(Long.box): _*))
+          .select("id", "lineage").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
 
     var tick = 0
     val rows = specs.zipWithIndex.map { case (s, i) =>
@@ -147,11 +156,20 @@ object Writer {
         s.prev.map(lineageOf).getOrElse(id))
     }
     import store.spark.implicits._
-    // allowMissingColumns: a persisted store carries the id_part
-    // partition column; fresh rows get it null until the next save
-    val appended = store.primitives
-      .unionByName(rows.toDS().toDF(), allowMissingColumns = true)
-    (store.copy(primitives = appended), rows.map(_.id))
+    store.localRows match {
+      case Some(existing) =>
+        // mirror-backed store: rebuild one flat LocalRelation from the
+        // mirror — no union tree to grow, no Spark job to append
+        val all = existing ++ rows
+        (store.copy(primitives = all.toDS().toDF(),
+          localRows = Some(all)), rows.map(_.id))
+      case None =>
+        // allowMissingColumns: a persisted store carries the id_part
+        // partition column; fresh rows get it null until the next save
+        val appended = store.primitives
+          .unionByName(rows.toDS().toDF(), allowMissingColumns = true)
+        (store.copy(primitives = appended), rows.map(_.id))
+    }
   }
 
   /** `guid=G` pessimistic versioning: G must still be the newest of its
@@ -207,11 +225,17 @@ object Writer {
     * carries the reference bootstrap (graphd_type_bootstrap_read)
     */
   private def bootCore(st: GraphStore): Option[(Long, Long, Long)] = {
-    val rows = st.current
-      .filter(col("left").isNull &&
-        col("name").isin(Boot.CoreScope, Boot.RootNs, Boot.HasKey))
-      .select("name", "id").collect()
-    val m = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val m: Map[String, Long] = st.currentLocal match {
+      case Some(rows) =>
+        val names = Set(Boot.CoreScope, Boot.RootNs, Boot.HasKey)
+        rows.filter(p => p.left.isEmpty && p.name.exists(names))
+          .map(p => p.name.get -> p.id).toMap
+      case None => st.current
+        .filter(col("left").isNull &&
+          col("name").isin(Boot.CoreScope, Boot.RootNs, Boot.HasKey))
+        .select("name", "id").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
     for (cs <- m.get(Boot.CoreScope); rn <- m.get(Boot.RootNs);
          hk <- m.get(Boot.HasKey)) yield (cs, rn, hk)
   }
@@ -239,11 +263,17 @@ object Writer {
     * equal) names the node on its right
     */
   private def refTypeId(st: GraphStore, hasKey: Long, name: String): Option[Long] =
-    st.current
-      .filter(col("typeguid") === hasKey && col("left").isNotNull &&
-        col("right").isNotNull && lower(col("value")) === name.toLowerCase)
-      .orderBy(col("id"))
-      .select("right").limit(1).collect().headOption.map(_.getLong(0))
+    st.currentLocal match {
+      case Some(rows) =>
+        rows.filter(p => p.typeguid.contains(hasKey) && p.left.isDefined &&
+            p.right.isDefined && p.value.exists(_.equalsIgnoreCase(name)))
+          .sortBy(_.id).headOption.flatMap(_.right)
+      case None => st.current
+        .filter(col("typeguid") === hasKey && col("left").isNotNull &&
+          col("right").isNotNull && lower(col("value")) === name.toLowerCase)
+        .orderBy(col("id"))
+        .select("right").limit(1).collect().headOption.map(_.getLong(0))
+    }
 
   /** write the core type system if absent (restore v1 bootstraps
     * unconditionally — graphd-restore.c:79-87)
@@ -298,11 +328,14 @@ object Writer {
     // use — test/unit/version1.sh writes new type strings freely)
     var st = store
     def typeIdOf(names: Seq[String]): Long = {
-      val rows = st.current
-        .filter(col("left").isNull && col("name").isin(names: _*))
-        .select("id").limit(2).collect()
-      if (rows.nonEmpty) rows.head.getLong(0)
-      else {
+      val hit = st.currentLocal match {
+        case Some(rows) => rows.find(p =>
+          p.left.isEmpty && p.name.exists(names.contains)).map(_.id)
+        case None => st.current
+          .filter(col("left").isNull && col("name").isin(names: _*))
+          .select("id").limit(2).collect().headOption.map(_.getLong(0))
+      }
+      hit.getOrElse {
         // the minted node carries the type name as BOTH name and value:
         // the reference's type machinery registers the name in a
         // value-carrying has_key primitive, and sessions find it by
@@ -692,11 +725,14 @@ object Writer {
         st = st2
         return id
       }
-      val rows = st.current
-        .filter(col("left").isNull && col("name").isin(names: _*))
-        .select("id").limit(2).collect()
-      if (rows.nonEmpty) rows.head.getLong(0)
-      else {
+      val hit = st.currentLocal match {
+        case Some(rows) => rows.find(p =>
+          p.left.isEmpty && p.name.exists(names.contains)).map(_.id)
+        case None => st.current
+          .filter(col("left").isNull && col("name").isin(names: _*))
+          .select("id").limit(2).collect().headOption.map(_.getLong(0))
+      }
+      hit.getOrElse {
         // the minted node carries the type name as BOTH name and value:
         // the reference's type machinery registers the name in a
         // value-carrying has_key primitive, and sessions find it by

@@ -603,7 +603,9 @@ object SessionHarness {
     var sinceCompact = 0
     def maybeCompact(): Unit = {
       sinceCompact += 1
-      if (sinceCompact >= 8) {
+      // a mirror-backed store rebuilds a flat LocalRelation per append —
+      // nothing to truncate
+      if (sinceCompact >= 8 && store.localRows.isEmpty) {
         store = store.copy(primitives =
           store.primitives.coalesce(1).localCheckpoint())
         sinceCompact = 0
@@ -778,7 +780,10 @@ object SessionHarness {
             }
             (okLine(renderW(tmpl)), true)
           } else if (verb == "read") {
-            val c0 = Parser.parseRead(cmd)
+            // normalize variables BEFORE injection/rendering so the
+            // renderer walks the same tree the planner executes
+            // (same-level assignment chains are inlined by the phase)
+            val c0 = ReadPlanner.normalizeVars(Parser.parseRead(cmd))
             val inj = new Injected
             val c = inj.inject(c0)
             val df = ReadPlanner.plan(store, c)
