@@ -802,15 +802,103 @@ object Writer {
       * reuse inside a keyed cluster, or a fresh append); then the
       * links into it. Returns (id, preorder ids of the subtree).
       */
+    // ---- unique clusters (graphd-write-check-unique.c) -------------
+    // the unique check is CLUSTER-wide: a read built from only the
+    // unique-set fields, with subconstraints included when their
+    // connection is part of the unique set; EXISTS only when that
+    // whole structure matches. A guid~=/guid= on a cluster member
+    // excludes the versioned lineage head from the match (unique3).
+    def connectionInUnique(parent: Constraint, sub: Constraint): Boolean =
+      linkOf(parent, sub) match {
+        case Some(ParentPointsToChild(f)) =>
+          parent.uniqueFields.exists(_.contains(f))
+        case Some(ChildPointsToParent(f)) =>
+          sub.uniqueFields.exists(_.contains(f))
+        case _ => false
+      }
+    def headOf(g: Long): Long = st.localRows match {
+      case Some(rows) =>
+        val lin = rows.find(_.id == g).getOrElse(throw WriteError(
+          "SEMANTICS", s"not found: cannot read predecessor record $g")).lineage
+        rows.filter(_.lineage == lin).map(_.id).max
+      case None =>
+        val linRows = st.primitives.filter(col("id") === g)
+          .select("lineage").limit(1).collect()
+        if (linRows.isEmpty) throw WriteError(
+          "SEMANTICS", s"not found: cannot read predecessor record $g")
+        st.newestAll.filter(col("lineage") === linRows.head.getLong(0))
+          .select("id").head.getLong(0)
+    }
+    def clusterDup(c: Constraint, keepLinkage: Boolean): Constraint = {
+      val unq = c.uniqueFields.getOrElse(Nil).toSet
+      val excl = c.guid.collectFirst {
+        case GuidPred(true, serials, _) => serials.flatten.headOption
+      }.flatten.map(g => GuidPred(include = false, Seq(Some(headOf(g)))))
+      Constraint(
+        linkage = if (keepLinkage) c.linkage else None,
+        guid = excl.toSeq,
+        name = if (unq("name")) c.name else Nil,
+        value = if (unq("value")) c.value else Nil,
+        comparator = c.comparator,
+        typeNames = if (unq("typeguid")) c.typeNames else None,
+        datatype =
+          if (unq("datatype") || unq("valuetype")) c.datatype else None,
+        timestampMin = if (unq("timestamp")) c.timestampMin else None,
+        timestampMax = if (unq("timestamp")) c.timestampMax else None,
+        linkFields = c.linkFields.filter { case (f, _) => unq(f) },
+        subs = c.subs.filter(connectionInUnique(c, _))
+          .map(clusterDup(_, keepLinkage = true)))
+    }
+    /** EXISTS precheck at a unique-cluster root; parentLink wires the
+      * already-resolved parent id into the query (the reference's
+      * annotated parent guid, unique6)
+      */
+    def checkUniqueCluster(c: Constraint,
+        parentLink: Option[(String, Long)]): Unit = {
+      var q = clusterDup(c, keepLinkage = false)
+      parentLink.foreach { case (f, pid) =>
+        if (c.uniqueFields.exists(_.contains(f)))
+          q = q.copy(linkFields = q.linkFields +
+            (f -> (q.linkFields.getOrElse(f, Nil) :+
+              GuidPred(include = true, Seq(Some(pid))))))
+      }
+      if (graft.plan.ReadPlanner.plan(st, q).limit(1).count() > 0)
+        throw WriteError("EXISTS", "unique cluster already present")
+    }
+    def versionPrev(c: Constraint, spec0: Spec): Spec =
+      c.guid.collectFirst {
+        case GuidPred(true, serials, lineage) =>
+          serials.flatten.headOption.map(g => (g, lineage))
+      }.flatten match {
+        case Some((g, opportunistic)) =>
+          val head = headOf(g)
+          if (!opportunistic && head != g)
+            throw WriteError("OUTDATED", s""""$g" has been versioned""")
+          spec0.copy(prev = Some(head))
+        case None => spec0
+      }
+
     def resolve(c: Constraint, parentLink: Option[(String, Long)],
-        inCluster: Boolean): (Long, Seq[Long]) = {
+        inCluster: Boolean, parentC: Option[Constraint] = None)
+        : (Long, Seq[Long]) = {
+      // unique-cluster ROOT: run the whole-cluster EXISTS check before
+      // any member (including pointed children) is minted
+      if (c.uniqueFields.isDefined && !parentC.exists(p =>
+          p.uniqueFields.isDefined && connectionInUnique(p, c)))
+        checkUniqueCluster(c, parentLink)
       var spec = specOf(c)
       parentLink.foreach { case (f, pid) => spec = withLinkage(spec, f, pid) }
       val pointedIds = scala.collection.mutable.Map.empty[Int, (Long, Seq[Long])]
+      // members of a UNIQUE cluster never reuse existing primitives —
+      // the cluster precheck said the structure is absent, so every
+      // member mints fresh (uniquecluster: `right->()` under
+      // unique=(name right) allocates a new node); pointed reuse is
+      // key/anchor cluster behavior (doc/gr-protocol.txt:801-807)
+      val clusterKeys = c.anchorFlag || c.keyFields.isDefined
       c.subs.zipWithIndex.foreach { case (sub, i) =>
         linkOf(c, sub) match {
           case Some(ParentPointsToChild(f)) =>
-            val r = resolve(sub, None, inCluster || hasKeys(c))
+            val r = resolve(sub, None, inCluster || clusterKeys, Some(c))
             spec = withLinkage(spec, f, r._1)
             pointedIds(i) = r
           case _ => ()
@@ -819,8 +907,10 @@ object Writer {
       val selfId: Long =
         if (c.anchorFlag) anchor(st, spec, anchorMatchFields(spec))
         else if (c.uniqueFields.isDefined) {
-          val (st2, id) = writeUnique(st, spec, c.uniqueFields.get)
-          st = st2; id
+          // cluster precheck passed — mint fresh, versioning a guid
+          // target when the template names one (unique3)
+          val (st2, ids) = append(st, Seq(versionPrev(c, spec)))
+          st = st2; ids.head
         } else if (c.keyFields.isDefined) {
           val (st2, id, _) = writeKeyed(st, spec, c.keyFields.get)
           st = st2; id
@@ -838,7 +928,7 @@ object Writer {
           val (st2, ids) = append(st, Seq(spec))
           st = st2; ids.head
         }
-      val keyed = hasKeys(c) || inCluster
+      val keyed = clusterKeys || inCluster
       val intoIds = c.subs.zipWithIndex.map { case (sub, i) =>
         pointedIds.get(i).map(_._2).getOrElse {
           val f = linkOf(c, sub) match {
@@ -846,7 +936,7 @@ object Writer {
             case other => throw WriteError("SYNTAX",
               s"upsert child must relate to its parent (got $other)")
           }
-          resolve(sub, Some((f, selfId)), keyed)._2
+          resolve(sub, Some((f, selfId)), keyed, Some(c))._2
         }
       }
       (selfId, selfId +: intoIds.flatten)
@@ -884,7 +974,7 @@ object Writer {
           template.subs.zipWithIndex.foreach { case (sub, i) =>
             linkOf(template, sub) match {
               case Some(ParentPointsToChild(f)) =>
-                val r = resolve(sub, None, inCluster = true)
+                val r = resolve(sub, None, inCluster = true, Some(template))
                 pointedIds(i) = r._2
               case _ => ()
             }
@@ -896,7 +986,8 @@ object Writer {
                 case other => throw WriteError("SYNTAX",
                   s"upsert child must relate to its parent (got $other)")
               }
-              resolve(sub, Some((f, rootId)), inCluster = true)._2
+              resolve(sub, Some((f, rootId)), inCluster = true,
+                Some(template))._2
             }
           }
           return (st, rootId +: intoIds.flatten)

@@ -65,7 +65,7 @@ class SessionReplaySpec extends AnyFunSuite {
     "sort6", "sortcomparators", "sortcursor", "source", "spacematch", "start",
     "stror", "substring", "substring2", "substring3", "syntaxerrs", "tab",
     "threedump", "threerestore", "tiling", "timestamp", "timestamp-3", "timestamp-4",
-    "triad", "twovars", "typeandtypeguid", "typo", "unique1", "unique2",
+    "triad", "twovars", "typeandtypeguid", "typo", "unique1", "unique2", "unique3", "unique4", "unique6", "uniquecluster",
     "value", "valuetype", "vars", "version1", "version2", "version4",
     "version5", "will4", "will5", "will8", "wordnet1", "writeresult",
     "yesno", "zeroguid").foreach { n =>
