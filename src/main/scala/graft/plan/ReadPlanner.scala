@@ -626,7 +626,11 @@ object ReadPlanner {
     def listVarAggs: Seq[Column] = listVars.map { case (cn, lp) =>
       val leaves = varLeafFields(lp)
       val st2 = struct(col("__ord") +: leaves.map { case (n, e) => e.as(n) }: _*)
-      val sorted = sort_array(collect_list(st2), asc = true)
+      // the child's pagesize bounds its collected frames, same as
+      // contents (sort10: per-child pagesize over a sorted list var)
+      val limited = sub.pagesize
+        .map(ps => when(col("__ord") <= ps.toInt, st2)).getOrElse(st2)
+      val sorted = sort_array(collect_list(limited), asc = true)
       transform(sorted, x =>
         struct(leaves.map { case (n, _) => x.getField(n).as(n) }: _*)).as(cn)
     }
@@ -904,11 +908,36 @@ object ReadPlanner {
     }.foldLeft(allSame && col("id") > tok.lastId)(_ || _)
   }
 
+  /** the pattern a variable is bound to anywhere in c's subtree */
+  private def varAssignPat(c: Constraint, v: String): Option[Pattern] =
+    c.assignments.collectFirst { case Assignment(`v`, p) => p }
+      .orElse(c.subs.view.flatMap(varAssignPat(_, v)).headOption)
+      .orElse(c.orBranches.view.flatMap(varAssignPat(_, v)).headOption)
+
   private def sortExpr(store: GraphStore, sk: SortKey, c: Constraint): Column = {
     val cmp = sk.comparator.getOrElse(c.comparator)
     sk.pat match {
       case FieldPat("value") => sort_key(col("value"), cmp)
       case FieldPat("name") => sort_key(col("name"), cmp)
+      case VarPat(v) =>
+        // a variable bound to a string field sorts under the
+        // comparator, like the field itself would (timesort/sort10);
+        // one bound to a list sorts element-wise on its leaves
+        varAssignPat(c, v) match {
+          case Some(FieldPat("value") | FieldPat("name")) =>
+            sort_key(col(varCol(v)), cmp)
+          case Some(lp: ListPat) =>
+            val leafPats = flatten(lp)
+            transform(col(varCol(v)), x => struct(
+              leafPats.zipWithIndex.map { case (p, idx) =>
+                val f = x.getField(s"f$idx")
+                p match {
+                  case FieldPat("value") | FieldPat("name") => sort_key(f, cmp)
+                  case _ => f
+                }
+              }: _*))
+          case _ => col(varCol(v))
+        }
       case other => fieldExpr(store, other, c)
     }
   }

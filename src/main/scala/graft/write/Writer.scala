@@ -458,15 +458,7 @@ object Writer {
     }
 
     val specs = scala.collection.mutable.ArrayBuffer.empty[Spec]
-    // first typed write creates the core type system — INSIDE the same
-    // batch: the whole request is one transaction (txstart on its
-    // first primitive only) and one contiguous id range
-    val boot0 = nextId(st)
-    if (core.isEmpty && wanted.exists(!typeId.contains(_))) {
-      specs ++= bootstrapSpecs(boot0)
-      core = Some((boot0, boot0 + 1, boot0 + 2))
-    }
-    val base = boot0
+    val base = nextId(st)
     val idOf = new java.util.IdentityHashMap[Constraint, java.lang.Long]()
 
     def firstEq(preds: Seq[StrPred]): Option[String] =
@@ -484,6 +476,16 @@ object Writer {
     }
 
     def mintType(t: String): Unit = {
+      // first typed CONSTRAINT VISIT creates the core type system —
+      // lazily, mid-batch: an untyped root allocates BEFORE the
+      // bootstrap its typed grandchildren trigger (sort11: root=0,
+      // mom=1, then the 7 bootstrap primitives, then type "kid").
+      // Same transaction, one contiguous id range.
+      if (core.isEmpty) {
+        val b0 = base + specs.length
+        specs ++= bootstrapSpecs(b0)
+        core = Some((b0, b0 + 1, b0 + 2))
+      }
       val (cs, rn, hk) = core.get
       val nodeId = base + specs.length
       specs += Spec(scope = Some(cs), datatype = Datatype.Null)

@@ -388,6 +388,12 @@ object SessionHarness {
         }
         case Some((_, LiteralPat(s, _))) =>
           if (cell == null) "null" else s // bare atom
+        case Some((_, FieldPat("timestamp"))) => // micros → wire form
+          if (cell == null) "null"
+          else GTimestamp.render(cell.asInstanceOf[Long])
+        case Some((owner, FieldPat(f @ ("guid" | "typeguid" | "left" |
+            "right" | "scope" | "previous" | "next")))) =>
+          if (cell == null) "null" else g(cell.asInstanceOf[Long])
         case _ => genericValue(cell, g)
       }
 

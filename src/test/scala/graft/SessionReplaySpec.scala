@@ -39,7 +39,8 @@ class SessionReplaySpec extends AnyFunSuite {
     "033-1", "5230", "asof", "ben", "ben2", "ben5", "bendump", "benrestore",
     "big", "big1", "bootstrap", "chris7",
     "cost1", "cost2", "cvt", "datetime", "instance-id", "loglevel",
-    "multibob", "sort7", "sort17", "sort18", "sort20", "status", "sync2",
+    "multibob", "sort7", "sort10", "sort11", "sort17", "sort18", "sort20",
+    "status", "sync2", "timesort",
     "varerrs", "vars2",
     "default-results", "emptylit", "guidlist5", "linklink3", "ne", "nick6",
     "pol", "random7", "timestamp-2", "will1",
