@@ -179,7 +179,11 @@ object GraphdText {
             Option(mm.group(3)).exists(_.nonEmpty)) =>
         val intRaw = Option(mm.group(2)).getOrElse("")
         val fracRaw = Option(mm.group(3)).getOrElse("")
-        val exp = Option(mm.group(4)).map(_.toInt).getOrElse(0)
+        // exponents can be astronomically long ("2e-123123123123…",
+        // david_10) — clamp: beyond ±20000 the digit-count field
+        // saturates anyway and materializing the zeros would be O(exp)
+        val exp = Option(mm.group(4))
+          .map(e => BigInt(e).max(-20000).min(20000).toInt).getOrElse(0)
         // shift the decimal point by the exponent over the raw digit
         // string — ".1e1", "1.e0", "10e-1" all land on the digits of 1
         // (numberequal golden)

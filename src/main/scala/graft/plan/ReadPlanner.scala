@@ -261,7 +261,14 @@ object ReadPlanner {
     if (c.orBranches.nonEmpty) {
       val planned = (c.copy(orBranches = Nil) +: c.orBranches)
         .map(b => solve(store, b.copy(orBranches = Nil), depth))
-      val extras: Seq[Seq[String]] = planned.map(_.columns.filter(_ != "id").toSeq)
+      // contents/count columns merge across branches only when the set
+      // actually consumes them — branches with structurally different
+      // children carry incompatible contents structs (or2), and the
+      // first-match CASE can't type a column nobody reads anyway
+      val keepAux = usesContents(c)
+      val extras: Seq[Seq[String]] = planned.map(_.columns.filter(n =>
+        n != "id" && (keepAux ||
+          !(n.startsWith("__contents_") || n.startsWith("__count_")))).toSeq)
       val wrapped = planned.zipWithIndex.map { case (p, i) =>
         val payload =
           if (extras(i).isEmpty) struct(lit(true).as("__t"))
@@ -679,7 +686,11 @@ object ReadPlanner {
         val aggCols: Seq[Column] =
           Seq(count(lit(1)).as(s"__count_$i"),
             contentsAgg(child).as(s"__contents_$i")) ++
-            childVars.map(v => min(struct(col("id"), col(v))).getField(v).as(v)) ++
+            // a scalar variable bubbled from a multi-row child takes
+            // the FIRST child's value under the child's sort order
+            // (sort8: sort=($x) with $x=value follows the child sort)
+            childVars.map(v => min(struct(col("__ord"), col("id"), col(v)))
+              .getField(v).as(v)) ++
             countVars.map(v => count(lit(1)).cast("long").as(v)) ++
             listVarAggs
         val agg = child
@@ -793,13 +804,20 @@ object ReadPlanner {
     */
   private def resultFields(store: GraphStore, c: Constraint): Seq[(String, Column)] = {
     val pat = c.result.getOrElse(ListPat(Seq(FieldPat("guid"), FieldPat("value"))))
-    flatten(pat).zipWithIndex.flatMap {
+    val fields = flatten(pat).zipWithIndex.flatMap {
       case (ContentsPat, _) =>
         // count=0 children are planned as anti-joins and never carry a
         // __contents_i column; they also can't contribute contents
         contributingSubs(c).map(i => s"contents_$i" -> col(s"__contents_$i"))
       case (CursorPat, _) => Seq("cursor" -> lit(null)) // filled at root
       case (p, idx) => Seq(patName(p, idx) -> fieldExpr(store, p, c))
+    }
+    // a pattern can name the same leaf twice (sort13: ($x1 ($x1 value)))
+    // — struct fields must stay unique or getField turns ambiguous;
+    // consumers are positional, so suffixing repeats is invisible
+    val seen = scala.collection.mutable.Set.empty[String]
+    fields.zipWithIndex.map { case ((n, e), i) =>
+      (if (seen.add(n)) n else s"${n}__dup$i") -> e
     }
   }
 

@@ -313,15 +313,42 @@ object SessionHarness {
     */
   private final class Injected {
     val marks = new java.util.IdentityHashMap[Pattern, java.lang.Boolean]()
-    def inject(c: Constraint): Constraint = {
-      val subs2 = c.subs.map(inject)
-      val res2 = c.result.orElse {
-        val inner = ListPat(RefDefaultFields.map(FieldPat(_)) ++
-          (if (subs2.nonEmpty) Seq(ContentsPat) else Nil))
-        marks.put(inner, java.lang.Boolean.TRUE)
-        Some(ListPat(Seq(inner)))
+    def inject(c: Constraint): Constraint = inject(c, rendered = true)
+
+    private def usesContentsPat(c: Constraint, res: Option[Pattern]): Boolean = {
+      def rec(p: Pattern): Boolean = p match {
+        case ContentsPat => true
+        case ListPat(items) => items.exists(rec)
+        case PickPat(items) => items.exists(rec)
+        case _ => false
       }
-      c.copy(result = res2, subs = subs2)
+      res.exists(rec) || c.assignments.exists(a => rec(a.pat))
+    }
+
+    /** Inject the reference default result pattern — but only where the
+      * frames actually render: a child whose parent never consumes
+      * contents keeps result=None (planner default), so structurally
+      * different or-branches (or2) don't have to agree on a contents
+      * schema nobody reads. Or-branch children get the same treatment
+      * as the carrier's (varsort: all branches must type identically).
+      */
+    private def inject(c: Constraint, rendered: Boolean): Constraint = {
+      val res2 =
+        if (!rendered) c.result
+        else c.result.orElse {
+          val inner = ListPat(RefDefaultFields.map(FieldPat(_)) ++
+            (if (c.subs.nonEmpty) Seq(ContentsPat) else Nil))
+          marks.put(inner, java.lang.Boolean.TRUE)
+          Some(ListPat(Seq(inner)))
+        }
+      val childRendered = rendered && usesContentsPat(c, res2)
+      val subs2 = c.subs.map(inject(_, childRendered))
+      // a branch has no result of its own (set shaping lives on the
+      // carrier); its children render exactly when the set's contents
+      // render — the first matching branch supplies the frames
+      val or2 = c.orBranches.map(b =>
+        b.copy(subs = b.subs.map(inject(_, childRendered))))
+      c.copy(result = res2, subs = subs2, orBranches = or2)
     }
     def isDefault(p: Pattern): Boolean = marks.containsKey(p)
   }
@@ -386,8 +413,11 @@ object SessionHarness {
               rows.asInstanceOf[scala.collection.Seq[Row]].toSeq, root = false)
           case other => genericValue(other, g)
         }
-        case Some((_, LiteralPat(s, _))) =>
-          if (cell == null) "null" else s // bare atom
+        case Some((_, LiteralPat(_, _))) =>
+          // bare atom — the CELL carries whichever branch's literal
+          // actually bound (varor: `{$f=literal=a} || {$f=literal=b}`
+          // renders the matching branch's atom, not the first-declared)
+          if (cell == null) "null" else cell.toString
         case Some((_, FieldPat("timestamp"))) => // micros → wire form
           if (cell == null) "null"
           else GTimestamp.render(cell.asInstanceOf[Long])

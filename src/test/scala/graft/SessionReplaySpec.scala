@@ -69,7 +69,9 @@ class SessionReplaySpec extends AnyFunSuite {
     "triad", "twovars", "typeandtypeguid", "typo", "unique1", "unique2", "unique3", "unique4", "unique6", "uniquecluster",
     "value", "valuetype", "vars", "version1", "version2", "version4",
     "version5", "will4", "will5", "will8", "wordnet1", "writeresult",
-    "yesno", "zeroguid").foreach { n =>
+    "yesno", "zeroguid",
+    "3816", "cursor3", "simple", "will3", "will6",
+    "sort8", "sort12", "sort13", "varor", "varsort").foreach { n =>
     test(s"replay reference session $n")(replaySession(n))
   }
 }
