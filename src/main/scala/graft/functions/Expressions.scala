@@ -93,10 +93,36 @@ object GraphdWords {
       GraphdText.words(s).map(UTF8String.fromString).toArray[Any])
 }
 
+/** pdb_hmap_value_normalize as an expression — the key a value hashes
+  * under in the value HMAP (libpdb/pdb-word.c:1098). Drives the
+  * number-comparator's inclusive lower bound, which admits the whole
+  * hash bucket of the boundary value (numberequal r6: value>="0"
+  * includes " 0").
+  */
+case class GraphdValueNorm(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes() =
+    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  override protected def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(
+      GraphdText.valueNormalize(v.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"UTF8String.fromString(graft.functions.GraphdText.valueNormalize($c.toString()))")
+
+  override protected def withNewChildInternal(newChild: Expression): GraphdValueNorm =
+    copy(child = newChild)
+}
+
 object GraphdFunctions {
   /** sort/range key under a comparator (default/number/datetime/octet/case) */
   def sort_key(c: Column, comparator: String = "default"): Column =
     column(GraphdSortKey(expression(c), comparator))
+
+  /** value-HMAP normalization key (pdb_hmap_value_normalize) */
+  def value_norm(c: Column): Column = column(GraphdValueNorm(expression(c)))
 
   /** the reference's `~=` operator */
   def gmatch(value: Column, pattern: Column, comparator: String = "default"): Column =

@@ -74,151 +74,248 @@ object GraphdText {
 
   // ---------- sort keys ----------
 
-  /** Default-comparator collation key: lowercase; whitespace runs
-    * collapse to one space ("A  B" equals "A B" but not "AB" --
-    * test/unit/spacematch golden); each embedded integer run becomes
-    * (marker, zero-padded length, digits) so numeric order is
-    * lexicographic ("x9" < "x10"); a digit run directly after
-    * `<digits>.` is a decimal FRACTION -- trailing zeros stripped,
-    * digits compared positionally -- so "42.5" equals "42.5000" and
-    * sorts below "42.500000000000001" (test/unit/compare golden).
+  /** Default-comparator collation key -- byte-comparable encoding of
+    * graph_fuzzycmp (libgraph/graph-fuzzy-compare.c:466): the value is
+    * tokenized into number / atom / punctuation fragments (spaces
+    * vanish entirely); numbers (sign + digits + optional .digits, no
+    * exponent) compare numerically, a number sorts before any
+    * non-number token, and non-number tokens compare case-folded.
+    * Encoding: number token =  + numeric key (see numKey);
+    * text token =  + lowercased bytes. Byte order over the
+    * concatenated tokens = fuzzycmp order; key equality = fuzzycmp
+    * equality ("0" = "0.0" = "-.0", "1.5dollar" < "1.5" -- compare1 /
+    * compare2 / sortnumber goldens).
     */
   def defaultSortKey(s: String): String = {
     if (s == null) return null
-    val sb = new StringBuilder(s.length + 8)
-    var i = 0
     val n = s.length
-    var prevIntRun = false // last emitted token was an integer run
+    val sb = new StringBuilder(n + 8)
+    var i = 0
     while (i < n) {
-      val c = s.charAt(i)
-      // '-' directly before digits, not itself preceded by an
-      // alphanumeric, signs the number: "-9998" < "2008", while the
-      // '-' inside "2008-05-03" stays plain punctuation (reference
-      // datetime.sh r20: default-comparator value>"2008" excludes
-      // negative-year strings). '+' in the same position is an
-      // ignorable sign ("+0" = "0"), and "-0" is zero, not negative
-      // (test/unit/value.sh zero grouping).
-      val atSign = isSignCh(c) && i + 1 < n && Character.isDigit(s.charAt(i + 1)) &&
-        (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1)))
-      val signedNeg = atSign && c == '-' &&
-        // negative zero is zero unless a nonzero fraction follows
-        !(s.substring(i + 1).takeWhile(Character.isDigit).forall(_ == '0') &&
-          !fractionFollows(s, i + 1))
-      if (atSign || Character.isDigit(c)) {
-        if (atSign) i += 1
-        val j = i
-        while (i < n && Character.isDigit(s.charAt(i))) i += 1
-        val digits = s.substring(j, i)
-        val isFraction = !signedNeg && prevIntRun && j >= 1 && s.charAt(j - 1) == '.'
-        if (isFraction) {
-          // fraction digits: strip trailing zeros, positional compare
-          sb.append(digits.reverse.dropWhile(_ == '0').reverse)
-          prevIntRun = false
-        } else {
-          val d = normNumber(digits)
-          if (signedNeg) {
-            // 0x00 marker sorts negatives before positives; length and
-            // digits nines-complemented so bigger magnitude = earlier
-            sb.append('\u0000').append(f"${0xffff - d.length}%04x")
-              .append(d.map(ch => ('9' - ch + '0').toChar))
-            prevIntRun = false // negative decimals: fraction rule n/a
-          } else {
-            // 0x01 marker sorts digit runs before letters; 4-hex length
-            // prefix makes longer (= larger) numbers sort after shorter.
-            sb.append('\u0001').append(f"${d.length}%04x").append(d)
-            prevIntRun = true
-          }
-        }
-      } else if (Character.isWhitespace(c)) {
-        while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
-        sb.append(' ')
-        prevIntRun = false
-      } else if (c == '.' && !prevIntRun && i + 1 < n &&
-          Character.isDigit(s.charAt(i + 1)) &&
-          (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1)))) {
-        // fraction-only decimal at a word boundary: ".5" is the number
-        // 0.5 (the word scanner's number rule), and ".0" IS "0" —
-        // value.sh golden: value>="foo .0" includes "foo +0"/"foo -0"
-        val allZero = s.substring(i + 1).takeWhile(Character.isDigit).forall(_ == '0')
-        sb.append('\u0001').append(f"${1}%04x").append('0')
-        if (allZero) {
-          i += 1
-          while (i < n && Character.isDigit(s.charAt(i))) i += 1
-          prevIntRun = false
-        } else {
-          // leave '.' for the regular decimal-point path
-          prevIntRun = true
-        }
-      } else {
-        // '.' between an int run and digits is the decimal point: keep
-        // prevIntRun so the next run reads as a fraction
-        if (!(c == '.' && prevIntRun && i + 1 < n &&
-            Character.isDigit(s.charAt(i + 1)))) prevIntRun = false
-        sb.append(Character.toLowerCase(c))
-        i += 1
+      val (_, e, tpe) = fragmentNext(s, i).get
+      if (tpe != FragSpace) {
+        if (tpe == FragNumber) {
+          val k = numKey(s, i, e, scientific = false)
+          if (k != null) sb.append('').append(k)
+          else appendFolded(sb.append(''), s, i, e)
+        } else appendFolded(sb.append(''), s, i, e)
       }
+      i = e
     }
     sb.toString
   }
 
-  /** Number-comparator key: decimal strings ordered numerically.
-    * Layout: sign section ('1' for >=0, '0' for <0) + 4-hex
-    * integer-digit-count prefix (more digits = larger magnitude, so the
-    * count field orders before digit compare — handles exponents up to
-    * 0xffff digits) + integer digits + '.' + fraction
-    * (count and digits complemented for negatives so bigger magnitude
-    * sorts earlier). Non-numeric strings get a '~' prefix (sort after
-    * all numbers) and fall back to raw.
+  private def appendFolded(sb: StringBuilder, s: String, from: Int, to: Int): Unit = {
+    var i = from
+    while (i < to) { sb.append(Character.toLowerCase(s.charAt(i))); i += 1 }
+  }
+
+  /** graph_decode_number (graph-fuzzy-compare.c:211) encoded as a
+    * byte-comparable key, or null when s[from,to) is not a number.
+    * Sections: '0' -inf, '1' negative, '2' zero, '3' positive, '4'
+    * +inf; negatives carry complemented exponent and nines-complement
+    * digits with a high terminator so that byte order = numeric order
+    * (graph_number_compare, graph-fuzzy-compare.c:413).
+    */
+  private def numKey(s: String, from0: Int, to: Int, scientific: Boolean): String = {
+    var from = from0
+    if (from >= to) return null
+    if (scientific) {
+      val len = to - from
+      if (len == 3 && s.regionMatches(true, from, "inf", 0, 3)) return "4"
+      if (len == 4 && s.regionMatches(true, from, "+inf", 0, 4)) return "4"
+      if (len == 4 && s.regionMatches(true, from, "-inf", 0, 4)) return "0"
+    }
+    var expStart = to
+    if (scientific) {
+      var k = from
+      while (k < to && expStart == to) {
+        val c = s.charAt(k)
+        if (c == 'e' || c == 'E') expStart = k
+        k += 1
+      }
+    }
+    var positive = true
+    s.charAt(from) match {
+      case '-' => positive = false; from += 1
+      case '+' => from += 1
+      case _ =>
+    }
+    if (from == expStart) return null // no digits before any exponent
+    var k = from
+    var dots = 0
+    while (k < expStart) {
+      val c = s.charAt(k)
+      if (c == '.') dots += 1
+      else if (!isDigitCh(c)) return null
+      k += 1
+    }
+    if (dots > 1) return null
+    if (dots == 1 && expStart - from == 1) return null // "." alone
+    var fnz = from
+    while (fnz < expStart && (s.charAt(fnz) == '0' || s.charAt(fnz) == '.')) fnz += 1
+    var lnz = expStart - 1
+    while (lnz >= from && (s.charAt(lnz) == '0' || s.charAt(lnz) == '.')) lnz -= 1
+    var dot = -1
+    k = from
+    while (k < expStart && dot < 0) { if (s.charAt(k) == '.') dot = k; k += 1 }
+    var exp: Long =
+      if (dot < 0) expStart - fnz - 1
+      else if (dot > fnz) dot - fnz - 1
+      else dot - fnz
+    val isZero = fnz == expStart
+    if (scientific && expStart != to) {
+      // strntoi: overflow makes the whole token a non-number
+      // ("1e-123123123123123123123", sortnumber golden)
+      var i2 = expStart + 1
+      if (i2 >= to) return null
+      var eneg = false
+      s.charAt(i2) match {
+        case '-' => eneg = true; i2 += 1
+        case '+' => i2 += 1
+        case _ =>
+      }
+      if (i2 >= to) return null
+      var v = 0L
+      while (i2 < to) {
+        val c = s.charAt(i2)
+        if (!isDigitCh(c)) return null
+        v = v * 10 + (c - '0')
+        if (v > Int.MaxValue) return null
+        i2 += 1
+      }
+      exp += (if (eneg) -v else v)
+    }
+    if (isZero) return "2"
+    val digits = new StringBuilder(lnz - fnz + 1)
+    k = fnz
+    while (k <= lnz) { val c = s.charAt(k); if (c != '.') digits.append(c); k += 1 }
+    val expEnc = math.max(0L, math.min(0xffffL, exp + 0x8000L)).toInt
+    if (positive) "3" + f"$expEnc%04x" + digits
+    else {
+      var di = 0
+      while (di < digits.length) {
+        digits.setCharAt(di, ('9' - digits.charAt(di) + '0').toChar)
+        di += 1
+      }
+      // high terminator: a shorter (complemented) digit string must
+      // sort AFTER a longer one with the same prefix (-1 > -1.5)
+      "1" + f"${0xffff - expEnc}%04x" + digits + "~"
+    }
+  }
+
+  /** Number-comparator key (graphd-comparator-number.c:120
+    * graphd_number_compare): decode with scientific notation and
+    * inf/+inf/-inf; non-numbers sort after all numbers and compare
+    * case-folded among themselves (graph_strcasecmp fallback).
     */
   def numberSortKey(s: String): String = {
     if (s == null) return null
-    val m = NumberRe.findPrefixMatchOf(s)
-    m match {
-      case Some(mm) if mm.matched.length == s.length &&
-          (Option(mm.group(2)).exists(_.nonEmpty) ||
-            Option(mm.group(3)).exists(_.nonEmpty)) =>
-        val intRaw = Option(mm.group(2)).getOrElse("")
-        val fracRaw = Option(mm.group(3)).getOrElse("")
-        // exponents can be astronomically long ("2e-123123123123…",
-        // david_10) — clamp: beyond ±20000 the digit-count field
-        // saturates anyway and materializing the zeros would be O(exp)
-        val exp = Option(mm.group(4))
-          .map(e => BigInt(e).max(-20000).min(20000).toInt).getOrElse(0)
-        // shift the decimal point by the exponent over the raw digit
-        // string — ".1e1", "1.e0", "10e-1" all land on the digits of 1
-        // (numberequal golden)
-        val digits = intRaw + fracRaw
-        val point = intRaw.length + exp
-        val intDigits =
-          if (point <= 0) "0"
-          else if (point >= digits.length) digits + "0" * (point - digits.length)
-          else digits.take(point)
-        val fracDigits0 =
-          if (point >= digits.length) ""
-          else if (point <= 0) "0" * (-point) + digits
-          else digits.drop(point)
-        val intPart = {
-          val t = intDigits.dropWhile(_ == '0')
-          if (t.isEmpty) "0" else t
-        }
-        // strip trailing zeros: "50.0" must key equal to "50"
-        val frac = fracDigits0.reverse.dropWhile(_ == '0').reverse
-        // negative zero IS zero ("-0", "-.0", "-0.e2" all equal "0")
-        val neg = mm.group(1) == "-" && !(intPart == "0" && frac.isEmpty)
-        // zero keys as count 0 so 0 < any positive with >=1 int digits
-        val intLen = if (intPart == "0" && frac.isEmpty) 0
-          else if (intPart == "0") 1 else intPart.length
-        val body = intPart + "." + frac
-        if (!neg) "1" + f"$intLen%04x" + body
-        // complement the count and nines-complement digits; trailing
-        // high sentinel makes a shorter fraction sort AFTER a longer
-        // one (-1 > -1.5)
-        else "0" + f"${0xffff - intLen}%04x" +
-          body.map(ch => if (ch.isDigit) ('9' - ch + '0').toChar else ch) + "~"
-      case _ => "~" + s
-    }
+    val k = numKey(s, 0, s.length, scientific = true)
+    if (k != null) k else "~" + s.toLowerCase
   }
-  private val NumberRe = raw"([+-]?)(\d*)(?:\.(\d*))?(?:[eE]([+-]?\d+))?".r
+
+  /** pdb_number_normalize (libpdb/pdb-word.c:1057): the canonical
+    * rendering of a scientific-notation number — "0" for zeros,
+    * "+Inf"/"-Inf", else "<sign><significant digits>e<exponent>"
+    * ("0.5" → "5e-1", "120" → "12e2"). Null when s isn't a number.
+    * This string keys the value HMAP for number-decoding values.
+    */
+  def numberCanon(s: String): String = {
+    if (s == null) return null
+    if (s.equalsIgnoreCase("inf") || s.equalsIgnoreCase("+inf")) return "+Inf"
+    if (s.equalsIgnoreCase("-inf")) return "-Inf"
+    var from = 0
+    val to = s.length
+    if (to == 0) return null
+    var expStart = to
+    var k = 0
+    while (k < to && expStart == to) {
+      val c = s.charAt(k)
+      if (c == 'e' || c == 'E') expStart = k
+      k += 1
+    }
+    var positive = true
+    s.charAt(from) match {
+      case '-' => positive = false; from += 1
+      case '+' => from += 1
+      case _ =>
+    }
+    if (from == expStart) return null
+    k = from
+    var dots = 0
+    while (k < expStart) {
+      val c = s.charAt(k)
+      if (c == '.') dots += 1
+      else if (!isDigitCh(c)) return null
+      k += 1
+    }
+    if (dots > 1) return null
+    if (dots == 1 && expStart - from == 1) return null
+    var fnz = from
+    while (fnz < expStart && (s.charAt(fnz) == '0' || s.charAt(fnz) == '.')) fnz += 1
+    var lnz = expStart - 1
+    while (lnz >= from && (s.charAt(lnz) == '0' || s.charAt(lnz) == '.')) lnz -= 1
+    var dot = -1
+    k = from
+    while (k < expStart && dot < 0) { if (s.charAt(k) == '.') dot = k; k += 1 }
+    var exp: Long =
+      if (dot < 0) expStart - fnz - 1
+      else if (dot > fnz) dot - fnz - 1
+      else dot - fnz
+    val isZero = fnz == expStart
+    if (expStart != to) {
+      var i2 = expStart + 1
+      if (i2 >= to) return null
+      var eneg = false
+      s.charAt(i2) match {
+        case '-' => eneg = true; i2 += 1
+        case '+' => i2 += 1
+        case _ =>
+      }
+      if (i2 >= to) return null
+      var v = 0L
+      while (i2 < to) {
+        val c = s.charAt(i2)
+        if (!isDigitCh(c)) return null
+        v = v * 10 + (c - '0')
+        if (v > Int.MaxValue) return null
+        i2 += 1
+      }
+      exp += (if (eneg) -v else v)
+    }
+    if (isZero) return "0"
+    val digits = new StringBuilder(lnz - fnz + 1)
+    k = fnz
+    while (k <= lnz) { val c = s.charAt(k); if (c != '.') digits.append(c); k += 1 }
+    (if (positive) "" else "-") + digits + "e" + exp
+  }
+
+  /** pdb_hmap_value_normalize (libpdb/pdb-word.c:1098): the key a
+    * value is hashed under in the value HMAP — canonical number form
+    * when the value parses as a scientific number, else word
+    * normalization (leading spaces stripped, space runs collapsed,
+    * number words normalized in place, text untouched).
+    */
+  def valueNormalize(s: String): String = {
+    if (s == null) return null
+    val nk = numberCanon(s)
+    if (nk != null) return nk
+    var st = 0
+    while (st < s.length && isSpaceCh(s.charAt(st))) st += 1
+    val t = s.substring(st)
+    val n = t.length
+    val sb = new StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val (ws, we, kind) = fragmentNext(t, i).get
+      if (kind == FragSpace) sb.append(' ')
+      else if (kind == FragNumber) sb.append(normalizeNumber(t.substring(ws, we)))
+      else sb.append(t.substring(ws, we))
+      i = we
+    }
+    sb.toString
+  }
 
   /** Datetime-comparator key (graphd-comparator-datetime.c semantics,
     * golden: test/unit/datetime.sh): purely lexical — no epoch math, so
@@ -770,8 +867,38 @@ object GraphdText {
   def matchesCmp(comparator: String, value: String, pattern: String): Boolean =
     comparator match {
       case "octet" => matchesOctet(value, pattern)
+      case "datetime" => delimitedMatch(pattern, value)
       case _ => matches(value, pattern)
     }
+
+  /** The datetime comparator's `~=` (delimited_string_match,
+    * graphd-comparator-datetime.c:299): literal bytes match exactly
+    * (case-sensitive); `*` at pattern end matches any suffix, else it
+    * skips to the FIRST occurrence of the next pattern byte (no
+    * backtracking — "*-02-*" does not match "2000-01-02T..."); a
+    * leading '-' on the value (negative year) is skipped by a leading
+    * `*`; pattern exhaustion accepts any value suffix.
+    */
+  def delimitedMatch(pat: String, s: String): Boolean = {
+    var p = 0
+    var c = 0
+    val pe = pat.length
+    val se = s.length
+    while (p < pe) {
+      if (pat.charAt(p) == '*') {
+        if (p == pe - 1) return true
+        if (c == 0 && se > 0 && s.charAt(0) == '-') c += 1
+        val delim = pat.charAt(p + 1)
+        while (c < se && s.charAt(c) != delim) c += 1
+      } else {
+        if (c >= se) return false
+        if (pat.charAt(p) != s.charAt(c)) return false
+        c += 1
+      }
+      p += 1
+    }
+    true
+  }
 
   /** first pattern word usable as an inverted-index key: a fully
     * literal word (no `*`) — the candidate-pruning entry point

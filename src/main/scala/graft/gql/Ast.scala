@@ -124,6 +124,10 @@ final case class Constraint(
     keyFields: Option[Seq[String]] = None,    // key=(fields)
     anchorFlag: Boolean = false,              // anchor
     comparator: String = "default",
+    /** value-comparator= override for VALUE comparisons and value
+      * sorts (david_8: value-comparator="default" comparator="octet")
+      */
+    valueComparator: Option[String] = None,
     count: CountBounds = CountBounds(),
     optional: Boolean = false,
     isFalse: Boolean = false,

@@ -115,6 +115,7 @@ object Parser {
     val toks = lex(input)
     var k = 0
     def peek: Option[Tok] = if (k < toks.length) Some(toks(k)) else None
+    def peek2: Option[Tok] = if (k + 1 < toks.length) Some(toks(k + 1)) else None
     def next(): Tok = { val t = toks(k); k += 1; t }
     def expect[A](pf: PartialFunction[Tok, A], what: String): A = peek match {
       case Some(t) if pf.isDefinedAt(t) => next(); pf(t)
@@ -169,13 +170,16 @@ object Parser {
     }
 
     // merge positional sort-comparator overrides into the sort keys
-    def mergeSortCmp(x: Constraint): Constraint =
-      if (x.sortComparators.isEmpty) x
-      else x.copy(sort = x.sort.zipWithIndex.map { case (k, i) =>
+    def mergeSortCmp(x: Constraint): Constraint = {
+      if (x.sortComparators.isEmpty) return x
+      if (x.sort.nonEmpty && x.sortComparators.length > x.sort.length)
+        throw ParseError("more sort comparators than sorts", 0)
+      x.copy(sort = x.sort.zipWithIndex.map { case (k, i) =>
         if (i < x.sortComparators.length)
           k.copy(comparator = Some(x.sortComparators(i)))
         else k
       })
+    }
 
     def parseConstraint(linkage: Option[Linkage]): Constraint = {
       expect({ case t: TOpen => t }, "'('")
@@ -207,7 +211,11 @@ object Parser {
           case Some(TArrowIn(_)) => // `<-` or `<-left (...)` / standalone meta
             next()
             peek match {
-              case Some(TAtom(f, _)) if Linkage.fields(f) =>
+              // `<- right=X` is a generic link with a right= endpoint
+              // constraint, NOT linkage <-right (will2: a linkage word
+              // directly followed by an operator is a keyword)
+              case Some(TAtom(f, _)) if Linkage.fields(f) &&
+                  !peek2.exists(_.isInstanceOf[TOp]) =>
                 next()
                 peek match {
                   case Some(_: TOpen) =>
@@ -415,6 +423,17 @@ object Parser {
         ListPat(items.result())
       case Some(t) => throw ParseError(s"bad pattern $t", t.pos)
       case None => throw ParseError("EOF in pattern", input.length)
+    }
+
+    // comparator alias table (graphd-comparator-*.c cmp_alias):
+    // "numeric"→number, "case"→case-insensitive, "case-sensitive"→octet,
+    // "unspecified" is the default comparator's twin
+    def canonicalComparator(name: String): String = name match {
+      case "numeric" => "number"
+      case "case" => "case-insensitive"
+      case "case-sensitive" => "octet"
+      case "unspecified" => "default"
+      case other => other
     }
 
     def rhsVals(r: Rhs, what: String, pos: Int): Seq[Option[String]] = r match {
@@ -626,17 +645,25 @@ object Parser {
         case "countlimit" => c.copy(countlimit = Some(longOf(rhsVals(rhs, "countlimit", pos).head, pos)))
         case "cursor" =>
           c.copy(cursorTok = rhsVals(rhs, "cursor", pos).head)
-        case "comparator" | "value-comparator" =>
+        case "comparator" =>
           // names may carry a locale prefix: "i;octet" → "octet"
           // (test/unit/compare.sh uses comparator="i;octet")
           val raw = rhsVals(rhs, wl, pos).head.getOrElse("default")
-          c.copy(comparator = raw.split(";").last)
+          c.copy(comparator = canonicalComparator(raw.split(";").last))
+        case "value-comparator" =>
+          // value-predicate/-sort override; wins over comparator=
+          // regardless of clause order (david_8)
+          val raw = rhsVals(rhs, wl, pos).head.getOrElse("default")
+          c.copy(valueComparator =
+            Some(canonicalComparator(raw.split(";").last)))
         case "sort-comparator" =>
           // positional comparator overrides for the sort keys; merged
           // when the constraint completes, so sort-comparator= may be
           // written before or after sort= (reference sessions use both)
+          if (c.sortComparators.nonEmpty)
+            throw ParseError("only one sort-comparator clause per constraint", pos)
           c.copy(sortComparators = rhsVals(rhs, wl, pos).flatten
-            .map(_.split(";").last))
+            .map(s => canonicalComparator(s.split(";").last)))
         case "result" =>
           if (c.result.isDefined)
             throw ParseError("more than one value for result", pos)
@@ -650,6 +677,12 @@ object Parser {
                   "result list - (x (y)) and ((x y)) work, ((x) (y)) doesn't.",
                   pos)
               items.foreach(checkPat(_, depth + 1))
+            // per-SET instructions live at the top level only
+            // (countabunch: result=((count cursor)) is a syntax error)
+            case CountPat | CursorPat | EstimateCountPat if depth >= 2 =>
+              throw ParseError("SYNTAX: 'count', 'cursor', 'estimate', " +
+                "'estimate-count', 'iterator', or 'timeout' can only appear " +
+                "inside at most one set of parentheses", pos)
             case _ => ()
           }
           if (!isWrite) // write results allow deeper nesting (writeresult)
@@ -736,6 +769,7 @@ object Parser {
     def sortKeyOf(s: String, pos: Int): SortKey = {
       val (asc, f) = if (s.startsWith("-")) (false, s.drop(1)) else (true, s)
       if (FieldPat.fields(f)) SortKey(FieldPat(f), asc)
+      else if (f == "contents") SortKey(ContentsPat, asc) // sort9
       else if (f.startsWith("$")) SortKey(VarPat(f.drop(1)), asc)
       else throw ParseError(s"bad sort key '$s'", pos)
     }

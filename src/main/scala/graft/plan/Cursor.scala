@@ -117,6 +117,7 @@ object Cursor {
     val all = """^all:(\d+)-(\d+)/(\d+)/?$""".r
     val fixed = """^fixed:(\d+)(?::([\d,]*))?/(\d+)/?.*$""".r
     val gmap = """^gmap:(\d+)-(\d+):\w+->\d+/(\d+)/?$""".r
+    val hmap = """^hmap:(\d+)-(\d+):\w+:\w+:\d+:.*?/(\d+)/?$""".r
     s match {
       case all(lo, hi, pos) =>
         Token(pos.toLong, if (horizon != Long.MaxValue) horizon else hi.toLong,
@@ -124,6 +125,12 @@ object Cursor {
       case gmap(lo, hi, pos) =>
         // typeguid-postings iterator: resume is positional over the
         // candidate set in id order
+        Token(Long.MinValue,
+          if (horizon != Long.MaxValue) horizon else hi.toLong,
+          Nil, offset, skip = pos.toInt)
+      case hmap(lo, hi, pos) =>
+        // value/name-hash iterator (3692: hmap:0-1:pool:name:H:key/1/)
+        // — positional resume like gmap
         Token(Long.MinValue,
           if (horizon != Long.MaxValue) horizon else hi.toLong,
           Nil, offset, skip = pos.toInt)

@@ -441,7 +441,8 @@ object ReadPlanner {
       // word structure under default/case folding), so an index
       // semi-join prunes the scan before the per-row key compare.
       // Unsound for the number/datetime comparators (".5" = "0.5").
-      if (c.comparator == "default" || c.comparator == "case-insensitive") {
+      if (Seq("default", "case-insensitive")
+          .contains(c.valueComparator.getOrElse(c.comparator))) {
         c.value.filter(_.op == OpEq).foreach { p =>
           val firstWords = p.values.map(
             _.flatMap(v => graft.functions.GraphdText.words(v).headOption))
@@ -496,7 +497,8 @@ object ReadPlanner {
         }
       }
     }
-    df = strFilter(df, col("value"), c.value, c.comparator)
+    df = strFilter(df, col("value"), c.value,
+      c.valueComparator.getOrElse(c.comparator))
 
     // dateline > horizon: only primitives written after — a pure id
     // predicate, so parquet min/max + id_part partition pruning both
@@ -522,23 +524,49 @@ object ReadPlanner {
     // (test/unit/spacematch, test/unit/compare goldens).
     def eqKey(c: Column): Column =
       if (comparator == "octet") c else sort_key(c, comparator)
+    // default-comparator equality against a NUMBER literal reaches
+    // candidates through the number HMAP: both sides must share the
+    // canonical number key AND compare equal under fuzzycmp. That
+    // excludes " 1" from value="1" (" 1" word-normalizes to "1", not
+    // "1e0") while " 0" still matches value="0" (both normalize "0").
+    // A non-number literal goes through the word index instead, where
+    // fuzzy-equal candidates always surface ("x" finds "   x   ",
+    // david_5 id=10; numberequal r1 vs r8; pdb_hmap_value_normalize)
+    def eqTest(v: String): Column = {
+      val base = eqKey(column) === eqKey(lit(v))
+      val canon =
+        if (comparator == "default") graft.functions.GraphdText.numberCanon(v)
+        else null
+      if (canon != null)
+        base && lower(graft.functions.GraphdFunctions.value_norm(column)) ===
+          lit(canon.toLowerCase)
+      else base
+    }
     preds.foreach { p =>
       val pred: Column = p.op match {
         case OpEq =>
           // `name=()` matches the NULL name (group.sh: ok ((null)))
           if (p.values.isEmpty) column.isNull
           else p.values.map {
-            case Some(v) => eqKey(column) === eqKey(lit(v))
+            case Some(v) => eqTest(v)
             case None => column.isNull
           }.reduce(_ || _)
         case OpNe =>
           // `name!=()` keeps every named row (ne.sh: ok (("a") ("b")))
           if (p.values.isEmpty) column.isNotNull
           else p.values.map {
-            case Some(v) => !(eqKey(column) <=> eqKey(lit(v)))
+            case Some(v) => !(coalesce(eqTest(v), lit(false)))
             case None => column.isNotNull
           }.reduce(_ && _)
         case OpMatch =>
+          // number and case comparators have no glob engine
+          // (cmp_glob = NULL; graphd-comparator-number.c:68, -case.c:49)
+          if (comparator == "number")
+            throw Parser.ParseError(
+              "cannot use ~= with comparator=\"number\"", 0)
+          if (comparator == "case-insensitive")
+            throw Parser.ParseError(
+              "SYNTAX: cannot use ~= with comparator=\"case\"", 0)
           // `value~=null` (and an empty alternative list) matches the
           // NULL value (guidlist2: value~=() / ~=null / ~=(null))
           if (p.values.flatten.isEmpty) column.isNull
@@ -565,10 +593,34 @@ object ReadPlanner {
           // non-number never satisfies a number-comparator range even
           // though its '~' key sorts above all numbers (the reference's
           // vrange walks number bins only — numberequal golden: "." is
-          // not >= "0")
-          if (comparator == "number" || comparator == "datetime")
-            cmp && !key.startsWith("~")
-          else cmp
+          // not >= "0"). EXCEPT: the inclusive lower bound seeds the
+          // scan from the boundary value's HMAP bucket, which admits
+          // every value sharing its normalized key — including ones
+          // that don't decode (" 0" normalizes to "0", so value>="0"
+          // returns it while value<="0" does not; numberequal r5/r6)
+          if (comparator == "number" || comparator == "datetime") {
+            val typed = cmp && !key.startsWith("~")
+            val canon =
+              if (comparator == "number" && rangeOp == OpGe)
+                Option(graft.functions.GraphdText.numberCanon(v))
+              else None
+            canon match {
+              case Some(c0) => typed ||
+                (key.startsWith("~") &&
+                  graft.functions.GraphdFunctions.value_norm(column) === lit(c0))
+              case None => typed
+            }
+          } else if (comparator == "default" &&
+              (p.op == OpGt || p.op == OpGe) &&
+              v.dropWhile(_.isWhitespace).headOption
+                .exists(ch => ch < 0x80 && ch.isLetter)) {
+            // the default vrange's upper walk ends on the NULL-value
+            // pseudo-bin when the lower bound sits in the alpha bins:
+            // `value>"sam"` returns the no-value rows too (david_5
+            // id=8, david_6 value>"lark"); a digit/punct bound does
+            // not (numberequal r3/r7)
+            cmp || column.isNull
+          } else cmp
       }
       df = df.filter(pred)
     }
@@ -633,10 +685,9 @@ object ReadPlanner {
     def listVarAggs: Seq[Column] = listVars.map { case (cn, lp) =>
       val leaves = varLeafFields(lp)
       val st2 = struct(col("__ord") +: leaves.map { case (n, e) => e.as(n) }: _*)
-      // the child's pagesize bounds its collected frames, same as
-      // contents (sort10: per-child pagesize over a sorted list var)
-      val limited = sub.pagesize
-        .map(ps => when(col("__ord") <= ps.toInt, st2)).getOrElse(st2)
+      // the child's start=/pagesize bound its collected frames, same
+      // as contents (sort10; start-unsorted: per-child page window)
+      val limited = pageWindow(sub, st2)
       val sorted = sort_array(collect_list(limited), asc = true)
       transform(sorted, x =>
         struct(leaves.map { case (n, _) => x.getField(n).as(n) }: _*)).as(cn)
@@ -699,6 +750,7 @@ object ReadPlanner {
         var out = joinWithBounds(parent, agg, parent("id") === agg(s"__pk_$i"), bounds, i)
         countVars.foreach(v =>
           out = out.withColumn(v, coalesce(col(v), lit(0L))))
+        out = coalesceListVars(out, listVars.map(_._1))
         out
 
       case Some(ParentPointsToChild(f)) =>
@@ -718,6 +770,7 @@ object ReadPlanner {
         var out = joinWithBounds(parent, agg, parent(f) === agg(s"__pk_$i"), bounds, i)
         countVars.foreach(v =>
           out = out.withColumn(v, coalesce(col(v), lit(0L))))
+        out = coalesceListVars(out, listVars.map(_._1))
         out
 
       case None =>
@@ -727,6 +780,17 @@ object ReadPlanner {
         throw Parser.ParseError("unknown subconstraint linkage", 0)
     }
   }
+
+  /** a reached parent row SATISFIED the child bounds, so a null
+    * collected list means "matched zero" — the reference renders that
+    * as the empty list (nullcontent), while a null from a non-matching
+    * or-branch stays null (or4). Coalesce here, at the join.
+    */
+  private def coalesceListVars(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.foldLeft(df) { (d, cn) =>
+      d.withColumn(cn, coalesce(col(cn),
+        array().cast(d.schema(cn).dataType)))
+    }
 
   /** collect children ordered by their precomputed multi-key rank
     * (leading `__ord` Int drives sort_array ascending), then strip the
@@ -738,11 +802,26 @@ object ReadPlanner {
     * rather than a collect-everything-then-slice plan that would
     * buffer unbounded fan-in at scale.
     */
+  /** the child's page window over its rank: frames with
+    * start < __ord <= start + pagesize survive collection
+    * (start-unsorted: `(<-left start=2 pagesize=1 ...)` keeps only the
+    * third frame; collect_list skips the nulls)
+    */
+  private def pageWindow(sub: Constraint, frame: Column): Column = {
+    val lo = sub.start.getOrElse(0L)
+    val cond: Option[Column] = (sub.start, sub.pagesize) match {
+      case (None, None) => None
+      case (s, ps) =>
+        val lower = s.map(v => col("__ord") > v.toInt)
+        val upper = ps.map(v => col("__ord") <= (lo + v).toInt)
+        Some((lower.toSeq ++ upper.toSeq).reduce(_ && _))
+    }
+    cond.map(when(_, frame)).getOrElse(frame)
+  }
+
   private def sortedContents(contentsStruct: Column, resultNames: Seq[String],
       sub: Constraint): Column = {
-    val limited = sub.pagesize
-      .map(ps => when(col("__ord") <= ps.toInt, contentsStruct))
-      .getOrElse(contentsStruct)
+    val limited = pageWindow(sub, contentsStruct)
     val sorted = sort_array(collect_list(limited), asc = true)
     transform(sorted, x =>
       struct(resultNames.map(n => x.getField(n).as(n)): _*))
@@ -894,7 +973,7 @@ object ReadPlanner {
         val sk = c.sort(i)
         sk.pat match {
           case FieldPat("value") | FieldPat("name") =>
-            sort_key(lit(k.v), sk.comparator.getOrElse(c.comparator))
+            sort_key(lit(k.v), sortKeyCmp(sk, c))
           case _ => lit(k.v)
         }
       case 't' => lit(graft.model.GTimestamp.parse(k.v).getOrElse(0L))
@@ -932,16 +1011,31 @@ object ReadPlanner {
       .orElse(c.subs.view.flatMap(varAssignPat(_, v)).headOption)
       .orElse(c.orBranches.view.flatMap(varAssignPat(_, v)).headOption)
 
+  /** effective comparator for a sort key: per-key sort-comparator=,
+    * then comparator=. value-comparator= does NOT reach sorts
+    * (david_8 r3: value-comparator="octet" sort=(value) still sorts
+    * under the default comparator)
+    */
+  private def sortKeyCmp(sk: SortKey, c: Constraint): String =
+    sk.comparator.getOrElse(c.comparator)
+
   private def sortExpr(store: GraphStore, sk: SortKey, c: Constraint): Column = {
-    val cmp = sk.comparator.getOrElse(c.comparator)
+    val cmp = sortKeyCmp(sk, c)
     sk.pat match {
       case FieldPat("value") => sort_key(col("value"), cmp)
       case FieldPat("name") => sort_key(col("name"), cmp)
       case VarPat(v) =>
         // a variable bound to a string field sorts under the
         // comparator, like the field itself would (timesort/sort10);
-        // one bound to a list sorts element-wise on its leaves
-        varAssignPat(c, v) match {
+        // one bound to a list sorts element-wise on its leaves;
+        // $b=$a chains resolve to the underlying pattern (david_9)
+        def resolved(p: Option[Pattern], seen: Set[String]): Option[Pattern] =
+          p match {
+            case Some(VarPat(o)) if !seen(o) =>
+              resolved(varAssignPat(c, o), seen + o)
+            case other => other
+          }
+        resolved(varAssignPat(c, v), Set(v)) match {
           case Some(FieldPat("value") | FieldPat("name")) =>
             sort_key(col(varCol(v)), cmp)
           case Some(lp: ListPat) =>
@@ -956,8 +1050,33 @@ object ReadPlanner {
               }: _*))
           case _ => col(varCol(v))
         }
+      case ContentsPat =>
+        // sort=contents orders rows by their child frames: compare the
+        // collected contents arrays element-wise, string fields under
+        // the comparator (sort9: children sort by grandchild value)
+        contributingSubs(c).headOption match {
+          case Some(i) =>
+            val sub = c.subs(i)
+            val fields = resultFields(store, sub).map(_._1)
+            val strings = resultFields(store, sub).collect {
+              case (n, e) if isStringField(e) => n
+            }.toSet
+            transform(col(s"__contents_$i"), x => struct(
+              fields.map(n =>
+                if (strings(n)) sort_key(x.getField(n), cmp).as(n)
+                else x.getField(n).as(n)): _*))
+          case None => lit(null)
+        }
       case other => fieldExpr(store, other, c)
     }
+  }
+
+  /** best-effort: does this result field hold a raw string value?
+    * (value/name columns — the ones a comparator normalizes)
+    */
+  private def isStringField(e: Column): Boolean = {
+    val s = e.toString
+    s == "value" || s == "name" || s.endsWith(".value") || s.endsWith(".name")
   }
 
   /** RAW value to freeze into a sort cursor + its wire type tag
@@ -1014,6 +1133,22 @@ object ReadPlanner {
       c.start.isDefined || c.cursorTok.isDefined ||
       flatten(pat).contains(CursorPat)
     if (needsOrder) {
+      // a sort under the NUMBER comparator is produced by the number
+      // vrange iterator, which only walks number bins — rows whose
+      // key value doesn't decode (including nulls) never surface
+      // (sortnumber r3/r6, david_10 r15: non-numbers and nulls are
+      // dropped from the sorted set, not sorted into a tail bucket)
+      c.sort.foreach { sk =>
+        val cmp = sortKeyCmp(sk, c)
+        val stringField = sk.pat match {
+          case FieldPat("value") | FieldPat("name") => true
+          case _ => false
+        }
+        if (cmp == "number" && stringField) {
+          val key = sortExpr(store, sk, c)
+          out = out.filter(key.isNotNull && !key.startsWith("~"))
+        }
+      }
       val orderCols: Seq[Column] =
         c.sort.map(sk => if (sk.ascending) sortExpr(store, sk, c).asc_nulls_last
           else sortExpr(store, sk, c).desc_nulls_last) :+ col("id").asc

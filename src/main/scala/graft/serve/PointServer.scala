@@ -295,7 +295,8 @@ object PointServer {
         if (keys.nonEmpty && keys.forall(_.isDefined)) Some(keys.flatten) else None
       }
       val fromEq =
-        if (c.comparator == "default" || c.comparator == "case-insensitive")
+        if (Seq("default", "case-insensitive")
+            .contains(c.valueComparator.getOrElse(c.comparator)))
           c.value.filter(_.op == OpEq).flatMap { p =>
             // fractional decimals compare NORMALIZED under these
             // comparators (sortKey("0.5")==sortKey(".50")) but the word
@@ -402,7 +403,8 @@ object PointServer {
       if (if (incl) ix.timestamp(p) > m else ix.timestamp(p) >= m) return false
     }
     if (!strOk(c.name, ix.name(p), c.comparator)) return false
-    if (!strOk(c.value, ix.value(p), c.comparator)) return false
+    if (!strOk(c.value, ix.value(p),
+        c.valueComparator.getOrElse(c.comparator))) return false
     // children: bounds-only existence probes over the postings
     c.subs.forall(sub => childOk(ix, c, sub, p))
   }
@@ -451,11 +453,11 @@ object PointServer {
     preds.forall { p =>
       p.op match {
         case OpEq => p.values.exists {
-          case Some(lit) => v != null && eqKey(comparator, v) == eqKey(comparator, lit)
+          case Some(lit) => v != null && eqTest(comparator, v, lit)
           case None => v == null
         }
         case OpNe => p.values.forall {
-          case Some(lit) => v == null || eqKey(comparator, v) != eqKey(comparator, lit)
+          case Some(lit) => v == null || !eqTest(comparator, v, lit)
           case None => v != null
         }
         case OpMatch =>
@@ -463,25 +465,51 @@ object PointServer {
         case rangeOp =>
           val lits = p.values.flatten
           if (lits.isEmpty) false
-          else if (v == null) false
+          else if (v == null)
+            // alpha-bounded default > / >= walks into the null-value
+            // pseudo-bin (david_5 id=8; mirrors ReadPlanner.strFilter)
+            comparator == "default" && (rangeOp == OpGt || rangeOp == OpGe) &&
+              lits.head.dropWhile(_.isWhitespace).headOption
+                .exists(ch => ch < 0x80 && ch.isLetter)
           else {
             val key = GraphdText.sortKey(comparator, v)
             val vk = GraphdText.sortKey(comparator, lits.head)
             val typedOk = !((comparator == "number" || comparator == "datetime") &&
               key.startsWith("~"))
-            typedOk && (rangeOp match {
+            // the inclusive lower bound admits the boundary's whole
+            // HMAP bucket, decodable or not (numberequal r6; mirrors
+            // ReadPlanner.strFilter)
+            val bucketOk = comparator == "number" && rangeOp == OpGe &&
+              key.startsWith("~") && {
+                val canon = GraphdText.numberCanon(lits.head)
+                canon != null && GraphdText.valueNormalize(v).equalsIgnoreCase(canon)
+              }
+            (typedOk && (rangeOp match {
               case OpLt => key < vk
               case OpLe => key <= vk
               case OpGt => key > vk
               case OpGe => key >= vk
               case _ => true
-            })
+            })) || bucketOk
           }
       }
     }
 
   private def eqKey(cmp: String, s: String): String =
     if (cmp == "octet") s else GraphdText.sortKey(cmp, s)
+
+  /** default-comparator equality candidates come through the value
+    * HMAP: normalized keys must match AND fuzzycmp must agree —
+    * " .50" is not value=".5" even though the fuzzy keys tie
+    * (mirrors ReadPlanner.strFilter eqTest; numberequal r1/r8)
+    */
+  private def eqTest(cmp: String, v: String, lit: String): Boolean = {
+    val base = eqKey(cmp, v) == eqKey(cmp, lit)
+    val canon = if (cmp == "default") GraphdText.numberCanon(lit) else null
+    if (canon != null)
+      base && GraphdText.valueNormalize(v).equalsIgnoreCase(canon)
+    else base
+  }
 
   private def keyOrNull(cmp: String, s: String): String =
     if (s == null) null else GraphdText.sortKey(cmp, s)

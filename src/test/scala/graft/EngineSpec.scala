@@ -244,7 +244,7 @@ class EngineSpec extends AnyFunSuite {
 
   test("optional child keeps parents without matches") {
     val rows = ReadPlanner.plan(arnoldFixture,
-      """read (node result=((value count)) (<-left optional result=((value))))"""
+      """read (node result=((value)) (<-left optional result=((value))))"""
         .stripMargin).collect()
     assert(rows.length == 3) // type node + 2 people
   }

@@ -407,6 +407,9 @@ object SessionHarness {
     private def renderVar(v: String, cell: Any): String =
       assignmentOf(v) match {
         case Some((owner, lp: ListPat)) => cell match {
+          // null only reaches here from a non-matching or-branch (or4);
+          // an optional child that matched nothing carries an EMPTY
+          // array instead (attachChild coalesces — nullcontent)
           case null => "null"
           case rows: scala.collection.Seq[_] =>
             renderResult(owner.copy(result = Some(lp)),
@@ -830,7 +833,14 @@ object SessionHarness {
             val b = c0.effectiveCount
             val total: Long =
               if (b.min == 1L && b.max.isEmpty)
-                (if (rows.nonEmpty) 1L else 0L) // default bounds: page tells
+                // default bounds: a non-empty page proves existence,
+                // but pagesize=0 always yields an empty page — count
+                // the unpaged set instead (pagesize golden: ok () for
+                // a match, EMPTY for none)
+                if (rows.isEmpty && c0.pagesize.contains(0L))
+                  math.min(1L, ReadPlanner.plan(store,
+                    c.copy(pagesize = None, start = None)).count())
+                else (if (rows.nonEmpty) 1L else 0L)
               else ReadPlanner.plan(store,
                 c.copy(pagesize = None, start = None)).count()
             val boundsOk = total >= b.min && b.max.forall(total <= _)

@@ -70,7 +70,7 @@ object SessionProbe {
               case None => pass += 1; println(f"PASS $name")
               case Some((i, e, a)) =>
                 fail += 1
-                failures += f"$name%-16s L${i + 1} exp=${e.take(120)}\n${" " * 20}act=${a.take(120)}"
+                failures += f"$name%-16s L${i + 1} exp=${e.take(sys.env.getOrElse("PROBE_WIDTH", "120").toInt)}\n${" " * 20}act=${a.take(sys.env.getOrElse("PROBE_WIDTH", "120").toInt)}"
             }
           }
         } catch {

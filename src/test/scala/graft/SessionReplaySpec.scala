@@ -71,7 +71,12 @@ class SessionReplaySpec extends AnyFunSuite {
     "version5", "will4", "will5", "will8", "wordnet1", "writeresult",
     "yesno", "zeroguid",
     "3816", "cursor3", "simple", "will3", "will6",
-    "sort8", "sort12", "sort13", "varor", "varsort").foreach { n =>
+    "sort8", "sort12", "sort13", "varor", "varsort",
+    "compare1", "compare2", "numberequal", "sortnumber", "david_9",
+    "david_10", "datetime-2",
+    "sort9", "nullcontent", "will2", "david_7", "countabunch", "pagesize",
+    "start-unsorted", "3692", "colors2", "or2",
+    "david_5", "david_6", "david_8").foreach { n =>
     test(s"replay reference session $n")(replaySession(n))
   }
 }

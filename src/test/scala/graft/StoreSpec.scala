@@ -114,7 +114,7 @@ class StoreSpec extends AnyFunSuite {
   test("query-language cursor pins the append-time snapshot") {
     val st = GraphStore.fromSeq(spark,
       (1L to 6L).map(i => node(i, value = Some(s"v$i"))))
-    val p1 = ReadPlanner.plan(st, "read (result=((guid value cursor)) pagesize=2)")
+    val p1 = ReadPlanner.plan(st, "read (result=(cursor (guid value)) pagesize=2)")
       .collect()
     val tok = p1.head.getAs[String]("cursor")
     assert(tok != "null:")
@@ -122,7 +122,7 @@ class StoreSpec extends AnyFunSuite {
     // appended after page 1 stay invisible to page 2
     val (st2, _) = Writer.append(st, Seq(Writer.Spec(value = Some("late"))))
     val p2 = ReadPlanner.plan(st2,
-      s"""read (result=((guid value cursor)) pagesize=99 cursor="$tok")""")
+      s"""read (result=(cursor (guid value)) pagesize=99 cursor="$tok")""")
       .collect()
     assert(p2.map(_.getAs[String]("value")).toSet == Set("v3", "v4", "v5", "v6"))
   }
@@ -132,13 +132,13 @@ class StoreSpec extends AnyFunSuite {
       (1L to 8L).map(i => node(i, value = Some(s"v$i"))))
     // page 1: skip 1, take 2 → v2 v3
     val p1 = ReadPlanner.plan(st,
-      "read (result=((value cursor)) start=1 pagesize=2)").collect()
+      "read (result=(cursor (value)) start=1 pagesize=2)").collect()
     assert(p1.map(_.getAs[String]("value")).toSeq == Seq("v2", "v3"))
     val tok = p1.head.getAs[String]("cursor")
     // page 2 carries the same start=1 (clients resend the query
     // verbatim with cursor=): must resume at v4, not skip again
     val p2 = ReadPlanner.plan(st,
-      s"""read (result=((value cursor)) start=1 pagesize=2 cursor="$tok")""")
+      s"""read (result=(cursor (value)) start=1 pagesize=2 cursor="$tok")""")
       .collect()
     assert(p2.map(_.getAs[String]("value")).toSeq == Seq("v4", "v5"))
   }

@@ -19,13 +19,21 @@ class TextSpec extends AnyFunSuite {
     assert(GraphdText.words("") == Nil)
   }
 
-  test("default comparator: embedded numbers order numerically") {
+  test("default comparator: fuzzycmp token semantics") {
     val k = GraphdText.defaultSortKey _
-    assert(k("x9") < k("x10"))      // the canonical case
+    // digits attached to letters form one ATOM — compared as text
+    // (graph_fuzzycmp: "x9" is a single word fragment, so "x10"
+    // sorts before "x9" lexically)
+    assert(k("x10") < k("x9"))
     assert(k("x10") < k("x11"))
-    assert(k("a2b") < k("a10b"))
+    // separated numbers compare numerically
+    assert(k("x 9") < k("x 10"))
+    assert(k("a 2 b") < k("a 10 b"))
     assert(k("A") == k("a"))        // case-insensitive
-    assert(k("file9.txt") < k("file10.txt"))
+    // a '.'-attached digit run is a FRACTION ("file.10" = file 0.10)
+    assert(k("file.10") < k("file.9"))
+    // number tokens sort before text tokens
+    assert(k("9 zz") < k("aa"))
   }
 
   test("number comparator orders decimal strings numerically") {
