@@ -95,6 +95,10 @@ final case class Constraint(
     linkage: Option[Linkage] = None,
     meta: Meta = AnyMeta,
     guid: Seq[GuidPred] = Nil,
+    // version-chain predicates (guid2: previous=/next= with =/!=/~=;
+    // null forms allowed — previous=null means "has no predecessor")
+    previous: Seq[GuidPred] = Nil,
+    next: Seq[GuidPred] = Nil,
     // linkage-field predicates by field name (left/right/typeguid/scope)
     linkFields: Map[String, Seq[GuidPred]] = Map.empty,
     typeNames: Option[Seq[String]] = None, // type="t" (resolved to typeguids)
@@ -123,6 +127,7 @@ final case class Constraint(
     uniqueFields: Option[Seq[String]] = None, // unique=(fields)
     keyFields: Option[Seq[String]] = None,    // key=(fields)
     anchorFlag: Boolean = false,              // anchor
+    anchorLocal: Boolean = false, // anchor=local: this primitive only (anchor3)
     comparator: String = "default",
     /** value-comparator= override for VALUE comparisons and value
       * sorts (david_8: value-comparator="default" comparator="octet")

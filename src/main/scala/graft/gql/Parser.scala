@@ -514,6 +514,18 @@ object Parser {
               addLinkField(c, wl, GuidPred(include = true, gs, lineage = true))
             case o => throw ParseError(s"$wl does not support $o", pos)
           }
+        case "previous" | "next" =>
+          // version-chain constraints (guid2); null/() forms are legal
+          // everywhere, non-null NEXT is rejected by the write path
+          val gs = rhsGuids(rhs, wl, pos)
+          val pred = op match {
+            case "=" => GuidPred(include = true, gs)
+            case "!=" => GuidPred(include = false, gs)
+            case "~=" => GuidPred(include = true, gs, lineage = true)
+            case o => throw ParseError(s"$wl does not support $o", pos)
+          }
+          if (wl == "previous") c.copy(previous = c.previous :+ pred)
+          else c.copy(next = c.next :+ pred)
         case "type" =>
           op match {
             case "=" =>
@@ -559,6 +571,16 @@ object Parser {
           }
           val c2 = c.copy(setFlags = c.setFlags + wl)
           if (wl == "live") c2.copy(live = t) else c2.copy(archival = t)
+        case "anchor" =>
+          // anchor is a flag; `anchor=local` restricts it to the local
+          // database — same behavior in a single-db engine (anchor3)
+          rhsVals(rhs, "anchor", pos).head.map(_.toLowerCase) match {
+            case Some("true") => c.copy(anchorFlag = true)
+            case Some("local") =>
+              c.copy(anchorFlag = true, anchorLocal = true)
+            case Some("false") => c.copy(anchorFlag = false)
+            case other => throw ParseError(s"bad anchor value $other", pos)
+          }
         case "timestamp" => tsBound(op, rhsVals(rhs, "timestamp", pos).head, c, pos)
         case "newest" =>
           val v = longOf(rhsVals(rhs, "newest", pos).head, pos)
@@ -566,6 +588,8 @@ object Parser {
             case "=" => c.copy(newestMin = Some(v), newestMax = Some(v))
             case ">=" => c.copy(newestMin = Some(v), newestMax = None)
             case "<=" => c.copy(newestMin = Some(0), newestMax = Some(v))
+            case ">" => c.copy(newestMin = Some(v + 1), newestMax = None)
+            case "<" => c.copy(newestMin = Some(0), newestMax = Some(v - 1))
             case o => throw ParseError(s"newest does not support $o", pos)
           }
         case "oldest" =>

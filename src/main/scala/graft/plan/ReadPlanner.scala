@@ -318,10 +318,30 @@ object ReadPlanner {
     df
   }
 
+  /** version-chain view columns over a generation-windowed frame:
+    * `__next` = successor id within the lineage, `__generation` = age
+    * from the OLDEST version (the result-field convention, version3).
+    * Attached before any generation filtering so successors survive.
+    */
+  private def withChain(g: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lineage")).orderBy(col("id").asc)
+    g.withColumn("__next", lead(col("id"), 1).over(w))
+      .withColumn("__generation", col("age_oldest"))
+  }
+
   /** intrinsic predicates only — the reference's per-candidate check
     * (graphd/graphd-match.c) expressed as one conjunctive filter.
     */
-  private def base(store: GraphStore, c: Constraint): DataFrame = {
+  private def base(store: GraphStore, c0: Constraint): DataFrame = {
+    // a non-null NEXT constraint implies the row has a successor, so
+    // it cannot be the lineage newest: newest>0 becomes the implicit
+    // generation window when the user left the default (guid2)
+    val c =
+      if (c0.next.exists(_.serials.flatten.nonEmpty) &&
+          c0.newestMin == Some(0L) && c0.newestMax == Some(0L))
+        c0.copy(newestMin = Some(1L), newestMax = None)
+      else c0
     // generation / liveness view
     var df =
       if (!store.versioned) {
@@ -332,7 +352,7 @@ object ReadPlanner {
           c.newestMin.forall(_ <= 0L) && c.newestMax.forall(_ >= 0L)
         if (genOk) store.all else store.all.filter(lit(false))
       } else if (c.oldestEq.isDefined || c.newestMin != Some(0L) || c.newestMax != Some(0L)) {
-        val g = GraphStore.withGeneration(store.all)
+        val g = withChain(GraphStore.withGeneration(store.all))
         val byOldest = c.oldestEq.map(n => g.filter(col("age_oldest") === n))
         val byNewest = byOldest.getOrElse {
           var x = g
@@ -341,8 +361,45 @@ object ReadPlanner {
           x
         }
         byNewest.drop("generation", "age_oldest")
-      } else GraphStore.newestPerLineage(store.all)
+      } else withChain(GraphStore.withGeneration(store.all))
+        .filter(col("generation") === 0).drop("generation", "age_oldest")
 
+    // previous= / next= version-chain predicates (guid2).
+    // previous filters on the row's own prev pointer; next matches
+    // rows whose SUCCESSOR is one of the targets — i.e. this id
+    // appears as a target's prev.
+    c.previous.foreach { p =>
+      val targets =
+        if (p.lineage) store.lineageMembers(p.serials.flatten)
+        else p.serials.flatten
+      val hasNull = p.serials.contains(None) || p.serials.isEmpty
+      val incl = {
+        val byId = if (targets.nonEmpty)
+          Seq(col("prev").isin(targets.map(Long.box): _*)) else Nil
+        val byNull = if (hasNull) Seq(col("prev").isNull) else Nil
+        (byId ++ byNull).reduceOption(_ || _).getOrElse(lit(false))
+      }
+      df = df.filter(if (p.include) incl else !coalesce(incl, lit(false)))
+    }
+    c.next.foreach { p =>
+      val targets =
+        if (p.lineage) store.lineageMembers(p.serials.flatten)
+        else p.serials.flatten
+      val hasNull = p.serials.contains(None) || p.serials.isEmpty
+      if (targets.nonEmpty) {
+        val succs = store.primitives
+          .filter(col("id").isin(targets.map(Long.box): _*))
+          .filter(col("prev").isNotNull)
+          .select(col("prev").as("__succ_prev"))
+        df = df.join(succs, col("id") === col("__succ_prev"),
+          if (p.include) "left_semi" else "left_anti")
+      } else if (hasNull && p.include) {
+        // next=null: no successor — this id is nobody's prev
+        val allPrevs = store.primitives.filter(col("prev").isNotNull)
+          .select(col("prev").as("__succ_prev"))
+        df = df.join(allPrevs, col("id") === col("__succ_prev"), "left_anti")
+      }
+    }
     df = c.live match {
       case MustBeTrue => df.filter(col("live"))
       case MustBeFalse => df.filter(!col("live"))
@@ -936,9 +993,14 @@ object ReadPlanner {
           col("typeguid")))
     case FieldPat("typeguid") => col("typeguid")
     case FieldPat("valuetype") | FieldPat("datatype") => col("datatype")
-    case FieldPat("generation") => lit(0L) // newest view default
+    case FieldPat("generation") =>
+      // the RESULT field counts from the OLDEST version (version3:
+      // first version renders generation 0); newest= windows count
+      // from the new end and live on a different column
+      if (store.versioned) col("__generation") else lit(0L)
     case FieldPat("previous") => col("prev")
-    case FieldPat("next") => lit(null).cast("long") // newest has no next
+    case FieldPat("next") =>
+      if (store.versioned) col("__next") else lit(null).cast("long")
     case FieldPat("meta") =>
       // the reference renders link rows as their arrow relative to the
       // parent: `<-` when this constraint's linkage is "my right points

@@ -217,6 +217,7 @@ object PointServer {
       c.newestMin.contains(0L) && c.newestMax.contains(0L) &&
       c.oldestEq.isEmpty && !c.isFalse &&
       c.guid.forall(!_.lineage) &&
+      c.previous.isEmpty && c.next.isEmpty && // version-chain: full plan
       c.uniqueFields.isEmpty && c.keyFields.isEmpty && !c.anchorFlag &&
       // children must be bounds-only (existence class) and linked
       c.subs.forall(s => s.effectiveLinkage.isDefined && boundsOnly(s) &&

@@ -420,10 +420,13 @@ object Writer {
     // lineage head (opportunistic). `write (guid=G ...)` is the
     // PESSIMISTIC form: G itself must still be the head, else error
     // OUTDATED (doc/gr-protocol.txt:531-554; asof.sh golden).
-    template.guid.collectFirst {
-      case graft.gql.GuidPred(true, serials, lineage) =>
-        serials.flatten.headOption.map(g => (g, lineage))
-    }.flatten.foreach { case (g, opportunistic) =>
+    // previous=G is the same versioning request as guid=G (guid2):
+    // pessimistic on =, sliding to the lineage head on ~=
+    (template.guid ++ template.previous).collectFirst {
+      case graft.gql.GuidPred(true, serials, lineage)
+          if serials.flatten.nonEmpty =>
+        (serials.flatten.head, lineage)
+    }.foreach { case (g, opportunistic) =>
       val linRows = st.primitives.filter(col("id") === g)
         .select("lineage").limit(1).collect()
       if (linRows.isEmpty) throw WriteError("SEMANTICS", s"not found: cannot read predecessor record $g")
@@ -431,7 +434,8 @@ object Writer {
         .filter(col("lineage") === linRows.head.getLong(0))
         .select("id").head.getLong(0)
       if (!opportunistic && head != g)
-        throw WriteError("OUTDATED", s""""$g" has been versioned""")
+        throw WriteError("OUTDATED",
+          "\"" + graft.plan.Cursor.renderGuid(g) + "\" has been versioned")
       specs(0) = specs(0).copy(prev = Some(head))
     }
 
@@ -552,10 +556,10 @@ object Writer {
 
     // guid=G / guid~=G versioning of the root (same as the legacy path)
     val rootIdx = (idOf.get(template).longValue - base).toInt
-    template.guid.collectFirst {
-      case GuidPred(true, serials, lineage) =>
-        serials.flatten.headOption.map(g => (g, lineage))
-    }.flatten.foreach { case (g, opportunistic) =>
+    (template.guid ++ template.previous).collectFirst {
+      case GuidPred(true, serials, lineage) if serials.flatten.nonEmpty =>
+        (serials.flatten.head, lineage)
+    }.foreach { case (g, opportunistic) =>
       val linRows = st.primitives.filter(col("id") === g)
         .select("lineage").limit(1).collect()
       if (linRows.isEmpty) throw WriteError("SEMANTICS", s"not found: cannot read predecessor record $g")
@@ -563,7 +567,8 @@ object Writer {
         .filter(col("lineage") === linRows.head.getLong(0))
         .select("id").head.getLong(0)
       if (!opportunistic && head != g)
-        throw WriteError("OUTDATED", s""""$g" has been versioned""")
+        throw WriteError("OUTDATED",
+          "\"" + graft.plan.Cursor.renderGuid(g) + "\" has been versioned")
       specs(rootIdx) = specs(rootIdx).copy(prev = Some(head))
     }
 
@@ -610,6 +615,16 @@ object Writer {
         "can't use (<-left ..) on the outermost constraint - " +
           "do you mean left=GUID?")
     def walk(c: Constraint): Unit = {
+      // a non-null NEXT constraint is meaningless in a write — the
+      // new primitive has nothing after it (guid2)
+      c.next.foreach { p =>
+        p.serials.flatten.headOption.foreach { g =>
+          val opTxt = if (p.lineage) "~=" else "="
+          throw WriteError("SEMANTICS",
+            s"can't use NEXT$opTxt${graft.plan.Cursor.renderGuid(g)} " +
+              "in a write request!")
+        }
+      }
       if (c.typeNames.isDefined &&
           c.linkFields.get("typeguid").exists(_.exists(_.include)))
         throw WriteError("SEMANTICS",
@@ -848,8 +863,15 @@ object Writer {
         timestampMin = if (unq("timestamp")) c.timestampMin else None,
         timestampMax = if (unq("timestamp")) c.timestampMax else None,
         linkFields = c.linkFields.filter { case (f, _) => unq(f) },
-        subs = c.subs.filter(connectionInUnique(c, _))
-          .map(clusterDup(_, keepLinkage = true)))
+        subs = c.subs.filter(connectionInUnique(c, _)).map { s =>
+          // an anchor child is not a cluster member — it resolves to
+          // ONE existing primitive, and the cluster read pins its
+          // guid (anchor4: unique=(typeguid) typeguid->(anchor ...))
+          if (s.anchorFlag)
+            Constraint(linkage = s.linkage,
+              guid = Seq(GuidPred(include = true, Seq(Some(anchorIdOf(s))))))
+          else clusterDup(s, keepLinkage = true)
+        })
     }
     /** EXISTS precheck at a unique-cluster root; parentLink wires the
       * already-resolved parent id into the query (the reference's
@@ -875,13 +897,75 @@ object Writer {
         case Some((g, opportunistic)) =>
           val head = headOf(g)
           if (!opportunistic && head != g)
-            throw WriteError("OUTDATED", s""""$g" has been versioned""")
+            throw WriteError("OUTDATED",
+          "\"" + graft.plan.Cursor.renderGuid(g) + "\" has been versioned")
           spec0.copy(prev = Some(head))
         case None => spec0
       }
 
+    def rowOf(id: Long): Option[Row] =
+      st.current.filter(col("id") === id).limit(1).collect().headOption
+
+    /** anchor resolution: the anchor READ includes the whole subtree
+      * below the anchor (gr-protocol 6.1.12) — `(anchor (<-right
+      * value="x"))` must match through its link children (anchor4)
+      */
+    def anchorIdOf(c: Constraint,
+        parentLink: Option[(String, Long)] = None): Long = {
+      def strip(x: Constraint): Constraint = x.copy(
+        anchorFlag = false, keyFields = None, uniqueFields = None,
+        // anchor=local anchors THIS primitive only — subconstraints
+        // stay out of the read (anchor3 W2: guid=0 anchor=local with
+        // a brand-new link subtree still matches)
+        subs = if (x.anchorLocal) Nil else x.subs.map(strip))
+      var q = strip(c).copy(linkage = None,
+        result = Some(ListPat(Seq(ListPat(Seq(FieldPat("guid")))))))
+      // a link child's anchor read is bound to its already-resolved
+      // parent (anchor2 W4: only the CURRENT head's link matches)
+      parentLink.foreach { case (f, pid) =>
+        q = q.copy(linkFields = q.linkFields +
+          (f -> (q.linkFields.getOrElse(f, Nil) :+
+            GuidPred(include = true, Seq(Some(pid))))))
+      }
+      val rows = graft.plan.ReadPlanner.plan(st, q).limit(2).collect()
+      if (rows.length != 1)
+        throw WriteError("EMPTY", "anchor constraint not found")
+      rows.head.getLong(0)
+    }
+
+    /** does the key CLUSTER rooted at `c` match primitive `bid`? —
+      * c's key fields match, and every keyed pointed child connected
+      * through a key-covered endpoint matches the row's endpoint
+      * recursively (gr-protocol 6.1.10.1: the cluster read matches as
+      * a whole or not at all — keyburn2 round 5)
+      */
+    def keyClusterMatches(c: Constraint, bid: Long): Boolean = {
+      val keyFs = c.keyFields.getOrElse(Nil)
+      if (keyFs.isEmpty) return false
+      val s = specOf(c)
+      val kids = c.subs.flatMap(sub => linkOf(c, sub) match {
+        case Some(ParentPointsToChild(f))
+            if keyFs.contains(f) && sub.keyFields.isDefined => Some((f, sub))
+        case _ => None
+      })
+      val unkeyedEndpoints = c.subs.flatMap(sub => linkOf(c, sub) match {
+        case Some(ParentPointsToChild(f))
+            if keyFs.contains(f) && !sub.keyFields.isDefined => Some(f)
+        case _ => None
+      }).toSet
+      val ok = matchExisting(st, s, keyFs,
+        presentOnly = kids.map(_._1).toSet ++ unkeyedEndpoints)
+        .filter(col("id") === bid).limit(1).count() > 0
+      ok && rowOf(bid).exists(r => kids.forall { case (f, sub) =>
+        !r.isNullAt(r.fieldIndex(f)) &&
+          keyClusterMatches(sub, r.getAs[Long](f))
+      })
+    }
+
     def resolve(c: Constraint, parentLink: Option[(String, Long)],
-        inCluster: Boolean, parentC: Option[Constraint] = None)
+        inCluster: Boolean, parentC: Option[Constraint] = None,
+        boundId: Option[Long] = None, forceNew: Boolean = false,
+        versionTarget: Option[(Long, Boolean)] = None)
         : (Long, Seq[Long]) = {
       // unique-cluster ROOT: run the whole-cluster EXISTS check before
       // any member (including pointed children) is minted
@@ -897,30 +981,167 @@ object Writer {
       // unique=(name right) allocates a new node); pointed reuse is
       // key/anchor cluster behavior (doc/gr-protocol.txt:801-807)
       val clusterKeys = c.anchorFlag || c.keyFields.isDefined
+      // fields this member is IDENTIFIED by — a pointed endpoint in
+      // the identity must resolve before matching (keyburn:
+      // key=(value right) needs the right node first); any other
+      // pointed endpoint binds STRUCTURALLY from the matched row, or
+      // mints fresh when this member is new (trailer: new links under
+      // a key-matched root mint fresh "lola" nodes, never reusing the
+      // first write's)
+      val identity: Seq[String] =
+        if (c.anchorFlag) anchorMatchFields(spec)
+        else if (c.keyFields.isDefined) c.keyFields.get
+        else if (c.uniqueFields.isDefined) c.uniqueFields.get
+        else anchorMatchFields(spec)
+      val deferred = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Constraint)]
+      val clusterKids = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Constraint)]
       c.subs.zipWithIndex.foreach { case (sub, i) =>
         linkOf(c, sub) match {
           case Some(ParentPointsToChild(f)) =>
-            val r = resolve(sub, None, inCluster || clusterKeys, Some(c))
-            spec = withLinkage(spec, f, r._1)
-            pointedIds(i) = r
+            // KEYED pointed children behind a key-covered endpoint are
+            // cluster members — they bind together with this member or
+            // not at all (keyburn2 round 5); other keyed/unique
+            // children resolve eagerly as independent clusters; plain
+            // pointed children bind STRUCTURALLY below (trailer)
+            val clusterMember = c.keyFields.isDefined &&
+              c.keyFields.get.contains(f) && sub.keyFields.isDefined
+            if (clusterMember && boundId.isEmpty)
+              clusterKids += ((i, f, sub))
+            else if (boundId.isEmpty && (hasKeys(sub) ||
+                c.uniqueFields.isDefined ||
+                (identity.contains(f) && !clusterKeys) ||
+                !(inCluster || clusterKeys))) {
+              val r = resolve(sub, None, inCluster || clusterKeys, Some(c),
+                forceNew = forceNew)
+              spec = withLinkage(spec, f, r._1)
+              pointedIds(i) = r
+            } else deferred += ((i, f, sub))
           case _ => ()
         }
       }
+      // does the pointed subtree of `sub` match the primitive `bid`?
+      // (field-level identity + recursive pointed endpoints — the
+      // whole-cluster READ the reference's keyed annotation runs)
+      def pointedMatches(sub: Constraint, bid: Long): Boolean =
+        rowOf(bid).exists { r =>
+          val s = specOf(sub)
+          matchExisting(st, s, anchorMatchFields(s))
+            .filter(col("id") === bid).limit(1).count() > 0 &&
+            sub.subs.forall(ss => linkOf(sub, ss) match {
+              case Some(ParentPointsToChild(f2)) =>
+                !r.isNullAt(r.fieldIndex(f2)) &&
+                  pointedMatches(ss, r.getAs[Long](f2))
+              case _ => true // links into it resolve structurally later
+            })
+        }
+      // the row this member binds to, when it exists: candidates match
+      // the populated fields, and every deferred pointed subtree must
+      // match the candidate's endpoints
+      val deferredFields = deferred.map(_._2).toSet
+      val matchedRow: Option[Row] = boundId match {
+        case Some(bid) => rowOf(bid)
+        case None if forceNew => None
+        case None =>
+          if (c.anchorFlag) rowOf(anchorIdOf(c, parentLink))
+          else if (c.keyFields.isDefined)
+            // a keyed member matches on its key fields alone —
+            // deferred endpoints as presence, keyed cluster kids as a
+            // joint all-or-nothing read (keyburn2 rounds 1.2 and 5);
+            // key=() has no identity: always insert (keyburn6)
+            if (c.keyFields.get.isEmpty) None
+            else matchExisting(st, spec, c.keyFields.get,
+                presentOnly = ((deferredFields ++ clusterKids.map(_._2) ++
+                  parentLink.map(_._1)) & c.keyFields.get.toSet))
+              .orderBy(col("id").asc).limit(8).collect()
+              .find(r => clusterKids.forall { case (_, f, sub) =>
+                !r.isNullAt(r.fieldIndex(f)) &&
+                  keyClusterMatches(sub, r.getAs[Long](f))
+              })
+          else if (c.uniqueFields.isDefined) None
+          else if (inCluster)
+            // unkeyed pointed reuse requires the WHOLE requested form
+            // (6.1.10.2): every deferred pointed subtree must match
+            matchExisting(st, spec, anchorMatchFields(spec))
+              .orderBy(col("id").asc).limit(8).collect()
+              .find(r => deferred.forall { case (_, f, sub) =>
+                !r.isNullAt(r.fieldIndex(f)) &&
+                  pointedMatches(sub, r.getAs[Long](f))
+              })
+          else None
+      }
+      // keyed cluster kids: bind to the matched row's endpoints, or
+      // mint the ENTIRE subtree fresh when the cluster read missed —
+      // a cluster member never reuses its individual match (keyburn2
+      // 5.3: existing Suki is not picked up, a new pair appears)
+      clusterKids.foreach { case (i, f, sub) =>
+        val r = matchedRow match {
+          case Some(row) =>
+            resolve(sub, None, inCluster = true, Some(c),
+              boundId = Some(row.getAs[Long](f)))
+          case None =>
+            resolve(sub, None, inCluster = false, Some(c), forceNew = true)
+        }
+        spec = withLinkage(spec, f, r._1)
+        pointedIds(i) = r
+      }
+      // structural binding of deferred pointed children: bind when the
+      // matched row's endpoint already holds the requested form, else
+      // mint the subtree fresh (the parent versions the diff)
+      deferred.foreach { case (i, f, sub) =>
+        val bound = matchedRow.filter(r => !r.isNullAt(r.fieldIndex(f)))
+          .map(_.getAs[Long](f)).filter(pointedMatches(sub, _))
+        val r = bound match {
+          case Some(bid) =>
+            resolve(sub, None, inCluster = true, Some(c), boundId = Some(bid))
+          case None =>
+            resolve(sub, None, inCluster = false, Some(c))
+        }
+        spec = withLinkage(spec, f, r._1)
+        pointedIds(i) = r
+      }
       val selfId: Long =
-        if (c.anchorFlag) anchor(st, spec, anchorMatchFields(spec))
+        if (versionTarget.isDefined && !hasKeys(c)) {
+          // guid~= (opportunistic) reuses the head when the requested
+          // state already holds (anchor2 W4 answers the existing ids);
+          // guid= (pessimistic) ALWAYS writes a new version (anchor3
+          // W5 versions even a field-identical template)
+          val (target, opportunistic) = versionTarget.get
+          val row = rowOf(target).getOrElse(
+            throw WriteError("SEMANTICS",
+              s"not found: cannot read predecessor record $target"))
+          if (opportunistic) {
+            val (st2, id, _) = keyedApply(st, spec, row)
+            st = st2; id
+          } else {
+            val (st2, ids) = append(st, Seq(spec.copy(prev = Some(target))))
+            st = st2; ids.head
+          }
+        } else if (boundId.isDefined) boundId.get
+        else if (forceNew) {
+          val (st2, ids) = append(st, Seq(spec))
+          st = st2; ids.head
+        } else if (c.anchorFlag)
+          matchedRow.map(_.getAs[Long]("id")).getOrElse(
+            throw WriteError("EMPTY", "anchor constraint not found"))
         else if (c.uniqueFields.isDefined) {
           // cluster precheck passed — mint fresh, versioning a guid
           // target when the template names one (unique3)
           val (st2, ids) = append(st, Seq(versionPrev(c, spec)))
           st = st2; ids.head
         } else if (c.keyFields.isDefined) {
-          val (st2, id, _) = writeKeyed(st, spec, c.keyFields.get)
-          st = st2; id
+          matchedRow match {
+            case Some(row) =>
+              val (st2, id, _) = keyedApply(st, spec, row)
+              st = st2; id
+            case None =>
+              val (st2, ids) = append(st, Seq(spec))
+              st = st2; ids.head
+          }
         } else if (inCluster) {
           // pointed reuse: an unkeyed member of a keyed/anchored
           // cluster reuses an existing primitive matching all its
           // populated fields (doc/gr-protocol.txt:801-807)
-          matchOne(spec, anchorMatchFields(spec)) match {
+          matchedRow match {
             case Some(row) => row.getAs[Long]("id")
             case None =>
               val (st2, ids) = append(st, Seq(spec))
@@ -930,7 +1151,15 @@ object Writer {
           val (st2, ids) = append(st, Seq(spec))
           st = st2; ids.head
         }
-      val keyed = clusterKeys || inCluster
+      // links INTO a keyed member are not part of its cluster unless
+      // they carry their own keys: "the unkeyed constraint is always
+      // instantiated — even if both match exactly" (keyburn2 round 3).
+      // Anchors differ: an anchor implicitly includes the subtree
+      // below it (gr-protocol 6.1.12), so its links keep matching.
+      val keyed =
+        if (c.anchorFlag) true
+        else if (c.keyFields.isDefined) false
+        else clusterKeys || inCluster
       val intoIds = c.subs.zipWithIndex.map { case (sub, i) =>
         pointedIds.get(i).map(_._2).getOrElse {
           val f = linkOf(c, sub) match {
@@ -996,7 +1225,23 @@ object Writer {
         case None => ()
       }
     }
-    val (_, allIds) = resolve(template, None, inCluster = false)
+    // `write (guid=G ...)` / previous=G at an upsert root: the
+    // OUTDATED check runs before any cluster resolution (anchor2: a
+    // versioned target fails even with resolvable anchor children),
+    // and the matched head versions the diff / reuses when identical
+    val rootVer: Option[(Long, Boolean)] =
+      (template.guid ++ template.previous).collectFirst {
+        case GuidPred(true, serials, lineage) if serials.flatten.nonEmpty =>
+          (serials.flatten.head, lineage)
+      }.map { case (g, opportunistic) =>
+        val head = headOf(g)
+        if (!opportunistic && head != g)
+          throw WriteError("OUTDATED",
+            "\"" + graft.plan.Cursor.renderGuid(g) + "\" has been versioned")
+        (head, opportunistic)
+      }
+    val (_, allIds) = resolve(template, None, inCluster = rootVer.isDefined,
+      versionTarget = rootVer)
     (st, allIds)
   }
 
@@ -1012,10 +1257,16 @@ object Writer {
     * "A B" (test/unit/spacematch golden).
     */
   private def matchExisting(store: GraphStore, s: Spec,
-      fields: Seq[String]): DataFrame = {
+      fields: Seq[String],
+      presentOnly: Set[String] = Set.empty): DataFrame = {
     import graft.functions.GraphdFunctions.sort_key
     var df = store.current
     def eqOpt[T](c: String, v: Option[T]): Unit = {
+      // a key endpoint whose target is an unkeyed cluster child
+      // matches on PRESENCE: the link must exist, its target is state
+      // to be brought about (keyburn2 1.2: key=(name right) matches
+      // old Mike whose right points at Elke, then versions)
+      if (presentOnly(c)) { df = df.filter(col(c).isNotNull); return }
       df = v match {
         case Some(x) => df.filter(col(c) === x)
         case None => df.filter(col(c).isNull)
@@ -1061,6 +1312,13 @@ object Writer {
     */
   def writeKeyed(store: GraphStore, spec: Spec, fields: Seq[String])
       : (GraphStore, Long, String) = {
+    // key=() declares NO identity fields: nothing can match, so the
+    // member always inserts fresh (keyburn6: `node key=()` mints a
+    // new node even with matching nodes present)
+    if (fields.isEmpty) {
+      val (st, ids) = append(store, Seq(spec))
+      return (st, ids.head, "inserted")
+    }
     // multiple key-equal candidates: the reference's embedded key-read
     // produces ids in index order, so the LOWEST id wins (spacematch
     // golden: two normalized-equal values, the older one is reused)
@@ -1069,33 +1327,38 @@ object Writer {
     if (m.isEmpty) {
       val (st, ids) = append(store, Seq(spec))
       (st, ids.head, "inserted")
-    } else {
-      val row = m.head
-      def g[T](c: String): Option[T] =
-        if (row.isNullAt(row.fieldIndex(c))) None
-        else Some(row.getAs[T](c))
-      // string identity is comparator-normalized: rewriting "A   B"
-      // over "A B" is a no-op, not a new version (spacematch golden)
-      def norm(v: Option[String]) =
-        v.map(graft.functions.GraphdText.sortKey(spec.comparator, _))
-      // fields the template leaves out are UNSPECIFIED, not null: a
-      // keyed rewrite that only restates the key fields is a no-op
-      // even when the existing primitive carries extra fields (octet
-      // golden: key=value value="foo" answers the original guid)
-      def same[T](specV: Option[T], rowV: Option[T]) =
-        specV.isEmpty || specV == rowV
-      val identical =
-        same(norm(spec.name), norm(g[String]("name"))) &&
-          same(norm(spec.value), norm(g[String]("value"))) &&
-          same(spec.typeguid, g[Long]("typeguid")) &&
-          same(spec.left, g[Long]("left")) && same(spec.right, g[Long]("right")) &&
-          (spec.value.isEmpty || row.getAs[Byte]("datatype") == spec.datatype)
-      if (identical) (store, row.getAs[Long]("id"), "unchanged")
-      else {
-        val (st, id) = versionOf(store, row.getAs[Long]("id"), spec,
-          opportunistic = true)
-        (st, id, "versioned")
-      }
+    } else keyedApply(store, spec, m.head)
+  }
+
+  /** apply a keyed write against its matched primitive: no-op when the
+    * requested state already holds, else version the diff
+    */
+  def keyedApply(store: GraphStore, spec: Spec, row: Row)
+      : (GraphStore, Long, String) = {
+    def g[T](c: String): Option[T] =
+      if (row.isNullAt(row.fieldIndex(c))) None
+      else Some(row.getAs[T](c))
+    // string identity is comparator-normalized: rewriting "A   B"
+    // over "A B" is a no-op, not a new version (spacematch golden)
+    def norm(v: Option[String]) =
+      v.map(graft.functions.GraphdText.sortKey(spec.comparator, _))
+    // fields the template leaves out are UNSPECIFIED, not null: a
+    // keyed rewrite that only restates the key fields is a no-op
+    // even when the existing primitive carries extra fields (octet
+    // golden: key=value value="foo" answers the original guid)
+    def same[T](specV: Option[T], rowV: Option[T]) =
+      specV.isEmpty || specV == rowV
+    val identical =
+      same(norm(spec.name), norm(g[String]("name"))) &&
+        same(norm(spec.value), norm(g[String]("value"))) &&
+        same(spec.typeguid, g[Long]("typeguid")) &&
+        same(spec.left, g[Long]("left")) && same(spec.right, g[Long]("right")) &&
+        (spec.value.isEmpty || row.getAs[Byte]("datatype") == spec.datatype)
+    if (identical) (store, row.getAs[Long]("id"), "unchanged")
+    else {
+      val (st, id) = versionOf(store, row.getAs[Long]("id"), spec,
+        opportunistic = true)
+      (st, id, "versioned")
     }
   }
 

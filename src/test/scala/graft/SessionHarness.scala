@@ -30,6 +30,23 @@ object SessionHarness {
   def refGuid(id: Long): String =
     RefDb + f"${SerialBase + id - 1}%016x"
 
+  /** pdb_database_name_to_id (libpdb/pdb-set-database-name.c): base-38
+    * over [a-z0-9-] (7 chars max, lowercased, others map to '-'), then
+    * an 0xFF byte injected above the low 16 bits; rendered into the
+    * v5 guid layout host(8)+"4000"+low16(4) (dbname golden:
+    * "METAWEB" → 087ed8ff40000d61)
+    */
+  def dbPrefixOfName(name: String): String = {
+    val alphabet = "abcdefghijklmnopqrstuvwxyz0123456789-"
+    var id = 0L
+    name.take(7).foreach { c0 =>
+      val c = if (c0 < 0x80 && c0.isLetterOrDigit) c0.toLower else '-'
+      id = id * 38 + alphabet.indexOf(c)
+    }
+    val db = ((id & ~0xFFFFL) << 8) | (0xFFL << 16) | (id & 0xFFFFL)
+    f"${db >>> 16}%08x4000${db & 0xFFFFL}%04x"
+  }
+
   /** Marker commands parseScript emits for shell-level effects the
     * replay must reproduce: `echo` output lines and mid-script fresh
     * databases (`rm -rf $D` between rungraphd invocations).
@@ -40,6 +57,11 @@ object SessionHarness {
     * block's `-I <instance-id>` flag or conf-file instance-id
     */
   val ConfMark = "#CONF# "
+  /** responses of commands between QuietOn/QuietOff are swallowed —
+    * `rungraphd ... < x.in > /dev/null` (david_4)
+    */
+  val QuietOn = "#QUIET-ON#"
+  val QuietOff = "#QUIET-OFF#"
 
   /** commands of one session: heredoc body lines (`<<-EOF`, `<< EOF`,
     * quoted or not) or a redirected `.in` file, parens-balanced.
@@ -56,9 +78,11 @@ object SessionHarness {
     val body = scala.collection.mutable.ArrayBuffer.empty[String]
     var in = false
     var quoted = false
+    var endMark = "EOF"
     var sawBlock = false
     var pendingReset = false
-    val heredoc = """<<-?\s*'?EOF'?""".r
+    // any heredoc marker works (david_4 uses <<END)
+    val heredoc = """<<-?\s*'?([A-Za-z_]\w*)'?\s*$""".r
     val inRedir = """<\s*(\S+\.in)""".r
     def beginBlock(launch: String): Unit = {
       if (pendingReset && sawBlock) body += ResetMark
@@ -66,43 +90,55 @@ object SessionHarness {
       // a server (re)start resets runtime properties; its -I flag (or
       // a conf file's `instance-id <v>` line) seeds the instance id
       var iid = """-I\s*(\S+)""".r.findFirstMatchIn(launch).map(_.group(1))
-      if (iid.isEmpty)
-        """-f\s*(\S+\.conf)""".r.findFirstMatchIn(launch).foreach { m =>
-          val f = new java.io.File(dir, m.group(1).stripPrefix("./"))
-          if (f.exists()) {
-            val src = scala.io.Source.fromFile(f)(scala.io.Codec.ISO8859)
-            try iid = src.getLines().map(_.trim)
-              .collectFirst {
-                case l if l.startsWith("instance-id") =>
-                  l.stripPrefix("instance-id").trim.stripPrefix("\"")
-                    .stripSuffix("\"")
-              }
-            finally src.close()
-          }
+      var dbName: Option[String] = None
+      """-f\s*(\S+\.conf)""".r.findFirstMatchIn(launch).foreach { m =>
+        val f = new java.io.File(dir, m.group(1).stripPrefix("./"))
+        if (f.exists()) {
+          val src = scala.io.Source.fromFile(f)(scala.io.Codec.ISO8859)
+          try {
+            val ls = src.getLines().map(_.trim).toSeq
+            if (iid.isEmpty) iid = ls.collectFirst {
+              case l if l.startsWith("instance-id") =>
+                l.stripPrefix("instance-id").trim.stripPrefix("\"")
+                  .stripSuffix("\"")
+            }
+            // database { id "NAME" }: the id names the guid database
+            // prefix (dbname.sh; pdb-set-database-name.c)
+            dbName = ls.collectFirst {
+              case l if l.matches("""id\s+".*"""") =>
+                l.stripPrefix("id").trim.stripPrefix("\"").stripSuffix("\"")
+            }
+          } finally src.close()
         }
-      body += ConfMark + iid.getOrElse("")
+      }
+      body += ConfMark + iid.getOrElse("") + dbName.map("\t" + _).getOrElse("")
     }
     for (l <- lines) {
       val t = l.trim
       if (in) {
-        if (t == "EOF") in = false
+        if (t == endMark) in = false
         else body +=
           (if (quoted) t
            else t.replace("\\\\", "\u0000").replace("\\$", "$")
              .replace("\\`", "`").replace("\u0000", "\\"))
-      } else if (l.contains("<<") && heredoc.findFirstIn(l).isDefined) {
+      } else if (l.contains("<<") && heredoc.findFirstMatchIn(l).isDefined) {
         beginBlock(t)
-        in = true; quoted = l.contains("'EOF'")
+        val m = heredoc.findFirstMatchIn(l).get
+        endMark = m.group(1)
+        in = true; quoted = l.contains("'" + endMark + "'")
       } else if (t.matches("""rm\s+-rf?\s+.*\$\{?D\}?.*""")) {
         pendingReset = true
       } else if (t.contains("rungraphd") && inRedir.findFirstMatchIn(t).isDefined) {
         beginBlock(t)
+        val silent = t.matches(""".*>\s*/dev/null.*""")
+        if (silent) body += QuietOn
         val f = inRedir.findFirstMatchIn(t).get.group(1)
         val file = new java.io.File(dir, f)
         if (file.exists()) {
           val src = scala.io.Source.fromFile(file)(scala.io.Codec.ISO8859)
           try body ++= src.getLines() finally src.close()
         }
+        if (silent) body += QuietOff
       } else if (t.startsWith("echo ") && !t.contains(">")) {
         // shell quoting: echo 'Round 1' prints Round 1 (keyburn2)
         val e0 = t.stripPrefix("echo ").trim
@@ -150,7 +186,7 @@ object SessionHarness {
     }
     for (l <- body if l.nonEmpty) {
       if (l.startsWith(EchoMark) || l.startsWith(ConfMark) ||
-          l == ResetMark) { // markers stand alone
+          l == ResetMark || l == QuietOn || l == QuietOff) { // markers stand alone
         if (cur.nonEmpty) { cmds += cur.toString; cur = new StringBuilder }
         cmds += l
       } else {
@@ -198,8 +234,8 @@ object SessionHarness {
       lookup: String => Option[Long]): String =
     // (?<!g): guids inside cursor strings ride as `g<hex>` serialized
     // values (sortcursor) — those are wire payload, not references
-    "(?<!g)[0-9a-f]{32}".r.replaceAllIn(cmd, m => {
-      val hex = m.matched
+    "(?<!g)[0-9a-fA-F]{32}".r.replaceAllIn(cmd, m => {
+      val hex = m.matched.toLowerCase // guid hex is case-insensitive (trailer2)
       lookup(hex) match {
         case Some(id) => id.toString
         case None if hex.startsWith(RefDb) =>
@@ -663,7 +699,7 @@ object SessionHarness {
     }
     def serverHex(id: Long): String =
       serverDb + f"${serverBHigh | (id - 1)}%016x"
-    def refOf(our: Long): String = hexOf.getOrElse(our, refGuid(our))
+    def refOf(our: Long): String = hexOf.getOrElse(our, serverHex(our))
     /** register server-space guids for ids allocated since lastId */
     def sweepNewIds(): Unit = {
       val newLast = Writer.nextId(store) - 1
@@ -691,15 +727,22 @@ object SessionHarness {
         "logflush" -> "true")
     }
     resetProps("")
+    var quiet = false
     try {
       val out = cmds.flatMap { raw =>
-        if (raw == ResetMark) { freshDb(); None }
+        if (raw == QuietOn) { quiet = true; None }
+        else if (raw == QuietOff) { quiet = false; None }
+        else if (raw == ResetMark) { freshDb(); None }
         else if (raw.startsWith(ConfMark)) {
-          resetProps(raw.stripPrefix(ConfMark)); None
+          val payload = raw.stripPrefix(ConfMark).split("\t", 2)
+          resetProps(payload.head)
+          if (payload.length > 1) serverDb = dbPrefixOfName(payload(1))
+          None
         }
         else if (raw.startsWith(EchoMark))
           Some((raw.stripPrefix(EchoMark), true))
-        else Some {
+        else {
+        val computed: (String, Boolean) = {
         Writer.txContOpen = false // fresh request = fresh transaction
         // restore payload guids are wire-space data, not references
         val rawVerb = raw.trim.takeWhile(c => !c.isWhitespace && c != '(')
@@ -1187,6 +1230,8 @@ object SessionHarness {
             rollbackTicks()
             (errLine("SYSTEM", String.valueOf(e.getMessage)), true)
         }
+        }
+        if (quiet) None else Some(computed)
         }
       }
       Replayed(out.map(_._1), out.map(_._2))

@@ -30,7 +30,8 @@ object SessionProbe {
       else {
         System.err.println(s"[probe] $name")
         try {
-          val cmds = SessionHarness.parseScript(slurp(sh))
+          val cmds = SessionHarness.parseScript(
+            slurp(sh).replace("$B", name))
           val exp = slurp(expF).linesIterator.filter(_.nonEmpty).toSeq
           val fut = exec.submit(new java.util.concurrent.Callable[SessionHarness.Replayed] {
             def call() = {

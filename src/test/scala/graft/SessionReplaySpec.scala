@@ -20,7 +20,8 @@ class SessionReplaySpec extends AnyFunSuite {
   }
 
   def replaySession(name: String): Unit = {
-    val cmds = SessionHarness.parseScript(slurp(s"$refDir/$name.sh"))
+    val cmds = SessionHarness.parseScript(
+      slurp(s"$refDir/$name.sh").replace("$B", name))
     val exp = slurp(s"$refDir/$name.out.exp").linesIterator
       .filter(_.nonEmpty).toSeq
     val rep = SessionHarness.replay(spark, cmds)
@@ -76,7 +77,10 @@ class SessionReplaySpec extends AnyFunSuite {
     "david_10", "datetime-2",
     "sort9", "nullcontent", "will2", "david_7", "countabunch", "pagesize",
     "start-unsorted", "3692", "colors2", "or2",
-    "david_5", "david_6", "david_8").foreach { n =>
+    "david_5", "david_6", "david_8",
+    "guid2", "version3", "version7", "trailer", "trailer2", "anchor2",
+    "anchor3", "anchor4", "keyburn2", "keyburn6",
+    "dbname", "brendan3", "david_4").foreach { n =>
     test(s"replay reference session $n")(replaySession(n))
   }
 }
