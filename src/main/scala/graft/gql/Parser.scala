@@ -668,7 +668,20 @@ object Parser {
         case "start" => c.copy(start = Some(longOf(rhsVals(rhs, "start", pos).head, pos)))
         case "countlimit" => c.copy(countlimit = Some(longOf(rhsVals(rhs, "countlimit", pos).head, pos)))
         case "cursor" =>
-          c.copy(cursorTok = rhsVals(rhs, "cursor", pos).head)
+          // only a quoted string or `null` is a cursor value; a bare
+          // atom is a syntax error with line/column (cursor2), and a
+          // second cursor= clause is SEMANTICS (cursor5)
+          rhs match {
+            case RVal(Some(a), true) if a != "null" =>
+              throw ParseError(
+                s"SYNTAX: on line 1, column ${pos + 1}: '$a': " +
+                  "expected 'null' or a cursor value", pos)
+            case _ => ()
+          }
+          val v = rhsVals(rhs, "cursor", pos).head
+          if (c.cursorTok.isDefined && v.isDefined)
+            throw ParseError("more than one cursor=...", pos)
+          c.copy(cursorTok = v)
         case "comparator" =>
           // names may carry a locale prefix: "i;octet" → "octet"
           // (test/unit/compare.sh uses comparator="i;octet")

@@ -44,6 +44,14 @@ object Cursor {
       // candidates in id order instead of a keyset predicate
       skip: Int = 0)
 
+  /** replay-harness hook: emit the reference's SIGNED iterator cursor
+    * for an unsorted page instead of the engine token. Args: root
+    * constraint (cursorTok still attached when resuming), snapshot
+    * horizon, [o:] offset consumed, page size. None = engine format.
+    */
+  @volatile var refIterCursor:
+      Option[(graft.gql.Constraint, Long, Long, Long) => Option[String]] = None
+
   /** guid wire rendering/parsing hooks — the session replay harness
     * swaps these for the reference database-id forms
     */

@@ -1237,8 +1237,10 @@ object ReadPlanner {
         if (c.sort.isEmpty) {
           val ids = preLimit.select(col("id")).limit(ps.toInt + 1).collect()
           if (ids.length <= ps) "null:"
-          else graft.plan.Cursor.encode(graft.plan.Cursor.Token(
-            ids(ps.toInt - 1).getLong(0), cursorHorizon(), Nil, off + ps))
+          else graft.plan.Cursor.refIterCursor
+            .flatMap(h => h(c, cursorHorizon(), off, ps))
+            .getOrElse(graft.plan.Cursor.encode(graft.plan.Cursor.Token(
+              ids(ps.toInt - 1).getLong(0), cursorHorizon(), Nil, off + ps)))
         } else {
           // SORT cursor (reference "sort:..." wire form): freeze the
           // last page row's RAW sort values + guid tiebreak; resume is

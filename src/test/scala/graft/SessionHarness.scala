@@ -113,6 +113,44 @@ object SessionHarness {
       }
       body += ConfMark + iid.getOrElse("") + dbName.map("\t" + _).getOrElse("")
     }
+    // minimal shell simulation: VAR=value assignments, `echo ... >> $F`
+    // appends into virtual files, and countdown `while ( let "$V" ) do
+    // ... done` loops (david_1/david_2 generate their inputs this way)
+    val shellVars = scala.collection.mutable.Map.empty[String, String]
+    val fileBufs = scala.collection.mutable.Map
+      .empty[String, scala.collection.mutable.ArrayBuffer[String]]
+    def expand(s: String): String =
+      """\$\{?([A-Za-z_]\w*)\}?""".r.replaceAllIn(s, m =>
+        scala.util.matching.Regex.quoteReplacement(
+          shellVars.getOrElse(m.group(1), m.matched)))
+    val assignRe = """^([A-Za-z_]\w*)=("?)([^"]*)\2\s*$""".r
+    val echoAppendRe = """^echo\s+(-n\s+)?'(.*)'\s*>>?\s*(\S+)\s*$""".r
+    val whileRe = """^while\s*\(\s*let\s+"\$(\w+)"\s*\)\s*do\s*$""".r
+    val letRe = """^\s*let\s+"(\w+)=\$(\w+)-(\d+)"\s*$""".r
+    var inWhile: Option[String] = None
+    val whileBody = scala.collection.mutable.ArrayBuffer.empty[String]
+    def runWhile(v: String): Unit = {
+      var guard = 0
+      while (shellVars.get(v).flatMap(_.toLongOption).exists(_ != 0L) &&
+          guard < 1000000) {
+        guard += 1
+        whileBody.foreach { bl =>
+          bl.trim match {
+            case echoAppendRe(_, text, target) =>
+              val f = expand(target)
+              // '...'$V'...' shell concatenation: the quotes delimit
+              // segments, the payload is their concatenation
+              fileBufs.getOrElseUpdate(f,
+                scala.collection.mutable.ArrayBuffer.empty) +=
+                expand(text.replace("'", ""))
+            case letRe(dst, src, dec) =>
+              shellVars(dst) =
+                (shellVars.getOrElse(src, "0").toLong - dec.toLong).toString
+            case _ => ()
+          }
+        }
+      }
+    }
     for (l <- lines) {
       val t = l.trim
       if (in) {
@@ -121,6 +159,24 @@ object SessionHarness {
           (if (quoted) t
            else t.replace("\\\\", "\u0000").replace("\\$", "$")
              .replace("\\`", "`").replace("\u0000", "\\"))
+      } else if (inWhile.isDefined) {
+        if (t == "done") { runWhile(inWhile.get); inWhile = None; whileBody.clear() }
+        else whileBody += t
+      } else if (whileRe.findFirstMatchIn(t).isDefined) {
+        inWhile = Some(whileRe.findFirstMatchIn(t).get.group(1))
+      } else if (assignRe.findFirstMatchIn(t).isDefined &&
+          !t.startsWith("B=") && !t.startsWith("D=") &&
+          !t.startsWith("GFLAGS")) {
+        val m = assignRe.findFirstMatchIn(t).get
+        shellVars(m.group(1)) = m.group(3)
+      } else if (echoAppendRe.findFirstMatchIn(t).isDefined &&
+          t.contains(">")) {
+        val m = echoAppendRe.findFirstMatchIn(t).get
+        val f = expand(m.group(3))
+        val buf = fileBufs.getOrElseUpdate(f,
+          scala.collection.mutable.ArrayBuffer.empty)
+        if (!t.contains(">>")) buf.clear()
+        if (m.group(2).nonEmpty) buf += expand(m.group(2))
       } else if (l.contains("<<") && heredoc.findFirstMatchIn(l).isDefined) {
         beginBlock(t)
         val m = heredoc.findFirstMatchIn(l).get
@@ -128,15 +184,20 @@ object SessionHarness {
         in = true; quoted = l.contains("'" + endMark + "'")
       } else if (t.matches("""rm\s+-rf?\s+.*\$\{?D\}?.*""")) {
         pendingReset = true
-      } else if (t.contains("rungraphd") && inRedir.findFirstMatchIn(t).isDefined) {
+      } else if (t.contains("rungraphd") && !t.contains("<<") &&
+          """<\s*(\S+)""".r.findFirstMatchIn(t).isDefined) {
         beginBlock(t)
         val silent = t.matches(""".*>\s*/dev/null.*""")
         if (silent) body += QuietOn
-        val f = inRedir.findFirstMatchIn(t).get.group(1)
-        val file = new java.io.File(dir, f)
-        if (file.exists()) {
-          val src = scala.io.Source.fromFile(file)(scala.io.Codec.ISO8859)
-          try body ++= src.getLines() finally src.close()
+        val f = expand("""<\s*(\S+)""".r.findFirstMatchIn(t).get.group(1))
+        fileBufs.get(f) match {
+          case Some(buf) => body ++= buf
+          case None =>
+            val file = new java.io.File(dir, f)
+            if (file.exists()) {
+              val src = scala.io.Source.fromFile(file)(scala.io.Codec.ISO8859)
+              try body ++= src.getLines() finally src.close()
+            }
         }
         if (silent) body += QuietOff
       } else if (t.startsWith("echo ") && !t.contains(">")) {
@@ -213,10 +274,22 @@ object SessionHarness {
           cmds += cur.toString; cur = new StringBuilder
         }
         cur.append(if (cur.isEmpty) l else " " + l)
+        // an unknown request verb fails at its first token and the
+        // server resyncs at end-of-line — each garbage line is its own
+        // request regardless of paren balance (nonsense.in log replay)
+        val firstWord = cur.toString.dropWhile(_.isWhitespace)
+          .takeWhile(c => c.isLetterOrDigit || c == '-' || c == '_')
+        val knownVerb = Seq("read", "write", "restore", "dump", "status",
+          "set", "sync", "iterate", "smash", "crash", "replica", "verify")
+          .contains(firstWord.toLowerCase)
+        if (!knownVerb && cur.nonEmpty) {
+          cmds += cur.toString; cur = new StringBuilder
+        }
+
         // strings do NOT span lines: an open quote terminates the
         // request at end-of-line with a LEXICAL error and the next
         // line begins a new request (newline.sh)
-        if (inOpenString(cur.toString) || balanced(cur.toString)) {
+        else if (inOpenString(cur.toString) || balanced(cur.toString)) {
           cmds += cur.toString; cur = new StringBuilder
         }
       }
@@ -659,6 +732,7 @@ object SessionHarness {
     */
   def replay(spark: org.apache.spark.sql.SparkSession, cmds: Seq[String]): Replayed = {
     var store = GraphStore.fromSeq(spark, Seq.empty)
+    var refOfHook: Long => String = id => refGuid(id)
     Writer.tickMicros = Some(new java.util.concurrent.atomic.AtomicLong(0L))
     // physical reference bootstrap: the Writer mints the reference's
     // own primitive layout (7 bootstrap primitives on the first typed
@@ -668,6 +742,23 @@ object SessionHarness {
     Writer.refBootstrap = true
     // cursor tokens render/parse guids in the reference wire space
     graft.plan.Cursor.renderGuid = refGuid
+    // signed iterator cursors for guid-set pages (cursor5): the fixed
+    // iterator over the set's serials, checksummed against the
+    // constraint signature
+    graft.plan.Cursor.refIterCursor = Some { (c, horizon, off, ps) =>
+      c.guid.find(p => p.include && !p.lineage)
+        .map(_.serials.flatten).filter(_.nonEmpty).map { ours =>
+        val serials = ours.map(_ - 1)
+        val posIn = c.cursorTok.flatMap(tk =>
+          """/(\d+)/""".r.findFirstMatchIn(tk).map(_.group(1).toLong))
+          .getOrElse(0L)
+        val pos = posIn + ps
+        val body = s"[o:${off + ps}][n:$horizon]" +
+          s"fixed:${serials.length}:${serials.mkString(",")}/$pos/"
+        val sig = CursorSig.signature(c.copy(cursorTok = None), refOfHook)
+        f"cursor:${CursorSig.check(sig, body)}%04x:$body"
+      }
+    }
     graft.plan.Cursor.parseGuidId =
       h => (java.lang.Long.parseUnsignedLong(h.substring(16), 16) &
         0x3FFFFFFFFL) + 1
@@ -700,6 +791,7 @@ object SessionHarness {
     def serverHex(id: Long): String =
       serverDb + f"${serverBHigh | (id - 1)}%016x"
     def refOf(our: Long): String = hexOf.getOrElse(our, serverHex(our))
+    refOfHook = refOf
     /** register server-space guids for ids allocated since lastId */
     def sweepNewIds(): Unit = {
       val newLast = Writer.nextId(store) - 1
@@ -866,6 +958,42 @@ object SessionHarness {
             // renderer walks the same tree the planner executes
             // (same-level assignment chains are inlined by the phase)
             val c0 = ReadPlanner.normalizeVars(Parser.parseRead(cmd))
+            // incoming cursor validation (graphd-constraint-cursor.c):
+            // a signed `cursor:XXXX:` token must checksum against the
+            // constraint signature; bare iterator freezes pass; any
+            // other string is an unparseable old-style cursor
+            c0.cursorTok.foreach { raw =>
+              // signature coverage: subs-free constraints only (the
+              // signature of nested trees isn't byte-validated yet)
+              if (raw.startsWith("cursor:") && c0.subs.isEmpty &&
+                  c0.orBranches.isEmpty) {
+                val rest = raw.stripPrefix("cursor:")
+                val colon = rest.indexOf(':')
+                val okForm = colon == 4 &&
+                  rest.take(4).forall(ch => ch.isDigit || (ch >= 'a' && ch <= 'f'))
+                if (!okForm)
+                  throw Parser.ParseError(
+                    s"""BADCURSOR: "$raw" is not a valid cursor""", 0)
+                val given = Integer.parseInt(rest.take(4), 16)
+                val body = rest.substring(colon + 1)
+                val sig = CursorSig.signature(c0.copy(cursorTok = None),
+                  refOfHook)
+                val expect = CursorSig.check(sig, body)
+                if (expect != given)
+                  throw Parser.ParseError(
+                    f"""BADCURSOR: cursor "$raw%s" and checksum $expect%04x don't match""", 0)
+              } else if (!Seq("cursor:", "sort:", "null:", "all:", "fixed:",
+                  "gmap:", "hmap:", "isa:", "linksto:", "and:", "or:", "vip:",
+                  "prefix:", "[o:", "[n:").exists(raw.startsWith) &&
+                  !(try new String(java.util.Base64.getUrlDecoder.decode(raw))
+                      .startsWith("graft:")
+                    catch { case _: Exception => false })) {
+                val shown =
+                  if (raw.length > 1027) raw.take(1024) + "..." else raw
+                throw Parser.ParseError(
+                  s"""BADCURSOR: cannot parse old-style cursor "$shown"""", 0)
+              }
+            }
             val inj = new Injected
             val c = inj.inject(c0)
             val df = ReadPlanner.plan(store, c)
@@ -1214,6 +1342,14 @@ object SessionHarness {
               }
             }
             (s"ok $prefix".trim, true)
+          } else if (verb.equalsIgnoreCase("iterate")) {
+            // `iterate (...)`: walks the constraint's iterator for its
+            // side effects (index warming) and answers a bare ok
+            // (graphd-request-run.c:322; 100x100 golden)
+            val c0 = ReadPlanner.normalizeVars(Parser.parseRead(
+              "read " + cmd.trim.stripPrefix(verb)))
+            ReadPlanner.plan(store, c0).count()
+            ("ok ", true) // the reference prints "ok " (trailing space)
           } else (errLine("SYNTAX", s"'$verb': no such request"), true)
         } catch {
           case e: Writer.WriteError =>
@@ -1225,6 +1361,8 @@ object SessionHarness {
               (errLine("SYNTAX", m.stripPrefix("SYNTAX: ")), true)
             else if (m.startsWith("LEXICAL: "))
               (errLine("LEXICAL", m.stripPrefix("LEXICAL: ")), true)
+            else if (m.startsWith("BADCURSOR: "))
+              (errLine("BADCURSOR", m.stripPrefix("BADCURSOR: ")), true)
             else (errLine("SEMANTICS", m), true)
           case e: Throwable =>
             rollbackTicks()
@@ -1241,6 +1379,7 @@ object SessionHarness {
       graft.plan.Cursor.renderGuid = id => graft.model.Guid.render(id)
       graft.plan.Cursor.parseGuidId =
         h => graft.model.Guid.parse(h).map(_._2).getOrElse(0L)
+      graft.plan.Cursor.refIterCursor = None
     }
   }
 

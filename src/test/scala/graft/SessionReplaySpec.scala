@@ -80,7 +80,8 @@ class SessionReplaySpec extends AnyFunSuite {
     "david_5", "david_6", "david_8",
     "guid2", "version3", "version7", "trailer", "trailer2", "anchor2",
     "anchor3", "anchor4", "keyburn2", "keyburn6",
-    "dbname", "brendan3", "david_4").foreach { n =>
+    "dbname", "brendan3", "david_4", "cursor2", "cursor5",
+    "100x100", "david_1").foreach { n =>
     test(s"replay reference session $n")(replaySession(n))
   }
 }
