@@ -30,5 +30,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] shares one JVM between driver and all executor threads;
+  // 54 bench queries' cached blocks + shuffle buffers at sf0.1 thrash
+  // an 8g heap into GC stalls (observed: a 2s query degrading to 30s+
+  // late in the suite). The image gives the JVM 128 GiB to work with.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -1,7 +1,7 @@
 package graft.graph
 
 import org.apache.spark.graphx.{Edge, Graph, VertexId}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -114,15 +114,78 @@ object Analytics {
     labels
   }
 
-  /** store-level components over current nodes/links via the
-    * DataFrame delta iteration. The GraphX Pregel path above is the
-    * default (its fused supersteps win on a warm vertex/edge cache);
-    * this variant keeps everything in Catalyst/AQE — useful when the
-    * pipeline around it is DataFrame-native or when frontier skew
-    * wants AQE's runtime re-planning.
+  /** Connected components by union-find contraction — the fastest of
+    * the three variants and the one the bench runs.
+    *
+    * Level k: each partition runs an in-memory disjoint-set union over
+    * its edge block with union-by-min (the smaller root wins), then
+    * emits one (node → root) spanning-forest pair per distinct node it
+    * saw. That contracts a block of E edges to ≤ V_block pairs while
+    * preserving "root = min id seen so far", so unioning pairs across
+    * levels keeps converging on the global min of each component.
+    * Levels repeat with the partition count divided by `fanIn` until
+    * one block remains; the last block's DSU yields the final labels.
+    *
+    * Work is O(E α(V)) total across ~log_fanIn(P) rounds — no
+    * per-round full-graph shuffle, no diameter dependence (label
+    * propagation pays a round per hop the min label must travel; this
+    * pays a round per contraction level). At cluster scale the first
+    * level runs on every input split in parallel and each level
+    * shrinks data ~E/V-fold, the same shape as GraphFrames' big-star
+    * contraction. mapPartitions is warranted here: DSU is genuinely
+    * per-partition imperative state with no declarative equivalent.
+    */
+  def connectedComponentsDSU(nodes: DataFrame, edges: DataFrame,
+      fanIn: Int = 16): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+
+    // one DSU pass over each partition of (a,b) pairs → (node, root)
+    def contract(pairs: Dataset[(Long, Long)]): Dataset[(Long, Long)] =
+      pairs.mapPartitions { it =>
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x0: Long): Long = {
+          var x = x0
+          var p = parent.getOrDefault(x, x)
+          while (p != x) { // path halving
+            val gp = parent.getOrDefault(p, p)
+            parent.put(x, gp); x = gp; p = parent.getOrDefault(x, x)
+          }
+          x
+        }
+        def union(a: Long, b: Long): Unit = {
+          val ra = find(a); val rb = find(b)
+          if (ra < rb) parent.put(rb, ra)
+          else if (rb < ra) parent.put(ra, rb)
+        }
+        it.foreach { case (a, b) =>
+          parent.putIfAbsent(a, a); parent.putIfAbsent(b, b); union(a, b)
+        }
+        val out = Vector.newBuilder[(Long, Long)]
+        parent.keySet.forEach(k => out += (k -> find(k)))
+        out.result().iterator
+      }
+
+    var forest = contract(edges.select(col("left").as("a"), col("right").as("b"))
+      .as[(Long, Long)])
+    var parts = forest.rdd.getNumPartitions
+    while (parts > 1) {
+      parts = math.max(1, parts / fanIn)
+      forest = contract(forest.repartition(parts))
+    }
+    val roots = forest.toDF("id", "component")
+    // isolated vertices (no edges) are their own component
+    nodes.join(roots, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
+  /** store-level components over current nodes/links via union-find
+    * contraction (see connectedComponentsDSU). The GraphX Pregel and
+    * DataFrame delta-iteration variants above remain for pipelines
+    * that want a vertex-program or pure-Catalyst formulation.
     */
   def connectedComponentsStore(store: GraphStore): DataFrame =
-    connectedComponentsDF(
+    connectedComponentsDSU(
       store.nodes.select(col("id")),
       store.links.filter(col("right").isNotNull).select(col("left"), col("right")))
 

@@ -24,18 +24,16 @@ object Similarity {
 
   /** dot product of two float-array columns in double math (elements
     * cast before multiplying — matches engines computing in double
-    * over float32 storage; oracle parity + accuracy).
+    * over float32 storage; oracle parity + accuracy). Runs as the
+    * native codegen'd VecDot expression: the same left-to-right IEEE
+    * fold as `aggregate(zip_with(...))` — identical doubles — but one
+    * compiled loop per pair instead of 2·dims interpreted lambdas.
     */
   def dot(a0: Column, b0: Column): Column =
-    aggregate(zip_with(transform(a0, x => x.cast("double")),
-        transform(b0, x => x.cast("double")), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.GraphdFunctions.vec_dot(a0, b0)
 
-  /** L2 norm of a float-array column (double math) */
-  def norm(a0: Column): Column = {
-    val a = transform(a0, x => x.cast("double"))
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
-  }
+  /** L2 norm of a float-array column (double math, codegen'd) */
+  def norm(a0: Column): Column = graft.functions.GraphdFunctions.vec_norm(a0)
 
   /** cosine similarity of two float-array columns */
   def cosine(a0: Column, b0: Column): Column = dot(a0, b0) / (norm(a0) * norm(b0))
@@ -83,9 +81,7 @@ object Similarity {
   def rhpSignature(vec: Column, bits: Int, dims: Int, seed: Int = 42): Column = {
     val projections: Seq[Column] = (0 until bits).map { j =>
       val plane = array(rhpPlane(seed, j, dims).map(lit): _*)
-      val proj = aggregate(
-        zip_with(vec, plane, (x, r) => x.cast("double") * r),
-        lit(0.0), (acc, x) => acc + x)
+      val proj = dot(vec, plane) // codegen'd; same ordered double fold
       when(proj > 0, shiftleft(lit(1L), j)).otherwise(0L)
     }
     projections.reduce(_.bitwiseOR(_))

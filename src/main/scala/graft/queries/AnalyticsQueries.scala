@@ -44,7 +44,7 @@ object AnalyticsQueries extends QueryPack {
     QueryDef("a02_connected_components",
       (s, dir) => {
         val st = GraphAdapter.store(s, dir)
-        Analytics.connectedComponents(st)
+        Analytics.connectedComponentsStore(st)
           .groupBy(col("component")).agg(count(lit(1)).as("n"))
       },
       Some("""SELECT 1000000 AS component,

@@ -28,12 +28,19 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(comp(6L) == 6L)
   }
 
-  test("DataFrame delta-iteration components agree with GraphX") {
+  test("delta-iteration and union-find components agree with GraphX") {
+    import org.apache.spark.sql.functions.col
     val gx = Analytics.connectedComponents(fx).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val df = Analytics.connectedComponentsStore(fx).collect()
+    val nodes = fx.nodes.select(col("id"))
+    val edges = fx.links.filter(col("right").isNotNull)
+      .select(col("left"), col("right"))
+    val delta = Analytics.connectedComponentsDF(nodes, edges).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(df == gx)
+    val dsu = Analytics.connectedComponentsStore(fx).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(delta == gx)
+    assert(dsu == gx)
   }
 
   test("k-hop walks both link directions with exact hop counts") {
