@@ -269,6 +269,25 @@ final case class GraphStore(spark: SparkSession, primitives: DataFrame,
       .withColumn("id_part", shiftright(col("id"), PartShift).cast("int"))
       .repartition(col("id_part"))
       .write.mode(SaveMode.Overwrite).partitionBy("id_part").parquet(path)
+
+  /** Persist bucketed by a linkage column — the cluster-scale layout
+    * for the gmap/VIP fan-in joins (SURVEY.md §1.4, §2.1): two tables
+    * bucketed+sorted on the same key sort-merge-join with NO exchange
+    * and no per-query sort, the Spark analog of the reference's
+    * pre-sorted gmap id-arrays (libpdb/pdb-iterator-gmap.c). Registered
+    * through the catalog because bucketing metadata lives there; `path`
+    * keeps the data external. Typical use: one copy bucketed by `left`,
+    * one by `right`, maintained alongside the id-partitioned primary
+    * (the reference likewise pays 4 gmap indexes per primitive).
+    */
+  def saveBucketed(table: String, path: String, key: String = "left",
+      buckets: Int = 64): Unit =
+    primitives.filter(col(key).isNotNull)
+      .write.mode(SaveMode.Overwrite)
+      .option("path", path)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
 }
 
 object GraphStore {

@@ -142,4 +142,35 @@ class StoreSpec extends AnyFunSuite {
       .collect()
     assert(p2.map(_.getAs[String]("value")).toSeq == Seq("v4", "v5"))
   }
+
+  test("bucketed save: equi-join on the bucket key plans with no exchange") {
+    import graft.model.Primitive.link
+    val prims = (1L to 8L).map(i => node(i, value = Some(s"n$i"))) ++
+      (1L to 16L).map(i => link(100 + i, left = 1 + (i % 8), right = Some(1 + ((i + 3) % 8))))
+    val st = GraphStore.fromSeq(spark, prims)
+    val base = Files.createTempDirectory("graft_bucketed").toString
+    st.saveBucketed("prims_by_left", s"$base/by_left", key = "left", buckets = 4)
+
+    val wasAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val wasBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // force the sort-merge path: broadcast would win on this toy size,
+    // but the property under test is the cluster-scale join shape
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val t1 = spark.table("prims_by_left").select(col("left"), col("id"))
+      val t2 = spark.table("prims_by_left")
+        .select(col("left"), col("id").as("id2"))
+      val joined = t1.join(t2, "left")
+      // both sides bucketed+sorted on the key: sort-merge join with
+      // neither an Exchange nor a per-query Sort on either side
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+      assert(joined.count() == 16 * 2) // each left appears twice per side
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", wasAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", wasBcast)
+      spark.sql("DROP TABLE IF EXISTS prims_by_left")
+    }
+  }
 }
