@@ -16,6 +16,9 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS) which the vectorized
       // reader rejects; read as Long nanos (queries normalize).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // JVM case mapping (see Bench.scala): ASCII/Latin-1-identical to
+      // ICU, without Spark 4.1's contended ICU hot path
+      .config("spark.sql.icu.caseMappings.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -256,23 +256,33 @@ object Analytics {
   }
 
   /** k-hop neighborhood via iterative DataFrame self-joins (each hop is
-    * one equi-join on the link table — Catalyst plans/broadcasts it;
-    * undirected expansion like the reference's linkage traversal).
+    * a pair of directional equi-join probes on the link table —
+    * Catalyst broadcasts the frontier; undirected expansion like the
+    * reference's linkage traversal).
+    *
+    * Probing the (memory-resident) link table directly in both
+    * directions is the dataflow form of the reference's gmap left/right
+    * index lookups — it avoids building and caching a doubled symmetric
+    * edge copy that a point-source traversal would only graze. At
+    * cluster scale the two probes read the same bucketed linkage table
+    * that fan-in joins use, so no extra materialization there either.
     */
   def kHop(store: GraphStore, sources: Seq[Long], k: Int): DataFrame = {
-    // undirected expansion over a symmetric (node, nbr) table built
-    // once — one broadcast join per hop instead of two directional ones
-    val sym = symmetricAdjacency(store.links.filter(col("right").isNotNull)
-      .select(col("left"), col("right")))
+    val links = store.links.filter(col("right").isNotNull)
+      .select(col("left"), col("right"))
     val spark = store.spark
     import spark.implicits._
     var frontier = sources.toDF("id").withColumn("hops", lit(0))
     var seen = frontier
     for (h <- 1 to k) {
       // frontier and the seen-set are tiny relative to the link table:
-      // broadcast them so each hop is a map-side join over links
-      val next = sym.join(broadcast(frontier), frontier("id") === sym("node"))
-        .select(col("nbr").as("id")).distinct()
+      // broadcast them so each hop is a map-side probe over links
+      val f = broadcast(frontier.select(col("id")))
+      val next = links.join(f, links("left") === f("id"))
+        .select(col("right").as("id"))
+        .unionByName(links.join(f, links("right") === f("id"))
+          .select(col("left").as("id")))
+        .distinct()
         .join(broadcast(seen.select("id")), Seq("id"), "left_anti")
         .withColumn("hops", lit(h))
         .localCheckpoint() // truncate the growing iterative plan

@@ -74,6 +74,13 @@ object Dedup {
     val shK = capped.filter(col("df") >= 2).select("id", "sh")
     val sizes = capped.groupBy("id").agg(count(lit(1)).as("n_sh"))
 
+    // Direct join-and-count: one self-join on the shingle key feeding
+    // one partial-aggregated groupBy — intersection counts materialize
+    // as aggregate state, never as a candidate-pair table. With the
+    // df cap bounding per-key fan-out to C(maxDf,2), this is the
+    // cheapest exact formulation; corpora whose pair density survives
+    // the cap go through minhashLshPairs instead (the sub-quadratic
+    // scale path).
     val a = shK.as("a"); val b = shK.as("b")
     val inter = a.join(b, col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
