@@ -166,12 +166,16 @@ object Analytics {
         out.result().iterator
       }
 
+    // materialize the first contraction: the edge plan may be
+    // arbitrarily expensive (e.g. a similarity self-join feeding
+    // dedup clustering), and both the level loop below and the final
+    // label join would otherwise re-evaluate it once per reference
     var forest = contract(edges.select(col("left").as("a"), col("right").as("b"))
-      .as[(Long, Long)])
+      .as[(Long, Long)]).localCheckpoint()
     var parts = forest.rdd.getNumPartitions
     while (parts > 1) {
       parts = math.max(1, parts / fanIn)
-      forest = contract(forest.repartition(parts))
+      forest = contract(forest.repartition(parts)).localCheckpoint()
     }
     val roots = forest.toDF("id", "component")
     // isolated vertices (no edges) are their own component
@@ -208,7 +212,8 @@ object Analytics {
     * GraphX's internal formulation is not — so this variant is the one
     * wired into the DuckDB oracle gate.
     */
-  def pageRankDF(store: GraphStore, iters: Int, reset: Double = 0.15): DataFrame = {
+  def pageRankDF(store: GraphStore, iters: Int, reset: Double = 0.15,
+      materializeRounds: Boolean = false): DataFrame = {
     // weighted edges (src, dst, 1/outdeg) computed ONCE and cached —
     // the per-iteration plan is then a single join + aggregation; the
     // same pre-join a cluster deployment would bake into a bucketed
@@ -235,18 +240,25 @@ object Analytics {
     // shuffle, and the full rank vector materializes exactly once at
     // the end. (The "push contributions" formulation of static
     // PageRank; same arithmetic per edge as the naive loop.)
-    var inSum = cedges
-      .groupBy("dst").agg(sum(lit(1.0) / col("od")).as("in_sum"))
-      .localCheckpoint() // round 1: every rank is 1.0
+    // The rounds compose into ONE lazy plan: each round's in-sum feeds
+    // the next round through a broadcast-exchange subtree, so the whole
+    // iteration executes as a single query (broadcasts materialize
+    // bottom-up inside it) instead of `iters` driver-blocking
+    // materializations. Five rounds keep the logical tree small enough
+    // that analysis cost is negligible; unbounded iteration counts
+    // would reintroduce a checkpoint every ~10 rounds.
+    def mat(df: DataFrame): DataFrame =
+      if (materializeRounds) df.localCheckpoint() else df
+    var inSum = mat(cedges
+      .groupBy("dst").agg(sum(lit(1.0) / col("od")).as("in_sum")))
     for (_ <- 2 to iters) {
       val asRank = inSum.select(col("dst").as("src"),
         (lit(reset) + lit(1 - reset) * col("in_sum")).as("pagerank"))
-      inSum = cedges
+      inSum = mat(cedges
         .join(broadcast(asRank), Seq("src"), "left_outer")
         .select(col("dst"),
           (coalesce(col("pagerank"), lit(reset)) / col("od")).as("c"))
-        .groupBy("dst").agg(sum(col("c")).as("in_sum"))
-        .localCheckpoint()
+        .groupBy("dst").agg(sum(col("c")).as("in_sum")))
     }
     val verts = store.nodes.select(col("id"))
     verts.join(broadcast(inSum), verts("id") === inSum("dst"), "left_outer")

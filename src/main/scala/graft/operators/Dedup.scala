@@ -155,22 +155,18 @@ object Dedup {
     * surviving representative (min id) per cluster. The standard final
     * stage of corpus dedup — transitive closure matters because
     * near-duplication chains (A≈B≈C with A!≈C) must collapse to one
-    * survivor. GraphX runs the component computation; every document
-    * appears in the output (singletons are their own cluster).
+    * survivor. Union-find contraction (Analytics.connectedComponentsDSU)
+    * runs the component computation — pair sets are tiny relative to the
+    * corpus, so contraction converges in one or two levels; every
+    * document appears in the output (singletons are their own cluster).
     */
   def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8, maxDf: Int = 1000): DataFrame = {
-    val spark = df.sparkSession
-    import org.apache.spark.graphx.{Edge, Graph, VertexId}
-    import spark.implicits._
     val pairs = ngramJaccardPairs(df, idCol, textCol, n, threshold, maxDf)
-    val edges = pairs.select("id_a", "id_b").rdd
-      .map(r => Edge(r.getLong(0): VertexId, r.getLong(1): VertexId, 0))
-    val verts = df.select(col(idCol).cast("long")).rdd
-      .map(r => (r.getLong(0): VertexId, r.getLong(0)))
-    val comp = Graph(verts, edges, 0L).connectedComponents()
-      .vertices.map { case (id, c) => (id, c) }
-      .toDF(idCol, "cluster")
+    val comp = graft.graph.Analytics.connectedComponentsDSU(
+        df.select(col(idCol).cast("long").as("id")),
+        pairs.select(col("id_a").as("left"), col("id_b").as("right")))
+      .withColumnRenamed("id", idCol).withColumnRenamed("component", "cluster")
     comp.withColumn("keep", col(idCol) === col("cluster"))
   }
 
