@@ -259,7 +259,12 @@ object Parser {
               case Some(TOp(op, _)) =>
                 next()
                 if (word.equalsIgnoreCase("sort") && op == "=")
-                  c = c.copy(sort = c.sort ++ parseSortKeys())
+                  // the "sort" flag records that sort= was written even
+                  // when the key list is empty — `sort=()` normalizes
+                  // to a guid sort (graphd-sort-compile.c:86), which
+                  // cursor signatures must see (sort3)
+                  c = c.copy(sort = c.sort ++ parseSortKeys(),
+                    setFlags = c.setFlags + "sort")
                 else
                   c = applyKeyword(c, word, op, parseRhs(), pos)
               case _ =>

@@ -47,10 +47,21 @@ object Cursor {
   /** replay-harness hook: emit the reference's SIGNED iterator cursor
     * for an unsorted page instead of the engine token. Args: root
     * constraint (cursorTok still attached when resuming), snapshot
-    * horizon, [o:] offset consumed, page size. None = engine format.
+    * horizon, [o:] offset consumed, page size, the page's row ids
+    * (ps+1 probed — one past the page when more rows follow).
+    * None = engine format.
     */
   @volatile var refIterCursor:
-      Option[(graft.gql.Constraint, Long, Long, Long) => Option[String]] = None
+      Option[(graft.gql.Constraint, Long, Long, Long, Seq[Long]) => Option[String]] = None
+
+  /** replay-harness hook: mint a CHILD-level positioned cursor (a
+    * subconstraint with `result=(cursor ...)` and pagesize — the
+    * reference freezes the per-parent fan-in set as a fixed iterator,
+    * cursor6.sh). Args: the subconstraint (cursorTok attached when
+    * resuming) and the parent's full ordered candidate id list.
+    */
+  @volatile var refChildCursor:
+      Option[(graft.gql.Constraint, Seq[Long]) => String] = None
 
   /** guid wire rendering/parsing hooks — the session replay harness
     * swaps these for the reference database-id forms
@@ -126,7 +137,14 @@ object Cursor {
     val fixed = """^fixed:(\d+)(?::([\d,]*))?/(\d+)/?.*$""".r
     val gmap = """^gmap:(\d+)-(\d+):\w+->\d+/(\d+)/?$""".r
     val hmap = """^hmap:(\d+)-(\d+):\w+:\w+:\d+:.*?/(\d+)/?$""".r
+    // subtractive iterator (without.sh): producer minus checker with a
+    // trailing frozen-state suffix; resume is positional over the
+    // producer (the all-iterator id space)
+    val without = """^without:\(all:(\d+)-(\d+)\)#\(.*?\)/(\d+)/.*$""".r
     s match {
+      case without(lo, hi, pos) =>
+        Token(pos.toLong, if (horizon != Long.MaxValue) horizon else hi.toLong,
+          Nil, offset)
       case all(lo, hi, pos) =>
         Token(pos.toLong, if (horizon != Long.MaxValue) horizon else hi.toLong,
           Nil, offset)

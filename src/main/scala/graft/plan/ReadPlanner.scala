@@ -36,7 +36,15 @@ object ReadPlanner {
     * the visible id range before anything else (time travel,
     * doc/gr-protocol.txt:203-221).
     */
+  /** the root cursor token minted by the most recent plan() on this
+    * thread — read by renderers for pages with no rows to carry the
+    * "cursor" column (a pagesize=0 read still answers a positioned
+    * cursor, brendan4.sh)
+    */
+  @volatile var lastRootCursorTok: Option[String] = None
+
   def plan(store: GraphStore, root: Constraint): DataFrame = {
+    lastRootCursorTok = None
     // write-only keywords are rejected in reads, like the reference's
     // semantic phase (anchor.sh: `read (key=())` answers SYNTAX)
     def rejectWriteOnly(c: Constraint): Unit = {
@@ -730,7 +738,12 @@ object ReadPlanner {
 
     def contentsStructOf(df: DataFrame): Column = struct(
       col("__ord") +:
-        resultFields(store, sub).map { case (n, e) => e.as(n) }: _*)
+        resultFields(store, sub).map { case (n, e) =>
+          // child-level cursor: per-parent minted token (see below)
+          if (n == "cursor" && df.columns.contains("__childcur"))
+            col("__childcur").as(n)
+          else e.as(n)
+        }: _*)
 
     val resultNames = resultFields(store, sub).map(_._1)
     // per-row leaves of a list-var pattern, positionally (the renderer
@@ -790,7 +803,31 @@ object ReadPlanner {
       case Some(ChildPointsToParent(f)) =>
         // child is a link whose `f` endpoint is the parent (fan-in —
         // the reference's linksto join, graphd-iterator-linksto.c).
-        val child = ranked(child0.filter(col(f).isNotNull), f)
+        // A child-level resume cursor drops the consumed candidates
+        // before ranking (cursor6: `(<- cursor="fixed:..." ...)`).
+        val childTok = sub.cursorTok.map(graft.plan.Cursor.decode)
+        val child0r = childTok
+          .filter(t => t.lastId != Long.MinValue && t.lastId != Long.MaxValue)
+          .map(t => child0.filter(col("id") > t.lastId))
+          .getOrElse(child0)
+        var child = ranked(child0r.filter(col(f).isNotNull), f)
+        // child `result=(cursor ...)`: mint the per-parent positioned
+        // token over the full ordered candidate set via the
+        // harness-installed hook; engine runs carry null (the root
+        // keyset cursor is the engine's own pagination surface)
+        val wantsChildCursor =
+          sub.result.exists(p => flatten(p).contains(CursorPat))
+        if (wantsChildCursor && graft.plan.Cursor.refChildCursor.isDefined) {
+          val subRef = sub
+          val mint = udf((ids: Seq[Long]) =>
+            graft.plan.Cursor.refChildCursor.get.apply(subRef, ids))
+          val full = collect_list(col("id")).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col(f)).orderBy(col("__ord"))
+              .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                org.apache.spark.sql.expressions.Window.unboundedFollowing))
+          child = child.withColumn("__childcur", mint(full))
+        }
         val aggCols: Seq[Column] =
           Seq(count(lit(1)).as(s"__count_$i"),
             contentsAgg(child).as(s"__contents_$i")) ++
@@ -1238,7 +1275,8 @@ object ReadPlanner {
           val ids = preLimit.select(col("id")).limit(ps.toInt + 1).collect()
           if (ids.length <= ps) "null:"
           else graft.plan.Cursor.refIterCursor
-            .flatMap(h => h(c, cursorHorizon(), off, ps))
+            .flatMap(h => h(c, cursorHorizon(), off, ps,
+              ids.map(_.getLong(0)).toSeq))
             .getOrElse(graft.plan.Cursor.encode(graft.plan.Cursor.Token(
               ids(ps.toInt - 1).getLong(0), cursorHorizon(), Nil, off + ps)))
         } else {
@@ -1265,6 +1303,7 @@ object ReadPlanner {
       case (n, e) if n != "cursor" => e.as(n)
     }
     val shaped = out.select(cols: _*)
+    lastRootCursorTok = cursorTok
     cursorTok.map(t => shaped.withColumn("cursor", lit(t))).getOrElse(shaped)
   }
 }

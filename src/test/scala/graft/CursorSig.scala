@@ -32,9 +32,20 @@ object CursorSig {
 
   /** graphd_constraint_signature port for the constructs the golden
     * sessions exercise. `renderGuid` maps engine ids to the session's
-    * wire guids.
+    * wire guids. `resolveType` (when given) replays
+    * graphd_read_convert_types: at read/cursor time, string `type=`
+    * constraints have already been converted into typeguid guid-sets,
+    * which the signature renders under the PDB linkage name "type"
+    * (libpdb/pdb-linkage.c:21 linkage_name) alongside the other
+    * linkages; unresolvable names drop out of the set.
     */
-  def signature(c: Constraint, renderGuid: Long => String): String = {
+  /** `asSub`: sign the constraint as a subconstraint — the reference
+    * signs child cursors against the child's own constraint, which has
+    * a parent and so renders with its linkage parens (cursor6).
+    */
+  def signature(c: Constraint, renderGuid: Long => String,
+      resolveType: Option[String => Option[Long]] = None,
+      asSub: Boolean = false): String = {
     val sb = new StringBuilder
     def sep(): Unit = {
       if (sb.nonEmpty && !"(= \t".contains(sb.last)) sb.append(' ')
@@ -65,7 +76,9 @@ object CursorSig {
       if (p.values.isEmpty) s"$name${op}null"
       else if (p.values.length == 1 || !writeValue) {
         p.values.head match {
-          case None => s"$name$op(null)"
+          // a bare `value=null` parses to an empty constraint queue in
+          // the reference (strcon_head == NULL) and signs as "=null"
+          case None => s"$name${op}null"
           case Some(v) =>
             if (writeValue) s"$name$op\"$v\"" else s"$name$op\"...\""
         }
@@ -104,8 +117,12 @@ object CursorSig {
           case None => sb.append("(")
         }
       }
-      c.typePreds.foreach(vals =>
-        add(strPred("type", StrPred(OpEq, vals), writeValue = true)))
+      // with a type resolver, string types are already guid-sets by
+      // signature time (graphd-read.c graphd_read_convert_types) and
+      // render with the linkages below
+      if (resolveType.isEmpty)
+        c.typePreds.foreach(vals =>
+          add(strPred("type", StrPred(OpEq, vals), writeValue = true)))
       c.name.foreach(p => add(strPred("name", p, writeValue = true)))
       c.value.foreach(p => add(strPred("value", p, writeValue = false)))
       c.datatype.foreach(dt =>
@@ -122,10 +139,24 @@ object CursorSig {
         case DontCare => add("live=*")
       }
       c.result.foreach(p => add("result=" + patternStr(p)))
-      if (c.sort.nonEmpty) {
-        val items = c.sort.map(sk =>
-          (if (sk.ascending) "" else "-") + patternStr(sk.pat))
-        add("sort=" + items.mkString("(", ", ", ")"))
+      // sort clause after graphd_sort_compile normalization
+      // (graphd-sort-compile.c:66-140): `sort=()` → (guid); a list is
+      // truncated at its first guid key; a guid-free list gets a
+      // trailing guid tiebreak; a single bare guid key stays unwrapped
+      if (c.sort.nonEmpty || c.setFlags("sort")) {
+        def isGuid(sk: SortKey) = sk.pat == FieldPat("guid")
+        def str(sk: SortKey) =
+          (if (sk.ascending) "" else "-") + patternStr(sk.pat)
+        if (c.sort.length == 1 && isGuid(c.sort.head))
+          add("sort=" + str(c.sort.head))
+        else {
+          val (pre, rest) = c.sort.span(sk => !isGuid(sk))
+          val norm = pre ++ rest.headOption.toSeq
+          val items =
+            if (norm.lastOption.exists(isGuid)) norm
+            else norm :+ SortKey(FieldPat("guid"), ascending = true)
+          add("sort=" + items.map(str).mkString("(", ", ", ")"))
+        }
       }
       c.countlimit.filter(cl => !c.pagesize.contains(cl))
         .foreach(cl => add(s"countlimit=$cl"))
@@ -144,9 +175,22 @@ object CursorSig {
       guidCon("guid", c.guid)
       guidCon("next", c.next)
       guidCon("previous", c.previous)
-      // linkage guid constraints in PDB order: typeguid right left scope
-      Seq("typeguid", "right", "left", "scope").foreach { f =>
-        c.linkFields.get(f).foreach(preds => guidCon(f, preds))
+      // linkage guid constraints in PDB order with PDB display names
+      // (libpdb/pdb-linkage.c:21: "type", "right", "left", "scope");
+      // resolved string types merge into the typeguid slot
+      val typeGuidsFromNames: Seq[GuidPred] = resolveType.toSeq.flatMap { rt =>
+        c.typePreds.map { vals =>
+          GuidPred(include = true, serials = vals.collect {
+            case None => None
+            case Some(n) if rt(n).isDefined => rt(n).map(identity)
+          })
+        }
+      }
+      Seq("typeguid" -> "type", "right" -> "right", "left" -> "left",
+          "scope" -> "scope").foreach { case (f, shown) =>
+        val preds = (if (f == "typeguid") typeGuidsFromNames else Nil) ++
+          c.linkFields.getOrElse(f, Nil)
+        if (preds.nonEmpty) guidCon(shown, preds)
       }
       if (c.timestampMin.isDefined || c.timestampMax.isDefined) {
         (c.timestampMin, c.timestampMax) match {
@@ -175,7 +219,7 @@ object CursorSig {
       c.subs.foreach(walk(_, isRoot = false))
       if (!isRoot) sb.append(")")
     }
-    walk(c, isRoot = true)
+    walk(c, isRoot = !asSub)
     sb.toString
   }
 }

@@ -496,7 +496,10 @@ object SessionHarness {
     * column is excluded from its slot and appended last by shapeRoot).
     */
   private final class Renderer(inj: Injected, g: Long => String,
-      rootC: Option[Constraint] = None) {
+      rootC: Option[Constraint] = None,
+      // root cursor token for pages with no rows to carry it
+      // (pagesize=0 still answers a positioned cursor — brendan4)
+      rootCursorTok: Option[String] = None) {
 
     /** the assignment pattern behind a variable, wherever it was
       * declared in the tree — with the constraint that owns it
@@ -637,7 +640,9 @@ object SessionHarness {
                   "(" + joinElems(es) + ")"
                 }
               case CursorPat if rows.isEmpty && root =>
-                Seq(quote("null:")) // empty page still answers a cursor
+                // empty page still answers a cursor — positioned when
+                // pagesize=0 left candidates unconsumed, else "null:"
+                Seq(quote(rootCursorTok.getOrElse("null:")))
               case other =>
                 if (rows.isEmpty) Nil
                 else tupleElems(Seq(other), c, rows.head, off, root,
@@ -648,8 +653,11 @@ object SessionHarness {
           }
           "(" + joinElems(elems) + ")"
         case Some(single) => // bare pattern: first row / set value, no parens
-          // an empty optional set renders the null VALUE (nullcontent)
-          if (rows.isEmpty) "null"
+          // an empty optional set renders the null VALUE (nullcontent);
+          // a bare cursor result still answers the minted token
+          if (rows.isEmpty && root && single == CursorPat)
+            quote(rootCursorTok.getOrElse("null:"))
+          else if (rows.isEmpty) "null"
           else joinElems(tupleElems(Seq(single), c, rows.head, 0, root,
             injected = false)._1)
         case None => "()"
@@ -742,27 +750,128 @@ object SessionHarness {
     Writer.refBootstrap = true
     // cursor tokens render/parse guids in the reference wire space
     graft.plan.Cursor.renderGuid = refGuid
-    // signed iterator cursors for guid-set pages (cursor5): the fixed
-    // iterator over the set's serials, checksummed against the
-    // constraint signature
-    graft.plan.Cursor.refIterCursor = Some { (c, horizon, off, ps) =>
-      c.guid.find(p => p.include && !p.lineage)
-        .map(_.serials.flatten).filter(_.nonEmpty).map { ours =>
-        val serials = ours.map(_ - 1)
-        val posIn = c.cursorTok.flatMap(tk =>
-          """/(\d+)/""".r.findFirstMatchIn(tk).map(_.group(1).toLong))
-          .getOrElse(0L)
-        val pos = posIn + ps
-        val body = s"[o:${off + ps}][n:$horizon]" +
-          s"fixed:${serials.length}:${serials.mkString(",")}/$pos/"
-        val sig = CursorSig.signature(c.copy(cursorTok = None), refOfHook)
+    // signed iterator cursors (graphd-constraint-cursor.c): mint the
+    // reference's `cursor:XXXX:[o:..][n:..]<frozen iterator>` wire
+    // form. Resumes advance the incoming iterator body positionally;
+    // fresh cursors pick the iterator the reference's planner picks —
+    // fixed for guid sets (cursor5), gmap for a pure typed read
+    // (brendan4), the all-iterator otherwise (sort3, without).
+    graft.plan.Cursor.refIterCursor = Some { (c, horizon, off, ps, pageIds) =>
+      val consumed = if (ps == 0) 1L else math.min(ps, pageIds.length).toLong
+      val oOut = off + consumed
+      // [n:] = con_high when the constraint's iterator bounds the id
+      // space (a gmap's hi), else the primitive count
+      // (graphd-read-set-cursor.c:55-60)
+      def signed(iterBody: String, n: Long = horizon): String = {
+        val body = s"[o:$oOut][n:$n]$iterBody"
+        val sig = CursorSig.signature(c.copy(cursorTok = None), refOfHook,
+          Some(nm => store.resolveTypeIds(Seq(nm)).headOption))
         f"cursor:${CursorSig.check(sig, body)}%04x:$body"
+      }
+      // strip `cursor:XXXX:` signature and [o:][n:] from an incoming
+      // token, leaving the raw frozen-iterator body
+      def iterBodyOf(raw0: String): String = {
+        var s = raw0
+        if (s.startsWith("cursor:")) {
+          val r = s.stripPrefix("cursor:"); val i = r.indexOf(':')
+          if (i >= 0) s = r.substring(i + 1)
+        }
+        """^(\[[on]:\d+\])+""".r.replaceFirstIn(s, "")
+      }
+      // advance the LAST /<pos>/ field (iterator position) by the
+      // candidates consumed this page
+      def advance(body: String): String = {
+        val re = """/(\d+)/""".r
+        val ms = re.findAllMatchIn(body).toSeq
+        if (ms.isEmpty) body
+        else {
+          val m = ms.last
+          body.substring(0, m.start) + "/" + (m.group(1).toLong + consumed) +
+            "/" + body.substring(m.end)
+        }
+      }
+      val incoming = c.cursorTok.map(iterBodyOf)
+      incoming match {
+        case Some(b) if Seq("all:", "fixed:", "gmap:", "without:")
+            .exists(b.startsWith) =>
+          // resumes carry the frozen iterator's own hi bound forward
+          val hi = """^(?:without:\()?(?:all|gmap):(\d+)-(\d+)""".r
+            .findFirstMatchIn(b).map(_.group(2).toLong)
+          Some(signed(advance(b), hi.getOrElse(horizon)))
+        case Some(_) => None // unrecognized family: engine token
+        case None =>
+          val guidSet = c.guid.find(p => p.include && !p.lineage)
+            .map(_.serials.flatten).filter(_.nonEmpty)
+          val typeOnly = c.typePreds.nonEmpty && c.guid.isEmpty &&
+            c.linkFields.isEmpty && c.name.isEmpty && c.value.isEmpty &&
+            c.subs.isEmpty
+          guidSet match {
+            case Some(ours) =>
+              val serials = ours.map(_ - 1)
+              Some(signed(
+                s"fixed:${serials.length}:${serials.mkString(",")}/$consumed/"))
+            case None if typeOnly =>
+              // typeguid-postings (gmap) iterator: lo = first posting
+              // serial, hi = last+1, keyed by the type node's serial
+              val tids = store.resolveTypeIds(c.typePreds.flatMap(_.flatten))
+              tids.headOption.flatMap { tid =>
+                val posts = store.current
+                  .filter(col("typeguid") === tid)
+                  .select(col("id")).orderBy(col("id"))
+                  .collect().map(_.getLong(0))
+                if (posts.isEmpty) None
+                else Some(signed(
+                  s"gmap:${posts.head - 1}-${posts.last}:t->${tid - 1}/$consumed/",
+                  n = posts.last))
+              }
+            case None =>
+              // all-iterator over [0, n): position = serial one past
+              // the last candidate consumed
+              val pos =
+                if (pageIds.nonEmpty) pageIds(consumed.toInt - 1) else consumed
+              Some(signed(s"all:0-$horizon/$pos/"))
+          }
       }
     }
     graft.plan.Cursor.parseGuidId =
       h => (java.lang.Long.parseUnsignedLong(h.substring(16), 16) &
         0x3FFFFFFFFL) + 1
     var lastId = 0L // highest allocated id == the reference's horizon
+    // child-level cursors: the reference freezes the per-parent fan-in
+    // candidate set as a fixed iterator signed against the CHILD
+    // constraint (cursor6). Fresh mints freeze the full ordered set;
+    // resumes advance the incoming body's position.
+    graft.plan.Cursor.refChildCursor = Some { (sub, ids) =>
+      val ps = sub.pagesize.map(_.toInt).getOrElse(Int.MaxValue)
+      val consumed = math.min(ps, ids.length)
+      def sign(iterBody: String): String = {
+        val body = s"[o:$consumed][n:$lastId]$iterBody"
+        val sig = CursorSig.signature(sub.copy(cursorTok = None), refOfHook,
+          Some(nm => store.resolveTypeIds(Seq(nm)).headOption), asSub = true)
+        f"cursor:${CursorSig.check(sig, body)}%04x:$body"
+      }
+      if (consumed >= ids.length) "null:"
+      else sub.cursorTok match {
+        case Some(raw) =>
+          var b = raw
+          if (b.startsWith("cursor:")) {
+            val r = b.stripPrefix("cursor:"); val i = r.indexOf(':')
+            if (i >= 0) b = r.substring(i + 1)
+          }
+          b = """^(\[[on]:\d+\])+""".r.replaceFirstIn(b, "")
+          val re = """/(\d+)/""".r
+          val ms = re.findAllMatchIn(b).toSeq
+          val adv = if (ms.isEmpty) b else {
+            val m = ms.last
+            b.substring(0, m.start) + "/" + (m.group(1).toLong + consumed) +
+              "/" + b.substring(m.end)
+          }
+          sign(adv)
+        case None =>
+          val serials = ids.map(_ - 1)
+          sign(s"fixed:${serials.length}:${serials.mkString(",")}/$consumed/")
+      }
+    }
     // every write stacks another union on the primitives plan; long
     // sessions (100+ writes) pay the whole tree on every read unless
     // the lineage is truncated periodically
@@ -977,13 +1086,15 @@ object SessionHarness {
                 val given = Integer.parseInt(rest.take(4), 16)
                 val body = rest.substring(colon + 1)
                 val sig = CursorSig.signature(c0.copy(cursorTok = None),
-                  refOfHook)
+                  refOfHook,
+                  Some(n => store.resolveTypeIds(Seq(n)).headOption))
                 val expect = CursorSig.check(sig, body)
                 if (expect != given)
                   throw Parser.ParseError(
                     f"""BADCURSOR: cursor "$raw%s" and checksum $expect%04x don't match""", 0)
               } else if (!Seq("cursor:", "sort:", "null:", "all:", "fixed:",
                   "gmap:", "hmap:", "isa:", "linksto:", "and:", "or:", "vip:",
+                  "without:",
                   "prefix:", "[o:", "[n:").exists(raw.startsWith) &&
                   !(try new String(java.util.Base64.getUrlDecoder.decode(raw))
                       .startsWith("graft:")
@@ -997,6 +1108,8 @@ object SessionHarness {
             val inj = new Injected
             val c = inj.inject(c0)
             val df = ReadPlanner.plan(store, c)
+            // capture before the bounds-check replans (which resets it)
+            val rootTok = ReadPlanner.lastRootCursorTok
             val rows = df.collect()
             // root count bounds assert on the MATCH count before
             // paging (count2: count=0 value="twin" errors EMPTY even
@@ -1019,7 +1132,7 @@ object SessionHarness {
             else {
               // empty pages still render the pattern frame (a cursor
               // element answers "null:" — dateline-2/3)
-              val r = new Renderer(inj, refOf, Some(c))
+              val r = new Renderer(inj, refOf, Some(c), rootTok)
               (okLine(r.renderResult(c, rows.toSeq, root = true)), c0.sort.nonEmpty)
             }
           } else if (verb == "dump") {
@@ -1380,6 +1493,7 @@ object SessionHarness {
       graft.plan.Cursor.parseGuidId =
         h => graft.model.Guid.parse(h).map(_._2).getOrElse(0L)
       graft.plan.Cursor.refIterCursor = None
+      graft.plan.Cursor.refChildCursor = None
     }
   }
 

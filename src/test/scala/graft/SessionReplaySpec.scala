@@ -81,7 +81,8 @@ class SessionReplaySpec extends AnyFunSuite {
     "guid2", "version3", "version7", "trailer", "trailer2", "anchor2",
     "anchor3", "anchor4", "keyburn2", "keyburn6",
     "dbname", "brendan3", "david_4", "cursor2", "cursor5",
-    "100x100", "david_1").foreach { n =>
+    "100x100", "david_1",
+    "sort3", "without", "brendan4", "cursor6").foreach { n =>
     test(s"replay reference session $n")(replaySession(n))
   }
 }
