@@ -71,6 +71,14 @@ case object ContentsPat extends Pattern
 case object CountPat extends Pattern
 case object CursorPat extends Pattern
 case object EstimateCountPat extends Pattern
+/** set-level iterator dump (graphd-iterator-dump.c): the frozen
+  * iterator's type and statistics as nested lists
+  */
+case object IteratorPat extends Pattern
+/** set-level cost estimate (graphd-read-set-estimate.c:28):
+  * ("string" is-sorted check-cost next-cost n)
+  */
+case object EstimatePat extends Pattern
 case object NonePat extends Pattern
 final case class VarPat(name: String) extends Pattern
 final case class ListPat(items: Seq[Pattern]) extends Pattern

@@ -400,6 +400,8 @@ object Parser {
           case "count" => CountPat
           case "cursor" => CursorPat
           case "estimate-count" => EstimateCountPat
+          case "iterator" => IteratorPat
+          case "estimate" => EstimatePat
           case "none" => NonePat
           case "literal" =>
             if (!peek.exists { case TOp("=", _) => true; case _ => false })
@@ -721,7 +723,8 @@ object Parser {
               items.foreach(checkPat(_, depth + 1))
             // per-SET instructions live at the top level only
             // (countabunch: result=((count cursor)) is a syntax error)
-            case CountPat | CursorPat | EstimateCountPat if depth >= 2 =>
+            case CountPat | CursorPat | EstimateCountPat | IteratorPat |
+                 EstimatePat if depth >= 2 =>
               throw ParseError("SYNTAX: 'count', 'cursor', 'estimate', " +
                 "'estimate-count', 'iterator', or 'timeout' can only appear " +
                 "inside at most one set of parentheses", pos)
@@ -748,6 +751,8 @@ object Parser {
                 case "none" => NonePat
                 case "cursor" => CursorPat
                 case "estimate-count" => EstimateCountPat
+                case "iterator" => IteratorPat
+                case "estimate" => EstimatePat
                 case other => throw ParseError(s"unknown result '$other'", pos)
               }))
             case RList(vs) =>
@@ -759,6 +764,8 @@ object Parser {
                 case Some("none") => NonePat
                 case Some("cursor") => CursorPat
                 case Some("estimate-count") => EstimateCountPat
+                case Some("iterator") => IteratorPat
+                case Some("estimate") => EstimatePat
                 case other => throw ParseError(s"unknown result item '$other'", pos)
               })))
             case _ => throw ParseError("bad result pattern", pos)

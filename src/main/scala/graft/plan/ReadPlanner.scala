@@ -207,6 +207,8 @@ object ReadPlanner {
           case CountPat => err("cannot sort by count")
           case CursorPat => err("cannot sort by cursor")
           case EstimateCountPat => err("cannot sort by estimate-count")
+          case EstimatePat => err("cannot sort by estimate")
+          case IteratorPat => err("cannot sort by iterator")
           case LiteralPat(s, _) => err(s"""cannot sort by \"$s\"""")
           case _ => ()
         }
@@ -225,6 +227,8 @@ object ReadPlanner {
       case CountPat => "count"
       case CursorPat => "cursor"
       case EstimateCountPat => "estimate-count"
+      case IteratorPat => "iterator"
+      case EstimatePat => "estimate"
       case NonePat => "none"
       case ListPat(items) => items.map(renderPat).mkString("(", " ", ")")
       case PickPat(items) => items.map(renderPat).mkString("pick(", " ", ")")
@@ -983,6 +987,9 @@ object ReadPlanner {
         // __contents_i column; they also can't contribute contents
         contributingSubs(c).map(i => s"contents_$i" -> col(s"__contents_$i"))
       case (CursorPat, _) => Seq("cursor" -> lit(null)) // filled at root
+      // set-level iterator/estimate dumps carry no row columns — the
+      // session renderer derives them from the constraint (iterator1)
+      case (IteratorPat | EstimatePat, _) => Nil
       case (p, idx) => Seq(patName(p, idx) -> fieldExpr(store, p, c))
     }
     // a pattern can name the same leaf twice (sort13: ($x1 ($x1 value)))
@@ -1022,12 +1029,18 @@ object ReadPlanner {
       // `type` echoes the type node's NAME (substring2/atleast goldens:
       // `result=((value type))` prints the written type string); the
       // raw guid is the `typeguid` pattern below
+      // a typeguid whose node has no resolvable name displays as
+      // "#<guid>" (rerestore golden) — emitted here as a marker the
+      // session renderer rewrites into the wire guid space
+      val unnamed = concat(lit("# "), col("typeguid").cast("string"))
       val tn = store.typeNamesById
-      if (tn.isEmpty) lit(null).cast("string")
+      if (tn.isEmpty)
+        when(col("typeguid").isNull, lit(null).cast("string"))
+          .otherwise(unnamed)
       else when(col("typeguid").isNull, lit(null).cast("string"))
-        .otherwise(element_at(
+        .otherwise(coalesce(element_at(
           map(tn.flatMap { case (id, n) => Seq(lit(id), lit(n)) }: _*),
-          col("typeguid")))
+          col("typeguid")), unnamed))
     case FieldPat("typeguid") => col("typeguid")
     case FieldPat("valuetype") | FieldPat("datatype") => col("datatype")
     case FieldPat("generation") =>

@@ -245,7 +245,17 @@ object SessionHarness {
       }
       inStr
     }
+    // a LEXICAL failure detected mid-request resynchronizes one line
+    // late: the reference's input buffer has already pulled the next
+    // line when the error fires, and it is discarded with the broken
+    // request (nonsense.in: the `bc: 87 bytes` line answers nothing)
+    var lexClosePending = false
     for (l <- body if l.nonEmpty) {
+      if (lexClosePending) {
+        lexClosePending = false
+        cur.append(" " + l)
+        cmds += cur.toString; cur = new StringBuilder
+      } else
       if (l.startsWith(EchoMark) || l.startsWith(ConfMark) ||
           l == ResetMark || l == QuietOn || l == QuietOff) { // markers stand alone
         if (cur.nonEmpty) { cmds += cur.toString; cur = new StringBuilder }
@@ -291,6 +301,22 @@ object SessionHarness {
         // line begins a new request (newline.sh)
         else if (inOpenString(cur.toString) || balanced(cur.toString)) {
           cmds += cur.toString; cur = new StringBuilder
+        }
+        // a LEXICAL failure (invalid token) resynchronizes at
+        // end-of-line no matter what follows — nonsense.in: an
+        // unterminated `write (...` whose body hits a stray ','
+        // must not swallow the rest of the log. SEMANTICS-broken
+        // prefixes keep joining until balance or a fresh verb line
+        // (micro.sh R03/R14/R17 vs R13/R19).
+        else if ({
+          try { graft.gql.Parser.parseRead(splitModifiers(cur.toString)._3); false }
+          catch {
+            case e: graft.gql.Parser.ParseError =>
+              e.getMessage.contains("invalid token")
+            case _: Throwable => false
+          }
+        }) {
+          lexClosePending = true
         }
       }
     }
@@ -499,7 +525,9 @@ object SessionHarness {
       rootC: Option[Constraint] = None,
       // root cursor token for pages with no rows to carry it
       // (pagesize=0 still answers a positioned cursor — brendan4)
-      rootCursorTok: Option[String] = None) {
+      rootCursorTok: Option[String] = None,
+      // primitive count for iterator/estimate dumps (iterator1)
+      iterN: Long = 0L) {
 
     /** the assignment pattern behind a variable, wherever it was
       * declared in the tree — with the constraint that owns it
@@ -545,8 +573,29 @@ object SessionHarness {
     private def widthOf(p: Pattern, c: Constraint, root: Boolean): Int = p match {
       case ContentsPat => graft.plan.ReadPlanner.contributingSubs(c).length
       case CursorPat => if (root) 0 else 1
+      case IteratorPat | EstimatePat => 0 // derived, no row columns
       case ListPat(items) => items.map(widthOf(_, c, root)).sum
       case _ => 1
+    }
+
+    /** set-level iterator/estimate dumps (graphd-iterator-dump.c,
+      * graphd-read-set-estimate.c): reproduced for the all-iterator —
+      * an unconstrained read over [0, n) — which is what the golden
+      * sessions exercise (iterator1); other access paths answer null.
+      */
+    private def iterDump(p: Pattern): String = {
+      val allIter = rootC.exists(c => c.guid.isEmpty && c.typePreds.isEmpty &&
+        c.linkFields.isEmpty && c.name.isEmpty && c.value.isEmpty &&
+        c.subs.isEmpty && c.orBranches.isEmpty)
+      val n = iterN
+      if (!allIter || n <= 0) "null"
+      else p match {
+        case IteratorPat =>
+          s"""(("all" 0 ${n - 1}) (("n" $n) ("check-cost" 1) """ +
+            s"""("next-cost" 1) ("find-cost" 0) ("low" 0) ("high" $n) "forward"))"""
+        case _ =>
+          s"""("all[0...$n: $n]" true 1 1 $n)"""
+      }
     }
 
     private def fieldValue(f: String, row: Row, i: Int,
@@ -556,6 +605,10 @@ object SessionHarness {
         case "guid" | "typeguid" | "left" | "right" | "scope" |
              "previous" | "prev" | "next" =>
           if (v == null) "null" else g(v.asInstanceOf[Long])
+        // nameless type node: "#<guid>" in the wire space (rerestore)
+        case "type" if v != null &&
+            v.asInstanceOf[String].startsWith("# ") =>
+          quote("#" + g(v.asInstanceOf[String].substring(2).toLong))
         case "datatype" => // name form ("string", "null", ...)
           if (v == null) "null" else Datatype.name(v.asInstanceOf[Number].byteValue)
         case "valuetype" => // numeric form (valuetype.sh: ("1" 1 null))
@@ -597,6 +650,7 @@ object SessionHarness {
             Seq(genericValue(if (row.isNullAt(i)) null else row.get(i), g))
           case CountPat | EstimateCountPat =>
             Seq(if (row.isNullAt(i)) "null" else row.get(i).toString)
+          case IteratorPat | EstimatePat => Seq(iterDump(p))
           case CursorPat =>
             if (root) { // appended by shapeRoot under the name "cursor"
               val ci = row.schema.fieldNames.indexOf("cursor")
@@ -1132,7 +1186,7 @@ object SessionHarness {
             else {
               // empty pages still render the pattern frame (a cursor
               // element answers "null:" — dateline-2/3)
-              val r = new Renderer(inj, refOf, Some(c), rootTok)
+              val r = new Renderer(inj, refOf, Some(c), rootTok, lastId)
               (okLine(r.renderResult(c, rows.toSeq, root = true)), c0.sort.nonEmpty)
             }
           } else if (verb == "dump") {
@@ -1308,7 +1362,10 @@ object SessionHarness {
               case _ => None
             }
             def targetOf(h: String): Option[Long] =
-              newRev.get(h).orElse(idOfHex.get(h))
+              // a truncating restore starts from an empty store — the
+              // previous epoch's guid mappings don't name anything in
+              // it (rerestore: identical restore replayed from 0)
+              newRev.get(h).orElse(if (truncating) None else idOfHex.get(h))
                 .filter(_ < 0x4000000000000000L) // sentinels aren't prims
                 .orElse {
                   if (!wRestored && h.startsWith(RefDb))
@@ -1331,7 +1388,9 @@ object SessionHarness {
                     // ids are pre-allocated serial+1 across the whole
                     // window, so FORWARD references resolve (chris5)
                     if (s < hi || s + 1 <= origLast) Some(s + 1) else None
-                  } else newRev.get(h).orElse(idOfHex.get(h)).orElse {
+                  } else newRev.get(h)
+                    .orElse(if (truncating) None else idOfHex.get(h))
+                    .orElse {
                     // cross-database reference: restores verbatim with
                     // no local primitive behind it (pdb stores whole
                     // guids) — back it with a sentinel id

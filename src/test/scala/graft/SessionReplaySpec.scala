@@ -82,7 +82,8 @@ class SessionReplaySpec extends AnyFunSuite {
     "anchor3", "anchor4", "keyburn2", "keyburn6",
     "dbname", "brendan3", "david_4", "cursor2", "cursor5",
     "100x100", "david_1",
-    "sort3", "without", "brendan4", "cursor6").foreach { n =>
+    "sort3", "without", "brendan4", "cursor6", "iterator1",
+    "rerestore", "nonsense", "chris6").foreach { n =>
     test(s"replay reference session $n")(replaySession(n))
   }
 }
