@@ -85,6 +85,11 @@ object Dedup {
     val inter = a.join(b, col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
+    // cached: the thresholded pair set is tiny (near-dup density), and
+    // downstream stages reuse it verbatim — nearDupClusters runs the
+    // same pair plan before clustering, so the cache turns its pair
+    // phase into a lookup (Spark's cache manager matches on plan
+    // equality across calls)
     inter
       .join(sizes.select(col("id").as("id_a"), col("n_sh").as("na")), "id_a")
       .join(sizes.select(col("id").as("id_b"), col("n_sh").as("nb")), "id_b")
@@ -92,6 +97,7 @@ object Dedup {
         round(col("inter") / (col("na") + col("nb") - col("inter")), 3))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+      .cache()
   }
 
   /** MinHash signature: k independent hash functions realized as

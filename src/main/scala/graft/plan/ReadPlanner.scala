@@ -1241,9 +1241,15 @@ object ReadPlanner {
     // determinism — only when ordering is observable (explicit sort,
     // paging, or a cursor): an unconditional global sort costs a
     // shuffle stage on every point read for an order nobody consumes
+    // session replay (refIterCursor hook set) always orders by id: the
+    // reference's unsorted production order IS the istore/index id
+    // order, and set-level values (contents splicing, variable
+    // bubbling) read the first row. Engine/bench paths keep unsorted
+    // reads exchange-free.
     val needsOrder = c.sort.nonEmpty || c.pagesize.isDefined ||
       c.start.isDefined || c.cursorTok.isDefined ||
-      flatten(pat).contains(CursorPat)
+      flatten(pat).contains(CursorPat) ||
+      graft.plan.Cursor.refIterCursor.isDefined
     if (needsOrder) {
       // a sort under the NUMBER comparator is produced by the number
       // vrange iterator, which only walks number bins — rows whose

@@ -39,12 +39,30 @@ final case class GraphStore(spark: SparkSession, primitives: DataFrame,
   /** the mirror filtered to the current (newest live) view */
   lazy val currentLocal: Option[Vector[graft.model.Primitive]] =
     localRows.map { rows =>
+      // the lineage grouping only matters once a prev-chain exists —
+      // an unversioned store (the overwhelmingly common write-path
+      // case) short-circuits to a flat live filter, keeping per-write
+      // mirror lookups O(n) instead of O(n log n) with hashing
+      // (david_2.sh: 20k writes would otherwise pay a full groupBy
+      // per request)
       val base =
-        if (versioned)
+        if (versioned && rows.exists(_.prev.isDefined))
           rows.groupBy(_.lineage).valuesIterator
             .map(_.maxBy(_.id)).toVector.sortBy(_.id)
         else rows
       base.filter(_.live)
+    }
+
+  /** allocation-free pass over the current view of the mirror — the
+    * write path probes the store once or twice per request, and
+    * materializing a fresh filtered Vector each time dominates bulk
+    * ingest; an unversioned mirror streams straight off localRows
+    */
+  def currentLocalIter: Option[Iterator[graft.model.Primitive]] =
+    localRows.map { rows =>
+      if (versioned && rows.exists(_.prev.isDefined))
+        currentLocal.get.iterator
+      else rows.iterator.filter(_.live)
     }
 
   /** Default visibility: current (newest) live versions only —
@@ -303,6 +321,23 @@ object GraphStore {
     */
   def load(spark: SparkSession, path: String): GraphStore =
     GraphStore(spark, spark.read.parquet(path))
+
+  private lazy val primSchema =
+    org.apache.spark.sql.Encoders.product[graft.model.Primitive].schema
+
+  /** DataFrame over a driver-local mirror WITHOUT eager row encoding:
+    * `seq.toDS()` encodes every row at construction, which makes a
+    * write-heavy session quadratic (each of N appends re-encodes all
+    * rows so far — david_2's 20k writes). This defers conversion to
+    * query execution; pure-write stretches pay nothing for the frame.
+    */
+  private lazy val primEncoder =
+    org.apache.spark.sql.graft.bridge.resolveEncoder(
+      org.apache.spark.sql.Encoders.product[graft.model.Primitive])
+
+  def lazyLocalDf(spark: SparkSession,
+      rows: Vector[graft.model.Primitive]): DataFrame =
+    org.apache.spark.sql.graft.bridge.deferredLocalDf(spark, rows, primEncoder)
 
   def fromSeq(spark: SparkSession, ps: Seq[Primitive]): GraphStore = {
     import spark.implicits._

@@ -54,7 +54,8 @@ object Writer {
 
   /** next dense id — the reference's istore append cursor */
   def nextId(store: GraphStore): Long = store.localRows match {
-    case Some(rows) => rows.iterator.map(_.id).maxOption.getOrElse(0L) + 1L
+    case Some(rows) =>
+      var m = 0L; rows.foreach(p => if (p.id > m) m = p.id); m + 1L
     case None =>
       store.primitives.agg(coalesce(max(col("id")), lit(0L))).head.getLong(0) + 1L
   }
@@ -158,10 +159,11 @@ object Writer {
     import store.spark.implicits._
     store.localRows match {
       case Some(existing) =>
-        // mirror-backed store: rebuild one flat LocalRelation from the
-        // mirror — no union tree to grow, no Spark job to append
+        // mirror-backed store: the frame is a LAZY view over the mirror
+        // — appends never re-encode prior rows (a 20k-write session
+        // would otherwise be quadratic in encoder work, david_2.sh)
         val all = existing ++ rows
-        (store.copy(primitives = all.toDS().toDF(),
+        (store.copy(primitives = GraphStore.lazyLocalDf(store.spark, all),
           localRows = Some(all)), rows.map(_.id))
       case None =>
         // allowMissingColumns: a persisted store carries the id_part
@@ -225,7 +227,7 @@ object Writer {
     * carries the reference bootstrap (graphd_type_bootstrap_read)
     */
   private def bootCore(st: GraphStore): Option[(Long, Long, Long)] = {
-    val m: Map[String, Long] = st.currentLocal match {
+    val m: Map[String, Long] = st.currentLocalIter match {
       case Some(rows) =>
         val names = Set(Boot.CoreScope, Boot.RootNs, Boot.HasKey)
         rows.filter(p => p.left.isEmpty && p.name.exists(names))
@@ -263,11 +265,12 @@ object Writer {
     * equal) names the node on its right
     */
   private def refTypeId(st: GraphStore, hasKey: Long, name: String): Option[Long] =
-    st.currentLocal match {
+    st.currentLocalIter match {
       case Some(rows) =>
-        rows.filter(p => p.typeguid.contains(hasKey) && p.left.isDefined &&
+        // mirror rows are id-ordered, so the first match is the lowest
+        rows.find(p => p.typeguid.contains(hasKey) && p.left.isDefined &&
             p.right.isDefined && p.value.exists(_.equalsIgnoreCase(name)))
-          .sortBy(_.id).headOption.flatMap(_.right)
+          .flatMap(_.right)
       case None => st.current
         .filter(col("typeguid") === hasKey && col("left").isNotNull &&
           col("right").isNotNull && lower(col("value")) === name.toLowerCase)
@@ -680,10 +683,15 @@ object Writer {
     collect(root)
     if (refs.nonEmpty) {
       val wanted = refs.map(_._2).distinct.toSeq
-      val present = store.primitives
-        .filter(org.apache.spark.sql.functions.col("id")
-          .isin(wanted.map(Long.box): _*))
-        .select("id").collect().map(_.getLong(0)).toSet
+      val present: Set[Long] = store.localRows match {
+        case Some(rows) => // mirror probe: no Spark job on the write path
+          val want = wanted.toSet
+          rows.iterator.map(_.id).filter(want).toSet
+        case None => store.primitives
+          .filter(org.apache.spark.sql.functions.col("id")
+            .isin(wanted.map(Long.box): _*))
+          .select("id").collect().map(_.getLong(0)).toSet
+      }
       refs.find(r => !present(r._2)).foreach { case (f, s) =>
         throw WriteError("SEMANTICS", s"$f=$s: not found")
       }
