@@ -66,8 +66,23 @@ object Dedup {
     * score is unbiased within that universe rather than silently
     * deflated by frequent shingles counted in sizes but not overlaps.
     */
+  // memoized per (input plan, args): the pair computation is the
+  // expensive stage shared by the pairwise report and the clustering
+  // operator, and returning the SAME DataFrame instance guarantees the
+  // cached materialization is reused (plan-canonicalization equality
+  // across separately-built self-join plans is not reliable)
+  private val pairMemo = scala.collection.concurrent.TrieMap
+    .empty[(Int, String, String, Int, Double, Int), DataFrame]
+
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.8, maxDf: Int = 1000): DataFrame = {
+      n: Int = 3, threshold: Double = 0.8, maxDf: Int = 1000): DataFrame =
+    pairMemo.getOrElseUpdate(
+      (df.queryExecution.analyzed.semanticHash(), idCol, textCol, n,
+        threshold, maxDf),
+      ngramJaccardPairsUncached(df, idCol, textCol, n, threshold, maxDf))
+
+  private def ngramJaccardPairsUncached(df: DataFrame, idCol: String,
+      textCol: String, n: Int, threshold: Double, maxDf: Int): DataFrame = {
     val sh = shingleSet(df, idCol, textCol, n).cache()
     val dfTab = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     val capped = sh.join(dfTab.filter(col("df") <= maxDf), "sh")
@@ -117,9 +132,21 @@ object Dedup {
     * `bands` groups of k/bands rows, bucket-join on (band, hash of
     * band slice), then verify candidates with exact Jaccard.
     */
+  private val lshMemo = scala.collection.concurrent.TrieMap
+    .empty[(Int, String, String, Int, Int, Int, Double), DataFrame]
+
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 64, bands: Int = 16,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8): DataFrame =
+    lshMemo.getOrElseUpdate(
+      (df.queryExecution.analyzed.semanticHash(), idCol, textCol, n, k,
+        bands, threshold),
+      minhashLshPairsUncached(df, idCol, textCol, n, k, bands, threshold)
+        .cache())
+
+  private def minhashLshPairsUncached(df: DataFrame, idCol: String,
+      textCol: String, n: Int, k: Int, bands: Int,
+      threshold: Double): DataFrame = {
     val sig = minhashSignatures(df, idCol, textCol, n, k)
     val rowsPerBand = k / bands
     val banded = sig.select(col("id"),
@@ -201,8 +228,17 @@ object Dedup {
     * one of d+1 (guaranteed recall; the pigeonhole trick behind
     * chunked simhash search). maxDist=3 gives 4 chunks of 15 bits.
     */
+  private val simhashMemo = scala.collection.concurrent.TrieMap
+    .empty[(Int, String, String, Int), DataFrame]
+
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3): DataFrame =
+    simhashMemo.getOrElseUpdate(
+      (df.queryExecution.analyzed.semanticHash(), idCol, textCol, maxDist),
+      simhashPairsUncached(df, idCol, textCol, maxDist).cache())
+
+  private def simhashPairsUncached(df: DataFrame, idCol: String,
+      textCol: String, maxDist: Int): DataFrame = {
     val sig = simhash(df, idCol, textCol)
     val nChunks = math.min(maxDist + 1, 60)
     val bounds = (0 to nChunks).map(i => i * 60 / nChunks)
