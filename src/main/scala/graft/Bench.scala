@@ -97,28 +97,29 @@ object Bench {
 
     // optional comma-separated filter for bisection/debugging
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
-    // best-of-2 per query: the box shares a virtualized host whose CPU
-    // availability swings ±2-3x between runs (observed on identical
-    // binaries), and a single-shot timing folds that noise plus any
-    // residual one-time codegen into whichever query it lands on. The
-    // minimum of two back-to-back runs is the standard steady-state
-    // estimator under external noise.
+    // best-of-N per query, reps taken as FULL PASSES over the suite
+    // (not back-to-back): the box shares a virtualized host whose CPU
+    // availability stalls in multi-second bursts (observed ±2-3x on
+    // identical binaries). Back-to-back reps land inside the same
+    // burst; a later full pass samples each query at a different wall
+    // time, so the minimum sheds both the noise and any residual
+    // one-time codegen.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-      .map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).count(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
-          }
-        val secs = (System.nanoTime() - t0) / 1e9
-        if (ok) secs else -1.0
-      }
-      name -> (if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0)
+    val best = scala.collection.mutable.LinkedHashMap
+      .empty[String, Double] ++= queries.map(_._1 -> -1.0)
+    for (_ <- 1 to reps; (name, fn) <- queries) {
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+        }
+      val secs = (System.nanoTime() - t0) / 1e9
+      if (ok && (best(name) < 0 || secs < best(name))) best(name) = secs
     }
+    val results = best.toSeq
     // drop the per-query plan caches (shingle sets, adjacency, etc.)
     // before the serving measurements: the throughput section should
     // run against a quiet executor, the way the reference's steady-
