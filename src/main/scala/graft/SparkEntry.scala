@@ -15,7 +15,8 @@ import graft.queries._
 object SparkEntry {
 
   private val packs: Seq[QueryPack] =
-    Seq(Relational, GraphQueries, PipelineQueries, AnalyticsQueries)
+    Seq(Relational, GraphQueries, PipelineQueries, AnalyticsQueries,
+      WriteQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
     * rows>0. A full engine pass: GQL text → parser → constraint tree →

@@ -1,0 +1,241 @@
+package graft.write
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.{Datatype, Primitive}
+import graft.store.GraphStore
+
+/** MERGE-shaped bulk upserts — the batch analog of the reference's
+  * declarative write keywords `key=(fields)` (insert / no-op / version-
+  * the-diff, doc/gr-protocol.txt:744-813, graphd/graphd-key.c) and
+  * `unique=(fields)` (insert-if-absent, doc/gr-protocol.txt:661-743).
+  *
+  * The per-request path (`Writer.writeKeyed`/`writeUnique`) runs one
+  * embedded read per request — the reference's shape, right for a
+  * protocol session, wrong for ingest: loading N records costs N plans.
+  * This operator is the 100 TB shape: ONE key-normalized join of the
+  * incoming batch against the store's current view classifies every
+  * record (insert / unchanged / version) in a single pass, then one
+  * dense id-assignment (per-partition offsets, no global sort) and one
+  * append. Semantics per record match the sequential path exactly:
+  *
+  *  - key matching uses the same comparator normalization as the
+  *    per-request reads ("A   B" matches "A B" under `default` —
+  *    test/unit/spacematch golden), expressed as a join on sort_key
+  *    columns so Catalyst plans a plain (null-safe) equi-join;
+  *  - among several key-equal existing candidates the LOWEST id wins
+  *    (the reference's embedded key-read returns index order);
+  *  - a column absent from the incoming frame is UNSPECIFIED: it never
+  *    triggers versioning and writes as null, exactly like a template
+  *    that omits the field (octet golden: restating only the key
+  *    fields of a primitive that carries extras is a no-op);
+  *  - identity compares name/value/typeguid/left/right (+ datatype
+  *    when a value is specified) — scope/flags don't version, same as
+  *    `Writer.keyedApply`;
+  *  - versions point `prev` at the matched current head and inherit
+  *    its lineage; inserts root their own lineage.
+  *
+  * Duplicate keys inside one batch: sequential application would chain
+  * intermediate versions; the batch collapses each key to its LAST
+  * occurrence (by `seqCol` when given), producing the same final
+  * current view without the intermediate rows. With no `seqCol` the
+  * batch is assumed key-distinct (checked only by the caller).
+  */
+object BulkMerge {
+
+  /** outcome frame column: "inserted" | "unchanged" | "versioned" |
+    * "exists" (mergeUnique only)
+    */
+  val OutcomeCol = "outcome"
+
+  /** identity-participating fields, in Spec order */
+  private val IdentityFields = Seq("name", "value", "typeguid", "left", "right")
+  private val LongFields = Set("typeguid", "left", "right", "scope", "prev")
+  private val AllKeyFields =
+    Set("name", "value", "typeguid", "left", "right", "scope", "datatype")
+
+  final case class Result(store: GraphStore, outcomes: DataFrame,
+      inserted: Long, unchanged: Long, versioned: Long, existing: Long)
+
+  /** Bulk `key=(fields)` upsert. `incoming` columns are primitive
+    * fields (any subset of name/value/datatype/typeguid/left/right/
+    * scope/live/archival); extra columns are carried through to the
+    * outcome frame untouched. Returns the merged store plus one
+    * outcome row per (deduped) incoming record: the original columns,
+    * `outcome`, and `matched_id` (the existing head for unchanged/
+    * versioned rows, null for inserts).
+    */
+  def mergeKeyed(store: GraphStore, incoming: DataFrame,
+      keyFields: Seq[String], comparator: String = "default",
+      seqCol: Option[String] = None): Result =
+    run(store, incoming, keyFields, comparator, seqCol, unique = false)
+
+  /** Bulk `unique=(fields)`: insert-if-absent. Records whose unique
+    * cluster already exists get outcome "exists" (the batch report of
+    * the per-request EXISTS error) and write nothing.
+    */
+  def mergeUnique(store: GraphStore, incoming: DataFrame,
+      fields: Seq[String], comparator: String = "default",
+      seqCol: Option[String] = None): Result =
+    run(store, incoming, fields, comparator, seqCol, unique = true)
+
+  private def run(store: GraphStore, incoming: DataFrame,
+      keyFields: Seq[String], comparator: String,
+      seqCol: Option[String], unique: Boolean): Result = {
+    import graft.functions.GraphdFunctions.sort_key
+    val spark = store.spark
+    import spark.implicits._
+
+    keyFields.foreach(f => require(AllKeyFields(f),
+      s"bad unique/key field $f"))
+    val specified = incoming.columns.toSet
+
+    // -- normalize the batch to the full primitive column set ---------
+    def inCol(f: String, dflt: Column): Column =
+      (if (specified(f)) col(f) else dflt).as(s"__in_$f")
+    var in = incoming.select(
+      (incoming.columns.map(col) :+
+        inCol("name", lit(null).cast("string")) :+
+        inCol("value", lit(null).cast("string")) :+
+        inCol("datatype",
+          when(inColRaw(incoming, "value").isNotNull,
+            lit(Datatype.String)).otherwise(lit(Datatype.Null))
+            .cast("byte")) :+
+        inCol("typeguid", lit(null).cast("long")) :+
+        inCol("left", lit(null).cast("long")) :+
+        inCol("right", lit(null).cast("long")) :+
+        inCol("scope", lit(null).cast("long")) :+
+        inCol("live", lit(true)) :+
+        inCol("archival", lit(true))): _*)
+
+    def keyOf(prefix: String)(f: String): Column = {
+      val c = col(s"$prefix$f")
+      if (f == "name" || f == "value") sort_key(c, comparator) else c
+    }
+
+    // duplicate keys in the batch → last occurrence wins (final state)
+    if (seqCol.isDefined && keyFields.nonEmpty) {
+      val w = Window.partitionBy(keyFields.map(keyOf("__in_")): _*)
+        .orderBy(col(seqCol.get).desc)
+      in = in.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
+
+    // -- existing candidates: lowest current id per key ---------------
+    val curCols = Seq("id", "lineage") ++ IdentityFields :+ "datatype"
+    val cur = store.current.select(curCols.distinct.map(c =>
+      col(c).as(s"__ex_$c")): _*)
+    val candidates =
+      if (keyFields.isEmpty) null
+      else {
+        val w = Window.partitionBy(keyFields.map(keyOf("__ex_")): _*)
+          .orderBy(col("__ex_id").asc)
+        cur.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      }
+
+    val joined =
+      if (keyFields.isEmpty) {
+        // key=() declares no identity: every record inserts fresh
+        // (keyburn6 golden) — synthesize an unmatched join shape
+        curCols.distinct.foldLeft(in) { (df, c) =>
+          val t = if (c == "name" || c == "value") "string"
+            else if (c == "datatype") "byte" else "long"
+          df.withColumn(s"__ex_$c", lit(null).cast(t))
+        }
+      } else {
+        val cond = keyFields.map(f =>
+          keyOf("__in_")(f) <=> keyOf("__ex_")(f)).reduce(_ && _)
+        in.join(candidates, cond, "left")
+      }
+
+    // -- classify ------------------------------------------------------
+    // identity per Writer.keyedApply: only fields the batch SPECIFIES
+    // participate; string fields compare comparator-normalized
+    def fieldSame(f: String): Column =
+      if (!specified(f)) lit(true)
+      else if (f == "name" || f == "value")
+        sort_key(col(s"__in_$f"), comparator) <=>
+          sort_key(col(s"__ex_$f"), comparator)
+      else col(s"__in_$f") <=> col(s"__ex_$f")
+    val dtSame =
+      if (!specified("value")) lit(true)
+      else when(col("__in_value").isNull, lit(true))
+        .otherwise(col("__ex_datatype") === col("__in_datatype"))
+    val identical = IdentityFields.map(fieldSame).reduce(_ && _) && dtSame
+
+    val classified = joined.withColumn(OutcomeCol,
+      when(col("__ex_id").isNull, lit("inserted"))
+        .when(lit(unique), lit("exists"))
+        .when(identical, lit("unchanged"))
+        .otherwise(lit("versioned")))
+
+    val outcomes = classified.select(
+      (incoming.columns.map(col) :+ col(OutcomeCol) :+
+        col("__ex_id").as("matched_id")): _*)
+
+    // -- build + append the new rows ----------------------------------
+    val ts = batchTimestamp()
+    val newRows = classified
+      .filter(col(OutcomeCol).isin("inserted", "versioned"))
+      .select(
+        lit(0L).as("id"),
+        col("__in_typeguid").as("typeguid"),
+        col("__in_name").as("name"),
+        col("__in_datatype").as("datatype"),
+        col("__in_value").as("value"),
+        col("__in_scope").as("scope"),
+        col("__in_live").as("live"),
+        col("__in_archival").as("archival"),
+        lit(false).as("txstart"),
+        lit(ts).as("timestamp"),
+        col("__in_left").as("left"),
+        col("__in_right").as("right"),
+        when(col(OutcomeCol) === "versioned", col("__ex_id")).as("prev"),
+        coalesce(when(col(OutcomeCol) === "versioned", col("__ex_lineage")),
+          lit(-1L)).as("lineage"))
+      .as[Primitive]
+
+    // dense id assignment without a global sort: zipWithIndex runs one
+    // count pass for per-partition offsets, then stamps ids in place —
+    // the distributed rendition of the istore append cursor
+    val base = Writer.nextId(store)
+    val assigned = spark.createDataset(
+      newRows.rdd.zipWithIndex().map { case (p, i) =>
+        val id = base + i
+        p.copy(id = id, txstart = i == 0L,
+          lineage = if (p.lineage == -1L) id else p.lineage)
+      })
+    // pin the assignment: ids must not re-roll if the plan re-executes
+    val newDf = assigned.toDF().localCheckpoint()
+
+    val counts = outcomes.groupBy(col(OutcomeCol)).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nVersioned = counts.getOrElse("versioned", 0L)
+
+    val merged = store.primitives
+      .unionByName(newDf, allowMissingColumns = true)
+    val mirror = store.localRows.map(_ ++ newDf.as[Primitive].collect())
+    Result(
+      store.copy(primitives = merged,
+        versioned = store.versioned || nVersioned > 0, localRows = mirror),
+      outcomes,
+      inserted = counts.getOrElse("inserted", 0L),
+      unchanged = counts.getOrElse("unchanged", 0L),
+      versioned = nVersioned,
+      existing = counts.getOrElse("exists", 0L))
+  }
+
+  private def inColRaw(df: DataFrame, f: String): Column =
+    if (df.columns.contains(f)) col(f) else lit(null).cast("string")
+
+  /** one timestamp per batch — the reference frames a whole write
+    * request as one transaction with one clock reading
+    */
+  private def batchTimestamp(): Long = Writer.tickMicros match {
+    case Some(t) => t.getAndAdd(100L)
+    case None => System.currentTimeMillis() * 1000L
+  }
+}
