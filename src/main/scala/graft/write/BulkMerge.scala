@@ -166,11 +166,15 @@ object BulkMerge {
         .otherwise(col("__ex_datatype") === col("__in_datatype"))
     val identical = IdentityFields.map(fieldSame).reduce(_ && _) && dtSame
 
+    // one materialization of the classification join; the outcome
+    // frame, the outcome counts, and the new-row build all read from
+    // it instead of re-running the join per consumer
     val classified = joined.withColumn(OutcomeCol,
       when(col("__ex_id").isNull, lit("inserted"))
         .when(lit(unique), lit("exists"))
         .when(identical, lit("unchanged"))
         .otherwise(lit("versioned")))
+      .localCheckpoint()
 
     val outcomes = classified.select(
       (incoming.columns.map(col) :+ col(OutcomeCol) :+
@@ -211,7 +215,7 @@ object BulkMerge {
     // pin the assignment: ids must not re-roll if the plan re-executes
     val newDf = assigned.toDF().localCheckpoint()
 
-    val counts = outcomes.groupBy(col(OutcomeCol)).count()
+    val counts = classified.groupBy(col(OutcomeCol)).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val nVersioned = counts.getOrElse("versioned", 0L)
 
