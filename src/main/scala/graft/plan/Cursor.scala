@@ -141,10 +141,49 @@ object Cursor {
     // trailing frozen-state suffix; resume is positional over the
     // producer (the all-iterator id space)
     val without = """^without:\(all:(\d+)-(\d+)\)#\(.*?\)/(\d+)/.*$""".r
+    // composite and-/or-iterators (slip.sh, isa.sh): intersection/union
+    // of sub-iterators with optional [psz:][ov:][pro:][pp:] bookkeeping,
+    // a /pos/ that is the LAST-RETURNED candidate id, and an @resource
+    // tail holding the reference's adaptive check-cache — state this
+    // engine does NOT carry (AQE replaces the hand-rolled cost model,
+    // SURVEY §4); resume re-plans from the id keyset (id > pos), which
+    // reproduces the id-ordered production exactly
+    val andIt = """^and:#?(\d+)-(\d+):\d+:.*/(\d+)(?:\[pp:\d+\])?/(?:@.*)?$""".r
+    val orIt = """^or:\(.*\)/(\d+)/(?:@.*)?$""".r
+    // isa iterator (isa.sh): endpoints of a sub-iterator's matches via a
+    // linkage, frozen with its producer position, duplicate-test state
+    // ([sp:]) and sampled cost stats; the [o:] offset is the candidates
+    // consumed — resume skips that many in production (id) order
+    val isaIt = """^isa:(\d+)-(\d+):\w+<-\(.*$""".r
+    // materialized fixed iterator carrying its SOURCE signature instead
+    // of an id list (colors3: fixed:(fixed-isa:lo-hi:l<-(vip:...))/pos/
+    // [cache:@res]); resume is positional over the sorted candidate
+    // array. The freeze encodes linkages as single letters (l<- r+);
+    // spelled-out linkage names don't thaw — the reference answers
+    // EMPTY "not found" for such a cursor (colors3's last read).
+    val fixedSig = """^fixed:\(.*\)/(\d+)/(?:\[cache:@[^\]]*\])?$""".r
     s match {
       case without(lo, hi, pos) =>
         Token(pos.toLong, if (horizon != Long.MaxValue) horizon else hi.toLong,
           Nil, offset)
+      // /pos/ is the last-returned candidate in the reference's serial
+      // space; engine ids are serial+1 (parseGuidId convention)
+      case andIt(lo, hi, pos) =>
+        Token(pos.toLong + 1,
+          if (horizon != Long.MaxValue) horizon else hi.toLong,
+          Nil, offset)
+      case orIt(pos) =>
+        Token(pos.toLong + 1, horizon, Nil, offset)
+      case isaIt(lo, hi) =>
+        Token(Long.MinValue,
+          if (horizon != Long.MaxValue) horizon else hi.toLong,
+          Nil, offset, skip = offset.toInt)
+      case fixedSig(pos) =>
+        if (s.contains("left<") || s.contains("right<") ||
+            s.contains("left+") || s.contains("right+") ||
+            s.contains("typeguid+") || s.contains("scope+"))
+          throw new IllegalArgumentException("EMPTY: not found")
+        Token(Long.MinValue, horizon, Nil, offset, skip = pos.toInt)
       case all(lo, hi, pos) =>
         Token(pos.toLong, if (horizon != Long.MaxValue) horizon else hi.toLong,
           Nil, offset)

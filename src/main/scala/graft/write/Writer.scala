@@ -806,11 +806,8 @@ object Writer {
       case other => throw WriteError("SYNTAX", s"bad linkage $other")
     }
 
-    def matchOne(s: Spec, fields: Seq[String]) = {
-      val rows = matchExisting(st, s, fields)
-        .orderBy(col("id").asc).limit(2).collect()
-      rows.headOption
-    }
+    def matchOne(s: Spec, fields: Seq[String]) =
+      matchRows(st, s, fields, limit = 2).headOption
 
     // linkage with the free-endpoint defaulting a bare child of a
     // link gets (same rule as writeTemplate/ReadPlanner)
@@ -911,8 +908,7 @@ object Writer {
         case None => spec0
       }
 
-    def rowOf(id: Long): Option[Row] =
-      st.current.filter(col("id") === id).limit(1).collect().headOption
+    def rowOf(id: Long): Option[Row] = currentRowOf(st, id)
 
     /** anchor resolution: the anchor READ includes the whole subtree
       * below the anchor (gr-protocol 6.1.12) — `(anchor (<-right
@@ -961,9 +957,8 @@ object Writer {
             if keyFs.contains(f) && !sub.keyFields.isDefined => Some(f)
         case _ => None
       }).toSet
-      val ok = matchExisting(st, s, keyFs,
-        presentOnly = kids.map(_._1).toSet ++ unkeyedEndpoints)
-        .filter(col("id") === bid).limit(1).count() > 0
+      val ok = matchIsId(st, s, keyFs,
+        kids.map(_._1).toSet ++ unkeyedEndpoints, bid)
       ok && rowOf(bid).exists(r => kids.forall { case (f, sub) =>
         !r.isNullAt(r.fieldIndex(f)) &&
           keyClusterMatches(sub, r.getAs[Long](f))
@@ -1033,8 +1028,7 @@ object Writer {
       def pointedMatches(sub: Constraint, bid: Long): Boolean =
         rowOf(bid).exists { r =>
           val s = specOf(sub)
-          matchExisting(st, s, anchorMatchFields(s))
-            .filter(col("id") === bid).limit(1).count() > 0 &&
+          matchIsId(st, s, anchorMatchFields(s), Set.empty, bid) &&
             sub.subs.forall(ss => linkOf(sub, ss) match {
               case Some(ParentPointsToChild(f2)) =>
                 !r.isNullAt(r.fieldIndex(f2)) &&
@@ -1057,10 +1051,10 @@ object Writer {
             // joint all-or-nothing read (keyburn2 rounds 1.2 and 5);
             // key=() has no identity: always insert (keyburn6)
             if (c.keyFields.get.isEmpty) None
-            else matchExisting(st, spec, c.keyFields.get,
+            else matchRows(st, spec, c.keyFields.get,
                 presentOnly = ((deferredFields ++ clusterKids.map(_._2) ++
-                  parentLink.map(_._1)) & c.keyFields.get.toSet))
-              .orderBy(col("id").asc).limit(8).collect()
+                  parentLink.map(_._1)) & c.keyFields.get.toSet),
+                limit = 8)
               .find(r => clusterKids.forall { case (_, f, sub) =>
                 !r.isNullAt(r.fieldIndex(f)) &&
                   keyClusterMatches(sub, r.getAs[Long](f))
@@ -1069,8 +1063,7 @@ object Writer {
           else if (inCluster)
             // unkeyed pointed reuse requires the WHOLE requested form
             // (6.1.10.2): every deferred pointed subtree must match
-            matchExisting(st, spec, anchorMatchFields(spec))
-              .orderBy(col("id").asc).limit(8).collect()
+            matchRows(st, spec, anchorMatchFields(spec), limit = 8)
               .find(r => deferred.forall { case (_, f, sub) =>
                 !r.isNullAt(r.fieldIndex(f)) &&
                   pointedMatches(sub, r.getAs[Long](f))
@@ -1254,6 +1247,78 @@ object Writer {
   }
 
   /** all populated fields — the anchor match set */
+  /** mirror row → DataFrame-shaped Row (Primitive.schema order), so the
+    * per-request write path can answer its point reads driver-side
+    */
+  private def primRow(p: Primitive): Row =
+    new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+      Array[Any](p.id, p.typeguid.map(Long.box).orNull, p.name.orNull,
+        p.datatype, p.value.orNull, p.scope.map(Long.box).orNull, p.live,
+        p.archival, p.txstart, p.timestamp, p.left.map(Long.box).orNull,
+        p.right.map(Long.box).orNull, p.prev.map(Long.box).orNull, p.lineage),
+      graft.model.Primitive.schema)
+
+  /** mirror-side rendition of matchExisting's per-field predicates —
+    * MUST stay in lockstep with it (same comparator normalization via
+    * GraphdText.sortKey, same presence semantics)
+    */
+  private def localMatches(p: Primitive, s: Spec, fields: Seq[String],
+      presentOnly: Set[String]): Boolean = {
+    import graft.functions.GraphdText
+    def normEq(a: Option[String], b: Option[String]): Boolean = (a, b) match {
+      case (Some(x), Some(y)) =>
+        GraphdText.sortKey(s.comparator, x) == GraphdText.sortKey(s.comparator, y)
+      case (None, None) => true
+      case _ => false
+    }
+    def optEq(f: String, a: Option[Long], b: Option[Long]): Boolean =
+      if (presentOnly(f)) a.isDefined else a == b
+    fields.forall {
+      case "name" => normEq(p.name, s.name)
+      case "value" => normEq(p.value, s.value)
+      case "typeguid" => optEq("typeguid", p.typeguid, s.typeguid)
+      case "left" => optEq("left", p.left, s.left)
+      case "right" => optEq("right", p.right, s.right)
+      case "scope" => optEq("scope", p.scope, s.scope)
+      case "datatype" => p.datatype == s.datatype
+      case f => throw WriteError("SYNTAX", s"bad unique/key field $f")
+    }
+  }
+
+  /** first `limit` current-view matches in ascending id order. A
+    * mirror-backed store (session replay) answers without a Spark job —
+    * the role the reference's in-process hmap/gmap lookups play for its
+    * single-writer upsert annotations; bulk stores keep the plan path.
+    */
+  private[graft] def matchRows(store: GraphStore, s: Spec,
+      fields: Seq[String], presentOnly: Set[String] = Set.empty,
+      limit: Int = 2): Seq[Row] =
+    store.currentLocalIter match {
+      case Some(it) =>
+        it.filter(localMatches(_, s, fields, presentOnly))
+          .take(limit).map(primRow).toSeq
+      case None => matchExisting(store, s, fields, presentOnly)
+        .orderBy(col("id").asc).limit(limit).collect().toSeq
+    }
+
+  /** does the current primitive `bid` match the spec on `fields`? */
+  private[graft] def matchIsId(store: GraphStore, s: Spec,
+      fields: Seq[String], presentOnly: Set[String], bid: Long): Boolean =
+    store.currentLocalIter match {
+      case Some(it) =>
+        it.exists(p => p.id == bid && localMatches(p, s, fields, presentOnly))
+      case None => matchExisting(store, s, fields, presentOnly)
+        .filter(col("id") === bid).limit(1).count() > 0
+    }
+
+  /** the current-view row with this id, if any */
+  private[graft] def currentRowOf(store: GraphStore, id: Long): Option[Row] =
+    store.currentLocalIter match {
+      case Some(it) => it.find(_.id == id).map(primRow)
+      case None =>
+        store.current.filter(col("id") === id).limit(1).collect().headOption
+    }
+
   private def anchorMatchFields(s: Spec): Seq[String] =
     Seq("name" -> s.name.isDefined, "value" -> s.value.isDefined,
       "typeguid" -> s.typeguid.isDefined, "left" -> s.left.isDefined,
@@ -1308,7 +1373,7 @@ object Writer {
     */
   def writeUnique(store: GraphStore, spec: Spec, fields: Seq[String])
       : (GraphStore, Long) = {
-    if (matchExisting(store, spec, fields).limit(1).count() > 0)
+    if (matchRows(store, spec, fields, limit = 1).nonEmpty)
       throw WriteError("EXISTS", s"unique cluster already present")
     val (st, ids) = append(store, Seq(spec))
     (st, ids.head)
@@ -1330,8 +1395,7 @@ object Writer {
     // multiple key-equal candidates: the reference's embedded key-read
     // produces ids in index order, so the LOWEST id wins (spacematch
     // golden: two normalized-equal values, the older one is reused)
-    val m = matchExisting(store, spec, fields)
-      .orderBy(col("id").asc).limit(1).collect()
+    val m = matchRows(store, spec, fields, limit = 1)
     if (m.isEmpty) {
       val (st, ids) = append(store, Seq(spec))
       (st, ids.head, "inserted")
@@ -1374,7 +1438,7 @@ object Writer {
     * id is reused (no write happens).
     */
   def anchor(store: GraphStore, spec: Spec, fields: Seq[String]): Long = {
-    val m = matchExisting(store, spec, fields).limit(2).collect()
+    val m = matchRows(store, spec, fields, limit = 2)
     // zero AND ambiguous matches both answer EMPTY (anchor.sh golden:
     // id="toomany" gets `error EMPTY "anchor constraint not found"`)
     if (m.length != 1) throw WriteError("EMPTY", "anchor constraint not found")

@@ -1536,6 +1536,12 @@ object SessionHarness {
             else if (m.startsWith("BADCURSOR: "))
               (errLine("BADCURSOR", m.stripPrefix("BADCURSOR: ")), true)
             else (errLine("SEMANTICS", m), true)
+          case e: IllegalArgumentException
+              if String.valueOf(e.getMessage).startsWith("EMPTY: ") =>
+            // a cursor naming an iterator the engine cannot thaw
+            // answers EMPTY (colors3's spelled-out-linkage freeze)
+            rollbackTicks()
+            (errLine("EMPTY", e.getMessage.stripPrefix("EMPTY: ")), true)
           case e: Throwable =>
             rollbackTicks()
             (errLine("SYSTEM", String.valueOf(e.getMessage)), true)

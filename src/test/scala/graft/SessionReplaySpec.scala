@@ -83,7 +83,8 @@ class SessionReplaySpec extends AnyFunSuite {
     "dbname", "brendan3", "david_4", "cursor2", "cursor5",
     "100x100", "david_1",
     "sort3", "without", "brendan4", "cursor6", "iterator1",
-    "rerestore", "nonsense", "chris6", "david_2").foreach { n =>
+    "rerestore", "nonsense", "chris6", "david_2",
+    "slip", "isa", "colors3").foreach { n =>
     test(s"replay reference session $n")(replaySession(n))
   }
 }
