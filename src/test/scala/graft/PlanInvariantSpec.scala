@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.SimpleMode
+
+/** Physical-plan invariants for the gate queries — the automated
+  * rendition of PlanAudit's manual checklist. These are the properties
+  * that make the plans survive a 100 TB scale-up; a regression here is
+  * a scale bug even while row counts stay correct:
+  *
+  *  - no accidental cartesian products (the one intentional
+  *    all-pairs plan is s01's brute-force KNN baseline);
+  *  - predicate pushdown reaches the parquet scans (PushedFilters);
+  *  - column pruning reaches the scans (ReadSchema carries only the
+  *    referenced columns, not the full table width);
+  *  - small dimension joins broadcast instead of shuffling;
+  *  - aggregations have a map-side partial phase.
+  */
+class PlanInvariantSpec extends AnyFunSuite {
+  lazy val spark = {
+    val s = TestSpark.spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s
+  }
+  private val dir = "/root/testdata/sf0.001"
+
+  private def physical(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution
+      .explainString(SimpleMode)
+
+  // streaming mains and the dump/restore round-trip run side effects at
+  // plan-build time; their plan shape is covered by their own specs
+  private val planOnly = SparkEntry.queries.keys.toSeq.sorted
+    .filterNot(Set("st01_stream_type_counts", "st02_windowed_events",
+      "dr01_dump_restore"))
+
+  test("no gate query plans a cartesian product") {
+    planOnly.foreach { q =>
+      assert(!physical(q).contains("CartesianProduct"),
+        s"$q plans a cartesian product")
+    }
+  }
+
+  test("nested-loop joins only where all-pairs is the semantics (s01)") {
+    planOnly.filterNot(_ == "s01_knn_brute").foreach { q =>
+      assert(!physical(q).contains("BroadcastNestedLoopJoin"),
+        s"$q plans a nested-loop join")
+    }
+  }
+
+  test("filter pushdown and column pruning reach the lineitem scan (q01)") {
+    val p = physical("q01_scan_filter")
+    assert("""PushedFilters: \[[^\]]""".r.findFirstIn(p).isDefined,
+      "no pushed filters on the scan")
+    // lineitem has 16 columns; the projection needs 4 — a scan that
+    // reads the full width is a pruning regression
+    val read = """ReadSchema: struct<([^>]*)>""".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(read.nonEmpty && read.split(",").length <= 6,
+      s"scan reads too many columns: $read")
+  }
+
+  test("dimension join broadcasts; aggregate has a partial phase (q03)") {
+    val p = physical("q03_join_agg")
+    assert(p.contains("BroadcastHashJoin"), "dimension join does not broadcast")
+    assert(p.contains("HashAggregate"), "no hash aggregation")
+    assert("""PushedFilters: \[[^\]]""".r.findFirstIn(p).isDefined)
+  }
+
+  test("semi/anti joins plan as joins, not subquery re-scans (q04, q05)") {
+    assert(physical("q04_semi_join").contains("Semi"))
+    assert(physical("q05_anti_join").contains("Anti"))
+  }
+
+  test("top-k plans TakeOrderedAndProject, not a global sort (q10)") {
+    val p = physical("q10_topk_offset")
+    assert(p.contains("TakeOrderedAndProject"),
+      "limit+orderBy should collapse to TakeOrderedAndProject")
+  }
+}
