@@ -239,7 +239,23 @@ object PipelineQueries extends QueryPack {
              |  64 + (octet_length(encode(text)) * 7) % 768 AS height,
              |  CASE WHEN doc_id % 3 = 2
              |    THEN octet_length(encode(text)) // 1000 + 1 ELSE 1 END AS n_frames
-             |FROM documents""".stripMargin))
+             |FROM documents""".stripMargin)),
+
+    // frame sampling over the video rows: decode (stub) → every 3rd
+    // frame index, partition-preserving until the final small output
+    QueryDef("m02_frame_sample",
+      (s, dir) => {
+        val media = Multimodal.mediaTable(T(s, dir).documents)
+        Multimodal.sampleFrames(s, media, stride = 3)
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id, octet_length(encode(text)) AS n
+             |  FROM documents WHERE doc_id % 3 = 2)
+             |SELECT doc_id,
+             |  unnest(generate_series(0, n // 1000, 3)) AS frame_idx,
+             |  64 + n % 1024 AS width,
+             |  64 + (n * 7) % 768 AS height
+             |FROM m""".stripMargin))
   )
 
   // --- shared SQL machinery for the md5-derived LSH oracles ---

@@ -33,7 +33,17 @@ final case class GraphStore(spark: SparkSession, primitives: DataFrame,
       * hmap caches play for its single-writer appends. Bulk stores
       * (parquet-backed) carry None and use the distributed paths.
       */
-    localRows: Option[Vector[graft.model.Primitive]] = None) {
+    localRows: Option[Vector[graft.model.Primitive]] = None,
+    /** Incrementally-maintained word index: an already-built (cached)
+      * index covering ids <= watermark, extended lazily with the delta
+      * scan `id > watermark` — the Spark rendition of the reference's
+      * on-write index maintenance (every write updates the WORD hmap,
+      * SURVEY §3.2) instead of a full rebuild per batch. Safe under
+      * snapshots: the index is a CANDIDATE pruner (the planner re-checks
+      * the exact predicate after the semi-join), so a base covering
+      * more rows than an asOf view is superset-correct.
+      */
+    wordIndexBase: Option[(DataFrame, Long)] = None) {
   import GraphStore._
 
   /** the mirror filtered to the current (newest live) view */
@@ -122,13 +132,22 @@ final case class GraphStore(spark: SparkSession, primitives: DataFrame,
     */
   lazy val valueWordIndex: DataFrame = {
     import graft.functions.GraphdFunctions.graphd_words
-    // coalesced before caching: index probes are word-equality scans of
-    // the cached blocks, and fewer/larger partitions keep the per-probe
-    // task count (scheduler overhead) low for point-lookup workloads
-    primitives.filter(col("value").isNotNull)
-      .select(col("id"), explode(graphd_words(col("value"))).as("word"))
-      .coalesce(8)
-      .cache()
+    def wordsOf(df: DataFrame): DataFrame =
+      df.filter(col("value").isNotNull)
+        .select(col("id"), explode(graphd_words(col("value"))).as("word"))
+    wordIndexBase match {
+      case Some((base, coveredTo)) =>
+        // incremental: reuse the built base, tokenize only the delta
+        // (id-range predicate prunes persisted partitions; appended
+        // in-plan rows are the delta by construction)
+        base.unionByName(wordsOf(primitives.filter(col("id") > coveredTo)))
+      case None =>
+        // coalesced before caching: index probes are word-equality
+        // scans of the cached blocks, and fewer/larger partitions keep
+        // the per-probe task count (scheduler overhead) low for
+        // point-lookup workloads
+        wordsOf(primitives).coalesce(8).cache()
+    }
   }
 
   /** Memoized type-name → type-node-id resolution — the reference

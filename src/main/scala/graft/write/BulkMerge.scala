@@ -222,9 +222,16 @@ object BulkMerge {
     val merged = store.primitives
       .unionByName(newDf, allowMissingColumns = true)
     val mirror = store.localRows.map(_ ++ newDf.as[Primitive].collect())
+    // an index-serving store maintains its word index incrementally
+    // across the merge (the reference's on-write WORD hmap update):
+    // the built index becomes the base, the appended rows the delta
+    val wordSeed =
+      if (store.useWordIndex) Some((store.valueWordIndex, base - 1))
+      else store.wordIndexBase
     Result(
       store.copy(primitives = merged,
-        versioned = store.versioned || nVersioned > 0, localRows = mirror),
+        versioned = store.versioned || nVersioned > 0, localRows = mirror,
+        wordIndexBase = wordSeed),
       outcomes,
       inserted = counts.getOrElse("inserted", 0L),
       unchanged = counts.getOrElse("unchanged", 0L),

@@ -116,6 +116,28 @@ class BulkMergeSpec extends AnyFunSuite {
     }
   }
 
+  test("word index maintained incrementally across a merge") {
+    val st0 = baseStore().copy(useWordIndex = true)
+    val before = st0.valueWordIndex.count() // force + cache the base
+    val r = BulkMerge.mergeKeyed(st0,
+      batchDf(Seq("doc:50" -> "zephyr quartz", "doc:3" -> "gamma revised")),
+      Seq("name"))
+    val st1 = r.store
+    // the merged store's index is base + delta, not a full rebuild
+    assert(st1.wordIndexBase.isDefined)
+    // new words are discoverable through the ~= index path
+    val hits = graft.plan.ReadPlanner.plan(st1,
+      """read (value~="zephyr" result=((value)))""").collect()
+    assert(hits.length == 1 && hits.head.getString(0) == "zephyr quartz")
+    // the versioned doc's new text is indexed too; the superseded
+    // version stays in the index (candidate superset — the exact
+    // match re-check prunes it)
+    val hits2 = graft.plan.ReadPlanner.plan(st1,
+      """read (value~="revised" result=((value)))""").collect()
+    assert(hits2.map(_.getString(0)).toSeq == Seq("gamma revised"))
+    assert(st1.valueWordIndex.count() > before)
+  }
+
   test("ids are dense from nextId; lineage roots correct") {
     val st0 = baseStore()
     val base = Writer.nextId(st0)
