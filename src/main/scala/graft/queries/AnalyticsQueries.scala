@@ -126,6 +126,61 @@ object AnalyticsQueries extends QueryPack {
              |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
+    // streaming keyed ingestion (CDC apply): a document feed merges
+    // micro-batch by micro-batch into a persisted store — half the
+    // corpus is pre-seeded (re-classifies unchanged), the other half
+    // streams in as inserts; the result is the post-stream current view
+    QueryDef("st03_stream_upsert",
+      (s, dir) => {
+        import graft.store.GraphStore
+        import graft.model.Datatype
+        val key = java.lang.Integer.toHexString(dir.hashCode)
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_merge_$key"
+        val feedDir = s"$base/feed"
+        val storeDir = s"$base/store"
+        val ckptDir = s"$base/ckpt"
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        def asBatch(df: org.apache.spark.sql.DataFrame) = df.select(
+          concat(lit("doc:"), col("doc_id").cast("string")).as("name"),
+          col("text").as("value"))
+        if (!new java.io.File(feedDir).exists())
+          asBatch(docs).coalesce(8).write.mode("overwrite").parquet(feedDir)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(storeDir), true)
+        fs.delete(new org.apache.hadoop.fs.Path(ckptDir), true)
+        // seed: the even half of the corpus, already in its final state
+        val seed = docs.filter(col("doc_id") % 2 === 0).select(
+          col("doc_id").as("id"),
+          lit(null).cast("long").as("typeguid"),
+          concat(lit("doc:"), col("doc_id").cast("string")).as("name"),
+          lit(Datatype.String).cast("byte").as("datatype"),
+          col("text").as("value"),
+          lit(null).cast("long").as("scope"),
+          lit(true).as("live"), lit(true).as("archival"),
+          lit(false).as("txstart"),
+          col("doc_id").as("timestamp"),
+          lit(null).cast("long").as("left"),
+          lit(null).cast("long").as("right"),
+          lit(null).cast("long").as("prev"),
+          col("doc_id").as("lineage"))
+        GraphStore.fromDf(s, seed).save(storeDir)
+        val incoming = s.readStream
+          .schema(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("name",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("value",
+              org.apache.spark.sql.types.StringType))))
+          .option("maxFilesPerTrigger", 3)
+          .parquet(feedDir)
+        val q = Replica.mergeStream(incoming, Seq("name"), storeDir, ckptDir)
+        q.awaitTermination()
+        GraphStore.load(s, storeDir).current
+          .select(col("name").as("k"), col("value").as("v"))
+      },
+      Some("""SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS k, text AS v
+             |FROM documents""".stripMargin)),
+
     // cursor pagination: fetch page 1, mint the keyset token, resume —
     // returns page 2 (orders 51..100 of the graph in id order).
     QueryDef("c01_cursor_page2",

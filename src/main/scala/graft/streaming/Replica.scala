@@ -66,6 +66,39 @@ object Replica {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming keyed ingestion — the CDC-apply shape: every micro-batch
+    * of incoming records MERGEs into the persisted store under
+    * `key=(fields)` semantics (graft.write.BulkMerge), and only the
+    * appended delta is written — the store directory stays an
+    * append-only istore. Restart-safe AND effectively idempotent: the
+    * checkpoint replays at-least-once, but a replayed record
+    * re-classifies as unchanged/exists against the already-applied
+    * state, so duplicates never land (the MERGE is the dedup).
+    */
+  def mergeStream(incoming: DataFrame, keyFields: Seq[String],
+      storeDir: String, checkpointDir: String,
+      unique: Boolean = false): StreamingQuery =
+    incoming.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        // a fresh load per batch sees every file appended so far; the
+        // merge classification materializes (localCheckpoint) before
+        // this batch's delta is written, so the listing is stable
+        val st = graft.store.GraphStore.load(spark, storeDir)
+        val r =
+          if (unique) graft.write.BulkMerge.mergeUnique(st, batch.toDF(), keyFields)
+          else graft.write.BulkMerge.mergeKeyed(st, batch.toDF(), keyFields)
+        r.appended
+          .withColumn("id_part", shiftright(col("id"),
+            graft.store.GraphStore.PartShift).cast("int"))
+          .write.mode("append").partitionBy("id_part").parquet(storeDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** windowed event analytics over the events stream — watermark +
     * tumbling window, the standard Structured Streaming shape.
     */

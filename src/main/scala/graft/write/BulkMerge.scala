@@ -57,6 +57,10 @@ object BulkMerge {
     Set("name", "value", "typeguid", "left", "right", "scope", "datatype")
 
   final case class Result(store: GraphStore, outcomes: DataFrame,
+      /** the appended delta rows (ids assigned, pinned) — what an
+        * append-only sink writes (streaming CDC apply)
+        */
+      appended: DataFrame,
       inserted: Long, unchanged: Long, versioned: Long, existing: Long)
 
   /** Bulk `key=(fields)` upsert. `incoming` columns are primitive
@@ -233,6 +237,7 @@ object BulkMerge {
         versioned = store.versioned || nVersioned > 0, localRows = mirror,
         wordIndexBase = wordSeed),
       outcomes,
+      newDf,
       inserted = counts.getOrElse("inserted", 0L),
       unchanged = counts.getOrElse("unchanged", 0L),
       versioned = nVersioned,

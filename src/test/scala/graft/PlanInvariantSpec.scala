@@ -32,7 +32,7 @@ class PlanInvariantSpec extends AnyFunSuite {
   // plan-build time; their plan shape is covered by their own specs
   private val planOnly = SparkEntry.queries.keys.toSeq.sorted
     .filterNot(Set("st01_stream_type_counts", "st02_windowed_events",
-      "dr01_dump_restore"))
+      "st03_stream_upsert", "dr01_dump_restore"))
 
   test("no gate query plans a cartesian product") {
     planOnly.foreach { q =>
