@@ -68,8 +68,10 @@ object BulkMerge {
     * scope/live/archival); extra columns are carried through to the
     * outcome frame untouched. Returns the merged store plus one
     * outcome row per (deduped) incoming record: the original columns,
-    * `outcome`, and `matched_id` (the existing head for unchanged/
-    * versioned rows, null for inserts).
+    * `outcome`, `matched_id` (the existing head for unchanged/
+    * versioned rows, null for inserts), and `id` — the record's
+    * RESOLVED id in the merged store (assigned for inserts/versions,
+    * matched for unchanged), the handle multi-level ingest joins on.
     */
   def mergeKeyed(store: GraphStore, incoming: DataFrame,
       keyFields: Seq[String], comparator: String = "default",
@@ -223,6 +225,34 @@ object BulkMerge {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val nVersioned = counts.getOrElse("versioned", 0L)
 
+    // resolve each record's final id into the outcome frame — matched
+    // head for unchanged/exists, the assigned id for inserts/versions.
+    // This is what makes multi-level (cluster) ingest COMPOSE from flat
+    // merges: merge the children, join their resolved ids into the
+    // parent batch's linkage columns, merge the parents
+    // (doc/gr-protocol.txt:744-813 cluster semantics as a pipeline).
+    val outcomesWithIds =
+      if (keyFields.isEmpty) outcomes.withColumn("id", lit(null).cast("long"))
+      else {
+        val newKeyed = newDf.select(
+          (col("id").as("__new_id")) +:
+            keyFields.map(f => keyOf("")(f).as(s"__nk_$f")): _*)
+        val cond = keyFields.map(f =>
+          keyOf("__o_")(f) <=> col(s"__nk_$f")).reduce(_ && _)
+        // outcome rows keep the ORIGINAL columns; rebuild their key
+        // exprs (absent columns are null, same as the merge join)
+        val oKeyed = keyFields.foldLeft(outcomes) { (df, f) =>
+          df.withColumn(s"__o_$f",
+            if (specified(f)) col(f) else lit(null).cast(
+              if (f == "name" || f == "value") "string"
+              else if (f == "datatype") "byte" else "long"))
+        }
+        oKeyed.join(newKeyed, cond, "left")
+          .withColumn("id", coalesce(col("__new_id"), col("matched_id")))
+          .drop((Seq("__new_id") ++ keyFields.map(f => s"__nk_$f") ++
+            keyFields.map(f => s"__o_$f")): _*)
+      }
+
     val merged = store.primitives
       .unionByName(newDf, allowMissingColumns = true)
     val mirror = store.localRows.map(_ ++ newDf.as[Primitive].collect())
@@ -236,7 +266,7 @@ object BulkMerge {
       store.copy(primitives = merged,
         versioned = store.versioned || nVersioned > 0, localRows = mirror,
         wordIndexBase = wordSeed),
-      outcomes,
+      outcomesWithIds,
       newDf,
       inserted = counts.getOrElse("inserted", 0L),
       unchanged = counts.getOrElse("unchanged", 0L),

@@ -116,6 +116,48 @@ class BulkMergeSpec extends AnyFunSuite {
     }
   }
 
+  test("outcomes carry resolved ids for every record") {
+    val r = BulkMerge.mergeKeyed(baseStore(),
+      batchDf(Seq("doc:1" -> "alpha", "doc:3" -> "gamma2", "doc:9" -> "fresh")),
+      Seq("name"))
+    val byName = r.outcomes.select("name", "outcome", "id").collect()
+      .map(x => x.getString(0) -> (x.getString(1), x.getLong(2))).toMap
+    assert(byName("doc:1") == ("unchanged", 1L)) // matched head
+    // versioned/inserted rows resolve to their newly assigned ids
+    // (6 and 7 in some order — the two appended rows after max id 5)
+    assert(byName("doc:3")._1 == "versioned" && byName("doc:9")._1 == "inserted")
+    assert(Set(byName("doc:3")._2, byName("doc:9")._2) == Set(6L, 7L))
+    val curIds = r.store.current.select("id").collect().map(_.getLong(0)).toSet
+    assert(curIds(byName("doc:3")._2) && curIds(byName("doc:9")._2))
+  }
+
+  test("two-level cluster ingest composes from flat merges") {
+    // the batch analog of key CLUSTERS (doc/gr-protocol.txt:744-813):
+    // child nodes merge first, their resolved ids join into the link
+    // batch's endpoint columns, then the links merge keyed on the
+    // endpoints — three flat passes, no per-record reads
+    import spark.implicits._
+    var st = baseStore()
+    val chunks = Seq("chunk:a" -> "text a", "chunk:b" -> "text b")
+    val r1 = BulkMerge.mergeKeyed(st, batchDf(chunks), Seq("name"))
+    st = r1.store
+    // link each chunk to existing doc:1 (id 1)
+    val links = r1.outcomes.select(
+      col("id").as("right"),
+      lit(1L).as("left"),
+      lit("has_chunk").as("name"))
+    val r2 = BulkMerge.mergeKeyed(st, links, Seq("name", "left", "right"))
+    st = r2.store
+    assert(r1.inserted == 2 && r2.inserted == 2)
+    // re-ingesting the same cluster is a full no-op (idempotent)
+    val r1b = BulkMerge.mergeKeyed(st, batchDf(chunks), Seq("name"))
+    val links2 = r1b.outcomes.select(col("id").as("right"),
+      lit(1L).as("left"), lit("has_chunk").as("name"))
+    val r2b = BulkMerge.mergeKeyed(r1b.store, links2, Seq("name", "left", "right"))
+    assert(r1b.unchanged == 2 && r2b.unchanged == 2)
+    assert(r2b.store.current.filter(col("name") === "has_chunk").count() == 2)
+  }
+
   test("word index maintained incrementally across a merge") {
     val st0 = baseStore().copy(useWordIndex = true)
     val before = st0.valueWordIndex.count() // force + cache the base
