@@ -133,27 +133,44 @@ object Dedup {
     * band slice), then verify candidates with exact Jaccard.
     */
   private val lshMemo = scala.collection.concurrent.TrieMap
-    .empty[(Int, String, String, Int, Int, Int, Double), DataFrame]
+    .empty[(Int, String, String, Int, Int, Int, Double, Int), DataFrame]
 
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 64, bands: Int = 16,
-      threshold: Double = 0.8): DataFrame =
+      threshold: Double = 0.8, maxBucket: Int = 100000): DataFrame =
     lshMemo.getOrElseUpdate(
       (df.queryExecution.analyzed.semanticHash(), idCol, textCol, n, k,
-        bands, threshold),
-      minhashLshPairsUncached(df, idCol, textCol, n, k, bands, threshold)
-        .cache())
+        bands, threshold, maxBucket),
+      minhashLshPairsUncached(df, idCol, textCol, n, k, bands, threshold,
+        maxBucket).cache())
 
   private def minhashLshPairsUncached(df: DataFrame, idCol: String,
       textCol: String, n: Int, k: Int, bands: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double, maxBucket: Int): DataFrame = {
     val sig = minhashSignatures(df, idCol, textCol, n, k)
     val rowsPerBand = k / bands
-    val banded = sig.select(col("id"),
+    val banded0 = sig.select(col("id"),
       posexplode(array((0 until bands).map { bnd =>
         xxhash64(concat_ws("_",
           lit(bnd) +: (0 until rowsPerBand).map(r => col(s"mh_${bnd * rowsPerBand + r}")): _*))
       }: _*)).as(Seq("band", "bucket")))
+
+    // hot-bucket cap: a bucket of B members yields B²/2 candidate
+    // pairs, so one boilerplate-heavy bucket (shared headers, empty
+    // docs) can dwarf the rest of the job at corpus scale — the
+    // classic LSH skew failure. Buckets past the cap are dropped from
+    // candidate generation (their members still pair through their
+    // other bands); the cap is sized to never trigger at test SFs, and
+    // callers doing corpus-scale dedup tune it down deliberately.
+    val banded =
+      if (maxBucket == Int.MaxValue) banded0
+      else {
+        val ok = banded0.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("__bn")).filter(col("__bn") <= maxBucket)
+          .select(col("band").as("__okband"), col("bucket").as("__okbucket"))
+        banded0.join(ok, col("band") === col("__okband") &&
+          col("bucket") === col("__okbucket"), "left_semi")
+      }
 
     val a = banded.as("a"); val b = banded.as("b")
     val cand = a.join(b,

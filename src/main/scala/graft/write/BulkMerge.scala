@@ -136,9 +136,19 @@ object BulkMerge {
     val candidates =
       if (keyFields.isEmpty) null
       else {
+        // restrict the store side to keys the batch actually carries
+        // BEFORE the per-key window: the batch is small relative to
+        // the store, so this is a broadcast semi-join that prunes the
+        // window's shuffle to the touched keys — without it, every
+        // merge re-shuffles the entire current view at 100 TB
+        val batchKeys = in.select(keyFields.map(f =>
+          keyOf("__in_")(f).as(s"__bk_$f")): _*).distinct()
+        val touchCond = keyFields.map(f =>
+          keyOf("__ex_")(f) <=> col(s"__bk_$f")).reduce(_ && _)
+        val touched = cur.join(broadcast(batchKeys), touchCond, "left_semi")
         val w = Window.partitionBy(keyFields.map(keyOf("__ex_")): _*)
           .orderBy(col("__ex_id").asc)
-        cur.withColumn("__rn", row_number().over(w))
+        touched.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
       }
 

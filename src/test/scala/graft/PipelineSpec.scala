@@ -47,6 +47,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh == exact)
   }
 
+  test("LSH hot-bucket cap drops oversized buckets from candidate gen") {
+    // three byte-identical docs share EVERY band bucket (size 3); a
+    // cap of 2 drops them all, so no candidate pairs survive — the
+    // skew guard that keeps one degenerate bucket from going quadratic
+    val t = "the very same boilerplate text repeated in every document"
+    val dup = Seq((1L, t), (2L, t), (3L, t)).toDF("doc_id", "text")
+    val capped = Dedup.minhashLshPairs(dup, "doc_id", "text",
+      n = 3, k = 64, bands = 16, threshold = 0.5, maxBucket = 2).collect()
+    assert(capped.isEmpty)
+    val uncapped = Dedup.minhashLshPairs(dup, "doc_id", "text",
+      n = 3, k = 64, bands = 8, threshold = 0.5).collect()
+    assert(uncapped.length == 3) // all three pairs
+  }
+
   test("simhash: identical docs at distance 0, near-dups close") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 16)
       .collect()
