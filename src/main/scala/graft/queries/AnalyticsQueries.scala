@@ -181,6 +181,25 @@ object AnalyticsQueries extends QueryPack {
       Some("""SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS k, text AS v
              |FROM documents""".stripMargin)),
 
+    // time travel: an asOf snapshot at the pre-orders horizon sees
+    // exactly the region/nation/customer prefix of the id-ordered
+    // build — the id predicate prunes partitions AND parquet row
+    // groups (doc/gr-protocol.txt:203-221 asof semantics)
+    QueryDef("q23_asof",
+      (s, dir) => {
+        val st = GraphAdapter.store(s, dir)
+        st.asOf(GraphAdapter.BOrders - 1).current
+          .filter(col("id") >= GraphAdapter.BRegion)
+          .groupBy(
+            when(col("id") < GraphAdapter.BNation, "region")
+              .when(col("id") < GraphAdapter.BCustomer, "nation")
+              .otherwise("customer").as("kind"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT 'region' AS kind, count(*) AS n FROM region
+             |UNION ALL SELECT 'nation', count(*) FROM nation
+             |UNION ALL SELECT 'customer', count(*) FROM customer""".stripMargin)),
+
     // cursor pagination: fetch page 1, mint the keyset token, resume —
     // returns page 2 (orders 51..100 of the graph in id order).
     QueryDef("c01_cursor_page2",
