@@ -57,7 +57,21 @@ object Writer {
     case Some(rows) =>
       var m = 0L; rows.foreach(p => if (p.id > m) m = p.id); m + 1L
     case None =>
-      store.primitives.agg(coalesce(max(col("id")), lit(0L))).head.getLong(0) + 1L
+      val p = store.primitives
+      // persisted layout: ids grow with the id_part partition column,
+      // so max(id) lives in the highest partition (plus any unsaved
+      // in-plan appends, which carry a null id_part) — scan only
+      // those instead of the whole id column (at 100 TB the full
+      // max(id) pass is a terabyte-scale column scan per batch)
+      if (p.columns.contains("id_part")) {
+        val mp = p.agg(max(col("id_part"))).head
+        val pruned =
+          if (mp.isNullAt(0)) p
+          else p.filter(col("id_part").isNull ||
+            col("id_part") === mp.get(0))
+        pruned.agg(coalesce(max(col("id")), lit(0L))).head.getLong(0) + 1L
+      } else
+        p.agg(coalesce(max(col("id")), lit(0L))).head.getLong(0) + 1L
   }
 
   /** unique monotone per-writer timestamps — the reference guarantees
