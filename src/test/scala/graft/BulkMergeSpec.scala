@@ -180,6 +180,40 @@ class BulkMergeSpec extends AnyFunSuite {
     assert(st1.valueWordIndex.count() > before)
   }
 
+  test("randomized cross-check: bulk merge ≡ sequential writeKeyed") {
+    // seeded random batches against seeded random stores — outcome
+    // classification and the resulting current view must agree with
+    // the sequential reference path on every draw
+    val rnd = new scala.util.Random(20260814L)
+    for (round <- 1 to 4) {
+      val keys = (1 to 8).map(i => s"k$i")
+      val storeRows = (1L to 6L).map { i =>
+        node(i, name = Some(keys(rnd.nextInt(keys.length))),
+          value = Some(s"v${rnd.nextInt(4)}"))
+      }
+      val st0 = GraphStore.fromSeq(spark, storeRows)
+      // distinct batch keys (the bulk contract); random values
+      val batch = rnd.shuffle(keys).take(5)
+        .map(k => k -> s"v${rnd.nextInt(4)}")
+      val r = BulkMerge.mergeKeyed(st0, batchDf(batch), Seq("name"))
+      val bulkOut = r.outcomes.select("name", "outcome").collect()
+        .map(x => x.getString(0) -> x.getString(1)).toMap
+
+      var st = st0
+      val seqOut = batch.map { case (k, v) =>
+        val (st2, _, o) = Writer.writeKeyed(st,
+          Writer.Spec(name = Some(k), value = Some(v)), Seq("name"))
+        st = st2
+        k -> o
+      }.toMap
+      assert(bulkOut == seqOut, s"round $round: $bulkOut vs $seqOut")
+
+      def view(s: GraphStore) = s.current.select("name", "value")
+        .collect().map(x => (x.getString(0), x.getString(1))).toSeq.sorted
+      assert(view(r.store) == view(st), s"round $round view")
+    }
+  }
+
   test("ids are dense from nextId; lineage roots correct") {
     val st0 = baseStore()
     val base = Writer.nextId(st0)

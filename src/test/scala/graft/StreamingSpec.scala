@@ -53,6 +53,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(after.getAs[Long]("dateline") == 12L)
   }
 
+  test("mergeStream replays are idempotent: re-delivery lands no duplicates") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_ms").toString
+    val feed = s"$base/feed"; val storeDir = s"$base/store"
+    Seq(("k:1", "v1"), ("k:2", "v2"), ("k:3", "v3"))
+      .toDF("name", "value").coalesce(1).write.parquet(feed)
+    // seed a minimal store layout (empty parquet has no schema to load)
+    graft.store.GraphStore.fromSeq(spark,
+      Seq(graft.model.Primitive.node(1, name = Some("seed")))).save(storeDir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("name",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.StringType)))
+    def runOnce(ckpt: String): Unit = {
+      val in = spark.readStream.schema(schema).parquet(feed)
+      Replica.mergeStream(in, Seq("name"), storeDir, s"$base/$ckpt")
+        .awaitTermination()
+    }
+    runOnce("ckpt1")
+    val n1 = graft.store.GraphStore.load(spark, storeDir).current.count()
+    // a FRESH checkpoint forces full re-delivery of every file — the
+    // worst-case at-least-once replay; the MERGE re-classifies all of
+    // it as unchanged, so state is untouched
+    runOnce("ckpt2")
+    val st2 = graft.store.GraphStore.load(spark, storeDir)
+    assert(n1 == 4 && st2.current.count() == 4)
+    assert(st2.all.count() == 4) // no dead duplicate versions either
+  }
+
   test("windowed event counts run as a genuine stream to a memory sink") {
     val dir = Files.createTempDirectory("graft_ev").toString + "/events"
     import spark.implicits._
