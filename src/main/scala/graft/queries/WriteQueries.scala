@@ -91,5 +91,25 @@ object WriteQueries extends QueryPack {
              |UNION ALL
              |SELECT 'u:' || CAST(doc_id AS VARCHAR) AS k,
              |  'uniq ' || CAST(doc_id AS VARCHAR) AS v
-             |FROM documents WHERE doc_id % 7 = 0""".stripMargin)))
+             |FROM documents WHERE doc_id % 7 = 0""".stripMargin)),
+
+    // compaction: merge (creating versions), then materialize the
+    // current view — history and tombstone rows drop out, the visible
+    // state is unchanged, and reads skip the lineage window
+    QueryDef("w03_compact",
+      (s, dir) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val restated = docs.select(
+          concat(lit("doc:"), col("doc_id").cast("string")).as("name"),
+          when(col("doc_id") % 3 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("value"))
+        val r = BulkMerge.mergeKeyed(docStore(s, dir), restated, Seq("name"))
+        val key = java.lang.Integer.toHexString(dir.hashCode)
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_compact_$key"
+        val cp = r.store.compact(out)
+        cp.current.select(col("name").as("k"), col("value").as("v"))
+      },
+      Some("""SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS k,
+             |  CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END AS v
+             |FROM documents""".stripMargin)))
 }

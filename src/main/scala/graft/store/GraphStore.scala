@@ -301,6 +301,28 @@ final case class GraphStore(spark: SparkSession, primitives: DataFrame,
       .reduce(_ unionByName _)
   }
 
+  /** Compaction — materialize the current view as a fresh store: old
+    * versions and tombstones drop out, `prev` pointers are cleared
+    * (their targets no longer exist; `lineage` is kept as provenance),
+    * and the result is `versioned = false`, so reads skip the
+    * newest-per-lineage window entirely. The reference never compacts
+    * (append-only istore, asof over all history); at 100 TB this is
+    * the periodic maintenance job that keeps the history tax bounded —
+    * run it on a snapshot boundary and archive the full log if asof
+    * reads past the compaction horizon must stay answerable.
+    */
+  def compact(path: String): GraphStore = {
+    current
+      .withColumn("prev", lit(null).cast("long"))
+      // each survivor roots its own lineage: chain roots may be
+      // compacted away, and future versions chain from the survivor
+      .withColumn("lineage", col("id"))
+      .withColumn("id_part", shiftright(col("id"), PartShift).cast("int"))
+      .repartition(col("id_part"))
+      .write.mode(SaveMode.Overwrite).partitionBy("id_part").parquet(path)
+    GraphStore(spark, spark.read.parquet(path), versioned = false)
+  }
+
   def save(path: String): Unit =
     primitives
       .withColumn("id_part", shiftright(col("id"), PartShift).cast("int"))

@@ -171,6 +171,9 @@ object Writer {
         s.prev.map(lineageOf).getOrElse(id))
     }
     import store.spark.implicits._
+    // the first version chain written into an unversioned store (e.g.
+    // a freshly compacted one) turns the lineage window back on
+    val nowVersioned = store.versioned || rows.exists(_.prev.isDefined)
     store.localRows match {
       case Some(existing) =>
         // mirror-backed store: the frame is a LAZY view over the mirror
@@ -178,13 +181,14 @@ object Writer {
         // would otherwise be quadratic in encoder work, david_2.sh)
         val all = existing ++ rows
         (store.copy(primitives = GraphStore.lazyLocalDf(store.spark, all),
-          localRows = Some(all)), rows.map(_.id))
+          versioned = nowVersioned, localRows = Some(all)), rows.map(_.id))
       case None =>
         // allowMissingColumns: a persisted store carries the id_part
         // partition column; fresh rows get it null until the next save
         val appended = store.primitives
           .unionByName(rows.toDS().toDF(), allowMissingColumns = true)
-        (store.copy(primitives = appended), rows.map(_.id))
+        (store.copy(primitives = appended, versioned = nowVersioned),
+          rows.map(_.id))
     }
   }
 

@@ -66,6 +66,36 @@ class StoreSpec extends AnyFunSuite {
     assert(page.count() == 5)
   }
 
+  test("compact materializes the current view: no versions, no window") {
+    import graft.write.Writer
+    // v1 → v2 of one doc, a tombstoned node, a plain survivor
+    var st = GraphStore.fromSeq(spark, Seq(
+      node(1, name = Some("a"), value = Some("v1")),
+      node(2, name = Some("b"), value = Some("keep")),
+      node(3, name = Some("c"), value = Some("dead"))))
+    val (st1, _) = Writer.versionOf(st, 1,
+      Writer.Spec(name = Some("a"), value = Some("v2")))
+    val (st2, _) = Writer.tombstone(st1, 3)
+    val dir = Files.createTempDirectory("graft_compact").toString + "/c"
+    val cp = st2.compact(dir)
+    assert(!cp.versioned)
+    // same visible state, nothing else on disk
+    val rows = cp.current.select("name", "value").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows == Map("a" -> "v2", "b" -> "keep"))
+    assert(cp.all.count() == 2) // history and tombstones gone
+    assert(cp.verifyConsistency().count() == 0)
+    // a compacted store keeps versioning correctly from here
+    val (cp2, _) = Writer.versionOf(cp,
+      cp.current.filter(org.apache.spark.sql.functions.col("name") === "a")
+        .select("id").head.getLong(0),
+      Writer.Spec(name = Some("a"), value = Some("v3")))
+    val after = cp2.current.filter(
+      org.apache.spark.sql.functions.col("name") === "a")
+      .select("value").collect().map(_.getString(0)).toSeq
+    assert(after == Seq("v3"))
+  }
+
   test("dateline constraint reads only primitives after the horizon") {
     val st = GraphStore.fromSeq(spark,
       (1L to 6L).map(i => node(i, value = Some(s"v$i"))))
