@@ -155,22 +155,7 @@ object Dedup {
           lit(bnd) +: (0 until rowsPerBand).map(r => col(s"mh_${bnd * rowsPerBand + r}")): _*))
       }: _*)).as(Seq("band", "bucket")))
 
-    // hot-bucket cap: a bucket of B members yields B²/2 candidate
-    // pairs, so one boilerplate-heavy bucket (shared headers, empty
-    // docs) can dwarf the rest of the job at corpus scale — the
-    // classic LSH skew failure. Buckets past the cap are dropped from
-    // candidate generation (their members still pair through their
-    // other bands); the cap is sized to never trigger at test SFs, and
-    // callers doing corpus-scale dedup tune it down deliberately.
-    val banded =
-      if (maxBucket == Int.MaxValue) banded0
-      else {
-        val ok = banded0.groupBy(col("band"), col("bucket"))
-          .agg(count(lit(1)).as("__bn")).filter(col("__bn") <= maxBucket)
-          .select(col("band").as("__okband"), col("bucket").as("__okbucket"))
-        banded0.join(ok, col("band") === col("__okband") &&
-          col("bucket") === col("__okbucket"), "left_semi")
-      }
+    val banded = capBuckets(banded0, Seq("band", "bucket"), maxBucket)
 
     val a = banded.as("a"); val b = banded.as("b")
     val cand = a.join(b,
@@ -181,6 +166,27 @@ object Dedup {
 
     verifyJaccard(df, idCol, textCol, cand, n, threshold)
   }
+
+  /** Hot-bucket cap for LSH candidate generation: a bucket of B
+    * members yields B²/2 candidate pairs, so one degenerate bucket
+    * (boilerplate shingles, zero/duplicated embeddings) can dwarf the
+    * rest of the job at corpus scale — the classic LSH skew failure.
+    * Rows in buckets past the cap are dropped from candidate
+    * generation (members still pair through their other bands); caps
+    * default high enough to never trigger at test SFs, and callers
+    * doing corpus-scale dedup tune them down deliberately.
+    */
+  private[operators] def capBuckets(df: DataFrame, keyCols: Seq[String],
+      maxBucket: Int): DataFrame =
+    if (maxBucket == Int.MaxValue) df
+    else {
+      val ok = df.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__bn")).filter(col("__bn") <= maxBucket)
+        .select(keyCols.map(c => col(c).as(s"__ok_$c")): _*)
+      df.join(ok,
+        keyCols.map(c => col(c) === col(s"__ok_$c")).reduce(_ && _),
+        "left_semi")
+    }
 
   /** exact-Jaccard verification of candidate pairs */
   def verifyJaccard(df: DataFrame, idCol: String, textCol: String,

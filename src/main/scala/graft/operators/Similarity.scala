@@ -278,18 +278,8 @@ object Similarity {
     // rescoring pass pays one dot product per pair (norms joined in).
     val a0 = probeSigs(df, idCol, vecCol, bits, nProbes, dims)
       .toDF("a_id", "a_probe", "a_sig")
-    // hot-bucket cap, same skew guard as Dedup.minhashLshPairs: a
-    // degenerate bucket (zero vectors, exact-duplicate embeddings)
-    // must not quadratically dominate the candidate join at scale
-    val a =
-      if (maxBucket == Int.MaxValue) a0
-      else {
-        val ok = a0.groupBy(col("a_probe"), col("a_sig"))
-          .agg(count(lit(1)).as("__bn")).filter(col("__bn") <= maxBucket)
-          .select(col("a_probe").as("__okp"), col("a_sig").as("__oks"))
-        a0.join(ok, col("a_probe") === col("__okp") &&
-          col("a_sig") === col("__oks"), "left_semi")
-      }
+    // hot-bucket skew guard, shared with Dedup.minhashLshPairs
+    val a = Dedup.capBuckets(a0, Seq("a_probe", "a_sig"), maxBucket)
     val b = a.toDF("b_id", "b_probe", "b_sig")
     val cand = a.join(b,
         col("a_probe") === col("b_probe") && col("a_sig") === col("b_sig") &&

@@ -179,9 +179,11 @@ object Cursor {
           if (horizon != Long.MaxValue) horizon else hi.toLong,
           Nil, offset, skip = offset.toInt)
       case fixedSig(pos) =>
-        if (s.contains("left<") || s.contains("right<") ||
-            s.contains("left+") || s.contains("right+") ||
-            s.contains("typeguid+") || s.contains("scope+"))
+        // linkage tokens in a freeze are single letters at a known
+        // position (after the bounds' `<hi>:` or at a vip endpoint);
+        // a spelled-out name there is a freeze the engine cannot thaw
+        if ("""\d:(left|right|typeguid|scope)(<-|->|\+)""".r
+            .findFirstIn(s).isDefined)
           throw new IllegalArgumentException("EMPTY: not found")
         Token(Long.MinValue, horizon, Nil, offset, skip = pos.toInt)
       case all(lo, hi, pos) =>

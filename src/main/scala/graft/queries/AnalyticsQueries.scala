@@ -150,20 +150,8 @@ object AnalyticsQueries extends QueryPack {
         fs.delete(new org.apache.hadoop.fs.Path(storeDir), true)
         fs.delete(new org.apache.hadoop.fs.Path(ckptDir), true)
         // seed: the even half of the corpus, already in its final state
-        val seed = docs.filter(col("doc_id") % 2 === 0).select(
-          col("doc_id").as("id"),
-          lit(null).cast("long").as("typeguid"),
-          concat(lit("doc:"), col("doc_id").cast("string")).as("name"),
-          lit(Datatype.String).cast("byte").as("datatype"),
-          col("text").as("value"),
-          lit(null).cast("long").as("scope"),
-          lit(true).as("live"), lit(true).as("archival"),
-          lit(false).as("txstart"),
-          col("doc_id").as("timestamp"),
-          lit(null).cast("long").as("left"),
-          lit(null).cast("long").as("right"),
-          lit(null).cast("long").as("prev"),
-          col("doc_id").as("lineage"))
+        val seed = WriteQueries.docPrimitives(
+          docs.filter(col("doc_id") % 2 === 0))
         GraphStore.fromDf(s, seed).save(storeDir)
         val incoming = s.readStream
           .schema(org.apache.spark.sql.types.StructType(Seq(

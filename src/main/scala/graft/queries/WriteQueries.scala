@@ -16,11 +16,12 @@ import graft.write.BulkMerge
 object WriteQueries extends QueryPack {
 
   /** documents → a primitives table: one node per doc, key in `name`
-    * ("doc:<id>"), text in `value`.
+    * ("doc:<id>"), text in `value`. Shared by the write gates and the
+    * streaming-upsert gate (st03) — ONE copy of the doc→primitive
+    * projection contract.
     */
-  private def docStore(s: SparkSession, dir: String): GraphStore = {
-    val docs = s.read.parquet(s"$dir/documents.parquet")
-    val prims = docs.select(
+  private[queries] def docPrimitives(docs: DataFrame): DataFrame =
+    docs.select(
       col("doc_id").as("id"),
       lit(null).cast("long").as("typeguid"),
       concat(lit("doc:"), col("doc_id").cast("string")).as("name"),
@@ -35,8 +36,11 @@ object WriteQueries extends QueryPack {
       lit(null).cast("long").as("right"),
       lit(null).cast("long").as("prev"),
       col("doc_id").as("lineage"))
-    GraphStore.fromDf(s, prims, versioned = false)
-  }
+
+  private def docStore(s: SparkSession, dir: String): GraphStore =
+    GraphStore.fromDf(s,
+      docPrimitives(s.read.parquet(s"$dir/documents.parquet")),
+      versioned = false)
 
   val defs: Seq[QueryDef] = Seq(
 

@@ -320,7 +320,12 @@ final case class GraphStore(spark: SparkSession, primitives: DataFrame,
       .withColumn("id_part", shiftright(col("id"), PartShift).cast("int"))
       .repartition(col("id_part"))
       .write.mode(SaveMode.Overwrite).partitionBy("id_part").parquet(path)
-    GraphStore(spark, spark.read.parquet(path), versioned = false)
+    // copy(), not a fresh construction: engine configuration
+    // (useWordIndex) survives compaction; the mirror and the
+    // incremental-index watermark refer to pre-compaction state and
+    // reset
+    copy(primitives = spark.read.parquet(path), versioned = false,
+      localRows = None, wordIndexBase = None)
   }
 
   def save(path: String): Unit =

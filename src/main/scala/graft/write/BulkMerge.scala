@@ -130,7 +130,8 @@ object BulkMerge {
     }
 
     // -- existing candidates: lowest current id per key ---------------
-    val curCols = Seq("id", "lineage") ++ IdentityFields :+ "datatype"
+    val curCols = Seq("id", "lineage") ++ IdentityFields ++
+      Seq("datatype", "scope")
     val cur = store.current.select(curCols.distinct.map(c =>
       col(c).as(s"__ex_$c")): _*)
     val candidates =
@@ -268,9 +269,15 @@ object BulkMerge {
     val mirror = store.localRows.map(_ ++ newDf.as[Primitive].collect())
     // an index-serving store maintains its word index incrementally
     // across the merge (the reference's on-write WORD hmap update):
-    // the built index becomes the base, the appended rows the delta
+    // the built (cached) index becomes the base, rows past the
+    // watermark the delta. The watermark is set ONCE — later merges
+    // keep the same base and the delta predicate simply covers more
+    // appended rows — so the probe plan stays a single cached-base ∪
+    // delta-scan union regardless of merge count (a re-seed per merge
+    // would chain unions N deep). save/compact re-bases.
     val wordSeed =
-      if (store.useWordIndex) Some((store.valueWordIndex, base - 1))
+      if (store.useWordIndex)
+        store.wordIndexBase.orElse(Some((store.valueWordIndex, base - 1)))
       else store.wordIndexBase
     Result(
       store.copy(primitives = merged,

@@ -69,6 +69,18 @@ class BulkMergeSpec extends AnyFunSuite {
     assert(head.getLong(0) == 3L && head.getLong(1) == 3L)
   }
 
+  test("every advertised key field resolves, including scope") {
+    import spark.implicits._
+    val st = GraphStore.fromSeq(spark, Seq(
+      node(1, name = Some("n1"), value = Some("x")).copy(scope = Some(7L)),
+      node(2, name = Some("n1"), value = Some("x")).copy(scope = None)))
+    val batch = Seq((Some(7L), "n1", "x"), (None: Option[Long], "n1", "y"))
+      .toDF("scope", "name", "value")
+    val r = BulkMerge.mergeKeyed(st, batch, Seq("name", "scope"))
+    // scoped row identical → unchanged; null-scope row differs → version
+    assert(r.unchanged == 1 && r.versioned == 1 && r.inserted == 0)
+  }
+
   test("mergeKeyed with key=() inserts everything") {
     val r = BulkMerge.mergeKeyed(baseStore(),
       batchDf(Seq("doc:1" -> "alpha", "doc:1" -> "alpha")), Seq.empty)
