@@ -161,7 +161,7 @@ object Cursor {
     // array. The freeze encodes linkages as single letters (l<- r+);
     // spelled-out linkage names don't thaw — the reference answers
     // EMPTY "not found" for such a cursor (colors3's last read).
-    val fixedSig = """^fixed:\(.*\)/(\d+)/(?:\[cache:@[^\]]*\])?$""".r
+    val fixedSig = """^fixed:\((.*)\)/(\d+)/(?:\[cache:@[^\]]*\])?$""".r
     s match {
       case without(lo, hi, pos) =>
         Token(pos.toLong, if (horizon != Long.MaxValue) horizon else hi.toLong,
@@ -178,12 +178,16 @@ object Cursor {
         Token(Long.MinValue,
           if (horizon != Long.MaxValue) horizon else hi.toLong,
           Nil, offset, skip = offset.toInt)
-      case fixedSig(pos) =>
-        // linkage tokens in a freeze are single letters at a known
-        // position (after the bounds' `<hi>:` or at a vip endpoint);
-        // a spelled-out name there is a freeze the engine cannot thaw
-        if ("""\d:(left|right|typeguid|scope)(<-|->|\+)""".r
-            .findFirstIn(s).isDefined)
+      case fixedSig(sig, pos) =>
+        // linkage tokens in a freeze are single letters right after an
+        // iterator's `lo-hi:` bounds (colors3: `608-620:l<-`, vip
+        // `630-642:r+`); a spelled-out name in that position is a
+        // freeze the engine cannot thaw. Anchoring on the bounds keeps
+        // the scan inside the parenthesized source signature — a
+        // serialized value or the @resource tail that merely contains
+        // a substring like "3:left<-" must not misclassify the cursor.
+        if ("""\d+-\d+:(left|right|typeguid|scope)(<-|->|\+)""".r
+            .findFirstIn(sig).isDefined)
           throw new IllegalArgumentException("EMPTY: not found")
         Token(Long.MinValue, horizon, Nil, offset, skip = pos.toInt)
       case all(lo, hi, pos) =>

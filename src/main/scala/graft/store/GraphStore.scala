@@ -137,10 +137,19 @@ final case class GraphStore(spark: SparkSession, primitives: DataFrame,
         .select(col("id"), explode(graphd_words(col("value"))).as("word"))
     wordIndexBase match {
       case Some((base, coveredTo)) =>
-        // incremental: reuse the built base, tokenize only the delta
-        // (id-range predicate prunes persisted partitions; appended
-        // in-plan rows are the delta by construction)
-        base.unionByName(wordsOf(primitives.filter(col("id") > coveredTo)))
+        // incremental: reuse the built base, tokenize only the delta.
+        // The id predicate alone only buys parquet row-group min/max
+        // skipping — Spark cannot derive id_part bounds from it — so
+        // the partition predicate is spelled out explicitly for
+        // directory-level pruning (appended in-plan rows carry a null
+        // id_part and are the delta by construction)
+        val deltaPred =
+          if (primitives.columns.contains("id_part"))
+            col("id") > coveredTo &&
+              (col("id_part").isNull ||
+                col("id_part") >= ((coveredTo + 1) >> PartShift).toInt)
+          else col("id") > coveredTo
+        base.unionByName(wordsOf(primitives.filter(deltaPred)))
       case None =>
         // coalesced before caching: index probes are word-equality
         // scans of the cached blocks, and fewer/larger partitions keep

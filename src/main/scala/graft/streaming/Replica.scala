@@ -77,7 +77,18 @@ object Replica {
     */
   def mergeStream(incoming: DataFrame, keyFields: Seq[String],
       storeDir: String, checkpointDir: String,
-      unique: Boolean = false): StreamingQuery =
+      unique: Boolean = false,
+      /** within-batch ordering column: the LAST record per key wins
+        * (CDC sequence/offset). Without one, a micro-batch carrying
+        * several records for the same key — the norm in CDC feeds, and
+        * easy under maxFilesPerTrigger file grouping — is collapsed to
+        * one deterministic representative per normalized key BEFORE the
+        * merge, because BulkMerge classifies the whole batch against
+        * one store head: two same-key inserts in one batch would
+        * otherwise both land as live current rows forever.
+        */
+      seqCol: Option[String] = None,
+      comparator: String = "default"): StreamingQuery =
     incoming.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -87,9 +98,33 @@ object Replica {
         // merge classification materializes (localCheckpoint) before
         // this batch's delta is written, so the listing is stable
         val st = graft.store.GraphStore.load(spark, storeDir)
+        val b0 = batch.toDF()
+        val deduped =
+          if (seqCol.isDefined || keyFields.isEmpty) b0 // BulkMerge last-wins
+          else {
+            // no sequence column: collapse same-key rows to ONE
+            // deterministic representative (total order over every
+            // column, so checkpoint replays of the same batch pick the
+            // same winner and re-classify as unchanged)
+            import graft.functions.GraphdFunctions.sort_key
+            def keyOf(f: String): org.apache.spark.sql.Column = {
+              val c = if (b0.columns.contains(f)) col(f)
+                else lit(null).cast(
+                  if (f == "name" || f == "value") "string" else "long")
+              if (f == "name" || f == "value") sort_key(c, comparator) else c
+            }
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(keyFields.map(keyOf): _*)
+              .orderBy(b0.columns.map(c => col(c).desc_nulls_last): _*)
+            b0.withColumn("__rn",
+                org.apache.spark.sql.functions.row_number().over(w))
+              .filter(col("__rn") === 1).drop("__rn")
+          }
         val r =
-          if (unique) graft.write.BulkMerge.mergeUnique(st, batch.toDF(), keyFields)
-          else graft.write.BulkMerge.mergeKeyed(st, batch.toDF(), keyFields)
+          if (unique) graft.write.BulkMerge.mergeUnique(st, deduped, keyFields,
+            comparator, seqCol)
+          else graft.write.BulkMerge.mergeKeyed(st, deduped, keyFields,
+            comparator, seqCol)
         r.appended
           .withColumn("id_part", shiftright(col("id"),
             graft.store.GraphStore.PartShift).cast("int"))

@@ -144,9 +144,18 @@ object BulkMerge {
         // merge re-shuffles the entire current view at 100 TB
         val batchKeys = in.select(keyFields.map(f =>
           keyOf("__in_")(f).as(s"__bk_$f")): _*).distinct()
+        // broadcast only while the optimizer's size estimate for the
+        // batch stays bounded: the distinct key set of a billion-row
+        // ingest must not be collected to the driver. Past the bound
+        // the same semi-join runs as a shuffle (and AQE may still
+        // re-pick broadcast from observed runtime sizes).
+        val batchBytes = in.queryExecution.optimizedPlan.stats.sizeInBytes
+        val hintedKeys =
+          if (batchBytes <= BigInt(256L << 20)) broadcast(batchKeys)
+          else batchKeys
         val touchCond = keyFields.map(f =>
           keyOf("__ex_")(f) <=> col(s"__bk_$f")).reduce(_ && _)
-        val touched = cur.join(broadcast(batchKeys), touchCond, "left_semi")
+        val touched = cur.join(hintedKeys, touchCond, "left_semi")
         val w = Window.partitionBy(keyFields.map(keyOf("__ex_")): _*)
           .orderBy(col("__ex_id").asc)
         touched.withColumn("__rn", row_number().over(w))
@@ -251,12 +260,20 @@ object BulkMerge {
         val cond = keyFields.map(f =>
           keyOf("__o_")(f) <=> col(s"__nk_$f")).reduce(_ && _)
         // outcome rows keep the ORIGINAL columns; rebuild their key
-        // exprs (absent columns are null, same as the merge join)
+        // exprs exactly as the merge join derived them: absent columns
+        // are null EXCEPT datatype, whose unspecified form is the
+        // value-derived default (String when a value is present, Null
+        // otherwise) — a null literal here would never match newDf's
+        // non-null derived key, resolving inserts to a null id
         val oKeyed = keyFields.foldLeft(outcomes) { (df, f) =>
           df.withColumn(s"__o_$f",
-            if (specified(f)) col(f) else lit(null).cast(
-              if (f == "name" || f == "value") "string"
-              else if (f == "datatype") "byte" else "long"))
+            if (specified(f)) col(f)
+            else if (f == "datatype")
+              when(inColRaw(outcomes, "value").isNotNull,
+                lit(Datatype.String)).otherwise(lit(Datatype.Null))
+                .cast("byte")
+            else lit(null).cast(
+              if (f == "name" || f == "value") "string" else "long"))
         }
         oKeyed.join(newKeyed, cond, "left")
           .withColumn("id", coalesce(col("__new_id"), col("matched_id")))

@@ -240,4 +240,20 @@ class BulkMergeSpec extends AnyFunSuite {
       if (prev == -1L) assert(lin == id) else assert(prev == 1L && lin == 1L)
     }
   }
+
+  test("datatype key field without a datatype column still resolves ids") {
+    // the merge join derives an unspecified datatype from value
+    // presence (String / Null); the outcome-id rebuild must derive the
+    // SAME key, not a null literal, or inserts resolve to a null id
+    val st0 = baseStore()
+    val r = BulkMerge.mergeKeyed(st0,
+      batchDf(Seq("doc:1" -> "alpha", "dk:new" -> "fresh")),
+      Seq("name", "datatype"))
+    val out = r.outcomes.select("name", "outcome", "id").collect()
+      .map(x => x.getString(0) ->
+        (x.getString(1), if (x.isNullAt(2)) -1L else x.getLong(2))).toMap
+    assert(out("doc:1") == ("unchanged", 1L))
+    assert(out("dk:new")._1 == "inserted" && out("dk:new")._2 > 0L,
+      s"inserted row must resolve its assigned id, got ${out("dk:new")}")
+  }
 }

@@ -203,4 +203,19 @@ class StoreSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS prims_by_left")
     }
   }
+
+  test("fixed-signature cursor thaw: linkage detection stays inside the signature") {
+    import graft.plan.Cursor
+    // spelled-out linkage IN the source signature → unthawable (EMPTY),
+    // per the reference's colors3 last read
+    val bad = "fixed:(fixed-isa:608-620:left<-(vip:630-642:r+00->620))/3/"
+    val e = intercept[IllegalArgumentException](Cursor.decode(bad))
+    assert(e.getMessage.startsWith("EMPTY"))
+    // single-letter linkage thaws positionally even when the @resource
+    // cache tail happens to CONTAIN a linkage-looking substring — the
+    // detection must not scan past the parenthesized signature
+    val ok = "fixed:(fixed-isa:608-620:l<-(vip:630-642:r+00->620)[hint:0])" +
+      "/3/[cache:@ab1-2:left<-x]"
+    assert(Cursor.decode(ok).skip == 3)
+  }
 }

@@ -83,6 +83,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(st2.all.count() == 4) // no dead duplicate versions either
   }
 
+  test("mergeStream collapses same-key duplicates within one micro-batch") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_msd").toString
+    val feed = s"$base/feed"; val storeDir = s"$base/store"
+    // one file = one micro-batch carrying THREE records for k:dup —
+    // the CDC-feed norm; without the within-batch collapse two of them
+    // would insert as duplicate live heads with the same key forever
+    Seq(("k:dup", "v1"), ("k:dup", "v2"), ("k:dup", "v3"), ("k:solo", "s1"))
+      .toDF("name", "value").coalesce(1).write.parquet(feed)
+    graft.store.GraphStore.fromSeq(spark,
+      Seq(graft.model.Primitive.node(1, name = Some("seed")))).save(storeDir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("name",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.StringType)))
+    val in = spark.readStream.schema(schema).parquet(feed)
+    Replica.mergeStream(in, Seq("name"), storeDir, s"$base/ckpt")
+      .awaitTermination()
+    val st = graft.store.GraphStore.load(spark, storeDir)
+    val dupHeads = st.current.filter(col("name") === "k:dup").collect()
+    assert(dupHeads.length == 1,
+      s"one live head per key, got ${dupHeads.length}")
+    // deterministic winner: max over all columns → v3
+    assert(dupHeads.head.getAs[String]("value") == "v3")
+    assert(st.current.filter(col("name") === "k:solo").count() == 1)
+  }
+
   test("windowed event counts run as a genuine stream to a memory sink") {
     val dir = Files.createTempDirectory("graft_ev").toString + "/events"
     import spark.implicits._
