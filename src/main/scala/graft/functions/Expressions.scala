@@ -329,6 +329,13 @@ object GraphdFunctions {
   def vec_nearest(a: Column, cents: Array[(Int, Array[Double])], n: Int): Column =
     column(VecNearestCids(expression(a), cents, n))
 
+  /** per-group bounded top-k aggregate (graphd-sort-root.c analog):
+    * the k smallest elements in the element type's natural ascending
+    * order, with map-side partial reduction to k rows per group
+    */
+  def bounded_top_k(c: Column, k: Int): Column =
+    column(BoundedTopK(expression(c), k).toAggregateExpression())
+
   /** register SQL functions graphd_sort_key / graphd_match */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

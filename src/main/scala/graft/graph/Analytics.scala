@@ -18,18 +18,47 @@ import graft.store.GraphStore
   */
 object Analytics {
 
+  /** Partition count sized to the DATA, not a test-scale constant:
+    * enough partitions to keep each under ~bytesPerPartition of the
+    * optimizer's size estimate, floored at a quarter of the
+    * scheduler's parallelism (iterative supersteps pay per-partition
+    * scheduling every round, so fat partitions win until size forces
+    * more). A 100x input grows the count linearly instead of
+    * funnelling through a constant.
+    */
+  private[graft] def sizedPartitions(df: DataFrame,
+      bytesPerPartition: Long = 64L << 20): Int = {
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val bySize = (bytes / bytesPerPartition).min(BigInt(1 << 16)).toInt + 1
+    val floor = math.max(1,
+      df.sparkSession.sparkContext.defaultParallelism / 4)
+    math.max(floor, bySize)
+  }
+
+  /** broadcast bound in ROWS, derived from the session's broadcast
+    * byte threshold at ~16 bytes per (id, label) pair — past it the
+    * same plan runs as a shuffle join.
+    */
+  private def broadcastMaxRows(df: DataFrame): Long = {
+    val thresh = df.sparkSession.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", (10L << 20).toString)
+    val bytes = org.apache.spark.network.util.JavaUtils
+      .byteStringAsBytes(thresh)
+    if (bytes <= 0) 4000000L else math.max(bytes / 16L, 1L)
+  }
+
   /** current nodes/links → GraphX graph (node id = vertex id) */
   def toGraphX(store: GraphStore): Graph[Long, Long] = {
-    // modest partition counts: Pregel supersteps pay per-partition
-    // scheduling every round, and test-scale graphs (<10M edges) run
-    // fastest with a handful of fat partitions. A cluster deployment
-    // would size this to totalEdges / ~8M instead.
-    val nodes = store.nodes.select(col("id")).rdd
-      .map(r => (r.getLong(0): VertexId, r.getLong(0))).coalesce(8)
-    val edges = store.links
+    val nodeDf = store.nodes.select(col("id"))
+    val edgeDf = store.links
       .filter(col("right").isNotNull)
       .select(col("left"), col("right"), coalesce(col("typeguid"), lit(0L)))
-      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getLong(2))).coalesce(8)
+    val nodes = nodeDf.rdd
+      .map(r => (r.getLong(0): VertexId, r.getLong(0)))
+      .coalesce(sizedPartitions(nodeDf))
+    val edges = edgeDf
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getLong(2)))
+      .coalesce(sizedPartitions(edgeDf))
     Graph(nodes, edges, defaultVertexAttr = 0L,
       edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
       vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
@@ -77,13 +106,13 @@ object Analytics {
         struct(col("left").as("node"), col("right").as("nbr")),
         struct(col("right").as("node"), col("left").as("nbr")))).as("e"))
       .select(col("e.node").as("node"), col("e.nbr").as("nbr"))
-      .coalesce(8).cache()
+      .coalesce(sizedPartitions(edges)).cache()
 
   def connectedComponentsDF(nodes: DataFrame, edges: DataFrame): DataFrame = {
     val sym = symmetricAdjacency(edges)
     // broadcast the frontier only while it provably fits — past that,
     // the same plan runs as a shuffle join (AQE may still downgrade it)
-    val broadcastMax = 4000000L
+    val broadcastMax = broadcastMaxRows(edges)
     def hinted(df: DataFrame, rows: Long): DataFrame =
       if (rows <= broadcastMax) broadcast(df) else df
     var labels = nodes.select(col("id"), col("id").as("component"))
@@ -229,7 +258,7 @@ object Analytics {
     // table by dst on a cluster.
     val cedges = edges
       .join(edges.groupBy("src").agg(count(lit(1)).as("od")), "src")
-      .repartition(8, col("dst"))
+      .repartition(sizedPartitions(edges), col("dst"))
       .cache()
     // Iterate over the in-sum table only — vertices with no in-edges
     // hold the constant rank `reset` after round 1 and never need to be

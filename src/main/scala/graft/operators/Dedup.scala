@@ -26,6 +26,38 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** A memoized operator result plus every DataFrame it `.cache()`d —
+    * eviction must unpersist the INNER caches (shingle sets, verify
+    * inputs) too, or a long-lived service leaks storage one dedup
+    * parameterization at a time.
+    */
+  private[graft] final case class Memoized(df: DataFrame,
+      cached: Seq[DataFrame])
+
+  /** Size-capped LRU memo for cached operator DataFrames. Within the
+    * cap, repeated same-parameter calls share one materialization (the
+    * reason the memos exist); past it, the least-recently-used entry's
+    * cache blocks are unpersisted and storage returns to baseline.
+    */
+  private[graft] final class BoundedMemo[K](cap: Int) {
+    private val map = new java.util.LinkedHashMap[K, Memoized](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[K, Memoized]): Boolean =
+        if (size() > cap) {
+          e.getValue.cached.foreach(_.unpersist(false)); true
+        } else false
+    }
+    def getOrElseUpdate(k: K, v: => Memoized): DataFrame = map.synchronized {
+      val cur = map.get(k)
+      if (cur != null) cur.df
+      else { val nv = v; map.put(k, nv); nv.df }
+    }
+    def size: Int = map.synchronized(map.size())
+  }
+
+  private[graft] def memoCap: Int =
+    sys.props.get("graft.memoCap").map(_.toInt).getOrElse(32)
+
   /** Exact dedup on normalized content: keep the smallest id per
     * fingerprint group.
     */
@@ -71,8 +103,8 @@ object Dedup {
   // operator, and returning the SAME DataFrame instance guarantees the
   // cached materialization is reused (plan-canonicalization equality
   // across separately-built self-join plans is not reliable)
-  private val pairMemo = scala.collection.concurrent.TrieMap
-    .empty[(Int, String, String, Int, Double, Int), DataFrame]
+  private val pairMemo =
+    new BoundedMemo[(Int, String, String, Int, Double, Int)](memoCap)
 
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8, maxDf: Int = 1000): DataFrame =
@@ -82,7 +114,7 @@ object Dedup {
       ngramJaccardPairsUncached(df, idCol, textCol, n, threshold, maxDf))
 
   private def ngramJaccardPairsUncached(df: DataFrame, idCol: String,
-      textCol: String, n: Int, threshold: Double, maxDf: Int): DataFrame = {
+      textCol: String, n: Int, threshold: Double, maxDf: Int): Memoized = {
     val sh = shingleSet(df, idCol, textCol, n).cache()
     val dfTab = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     val capped = sh.join(dfTab.filter(col("df") <= maxDf), "sh")
@@ -105,7 +137,7 @@ object Dedup {
     // same pair plan before clustering, so the cache turns its pair
     // phase into a lookup (Spark's cache manager matches on plan
     // equality across calls)
-    inter
+    val out = inter
       .join(sizes.select(col("id").as("id_a"), col("n_sh").as("na")), "id_a")
       .join(sizes.select(col("id").as("id_b"), col("n_sh").as("nb")), "id_b")
       .withColumn("jaccard",
@@ -113,6 +145,7 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .cache()
+    Memoized(out, Seq(sh, out))
   }
 
   /** MinHash signature: k independent hash functions realized as
@@ -132,8 +165,8 @@ object Dedup {
     * `bands` groups of k/bands rows, bucket-join on (band, hash of
     * band slice), then verify candidates with exact Jaccard.
     */
-  private val lshMemo = scala.collection.concurrent.TrieMap
-    .empty[(Int, String, String, Int, Int, Int, Double, Int), DataFrame]
+  private val lshMemo =
+    new BoundedMemo[(Int, String, String, Int, Int, Int, Double, Int)](memoCap)
 
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 64, bands: Int = 16,
@@ -142,11 +175,11 @@ object Dedup {
       (df.queryExecution.analyzed.semanticHash(), idCol, textCol, n, k,
         bands, threshold, maxBucket),
       minhashLshPairsUncached(df, idCol, textCol, n, k, bands, threshold,
-        maxBucket).cache())
+        maxBucket))
 
   private def minhashLshPairsUncached(df: DataFrame, idCol: String,
       textCol: String, n: Int, k: Int, bands: Int,
-      threshold: Double, maxBucket: Int): DataFrame = {
+      threshold: Double, maxBucket: Int): Memoized = {
     val sig = minhashSignatures(df, idCol, textCol, n, k)
     val rowsPerBand = k / bands
     val banded0 = sig.select(col("id"),
@@ -164,7 +197,9 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
 
-    verifyJaccard(df, idCol, textCol, cand, n, threshold)
+    val (verified, sh) = verifyJaccardTracked(df, idCol, textCol, cand, n, threshold)
+    val out = verified.cache()
+    Memoized(out, Seq(sh, out))
   }
 
   /** Hot-bucket cap for LSH candidate generation: a bucket of B
@@ -190,7 +225,13 @@ object Dedup {
 
   /** exact-Jaccard verification of candidate pairs */
   def verifyJaccard(df: DataFrame, idCol: String, textCol: String,
-      cand: DataFrame, n: Int, threshold: Double): DataFrame = {
+      cand: DataFrame, n: Int, threshold: Double): DataFrame =
+    verifyJaccardTracked(df, idCol, textCol, cand, n, threshold)._1
+
+  /** verification plus the shingle cache it pinned (for memo eviction) */
+  private def verifyJaccardTracked(df: DataFrame, idCol: String,
+      textCol: String, cand: DataFrame, n: Int,
+      threshold: Double): (DataFrame, DataFrame) = {
     val sh = shingleSet(df, idCol, textCol, n).cache()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val inter = cand
@@ -198,13 +239,14 @@ object Dedup {
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .filter(col("sh") === col("sh_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    inter
+    val out = inter
       .join(sizes.select(col("id").as("id_a"), col("n_sh").as("na")), "id_a")
       .join(sizes.select(col("id").as("id_b"), col("n_sh").as("nb")), "id_b")
       .withColumn("jaccard",
         round(col("inter") / (col("na") + col("nb") - col("inter")), 3))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    (out, sh)
   }
 
   /** Near-duplicate clustering: pairs → connected components → one
@@ -251,14 +293,14 @@ object Dedup {
     * one of d+1 (guaranteed recall; the pigeonhole trick behind
     * chunked simhash search). maxDist=3 gives 4 chunks of 15 bits.
     */
-  private val simhashMemo = scala.collection.concurrent.TrieMap
-    .empty[(Int, String, String, Int), DataFrame]
+  private val simhashMemo = new BoundedMemo[(Int, String, String, Int)](memoCap)
 
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame =
     simhashMemo.getOrElseUpdate(
       (df.queryExecution.analyzed.semanticHash(), idCol, textCol, maxDist),
-      simhashPairsUncached(df, idCol, textCol, maxDist).cache())
+      { val out = simhashPairsUncached(df, idCol, textCol, maxDist).cache()
+        Memoized(out, Seq(out)) })
 
   private def simhashPairsUncached(df: DataFrame, idCol: String,
       textCol: String, maxDist: Int): DataFrame = {

@@ -93,13 +93,20 @@ object Similarity {
     * touching the same (df, params) shares one materialization via
     * plan-equality (renames happen outside the cached plan).
     */
+  private val sigMemo =
+    new Dedup.BoundedMemo[(Int, String, String, Int, Int, Int)](Dedup.memoCap)
+
   private[graft] def probeSigs(df: DataFrame, idCol: String, vecCol: String,
       bits: Int, nProbes: Int, dims: Int): DataFrame =
-    df.select(col(idCol).cast("long").as("id"),
-        posexplode(array((0 until nProbes).map(p =>
-          rhpSignature(col(vecCol), bits, dims, seed = 42 + p)): _*))
-          .as(Seq("probe", "sig")))
-      .cache()
+    sigMemo.getOrElseUpdate(
+      (df.queryExecution.analyzed.semanticHash(), idCol, vecCol, bits,
+        nProbes, dims),
+      { val out = df.select(col(idCol).cast("long").as("id"),
+            posexplode(array((0 until nProbes).map(p =>
+              rhpSignature(col(vecCol), bits, dims, seed = 42 + p)): _*))
+              .as(Seq("probe", "sig")))
+          .cache()
+        Dedup.Memoized(out, Seq(out)) })
 
   /** Approximate top-k: candidates share an exact signature bucket in
     * at least one of `nProbes` independent hyperplane sets; candidates

@@ -290,14 +290,23 @@ object Relational extends QueryPack {
              |      FROM events)
              |GROUP BY user_id""".stripMargin)),
 
+    // per-parent top-k via the bounded-top-k AGGREGATE (the
+    // graphd-sort-root.c:21 cross-level optimization): the map-side
+    // partial phase reduces each partition to <=2 rows per customer
+    // before the exchange, where the window formulation would shuffle
+    // and sort every order row
     QueryDef("q20_topk_per_parent",
       (s, dir) => {
-        val w = Window.partitionBy(col("o_custkey"))
-          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        import graft.functions.GraphdFunctions.bounded_top_k
         T(s, dir).orders
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= 2)
-          .select(col("o_custkey"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+          .groupBy(col("o_custkey"))
+          .agg(bounded_top_k(struct((-col("o_totalprice")).as("np"),
+            col("o_orderkey").as("o_orderkey"),
+            col("o_totalprice").as("o_totalprice")), 2).as("tk"))
+          .select(col("o_custkey"), posexplode(col("tk")).as(Seq("i", "r")))
+          .select(col("o_custkey"), (col("i") + 1).cast("int").as("rk"),
+            col("r.o_orderkey").as("o_orderkey"),
+            col("r.o_totalprice").as("o_totalprice"))
       },
       Some("""SELECT o_custkey, rk, o_orderkey, o_totalprice
              |FROM (SELECT *, row_number() OVER
@@ -311,11 +320,17 @@ object Relational extends QueryPack {
     QueryDef("q22_datetime_sort",
       (s, dir) => {
         import graft.functions.GraphdFunctions.sort_key
+        // the key is PROJECTED before the sort: TakeOrderedAndProject
+        // re-evaluates its SortOrder expressions on every heap
+        // comparison, so an inline sort_key would run O(n log k) times
+        // — as a projected attribute it runs exactly once per row
         T(s, dir).orders
           .select(col("o_orderkey"),
             date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss").as("dt"))
-          .orderBy(sort_key(col("dt"), "datetime").asc, col("o_orderkey").asc)
+          .withColumn("__sk", sort_key(col("dt"), "datetime"))
+          .orderBy(col("__sk").asc, col("o_orderkey").asc)
           .limit(100)
+          .select(col("o_orderkey"), col("dt"))
       },
       Some("""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS dt
              |FROM orders ORDER BY o_orderdate ASC, o_orderkey ASC

@@ -58,4 +58,19 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(pr(3L) > pr(1L)) // 3 receives from the chain, 1 only emits
     assert(pr(5L) > pr(4L))
   }
+
+  test("analytics partition counts derive from data size, not constants") {
+    import spark.implicits._
+    val floor = math.max(1, spark.sparkContext.defaultParallelism / 4)
+    // tiny input: fat-partition floor (a fraction of the scheduler's
+    // parallelism), never a hardcoded test-scale constant
+    val tiny = Seq((1L, 2L)).toDF("left", "right")
+    assert(Analytics.sizedPartitions(tiny) == floor)
+    // large input (optimizer-estimated): the count scales with bytes —
+    // spark.range stats are exact (8 bytes/row), 16 GiB => ~256
+    // partitions at 64 MiB each, far above the floor
+    val big = spark.range(2L * 1024 * 1024 * 1024).toDF("id")
+    val n = Analytics.sizedPartitions(big)
+    assert(n > floor && n >= 200, s"expected size-scaled count, got $n")
+  }
 }

@@ -148,6 +148,51 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("memo eviction unpersists cached plans; storage returns to baseline") {
+    import org.apache.spark.storage.StorageLevel
+    val memo = new Dedup.BoundedMemo[Int](2)
+    val dfs = (0 until 3).map { i =>
+      val d = Seq((i.toLong, s"text $i")).toDF("doc_id", "text").cache()
+      d.count() // materialize the cache block
+      d
+    }
+    dfs.zipWithIndex.foreach { case (d, i) =>
+      memo.getOrElseUpdate(i, Dedup.Memoized(d, Seq(d)))
+    }
+    assert(memo.size == 2)
+    // the eldest entry's cache blocks are gone; the survivors' remain
+    assert(dfs(0).storageLevel == StorageLevel.NONE,
+      "evicted entry must be unpersisted")
+    assert(dfs(1).storageLevel != StorageLevel.NONE)
+    assert(dfs(2).storageLevel != StorageLevel.NONE)
+    dfs.foreach(_.unpersist())
+  }
+
+  test("bounded top-k aggregate: heap semantics across partitions and strings") {
+    import graft.functions.GraphdFunctions.bounded_top_k
+    // 1000 rows over 10 groups, spread over many partitions so the
+    // partial/merge/serialize path is exercised; expect each group's 3
+    // smallest (v asc, id asc), ranks dense from 1
+    val df = spark.range(1000).repartition(16)
+      .selectExpr("id % 10 AS g", "CAST((id * 37) % 1000 AS DOUBLE) AS v",
+        "id", "concat('s', id) AS s")
+    val out = df.groupBy(col("g"))
+      .agg(bounded_top_k(struct(col("v"), col("id"), col("s")), 3).as("tk"))
+      .select(col("g"), posexplode(col("tk")).as(Seq("i", "r")))
+      .select(col("g"), (col("i") + 1).as("rk"), col("r.v"), col("r.id"), col("r.s"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+        r.getLong(3), r.getString(4)))
+    val expected = (0L until 1000L).map(id =>
+        (id % 10, (id * 37) % 1000 * 1.0, id, s"s$id"))
+      .groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+        rows.sortBy(t => (t._2, t._3)).take(3).zipWithIndex.map {
+          case ((_, v, id, s), i) => (g, i + 1, v, id, s)
+        }
+      }.toSet
+    assert(out.toSet == expected)
+    assert(out.length == 30)
+  }
+
   test("no Scala UDFs in the operator hot paths") {
     // VERDICT r6: per-row UDFs break whole-stage codegen at index-build
     // scale; every scalar in operators/ must be a column function or a

@@ -80,4 +80,23 @@ class PlanInvariantSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"),
       "limit+orderBy should collapse to TakeOrderedAndProject")
   }
+
+  test("per-parent top-k aggregates with a partial phase, no window (q20)") {
+    val p = physical("q20_topk_per_parent")
+    assert(!p.contains("Window"),
+      "sort-root rewrite regressed to a full window")
+    assert(p.contains("boundedtopk") || p.contains("BoundedTopK"),
+      s"expected the bounded-top-k aggregate in:\n$p")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      "bounded top-k should plan as a typed aggregate")
+  }
+
+  test("datetime sort projects its key once and keeps TakeOrdered (q22)") {
+    val p = physical("q22_datetime_sort")
+    assert(p.contains("TakeOrderedAndProject"))
+    // the sort key must be an attribute of the child projection, not
+    // an expression re-evaluated per heap comparison
+    assert("""TakeOrderedAndProject.*graphdsortkey""".r.findFirstIn(p).isEmpty,
+      "sort_key leaked into the TakeOrdered ordering")
+  }
 }
