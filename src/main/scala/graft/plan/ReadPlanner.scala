@@ -540,8 +540,24 @@ object ReadPlanner {
         if (p.values.forall(_.isDefined) && keys.forall(_.isDefined)) {
           val exact = keys.flatten.collect { case Left(w) => w }
           val prefixes = keys.flatten.collect { case Right(pre) => pre }
-          val candPred = (exact.map(w => col("word") === w) ++
-            prefixes.map(pre => col("word").startsWith(pre))).reduce(_ || _)
+          // exact pattern words probe the WORD index; `lit*` prefixes
+          // probe the PREFIX index (PDB_HASH_PREFIX, libpdb/pdb-prefix.c:
+          // keys are the first <=5 word characters, so a long query
+          // prefix is an equality probe on its 5-char key and a short
+          // one is the startsWith range the reference walks as a
+          // bmap hash range) — never a startsWith scan over the full
+          // word table
+          val wordCand = Option.when(exact.nonEmpty)(
+            store.valueWordIndex
+              .filter(exact.map(w => col("word") === w).reduce(_ || _))
+              .select(col("id")))
+          val prefCand = Option.when(prefixes.nonEmpty)(
+            store.valuePrefixIndex
+              .filter(prefixes.map { pre =>
+                if (pre.length >= 5) col("prefix") === pre.substring(0, 5)
+                else col("prefix").startsWith(pre)
+              }.reduce(_ || _))
+              .select(col("id")))
           // broadcast semi-join against the index candidates — one
           // shuffle-free stage over the cached table, the Spark shape
           // of the reference's index-lookup → in-memory id-set probe
@@ -551,7 +567,8 @@ object ReadPlanner {
           // + isin literal) is kept behind graft.fixedMax for engines
           // fronting a truly tiny index; default off — a collect per
           // query is the wrong plan at cluster scale.
-          val cand = store.valueWordIndex.filter(candPred)
+          val cand = (wordCand.toSeq ++ prefCand.toSeq)
+            .reduce(_ unionByName _)
             .select(col("id").as("__cand_id"))
           val fixedMax = sys.props.get("graft.fixedMax").map(_.toInt).getOrElse(0)
           df =

@@ -159,6 +159,23 @@ final case class GraphStore(spark: SparkSession, primitives: DataFrame,
     }
   }
 
+  /** Prefix index over `value` words — the PREFIX hmap analog
+    * (libpdb/pdb.h:238 PDB_HASH_PREFIX, libpdb/pdb-prefix.c: postings
+    * keyed by the first <=5 characters of each word, 5-bit-packed; a
+    * shorter query prefix walks the key RANGE it covers). Spark
+    * rendition: a distinct (prefix, id) table — one row per (word
+    * 5-prefix, primitive), much smaller than the word index when long
+    * values repeat word stems. `value~="gea*"` candidates are an
+    * equality probe (prefix of length >=5) or a range/startsWith probe
+    * (shorter), followed by the exact glob re-check — the same
+    * candidate-then-verify contract as the word index.
+    */
+  lazy val valuePrefixIndex: DataFrame =
+    valueWordIndex
+      .select(substring(col("word"), 1, 5).as("prefix"), col("id"))
+      .distinct()
+      .cache()
+
   /** Memoized type-name → type-node-id resolution — the reference
     * resolves type names to typeguids once per request in its semantic
     * phase and caches server-side (graphd/graphd-read.c:28-37); without
@@ -373,9 +390,19 @@ object GraphStore {
     * id-horizon reads (asOf/cursors) prune partition directories; it is
     * dropped from user-facing projections by the planner's explicit
     * result selection.
+    *
+    * `useWordIndex` defaults TRUE on persisted stores: the reference
+    * always serves `~=`/equality candidates from its WORD/PREFIX hmaps
+    * (libpdb/pdb.h:220-241) rather than scanning; a loaded store is
+    * the serving shape, so index routing is the default (the index
+    * builds lazily on first use and is a candidate pruner — exact
+    * predicates re-check, so correctness never depends on it). Pass
+    * false for write-only handles (e.g. a streaming CDC sink) that
+    * never run `~=` reads.
     */
-  def load(spark: SparkSession, path: String): GraphStore =
-    GraphStore(spark, spark.read.parquet(path))
+  def load(spark: SparkSession, path: String,
+      useWordIndex: Boolean = true): GraphStore =
+    GraphStore(spark, spark.read.parquet(path), useWordIndex = useWordIndex)
 
   private lazy val primSchema =
     org.apache.spark.sql.Encoders.product[graft.model.Primitive].schema

@@ -97,7 +97,10 @@ object Replica {
         // a fresh load per batch sees every file appended so far; the
         // merge classification materializes (localCheckpoint) before
         // this batch's delta is written, so the listing is stable
-        val st = graft.store.GraphStore.load(spark, storeDir)
+        // write-only handle: no ~= reads run here, so skip seeding the
+        // word-index watermark every micro-batch
+        val st = graft.store.GraphStore.load(spark, storeDir,
+          useWordIndex = false)
         val b0 = batch.toDF()
         val deduped =
           if (seqCol.isDefined || keyFields.isEmpty) b0 // BulkMerge last-wins

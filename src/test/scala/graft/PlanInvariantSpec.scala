@@ -91,6 +91,22 @@ class PlanInvariantSpec extends AnyFunSuite {
       "bounded top-k should plan as a typed aggregate")
   }
 
+  test("~= word match routes through the inverted-index semi-join (g07)") {
+    val p = physical("g07_gql_match")
+    assert(p.contains("LeftSemi"),
+      s"expected an index-candidate semi-join in:\n$p")
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      "index probe should scan the cached word index")
+  }
+
+  test("prefix glob routes through the prefix-index semi-join (g10)") {
+    val p = physical("g10_gql_prefix")
+    assert(p.contains("LeftSemi"),
+      s"expected a prefix-index semi-join in:\n$p")
+    assert(p.contains("StartsWith") || p.contains("prefix#") ||
+      p.contains("prefix ="), s"prefix probe missing in:\n$p")
+  }
+
   test("datetime sort projects its key once and keeps TakeOrdered (q22)") {
     val p = physical("q22_datetime_sort")
     assert(p.contains("TakeOrderedAndProject"))
