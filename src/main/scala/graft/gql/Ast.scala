@@ -130,6 +130,8 @@ final case class Constraint(
     asofTs: Option[Long] = None, // asof=<timestamp>: written at/before (micros)
     datelineMin: Option[Long] = None, // dateline > "tok": only primitives after
     datelineMax: Option[Long] = None, // dateline < "tok": only primitives before
+    timeoutMillis: Option[Long] = None, // timeout=<seconds> request modifier
+    costLimit: Option[String] = None, // cost="tu=N ...": budget + report request
     cursorTok: Option[String] = None, // cursor="..." resume token
     // write-side upsert markers (doc/gr-protocol.txt:661-857)
     uniqueFields: Option[Seq[String]] = None, // unique=(fields)

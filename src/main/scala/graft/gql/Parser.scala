@@ -643,6 +643,24 @@ object Parser {
                 case None => throw ParseError(s"bad asof '$v'", pos)
               }
           }
+        case "timeout" =>
+          // timeout=<seconds> (doc/gr-protocol.txt:182,258): best-effort
+          // request kill past the budget — enforced at execution by
+          // CostGuard (Spark job-group cancel)
+          val v = rhsVals(rhs, "timeout", pos).head
+            .getOrElse(throw ParseError("timeout needs a value", pos))
+          if (!v.matches("""\d+"""))
+            throw ParseError(s"SYNTAX: bad timeout '$v'", pos)
+          c.copy(timeoutMillis = Some(v.toLong * 1000L))
+        case "cost" =>
+          // cost="tu=N tr=N ..." (doc/gr-protocol.txt:223-226): request
+          // a cost report and optionally budget the request. Unknown
+          // keys reject the whole string (graphd_cost_from_string)
+          val v = rhsVals(rhs, "cost", pos).head.getOrElse("")
+          graft.plan.CostGuard.parseCostLimit(v) match {
+            case Left(msg) => throw ParseError(s"SEMANTICS: $msg", pos)
+            case Right(_) => c.copy(costLimit = Some(v))
+          }
         case "dateline" =>
           // dateline >/< "odometer": only primitives written after /
           // before the horizon — the incremental-read predicate

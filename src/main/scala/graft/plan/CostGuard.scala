@@ -1,0 +1,135 @@
+package graft.plan
+
+import java.util.concurrent.{Executors, ThreadFactory, TimeUnit}
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Per-request cost budgets and cost reporting — the Spark rendition of
+  * the reference's `timeout=` / `cost="tu=N ..."` request modifiers
+  * (doc/gr-protocol.txt:182-260, graphd/graphd-cost.c): a request that
+  * exceeds its budget is KILLED (its Spark jobs cancelled), never the
+  * server, and every request can report what it actually cost.
+  *
+  * The reference checkpoints a cost structure inside its iterators; a
+  * Spark job's unit of cancellation is the job group, so the guard maps
+  * the budget to `cancelJobGroup` from a daemon timer, and the cost
+  * report aggregates task metrics for exactly the jobs the request ran
+  * (keyed by job group through a listener). Reported keys use the
+  * reference's vocabulary (graphd_cost_limit_to_string order):
+  * tr = wall millis, tu = executor CPU millis, ts = JVM GC millis (the
+  * "system time" analog), dr = records read.
+  */
+object CostGuard {
+
+  /** runtime-addressable cost keys (graphd-cost.c
+    * graphd_cost_to_address): anything else rejects the whole string,
+    * exactly like the reference (cost1.sh: fm/mm/ft/mt are
+    * config-file-only and fail a `set (cost=...)`)
+    */
+  val Keys = Seq("tr", "ts", "tu", "te", "pr", "pf", "va",
+    "dr", "dw", "iw", "ir", "in")
+
+  final case class CostLimitExceeded(budgetMillis: Long)
+      extends RuntimeException(
+        s"COST: request exceeded its ${budgetMillis}ms budget")
+
+  /** Parse a cost-limit string into (key -> bound). Left = the
+    * reference's SEMANTICS message on any unknown key or malformed
+    * value (graphd_cost_from_string).
+    */
+  def parseCostLimit(s: String): Either[String, Map[String, Long]] = {
+    val out = scala.collection.mutable.Map.empty[String, Long]
+    val toks = s.split("""\s+""").filter(_.nonEmpty)
+    val bad = toks.exists { tok =>
+      tok.split("=", 2) match {
+        case Array(k, v) if Keys.contains(k.toLowerCase) &&
+            v.matches("""\d+""") =>
+          out(k.toLowerCase) = v.toLong; false
+        case _ => true
+      }
+    }
+    if (bad) Left(s"""cannot parse cost string \"$s\"""")
+    else Right(out.toMap)
+  }
+
+  /** canonical rendering, in graphd_cost_limit_to_string member order */
+  def renderCost(m: Map[String, Long]): String =
+    Keys.collect { case k if m.contains(k) => s"$k=${m(k)}" }.mkString(" ")
+
+  /** the wall-clock budget a parsed cost limit implies: the tightest of
+    * tr (wall), te (end-to-end) and tu (user time — a request cannot
+    * spend more wall than the engine allows it in CPU)
+    */
+  def budgetMillis(limit: Map[String, Long]): Option[Long] =
+    Seq("tr", "te", "tu").flatMap(limit.get).minOption
+
+  private val timer = Executors.newSingleThreadScheduledExecutor(
+    new ThreadFactory {
+      def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, "graft-cost-guard"); t.setDaemon(true); t
+      }
+    })
+
+  /** Run `action`'s Spark jobs under an optional wall-clock budget and
+    * measure their cost. Returns (result, cost-report string). On
+    * budget expiry the job group is cancelled (tasks interrupted) and
+    * CostLimitExceeded is thrown — partial results are dropped, the
+    * session survives.
+    */
+  def run[T](spark: SparkSession, budget: Option[Long])(action: => T): (T, String) = {
+    val sc = spark.sparkContext
+    val group = "graft-cost-" + java.util.UUID.randomUUID().toString
+    val stages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val cpuNanos = new AtomicLong
+    val gcMillis = new AtomicLong
+    val recordsRead = new AtomicLong
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        if (js.properties != null &&
+            group == js.properties.getProperty("spark.jobGroup.id"))
+          js.stageIds.foreach(stages.add(_))
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+        if (stages.contains(te.stageId) && te.taskMetrics != null) {
+          cpuNanos.addAndGet(te.taskMetrics.executorCpuTime)
+          gcMillis.addAndGet(te.taskMetrics.jvmGCTime)
+          recordsRead.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+        }
+    }
+    sc.addSparkListener(listener)
+    @volatile var expired = false
+    val kill = budget.map(ms => timer.schedule(new Runnable {
+      // AndFutureJobs: the budget may expire while the request is still
+      // in planning/codegen — a plain cancelJobGroup would miss the job
+      // it submits a moment later and the request would run to
+      // completion anyway
+      def run(): Unit = { expired = true; sc.cancelJobGroupAndFutureJobs(group) }
+    }, ms, TimeUnit.MILLISECONDS))
+    sc.setJobGroup(group, "graft cost-guarded request", interruptOnCancel = true)
+    val t0 = System.nanoTime()
+    try {
+      val r =
+        try action
+        catch {
+          case e: Throwable if expired =>
+            throw CostLimitExceeded(budget.getOrElse(0L))
+        }
+      if (expired) throw CostLimitExceeded(budget.getOrElse(0L))
+      val wall = (System.nanoTime() - t0) / 1000000L
+      // listener events drain asynchronously; give the bus a moment so
+      // the report covers the request's own tasks
+      org.apache.spark.sql.graft.bridge.drainListenerBus(sc, 2000L)
+      val report = renderCost(Map(
+        "tr" -> wall,
+        "tu" -> cpuNanos.get / 1000000L,
+        "ts" -> gcMillis.get,
+        "dr" -> recordsRead.get))
+      (r, report)
+    } finally {
+      kill.foreach(_.cancel(false))
+      sc.clearJobGroup()
+      sc.removeSparkListener(listener)
+    }
+  }
+}

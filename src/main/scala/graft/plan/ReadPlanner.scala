@@ -102,6 +102,23 @@ object ReadPlanner {
   def plan(store: GraphStore, query: String): DataFrame =
     plan(store, Parser.parseRead(query))
 
+  /** Plan and EXECUTE under the request's `timeout=` / `cost=` budgets
+    * (doc/gr-protocol.txt:182-260): returns the rows plus the measured
+    * cost report ("tr=.. tu=.. ts=.. dr=.."). A request past its
+    * budget has its Spark jobs cancelled and raises
+    * CostGuard.CostLimitExceeded — the request dies, the session
+    * survives (the reference's timeout contract).
+    */
+  def collectWithCost(store: GraphStore,
+      query: String): (Array[org.apache.spark.sql.Row], String) = {
+    val root = Parser.parseRead(query)
+    val budget: Option[Long] = (root.timeoutMillis.toSeq ++
+      root.costLimit.toSeq.flatMap(s =>
+        graft.plan.CostGuard.parseCostLimit(s).toOption
+          .flatMap(graft.plan.CostGuard.budgetMillis))).minOption
+    CostGuard.run(store.spark, budget)(plan(store, root).collect())
+  }
+
   /** Variable semantic phase (the reference's graphd-semantic.c
     * variable checks, exercised by sort7/sort20/varerrs/vars2/cvt):
     * validates in the reference's error order — used-but-unset,

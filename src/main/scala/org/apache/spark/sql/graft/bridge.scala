@@ -13,6 +13,13 @@ object bridge {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** drain the listener bus so a just-finished job's task metrics are
+    * visible (listenerBus is private[spark]; cost reporting needs one
+    * synchronization point after the guarded action)
+    */
+  def drainListenerBus(sc: org.apache.spark.SparkContext, timeoutMillis: Long): Unit =
+    sc.listenerBus.waitUntilEmpty(timeoutMillis)
+
   /** A DataFrame over driver-local rows with O(1) construction.
     *
     * `seq.toDS()` encodes every row eagerly and
