@@ -521,11 +521,40 @@ object ReadPlanner {
     // (semi-join on the rarest-available literal pattern word), then
     // apply the exact match predicate — SURVEY §4's word-candidate
     // rewrite (graphd/graphd-iterator-prefix.c:22).
-    if (store.useWordIndex) {
+    if (store.indexRouteWorthwhile) {
+      // Apply an index-candidate id set to the primitive scan. Two
+      // shapes, chosen by candidate cardinality exactly like the
+      // reference's fixed-iterator collapse (graphd-iterator-fixed.c:
+      // a small index posting list becomes an in-memory sorted id
+      // array probed for free):
+      //  - ≤ graft.fixedMax ids: inline them as an IN-set predicate —
+      //    the query stays ONE stage and the id set pushes into the
+      //    parquet scan (row-group min/max pruning). The collect is a
+      //    limit over the CACHED index — bounded driver traffic even
+      //    when the posting list is huge.
+      //  - larger: broadcast semi-join against the candidate frame —
+      //    one shuffle-free BroadcastHashJoin stage (no distinct —
+      //    semi-join dedups by construction). A shuffle plan here
+      //    writes hundreds of tiny spill files per point query and
+      //    throttles sustained read throughput.
+      def applyCandidates(base: DataFrame, cand0: DataFrame): DataFrame = {
+        val cand = cand0.select(col("id").as("__cand_id"))
+        val fixedMax =
+          sys.props.get("graft.fixedMax").map(_.toInt).getOrElse(4096)
+        val small = Option.when(fixedMax > 0) {
+          cand.limit(fixedMax + 1).collect()
+        }.filter(_.length <= fixedMax)
+        small match {
+          case Some(ids) =>
+            base.filter(col("id").isin(ids.map(r => Long.box(r.getLong(0))).toSeq: _*))
+          case None =>
+            base.join(broadcast(cand), base("id") === cand("__cand_id"), "left_semi")
+        }
+      }
       // normalized equality candidates: a value that key-equals the
       // literal necessarily shares its first word (the key preserves
       // word structure under default/case folding), so an index
-      // semi-join prunes the scan before the per-row key compare.
+      // probe prunes the scan before the per-row key compare.
       // Unsound for the number/datetime comparators (".5" = "0.5").
       if (Seq("default", "case-insensitive")
           .contains(c.valueComparator.getOrElse(c.comparator))) {
@@ -533,15 +562,10 @@ object ReadPlanner {
           val firstWords = p.values.map(
             _.flatMap(v => graft.functions.GraphdText.words(v).headOption))
           if (firstWords.forall(_.isDefined)) {
-            // broadcast the candidate ids: the probe becomes one
-            // shuffle-free BroadcastHashJoin stage over the cached
-            // table (no distinct — semi-join dedups by construction).
-            // A shuffle plan here writes hundreds of tiny spill files
-            // per point query and throttles sustained read throughput.
             val cand = store.valueWordIndex
               .filter(col("word").isin(firstWords.flatten: _*))
-              .select(col("id").as("__cand_id"))
-            df = df.join(broadcast(cand), df("id") === cand("__cand_id"), "left_semi")
+              .select(col("id"))
+            df = applyCandidates(df, cand)
           }
         }
       }
@@ -575,28 +599,9 @@ object ReadPlanner {
                 else col("prefix").startsWith(pre)
               }.reduce(_ || _))
               .select(col("id")))
-          // broadcast semi-join against the index candidates — one
-          // shuffle-free stage over the cached table, the Spark shape
-          // of the reference's index-lookup → in-memory id-set probe
-          // (graphd-iterator-fixed.c collapse). A shuffle plan here
-          // writes hundreds of tiny spill files per point query.
-          // The optional fixed-iterator collapse (driver-side collect
-          // + isin literal) is kept behind graft.fixedMax for engines
-          // fronting a truly tiny index; default off — a collect per
-          // query is the wrong plan at cluster scale.
           val cand = (wordCand.toSeq ++ prefCand.toSeq)
             .reduce(_ unionByName _)
-            .select(col("id").as("__cand_id"))
-          val fixedMax = sys.props.get("graft.fixedMax").map(_.toInt).getOrElse(0)
-          df =
-            if (fixedMax > 0) {
-              val small = cand.limit(fixedMax + 1).collect()
-              if (small.length <= fixedMax)
-                df.filter(col("id").isin(small.map(r => Long.box(r.getLong(0))).toSeq: _*))
-              else
-                df.join(broadcast(cand), df("id") === cand("__cand_id"), "left_semi")
-            } else
-              df.join(broadcast(cand), df("id") === cand("__cand_id"), "left_semi")
+          df = applyCandidates(df, cand)
         }
       }
     }

@@ -88,6 +88,29 @@ final case class GraphStore(spark: SparkSession, primitives: DataFrame,
   /** All versions, tombstones included (live=dontcare newest>=0). */
   def all: DataFrame = primitives
 
+  /** Catalyst's size estimate for the primitive table — file sizes on
+    * a persisted store, no job. Drives the index-routing cost gate.
+    */
+  lazy val scanBytes: BigInt =
+    primitives.queryExecution.optimizedPlan.stats.sizeInBytes
+
+  /** Whether routing `~=`/prefix predicates through the inverted index
+    * beats just scanning: the reference's and-iterator picks its
+    * cheapest producer by comparing per-candidate check cost against
+    * the index's next cost (graphd-iterator-and.c cost sampling;
+    * SURVEY §4). The Spark analog of that decision is a size gate — a
+    * store whose scan fits one cheap cached/columnar stage (tests,
+    * small fixtures) answers fastest by scanning and post-filtering,
+    * while past `graft.indexRouteMinBytes` (default 64 MB) the
+    * index probe + id-pruned scan wins and keeps winning through
+    * 100 TB. Tests pin routed plan shapes with -Dgraft.indexRouteMinBytes=0.
+    */
+  def indexRouteWorthwhile: Boolean = useWordIndex && {
+    val minBytes = sys.props.get("graft.indexRouteMinBytes")
+      .map(BigInt(_)).getOrElse(BigInt(64L << 20))
+    scanBytes >= minBytes
+  }
+
   /** Snapshot as of an id horizon — `asof=`/dateline time travel
     * (doc/gr-protocol.txt:203-221): drop everything written after the
     * horizon, then re-resolve newest/live. On a persisted store the

@@ -91,20 +91,61 @@ class PlanInvariantSpec extends AnyFunSuite {
       "bounded top-k should plan as a typed aggregate")
   }
 
-  test("~= word match routes through the inverted-index semi-join (g07)") {
+  // Index routing is cost-gated like the reference's and-iterator
+  // producer choice (check-cost vs next-cost): a store under
+  // graft.indexRouteMinBytes answers `~=` fastest by scanning (one
+  // cached columnar stage), a big one routes through the inverted
+  // index — and the routed probe has two shapes
+  // (ReadPlanner.applyCandidates, graphd-iterator-fixed.c collapse):
+  // a small posting list inlines as an id IN-set pushed into the scan
+  // (single stage + row-group pruning, the 100 TB point-read shape);
+  // a large one broadcast-semi-joins. Tests pin each shape via the
+  // sys-props the gate and the collapse read.
+  private def withProps[T](kv: (String, String)*)(body: => T): T = {
+    kv.foreach { case (k, v) => sys.props(k) = v }
+    try body finally kv.foreach { case (k, _) => sys.props.remove(k) }
+  }
+  private val routed = "graft.indexRouteMinBytes" -> "0"
+
+  test("~= on a small store scans — the cost gate skips the index (g07)") {
     val p = physical("g07_gql_match")
-    assert(p.contains("LeftSemi"),
-      s"expected an index-candidate semi-join in:\n$p")
-    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
-      "index probe should scan the cached word index")
+    assert(!p.contains("LeftSemi"),
+      s"sub-threshold store should scan+filter, not index-join:\n$p")
   }
 
-  test("prefix glob routes through the prefix-index semi-join (g10)") {
-    val p = physical("g10_gql_prefix")
-    assert(p.contains("LeftSemi"),
-      s"expected a prefix-index semi-join in:\n$p")
-    assert(p.contains("StartsWith") || p.contains("prefix#") ||
-      p.contains("prefix ="), s"prefix probe missing in:\n$p")
+  test("~= word match collapses index candidates into the scan (g07)") {
+    withProps(routed) {
+      val p = physical("g07_gql_match")
+      assert(p.contains("id#") && (p.contains(" IN ") || p.contains("INSET")),
+        s"expected an inlined candidate id IN-set in:\n$p")
+      assert(!p.contains("LeftSemi"),
+        "small posting list should collapse, not join")
+    }
+  }
+
+  test("~= word match falls back to the index semi-join past the cap (g07)") {
+    withProps(routed, "graft.fixedMax" -> "0") {
+      val p = physical("g07_gql_match")
+      assert(p.contains("LeftSemi"),
+        s"expected an index-candidate semi-join in:\n$p")
+      assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+        "index probe should scan the cached word index")
+    }
+  }
+
+  test("prefix glob routes through the prefix index (g10)") {
+    withProps(routed) {
+      val p = physical("g10_gql_prefix")
+      assert(p.contains("id#") && (p.contains(" IN ") || p.contains("INSET")),
+        s"expected an inlined candidate id IN-set in:\n$p")
+    }
+    withProps(routed, "graft.fixedMax" -> "0") {
+      val pj = physical("g10_gql_prefix")
+      assert(pj.contains("LeftSemi"),
+        s"expected a prefix-index semi-join in:\n$pj")
+      assert(pj.contains("StartsWith") || pj.contains("prefix#") ||
+        pj.contains("prefix ="), s"prefix probe missing in:\n$pj")
+    }
   }
 
   test("datetime sort projects its key once and keeps TakeOrdered (q22)") {
