@@ -689,7 +689,15 @@ object Parser {
             case o => throw ParseError(
               s"SYNTAX: '$o': expected '<' or '>' after dateline", pos)
           }
-        case "pagesize" | "resultpagesize" => c.copy(pagesize = Some(longOf(rhsVals(rhs, wl, pos).head, pos)))
+        case "pagesize" | "resultpagesize" =>
+          // both page the result set identically, but the cursor
+          // signature renders each under its own keyword
+          // (graphd-constraint-signature.c:441-466) — remember which
+          // was written
+          c.copy(pagesize = Some(longOf(rhsVals(rhs, wl, pos).head, pos)),
+            setFlags =
+              if (wl == "resultpagesize") c.setFlags + "resultpagesize"
+              else c.setFlags)
         case "start" => c.copy(start = Some(longOf(rhsVals(rhs, "start", pos).head, pos)))
         case "countlimit" => c.copy(countlimit = Some(longOf(rhsVals(rhs, "countlimit", pos).head, pos)))
         case "cursor" =>

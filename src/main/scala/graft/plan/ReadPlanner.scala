@@ -96,7 +96,8 @@ object ReadPlanner {
     // graphd/graphd-read-set-cursor.c; Cursor.page does the same)
     def horizonForNewCursor: Long =
       pinned.getOrElse(graft.streaming.Replica.dateline(st.primitives))
-    shapeRoot(st, solved, shapeRoot_c, horizonForNewCursor _)
+    shapeRoot(st, solved, shapeRoot_c, horizonForNewCursor _,
+      resumeOffset = after.filter(_.skip > 0).map(_.offset).getOrElse(0L))
   }
 
   def plan(store: GraphStore, query: String): DataFrame =
@@ -1247,7 +1248,10 @@ object ReadPlanner {
     }
 
   private def shapeRoot(store: GraphStore, df: DataFrame, c: Constraint,
-      cursorHorizon: () => Long = () => Long.MaxValue): DataFrame = {
+      cursorHorizon: () => Long = () => Long.MaxValue,
+      // [o:] rows consumed so far, carried from a POSITIONAL resume
+      // whose token was consumed into a start offset before this call
+      resumeOffset: Long = 0L): DataFrame = {
     // set-level count result (result=count → one row); countlimit stops
     // counting past N (the reference returns TOOMANY beyond — callers
     // detect overflow by count == countlimit+1, graphd/graphd.h:1305).
@@ -1328,13 +1332,17 @@ object ReadPlanner {
       if (!wantsCursor) None
       else c.pagesize.map { ps =>
         val off = c.cursorTok.map(t => graft.plan.Cursor.decode(t).offset)
-          .getOrElse(0L)
+          .getOrElse(resumeOffset)
         if (c.sort.isEmpty) {
           val ids = preLimit.select(col("id")).limit(ps.toInt + 1).collect()
           if (ids.length <= ps) "null:"
           else graft.plan.Cursor.refIterCursor
-            .flatMap(h => h(c, cursorHorizon(), off, ps,
-              ids.map(_.getLong(0)).toSeq))
+            // sign the constraint as WRITTEN: a positional resume
+            // consumed its token into an injected start offset, which
+            // must not leak into the cursor signature
+            .flatMap(h => h(
+              if (resumeOffset > 0) c.copy(start = None) else c,
+              cursorHorizon(), off, ps, ids.map(_.getLong(0)).toSeq))
             .getOrElse(graft.plan.Cursor.encode(graft.plan.Cursor.Token(
               ids(ps.toInt - 1).getLong(0), cursorHorizon(), Nil, off + ps)))
         } else {

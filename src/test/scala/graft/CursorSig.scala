@@ -138,7 +138,14 @@ object CursorSig {
         case MustBeFalse => add("live=false")
         case DontCare => add("live=*")
       }
-      c.result.foreach(p => add("result=" + patternStr(p)))
+      // a subconstraint with no written result signs the NULL-pattern
+      // fallback "()" (graphd-constraint-signature.c:244 — a root's
+      // unset result is the read-default pattern pointer and skips)
+      c.result match {
+        case Some(p) => add("result=" + patternStr(p))
+        case None if !isRoot => add("result=()")
+        case None => ()
+      }
       // sort clause after graphd_sort_compile normalization
       // (graphd-sort-compile.c:66-140): `sort=()` → (guid); a list is
       // truncated at its first guid key; a guid-free list gets a
@@ -160,7 +167,9 @@ object CursorSig {
       }
       c.countlimit.filter(cl => !c.pagesize.contains(cl))
         .foreach(cl => add(s"countlimit=$cl"))
-      c.pagesize.foreach(ps => add(s"pagesize=$ps"))
+      c.pagesize.foreach(ps => add(
+        (if (c.setFlags("resultpagesize")) "resultpagesize" else "pagesize") +
+          s"=$ps"))
       c.start.filter(_ != 0).foreach(s0 => add(s"start=$s0"))
       // newest gencon: valid by default (min=max=0 → "newest<=0";
       // cursor5 golden pins this)

@@ -804,12 +804,118 @@ object SessionHarness {
     Writer.refBootstrap = true
     // cursor tokens render/parse guids in the reference wire space
     graft.plan.Cursor.renderGuid = refGuid
+    // ---- composite-freeze support (slip / isa / colors3) ----------
+    // One resource ledger per session (graphd's
+    // g_iterator_resource_id, reset at server start): storables dedup
+    // by content, so a position-independent cache keeps its stamp and
+    // a position-bearing state allocates the next id.
+    val freezeRes = new RefFreeze.Resources
+    def livePrims: Vector[graft.model.Primitive] =
+      store.currentLocal.getOrElse(Vector.empty)
+    // [first posting, last posting + 1) in reference serial space —
+    // the idarray clamp every index iterator freezes with
+    def serialSpan(ids: Seq[Long]): Option[(Long, Long)] =
+      if (ids.isEmpty) None else Some((ids.min - 1, ids.max))
+    // inner node constraint of `f->(...)`: the matching primitives by
+    // one exact value/name predicate (engine ids, current view)
+    def innerMatches(c: Constraint): Option[(Seq[Long], Boolean)] = {
+      val byValue = c.value.collectFirst {
+        case StrPred(OpEq, Seq(Some(v))) => v }
+      val byName = c.name.collectFirst {
+        case StrPred(OpEq, Seq(Some(n))) => n }
+      if (c.subs.nonEmpty) None
+      else (byValue, byName) match {
+        case (Some(v), None) =>
+          Some((livePrims.filter(_.value.contains(v)).map(_.id), false))
+        case (None, Some(n)) =>
+          Some((livePrims.filter(_.name.contains(n)).map(_.id), true))
+        case _ => None
+      }
+    }
+    // literal word-prefix of a `value~="lit*"` pattern (the PREFIX-hash
+    // family); None when the pattern needs more than one prefix probe
+    def literalPrefix(c: Constraint): Option[String] =
+      c.value.collectFirst { case StrPred(OpMatch, Seq(Some(p))) => p }
+        .filter(p => p.length >= 2 && p.endsWith("*") &&
+          p.dropRight(1).forall(ch => ch.isLetterOrDigit))
+        .map(_.dropRight(1).toLowerCase)
+    def prefixIter(pre: String): Option[RefFreeze.Prefix] =
+      serialSpan(livePrims.filter(_.value.exists(v =>
+          graft.functions.GraphdText.words(v).exists(_.startsWith(pre))))
+        .map(_.id)).map { case (lo, hi) => RefFreeze.Prefix(lo, hi, pre) }
+    // producer iterator of a `f->(inner)` subconstraint: gmap when the
+    // inner resolves to one node, the or-masqueraded linksto over the
+    // name hmap when it resolves to a name equivalence class
+    def subProducer(sub: Constraint): Option[RefFreeze.It] =
+      sub.effectiveLinkage match {
+        case Some(ParentPointsToChild(f)) if f == "left" || f == "right" =>
+          innerMatches(sub).flatMap { case (targets, isName) =>
+            def fieldOf(p: graft.model.Primitive): Option[Long] =
+              if (f == "left") p.left else p.right
+            val links = livePrims.filter(p =>
+              fieldOf(p).exists(targets.contains)).map(_.id)
+            if (targets.length == 1 && !isName)
+              serialSpan(links).map { case (lo, hi) =>
+                RefFreeze.Gmap(lo, hi, f.head, targets.head - 1) }
+            else if (isName) {
+              val key = sub.name.collectFirst {
+                case StrPred(OpEq, Seq(Some(n))) => n }.get
+              for {
+                (hl, hh) <- serialSpan(targets)
+                (ll, lh) <- serialSpan(links)
+              } yield RefFreeze.OrLinksto(ll, lh, f.head,
+                RefFreeze.Hmap(hl, hh, "pool", "name", key))
+            } else None
+          }
+        case _ => None
+      }
+    // all producer iterators of a root constraint, in the reference's
+    // and-subcondition order (value prefix first, then linkage subs)
+    def rootProducers(c: Constraint): Seq[RefFreeze.It] =
+      literalPrefix(c).flatMap(prefixIter).toSeq ++
+        c.subs.flatMap(subProducer)
+    // colors3's collapsed shape: one `f->(type=T (inner))` sub whose
+    // link set is a VIP (endpoint, typeguid) posting list and whose
+    // parent endpoints become a sorted fixed array — masqueraded as
+    // fixed:(fixed-isa:...) when it outgrows 5 entries
+    // (graphd-iterator-isa.c:733 "don't bother if it's small")
+    def fixedIsaShape(c: Constraint): Option[(RefFreeze.FixedIsa, Seq[Long])] =
+      c.subs match {
+        case Seq(sub) if c.value.isEmpty && c.name.isEmpty &&
+            c.typePreds.isEmpty && c.guid.isEmpty && c.linkFields.isEmpty =>
+          (sub.effectiveLinkage, sub.typeNames, sub.subs) match {
+            case (Some(ChildPointsToParent(f)), Some(Seq(tn)), Seq(inner))
+                if f == "left" || f == "right" =>
+              val other = if (f == "left") "right" else "left"
+              for {
+                tid <- store.resolveTypeIds(Seq(tn)).headOption
+                (targets, _) <- innerMatches(inner)
+                if targets.length == 1
+                vipLinks = livePrims.filter(p =>
+                  p.typeguid.contains(tid) &&
+                    (if (other == "right") p.right else p.left)
+                      .contains(targets.head)).map(_.id)
+                (vl, vh) <- serialSpan(vipLinks)
+                cands = livePrims.filter(p => vipLinks.contains(p.id))
+                  .flatMap(p => if (f == "left") p.left else p.right)
+                  .distinct.sorted
+                if cands.length > 5
+                (fl, fh) <- serialSpan(cands)
+              } yield (RefFreeze.FixedIsa(fl, fh, f.head,
+                RefFreeze.Vip(vl, vh, other.head, refOfHook(tid),
+                  targets.head - 1)), cands.map(_ - 1))
+            case _ => None
+          }
+        case _ => None
+      }
     // signed iterator cursors (graphd-constraint-cursor.c): mint the
     // reference's `cursor:XXXX:[o:..][n:..]<frozen iterator>` wire
     // form. Resumes advance the incoming iterator body positionally;
     // fresh cursors pick the iterator the reference's planner picks —
     // fixed for guid sets (cursor5), gmap for a pure typed read
-    // (brendan4), the all-iterator otherwise (sort3, without).
+    // (brendan4), the all-iterator otherwise (sort3, without), the
+    // composite and:/or:/fixed:(fixed-isa:) freezes for the
+    // multi-producer shapes (slip, isa, colors3).
     graft.plan.Cursor.refIterCursor = Some { (c, horizon, off, ps, pageIds) =>
       val consumed = if (ps == 0) 1L else math.min(ps, pageIds.length).toLong
       val oOut = off + consumed
@@ -844,8 +950,48 @@ object SessionHarness {
             "/" + body.substring(m.end)
         }
       }
+      // last candidate returned this page, in reference serial space
+      def lastSerial: Long =
+        if (pageIds.nonEmpty) pageIds(math.min(consumed.toInt,
+          pageIds.length) - 1) - 1 else consumed - 1
+      // composite families (fresh AND resume re-derive the full body
+      // from the constraint — the set definition is deterministic and
+      // only position/offset/resource advance between pages)
+      val composite: Option[String] = fixedIsaShape(c) match {
+        case Some((fi, _)) =>
+          // the expanded id array is the cache storable: identical
+          // across pages, so every page re-freezes under one stamp
+          val res = freezeRes.stamp("fixedcache:" + fi.masquerade)
+          Some(signed(RefFreeze.fixedIsaToken(fi, oOut, res)))
+        case None =>
+          val prods = rootProducers(c)
+          if (prods.length >= 2) {
+            val pos = lastSerial
+            // producer position ([pp:]) rides along when the settled
+            // producer tracks one — the gmap offset = postings
+            // consumed up to the current position
+            val pp = prods.head match {
+              case g: RefFreeze.Gmap =>
+                Some(livePrims.count(p =>
+                  (if (g.linkChar == 'l') p.left else p.right)
+                    .contains(g.source + 1) && p.id - 1 <= pos).toLong)
+              case _ => None
+            }
+            val psz = if (c.cursorTok.isEmpty) c.pagesize else None
+            val res = freezeRes.stamp("andstate:" +
+              prods.map(_.set).mkString + "/" + pos)
+            Some(signed(RefFreeze.andToken(prods, psz, pos, pp, res)))
+          } else prods match {
+            case Seq(or: RefFreeze.OrLinksto) =>
+              val pos = lastSerial
+              val res = freezeRes.stamp("orstate:" + or.set + "/" + pos)
+              Some(signed(RefFreeze.orToken(or, pos, res)))
+            case _ => None
+          }
+      }
       val incoming = c.cursorTok.map(iterBodyOf)
-      incoming match {
+      if (composite.isDefined) composite
+      else incoming match {
         case Some(b) if Seq("all:", "fixed:", "gmap:", "without:")
             .exists(b.startsWith) =>
           // resumes carry the frozen iterator's own hi bound forward
@@ -859,12 +1005,28 @@ object SessionHarness {
           val typeOnly = c.typePreds.nonEmpty && c.guid.isEmpty &&
             c.linkFields.isEmpty && c.name.isEmpty && c.value.isEmpty &&
             c.subs.isEmpty
-          guidSet match {
-            case Some(ours) =>
+          // a small prefix result collapses to a plain fixed id array
+          // (nick6: value~="a*" over 9 primitives freezes as
+          // fixed:6:0,1,2,3,4,8/pos/) — the or-of-hmaps the prefix
+          // expands to becomes a fixed iterator below the contest size
+          val prefixFixed: Option[Seq[Long]] =
+            if (guidSet.isEmpty && !typeOnly && c.subs.isEmpty &&
+                c.name.isEmpty && c.typePreds.isEmpty &&
+                c.linkFields.isEmpty && c.value.length == 1)
+              literalPrefix(c).map(pre => livePrims.filter(_.value.exists(v =>
+                graft.functions.GraphdText.words(v).exists(_.startsWith(pre))))
+                .map(_.id - 1).sorted).filter(ids =>
+                  ids.nonEmpty && ids.length <= 100)
+            else None
+          (prefixFixed, guidSet) match {
+            case (Some(serials), _) =>
+              Some(signed(
+                s"fixed:${serials.length}:${serials.mkString(",")}/$oOut/"))
+            case (None, Some(ours)) =>
               val serials = ours.map(_ - 1)
               Some(signed(
                 s"fixed:${serials.length}:${serials.mkString(",")}/$consumed/"))
-            case None if typeOnly =>
+            case (None, None) if typeOnly =>
               // typeguid-postings (gmap) iterator: lo = first posting
               // serial, hi = last+1, keyed by the type node's serial
               val tids = store.resolveTypeIds(c.typePreds.flatMap(_.flatten))
@@ -878,12 +1040,17 @@ object SessionHarness {
                   s"gmap:${posts.head - 1}-${posts.last}:t->${tid - 1}/$consumed/",
                   n = posts.last))
               }
-            case None =>
+            case (None, None) if c.subs.isEmpty =>
               // all-iterator over [0, n): position = serial one past
-              // the last candidate consumed
+              // the last candidate consumed. Subs-free constraints
+              // only — a subconstraint read the reference would serve
+              // from an isa/and iterator must NOT claim the reference
+              // wire form with an all: body (the byte comparison would
+              // flag it); it freezes in engine form instead.
               val pos =
                 if (pageIds.nonEmpty) pageIds(consumed.toInt - 1) else consumed
               Some(signed(s"all:0-$horizon/$pos/"))
+            case _ => None
           }
       }
     }
@@ -1161,6 +1328,44 @@ object SessionHarness {
             }
             val inj = new Injected
             val c = inj.inject(c0)
+            // Resource-ledger bookkeeping for cursor reads that
+            // SUSPEND composite state without emitting a stamp in
+            // their own token: a sorted read drains its and-iterator
+            // (the drained state stores once, so slip's two sort pages
+            // share stamp 1 and the first and-cursor mints 2), and an
+            // isa read stores its duplicate-check set ([sd:...@N] —
+            // content-stable across pages, isa.sh reads 1-3 share 1).
+            def hasCursorPat(p: Pattern): Boolean = p match {
+              case CursorPat => true
+              case ListPat(items) => items.exists(hasCursorPat)
+              case PickPat(items) => items.exists(hasCursorPat)
+              case _ => false
+            }
+            val wantsCur = c0.result.exists(hasCursorPat)
+            if (wantsCur && c0.sort.nonEmpty) {
+              // keyed on producer STRUCTURE, not bounds: a drained
+              // iterator's stored state is position- and
+              // bounds-independent, so slip's two sort pages (with a
+              // write between them growing the gmap spans) share one
+              // stamp
+              val prods = rootProducers(c0)
+              if (prods.length >= 2)
+                freezeRes.idFor("anddrained:" + prods.map {
+                  case g: RefFreeze.Gmap => s"g:${g.linkChar}:${g.source}"
+                  case o: RefFreeze.OrLinksto => s"o:${o.linkChar}"
+                  case p: RefFreeze.Prefix => s"p:${p.prefix}"
+                  case other => other.toString
+                }.mkString(","))
+            } else if (wantsCur && c0.sort.isEmpty) {
+              c0.subs match {
+                case Seq(sub) if sub.effectiveLinkage.exists(
+                    _.isInstanceOf[ChildPointsToParent]) &&
+                    c0.value.isEmpty && sub.typeNames.isEmpty =>
+                  literalPrefix(sub).flatMap(prefixIter).foreach(pre =>
+                    freezeRes.idFor("isasd:" + pre.set))
+                case _ =>
+              }
+            }
             val df = ReadPlanner.plan(store, c)
             // capture before the bounds-check replans (which resets it)
             val rootTok = ReadPlanner.lastRootCursorTok
@@ -1565,7 +1770,7 @@ object SessionHarness {
   /** top-level tuples of an `ok (...)` line, for order-insensitive
     * comparison of unsorted reads
     */
-  def topLevelTuples(line: String): Option[(String, Seq[String])] = {
+  def topLevelTuples(line: String): Option[(String, Seq[String], Seq[String])] = {
     if (!line.startsWith("ok ")) return None
     // skip echoed request modifiers (id="..." dateline="...") so the
     // multiset comparison still applies to modifier-carrying responses
@@ -1575,12 +1780,20 @@ object SessionHarness {
     val body = modRe.replaceFirstIn(rest, "").trim
     if (!body.startsWith("(")) return None
     val items = scala.collection.mutable.ArrayBuffer.empty[String]
-    var depth = 0; var inStr = false; var start = -1
+    // bare top-level strings — minted cursor tokens ride OUTSIDE the
+    // row tuples (`ok ("cursor:..." ("1") ("2"))`)
+    val bares = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; var inStr = false; var start = -1; var strStart = -1
     var i = 1 // inside the outer paren
     while (i < body.length - 1) {
       body.charAt(i) match {
         case '\\' if inStr => i += 1
-        case '"' => inStr = !inStr
+        case '"' =>
+          if (!inStr && depth == 0) strStart = i
+          else if (inStr && depth == 0 && strStart >= 0) {
+            bares += body.substring(strStart + 1, i); strStart = -1
+          }
+          inStr = !inStr
         case '(' if !inStr => if (depth == 0) start = i; depth += 1
         case ')' if !inStr =>
           depth -= 1
@@ -1589,12 +1802,26 @@ object SessionHarness {
       }
       i += 1
     }
-    if (depth != 0 || start != -1) None else Some((prefix, items.toSeq))
+    if (depth != 0 || start != -1) None
+    else Some((prefix, items.toSeq, bares.toSeq))
   }
 
+  /** reference cursor wire forms this engine claims to emit
+    * byte-exactly: the empty cursor, sort keyset cursors, and signed
+    * iterator cursors (simple + the and/or/fixed-masquerade composite
+    * families). Engine-format tokens (the isa: family, whose freeze
+    * embeds the sampled cost statistics this engine doesn't carry) are
+    * exempt from the byte comparison — resume behavior still gates
+    * them.
+    */
+  private def refWireForm(s: String): Boolean =
+    s == "null:" || s.startsWith("sort:") || s.startsWith("cursor:")
+
   /** compare a replayed line against the golden: byte-equal; or, for
-    * unsorted reads, equal multisets of top-level tuples; error lines
-    * match on the error code (reference messages are prose)
+    * unsorted reads, equal multisets of top-level tuples PLUS
+    * byte-equal bare strings (minted cursor tokens) whenever the
+    * engine emitted the reference wire form; error lines match on the
+    * error code (reference messages are prose)
     */
   def linesMatch(expected: String, actual: String, sortedRead: Boolean): Boolean = {
     if (expected == actual) return true
@@ -1602,8 +1829,9 @@ object SessionHarness {
       return expected.split("\\s+").take(2).sameElements(actual.split("\\s+").take(2))
     if (!sortedRead)
       (topLevelTuples(expected), topLevelTuples(actual)) match {
-        case (Some((pa, a)), Some((pb, b))) =>
-          return pa == pb &&
+        case (Some((pa, a, sa)), Some((pb, b, sb))) =>
+          val cursorsOk = !sb.forall(refWireForm) || sa == sb
+          return pa == pb && cursorsOk &&
             a.groupBy(identity).view.mapValues(_.size).toMap ==
               b.groupBy(identity).view.mapValues(_.size).toMap
         case _ =>
