@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between raw ingest and tokenization: benchmark decontamination,
+  * deterministic (reproducible) sampling, domain-mixture accounting,
+  * and repetition filtering. All pure column expressions or
+  * single-shuffle aggregations — each would run as written over a
+  * 100 TB corpus.
+  */
+object Curation {
+
+  /** Documents sharing any word n-gram with a benchmark (evaluation)
+    * set — the standard train/test decontamination check (n-gram
+    * collision, as popularized by the GPT-3/C4 dataset reports).
+    * Returns one row per CONTAMINATED corpus document with the count
+    * of distinct colliding n-grams.
+    *
+    * 100 TB shape: the benchmark side is an evaluation suite —
+    * thousands of documents, not billions — so its distinct shingle
+    * set is broadcast-sized and AQE plans the join as a broadcast hash
+    * join; the corpus side is ONE scan + map-side join + one shuffle
+    * for the per-document aggregate. No pair table, no corpus
+    * self-join.
+    */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+      benchPred: Column, n: Int): DataFrame = {
+    // project the token array BEFORE shingling: the shingle lambda
+    // re-evaluates captured expressions per element, so tokenization
+    // must be an attribute by then (see TextAnalysis.shinglesOfTokens)
+    def grams(side: DataFrame) = side
+      .select(col(idCol),
+        TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
+      .select(col(idCol),
+        explode(TextAnalysis.shinglesOfTokens(col("__toks"), n)).as("g"))
+    val benchGrams = grams(docs.filter(benchPred)).select("g").distinct()
+    grams(docs.filter(!benchPred))
+      .join(benchGrams, "g")
+      .groupBy(col(idCol))
+      .agg(count_distinct(col("g")).as("n_hits"))
+  }
+
+  /** Deterministic per-stratum downsampling: keep `perMille(stratum)`
+    * of each stratum, keyed on a multiplicative hash of the id —
+    * reproducible across runs and cluster sizes, no RNG state, no
+    * shuffle (a pure filter that pushes into the scan). The Knuth
+    * multiplier keeps the oracle SQL-expressible; a production corpus
+    * with ids past 2^32 would use xxhash64(id) for the same contract.
+    */
+  def sampleStratified(docs: DataFrame, idCol: String,
+      perMille: Column): DataFrame =
+    docs.filter(pmod(col(idCol) * lit(2654435761L), lit(1000L)) < perMille)
+
+  /** Per-domain mixture accounting: document and token counts plus
+    * each domain's share of corpus tokens — the table a mixture
+    * re-weighting step consumes. One shuffle (the groupBy); the share
+    * window runs over the aggregated domain table (thousands of rows,
+    * never the corpus).
+    */
+  def domainMixture(docs: DataFrame, textCol: String,
+      domainCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val agg = docs.groupBy(domainCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("n_tokens"))
+    agg.withColumn("token_share",
+      round(col("n_tokens") / sum(col("n_tokens")).over(Window.partitionBy()), 6))
+  }
+
+  /** Token-repetition ratio (1 - distinct/total tokens): the standard
+    * repetition quality filter — high values flag degenerate or
+    * boilerplate text. Pure column expression, zero shuffles.
+    */
+  def repetitionRatio(text: Column): Column = {
+    val t = TextAnalysis.tokens(lower(text))
+    round(lit(1.0) - size(array_distinct(t)).cast("double") / size(t), 4)
+  }
+}

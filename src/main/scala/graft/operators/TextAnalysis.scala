@@ -30,16 +30,28 @@ object TextAnalysis {
   def bpeTokens(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
 
-  /** n-gram word shingles over whitespace tokens */
-  def shingles(text: Column, n: Int): Column = {
-    val t = tokens(lower(text))
+  /** n-gram word shingles over whitespace tokens.
+    *
+    * IMPORTANT: pass an already-materialized token ARRAY column (a
+    * projected attribute), not an inline `split(...)` expression — a
+    * higher-order-function lambda re-evaluates its captured
+    * expressions per element, so an inline split would re-tokenize the
+    * string O(tokens × n) times per row.
+    */
+  def shinglesOfTokens(t: Column, n: Int): Column =
     // slide over token indices: concat_ws of t[i..i+n-1]
     filter(
       transform(sequence(lit(0), greatest(size(t) - n, lit(0))),
         i => when(i + n <= size(t),
           concat_ws(" ", (0 until n).map(j => element_at(t, i + j + 1)): _*))),
       s => s.isNotNull)
-  }
+
+  /** n-gram word shingles straight off the text column — convenience
+    * form; hot paths should project the token array once and use
+    * [[shinglesOfTokens]] (see the warning there).
+    */
+  def shingles(text: Column, n: Int): Column =
+    shinglesOfTokens(tokens(lower(text)), n)
 
   // ---------- quality scoring ----------
 

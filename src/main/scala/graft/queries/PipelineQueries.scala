@@ -258,7 +258,61 @@ object PipelineQueries extends QueryPack {
              |  unnest(generate_series(0, n // 1000, 3)) AS frame_idx,
              |  64 + n % 1024 AS width,
              |  64 + (n * 7) % 768 AS height
-             |FROM m""".stripMargin))
+             |FROM m""".stripMargin)),
+
+    // train/test decontamination: corpus docs sharing any 5-gram with
+    // the benchmark subset (docs with doc_id % 17 = 0 stand in for an
+    // eval suite). Benchmark shingles broadcast; corpus scans once.
+    QueryDef("d06_decontaminate",
+      (s, dir) => graft.operators.Curation.decontaminate(
+        T(s, dir).documents, "doc_id", "text",
+        benchPred = col("doc_id") % 17 === 0, n = 5),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') w
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id, array_to_string(w[i:i+4], ' ') AS g
+             |  FROM toks, unnest(generate_series(1, len(w) - 4)) t(i)),
+             |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 17 = 0)
+             |SELECT s.doc_id, count(DISTINCT s.g) AS n_hits
+             |FROM sh s JOIN bench USING (g)
+             |WHERE s.doc_id % 17 <> 0
+             |GROUP BY 1""".stripMargin)),
+
+    // token-repetition quality filter: 1 - distinct/total tokens
+    QueryDef("t07_repetition",
+      (s, dir) => T(s, dir).documents.select(col("doc_id"),
+        graft.operators.Curation.repetitionRatio(col("text")).as("rep_ratio")),
+      Some("""SELECT doc_id,
+             |  round(1.0 - len(list_distinct(
+             |      regexp_split_to_array(trim(lower(text)), '\s+'))) * 1.0
+             |    / len(regexp_split_to_array(trim(lower(text)), '\s+')), 4)
+             |    AS rep_ratio
+             |FROM documents""".stripMargin)),
+
+    // deterministic mixture rebalancing: downsample the dominant
+    // language to 50 per mille, keep 200 per mille of the rest —
+    // reproducible (multiplicative id hash), shuffle-free
+    QueryDef("p01_sample_stratified",
+      (s, dir) => graft.operators.Curation.sampleStratified(
+        T(s, dir).documents, "doc_id",
+        perMille = when(col("lang") === "en", 50L).otherwise(200L))
+        .select("doc_id", "lang"),
+      Some("""SELECT doc_id, lang FROM documents
+             |WHERE (doc_id * 2654435761) % 1000 <
+             |  CASE WHEN lang = 'en' THEN 50 ELSE 200 END""".stripMargin)),
+
+    // per-domain mixture table: docs, tokens, corpus token share
+    QueryDef("p02_domain_mixture",
+      (s, dir) => graft.operators.Curation.domainMixture(
+        T(s, dir).documents, "text", Seq("lang", "source")),
+      Some("""WITH agg AS (
+             |  SELECT lang, source, count(*) AS n_docs,
+             |    sum(len(regexp_split_to_array(trim(text), '\s+'))) AS n_tokens
+             |  FROM documents GROUP BY 1, 2)
+             |SELECT lang, source, n_docs, n_tokens,
+             |  round(n_tokens * 1.0 / sum(n_tokens) OVER (), 6) AS token_share
+             |FROM agg""".stripMargin))
   )
 
   // --- shared SQL machinery for the md5-derived LSH oracles ---
