@@ -605,6 +605,32 @@ object ReadPlanner {
           df = applyCandidates(df, cand)
         }
       }
+      // vrange candidates (PDB_HASH_BIN analog — libpdb/pdb-bins.c,
+      // graphd-iterator-vrange.c:28-37): a BOUNDED value range probes
+      // the binned value index; bins are the 2-byte sort-key prefix,
+      // so [lo,hi] maps to the contiguous bin range
+      // [bin(lo),bin(hi)] and the exact key predicate below re-checks
+      // boundary bins. Two-sided ranges only — that is the selective
+      // case the reference's vrange accelerates; a half-open range
+      // admits ~half the bins and the scan wins.
+      locally {
+        val cmp = c.valueComparator.getOrElse(c.comparator)
+        val ranges = c.value.collect {
+          case StrPred(op, vs)
+              if Seq(OpLt, OpLe, OpGt, OpGe).contains(op) &&
+                vs.flatten.nonEmpty => (op, vs.flatten.head)
+        }
+        val lo = ranges.collectFirst { case (OpGt | OpGe, v) => v }
+        val hi = ranges.collectFirst { case (OpLt | OpLe, v) => v }
+        if (lo.isDefined && hi.isDefined) {
+          def bin(v: String) =
+            graft.functions.GraphdText.sortKey(cmp, v).take(2)
+          val cand = store.valueBinIndex(cmp)
+            .filter(col("bin") >= bin(lo.get) && col("bin") <= bin(hi.get))
+            .select(col("id"))
+          df = applyCandidates(df, cand)
+        }
+      }
     }
     df = strFilter(df, col("value"), c.value,
       c.valueComparator.getOrElse(c.comparator))

@@ -182,6 +182,28 @@ final case class GraphStore(spark: SparkSession, primitives: DataFrame,
     }
   }
 
+  /** Binned value index — the PDB_HASH_BIN analog (libpdb/pdb-bins.c,
+    * pdb-bins-strtable.c): the reference buckets value space into
+    * ordered bins and `vrange` (graphd-iterator-vrange.c) walks the
+    * bins a `<`/`>` range covers. Spark rendition: bin = the 2-byte
+    * prefix of the comparator sort key — order-preserving, so the
+    * value range [lo,hi] maps to the CONTIGUOUS bin range
+    * [bin(lo),bin(hi)] and candidates prune to those postings before
+    * the exact key compare (boundary bins re-checked, superset-
+    * correct). One index per comparator (the reference keeps separate
+    * string/number binsets).
+    */
+  private val binIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  def valueBinIndex(cmp: String): DataFrame =
+    binIndexCache.getOrElseUpdate(cmp, {
+      import graft.functions.GraphdFunctions.sort_key
+      primitives.filter(col("value").isNotNull)
+        .select(col("id"),
+          substring(sort_key(col("value"), cmp), 1, 2).as("bin"))
+        .coalesce(8).cache()
+    })
+
   /** Prefix index over `value` words — the PREFIX hmap analog
     * (libpdb/pdb.h:238 PDB_HASH_PREFIX, libpdb/pdb-prefix.c: postings
     * keyed by the first <=5 characters of each word, 5-bit-packed; a

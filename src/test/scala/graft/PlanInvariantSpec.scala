@@ -148,6 +148,28 @@ class PlanInvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("two-sided vrange routes through the binned value index") {
+    // PDB_HASH_BIN analog (pdb-bins.c): a bounded range under the
+    // number comparator prunes candidates to the contiguous bin range
+    // before the exact sort-key compare; results must be identical to
+    // the unrouted scan
+    val st = graft.store.GraphAdapter.store(spark, dir)
+    val q = """read (type="placed_by" comparator="number"
+              |  value>="100000" value<="200000"
+              |  result=((guid value)))""".stripMargin
+    val unrouted = graft.plan.ReadPlanner.plan(st, q).collect()
+      .map(_.toString).sorted.toSeq
+    withProps(routed) {
+      val df = graft.plan.ReadPlanner.plan(st, q)
+      val p = df.queryExecution.explainString(SimpleMode)
+      assert(p.contains(" IN ") || p.contains("INSET") ||
+        p.contains("LeftSemi"),
+        s"expected bin-index candidate pruning in:\n$p")
+      assert(df.collect().map(_.toString).sorted.toSeq == unrouted,
+        "bin-routed result diverged from the scan result")
+    }
+  }
+
   test("datetime sort projects its key once and keeps TakeOrdered (q22)") {
     val p = physical("q22_datetime_sort")
     assert(p.contains("TakeOrderedAndProject"))
