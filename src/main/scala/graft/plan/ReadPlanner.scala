@@ -120,6 +120,56 @@ object ReadPlanner {
     CostGuard.run(store.spark, budget)(plan(store, root).collect())
   }
 
+  /** `iterate` self-test (graphd/graphd-iterate.c:16-19 — "a variant
+    * of graphd-read that doesn't actually read anything, but instead
+    * runs a set of trials on the cursor generated for a constraint"):
+    * verifies the iterator contract over the constraint's candidate
+    * set —
+    *  - production order is strictly increasing by id (the istore
+    *    order every index iterator must respect);
+    *  - find(x) trials: re-planning with the keyset predicate
+    *    `id >= x` lands exactly on x for members and on x's successor
+    *    for gaps (pdb_iterator_find_nonstep semantics);
+    *  - resume trials: a frozen position at a sampled boundary
+    *    reproduces exactly the remaining suffix (freeze/thaw
+    *    round-trip).
+    * Returns one row per trial (trial, detail, pass); any pass=false
+    * row is an engine bug. `samples` bounds the re-planned find/resume
+    * probes; the candidate collect is capped at `maxIds`.
+    */
+  def iterate(store: GraphStore, query: String, samples: Int = 8,
+      maxIds: Int = 100000): DataFrame = {
+    import store.spark.implicits._
+    val root = Parser.parseRead(query).copy(
+      result = Some(ListPat(Seq(ListPat(Seq(FieldPat("guid")))))),
+      pagesize = None, start = None, sort = Nil, cursorTok = None)
+    def idsOf(c: Constraint): Seq[Long] =
+      plan(store, c).select(col("guid").cast("long"))
+        .orderBy(col("guid")).limit(maxIds).collect().map(_.getLong(0)).toSeq
+    val ids = idsOf(root)
+    val trials = scala.collection.mutable.ArrayBuffer.empty[(String, String, Boolean)]
+    trials += (("production-order", s"n=${ids.length}",
+      ids.lazyZip(ids.drop(1)).forall(_ < _)))
+    if (ids.nonEmpty) {
+      val step = math.max(1, ids.length / math.max(1, samples))
+      val probes = ids.indices.by(step).take(samples)
+      probes.foreach { i =>
+        val x = ids(i)
+        // find(x): the engine-side keyset `id > x-1` (the dateline
+        // predicate — exactly what a thawed cursor applies) must land
+        // on x first, member or gap alike
+        val found = idsOf(root.copy(datelineMin = Some(x - 1)))
+        trials += (("find", s"id=$x", found.headOption.contains(x)))
+        // resume after x: the keyset `id > x` must reproduce exactly
+        // the remaining suffix
+        val resumed = idsOf(root.copy(datelineMin = Some(x)))
+        trials += (("resume-suffix", s"after=$x",
+          resumed == ids.drop(i + 1)))
+      }
+    }
+    trials.toSeq.toDF("trial", "detail", "pass")
+  }
+
   /** Variable semantic phase (the reference's graphd-semantic.c
     * variable checks, exercised by sort7/sort20/varerrs/vars2/cvt):
     * validates in the reference's error order — used-but-unset,
