@@ -164,6 +164,31 @@ object Bench {
     pool.shutdown()
     val qps = (nClients * perClient) / ((System.nanoTime() - t0) / 1e9)
 
+    // the same workload through the SHARD ROUTER (4 shards): the
+    // serving tier's horizontal story — each shard holds 1/4 of the
+    // corpus (plus endpoint-co-located links), the router
+    // scatter-gathers and merges by id. ShardRouterSpec gates
+    // equivalence; this measures the routing overhead.
+    val sharded = graft.serve.ShardRouter.build(st0, 4)
+    def answerSharded(q: String): Long =
+      graft.serve.ShardRouter.serve(sharded, q) match {
+        case Some(s) => s.rows.length.toLong
+        case None => answer(q)
+      }
+    answerSharded(simpleQ(0))
+    val perClientSh = 512
+    val poolSh = java.util.concurrent.Executors.newFixedThreadPool(nClients)
+    val t0s = System.nanoTime()
+    val futsSh = (0 until nClients).map { c =>
+      poolSh.submit(new Runnable {
+        def run(): Unit = (0 until perClientSh).foreach(i =>
+          answerSharded(simpleQ(c * perClientSh + i)))
+      })
+    }
+    futsSh.foreach(_.get())
+    poolSh.shutdown()
+    val qpsSharded = (nClients * perClientSh) / ((System.nanoTime() - t0s) / 1e9)
+
     // the same loop through full Catalyst planning+execution — the
     // analytics path a query takes when it misses the serving tier.
     // AQE off: its per-stage replanning adds ~100ms of driver gaps to a
@@ -202,7 +227,7 @@ object Bench {
     // stop BEFORE printing: shutdown warnings must not land after the
     // JSON line the driver parses off stdout
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"qps_simple":$qps,"qps_spark_path":$qpsSpark,"qps_point_batched":$batchQps,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"qps_simple":$qps,"qps_simple_sharded":$qpsSharded,"qps_spark_path":$qpsSpark,"qps_point_batched":$batchQps,"sf":"$sfDir"}""")
     Console.out.flush()
   }
 }

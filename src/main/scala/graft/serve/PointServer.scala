@@ -56,9 +56,21 @@ object PointServer {
       val byRight: java.util.HashMap[Long, Array[Int]],
       val byScope: java.util.HashMap[Long, Array[Int]],
       val words: java.util.TreeMap[String, Array[Int]],
-      val typeIdsByName: Map[String, Seq[Long]]) {
+      val typeIdsByName: Map[String, Seq[Long]],
+      /** home-shard predicate: a sharded snapshot holds FOREIGN rows
+        * for locality (links live in their endpoints' shards too, so
+        * 1-hop child checks never leave the shard) but only answers
+        * for rows it OWNS — the router's dedup contract
+        */
+      val home: Long => Boolean = _ => true) {
     def size: Int = ids.length
     def posOf(id: Long): Int = java.util.Arrays.binarySearch(ids, id)
+    def withTypes(t: Map[String, Seq[Long]]): Index =
+      new Index(ids, typeguid, name, value, left, right, scope, datatype,
+        timestamp, byType, byLeft, byRight, byScope, words, t, home)
+    def withHome(h: Long => Boolean): Index =
+      new Index(ids, typeguid, name, value, left, right, scope, datatype,
+        timestamp, byType, byLeft, byRight, byScope, words, typeIdsByName, h)
   }
 
   /** Build the snapshot from the store's current view — one collect of
@@ -153,7 +165,10 @@ object PointServer {
   /** A servable read answered from the snapshot: column names + rows.
     * None = not servable here; run the Catalyst plan instead.
     */
-  final case class Served(columns: Seq[String], rows: Seq[Array[Any]])
+  final case class Served(columns: Seq[String], rows: Seq[Array[Any]],
+      /** candidate id per row (empty for count results) — the shard
+        * router's merge key */
+      rowIds: Seq[Long] = Nil)
 
   def serve(ix: Index, query: String): Option[Served] =
     serve(ix, Parser.parseRead(query))
@@ -167,7 +182,7 @@ object PointServer {
       case Some(ps) => ps
       case None => return None
     }
-    var out = cand.filter(p => accepts(ix, c, p))
+    var out = cand.filter(p => ix.home(ix.ids(p)) && accepts(ix, c, p))
     // root count result
     if (flat == Seq(CountPat))
       return Some(Served(Seq("count"), Seq(Array[Any](out.length.toLong))))
@@ -198,7 +213,7 @@ object PointServer {
     c.pagesize.foreach(ps => out = out.take(ps.toInt))
     val cols = flat.zipWithIndex.map { case (p, idx) => patName(p, idx) }
     val rows = out.toSeq.map(p => flat.map(f => fieldOf(ix, f, p)).toArray)
-    Some(Served(cols, rows))
+    Some(Served(cols, rows, out.toSeq.map(p => ix.ids(p))))
   }
 
   // ---------- eligibility ----------

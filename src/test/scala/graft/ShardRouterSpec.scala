@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.serve.{PointServer, ShardRouter}
+
+/** Shard-router equivalence gate: every query the router answers must
+  * match the single-snapshot answer (itself gated against Catalyst by
+  * ServeSpec) for every shard count — including the home-dedup
+  * contract (no duplicated rows from link co-location) and global
+  * paging over the merged stream.
+  */
+class ShardRouterSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  lazy val store = graft.store.GraphAdapter.store(spark, "/root/testdata/sf0.001")
+  lazy val single: PointServer.Index = PointServer.build(store)
+
+  private val queries = Seq(
+    """read (type="customer" value~="42" result=((guid value)))""",
+    """read (type="customer" result=count)""",
+    """read (type="part" value~="gea*" result=((guid value)))""",
+    """read (any value~="special" result=((guid value)) pagesize=7)""",
+    """read (type="supplier" result=((guid value)) start=3 pagesize=5)""")
+
+  for (n <- Seq(1, 3, 5)) {
+    lazy val sharded = ShardRouter.build(store, n)
+    test(s"router answers match the single snapshot at n=$n") {
+      queries.foreach { q =>
+        val one = PointServer.serve(single, q)
+        val many = ShardRouter.serve(sharded, q)
+        assert(one.isDefined, s"single snapshot declined: $q")
+        assert(many.isDefined, s"router declined: $q")
+        assert(many.get.columns == one.get.columns, q)
+        assert(many.get.rows.map(_.toSeq) == one.get.rows.map(_.toSeq),
+          s"rows differ at n=$n: $q")
+        // home-dedup: merged ids strictly increasing (no duplicates)
+        val ids = many.get.rowIds
+        assert(ids.lazyZip(ids.drop(1)).forall(_ < _), s"dup/unsorted ids: $q")
+      }
+    }
+  }
+
+  test("router declines what shard locality cannot answer") {
+    val sharded = ShardRouter.build(store, 3)
+    // sorted reads need a keyed global merge
+    assert(ShardRouter.serve(sharded,
+      """read (type="customer" sort=value pagesize=3 result=((value)))""").isEmpty)
+  }
+}
