@@ -334,6 +334,51 @@ object Relational extends QueryPack {
       },
       Some("""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS dt
              |FROM orders ORDER BY o_orderdate ASC, o_orderkey ASC
-             |LIMIT 100""".stripMargin))
+             |LIMIT 100""".stripMargin)),
+
+    // AS-OF join: each click joined to the user's most recent prior
+    // error — one union + one keyed window, no join node (skew-safe)
+    QueryDef("q24_asof_join",
+      (s, dir) => {
+        val ev = graft.queries.Util.eventsNanos(T(s, dir).events)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts_ns"))
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("prev_error_id"), col("user_id"),
+            col("ts_ns"))
+        graft.operators.Temporal.asOfJoin(clicks, errors, Seq("user_id"),
+          "ts_ns", Seq("prev_error_id"))
+          .select("event_id", "user_id", "prev_error_id")
+      },
+      Some("""WITH clicks AS (SELECT event_id, user_id, ts FROM events
+             |  WHERE event_type = 'click'),
+             |errors AS (SELECT event_id AS prev_error_id, user_id, ts
+             |  FROM events WHERE event_type = 'error')
+             |SELECT c.event_id, c.user_id, e.prev_error_id
+             |FROM clicks c ASOF LEFT JOIN errors e
+             |  ON c.user_id = e.user_id AND c.ts >= e.ts""".stripMargin)),
+
+    // interval-point range join, binned into an equi-join: orders
+    // falling inside each lineitem's ship->receipt window
+    QueryDef("q25_range_join",
+      (s, dir) => {
+        val li = T(s, dir).lineitem
+          .filter(col("l_orderkey") % 100 === 0)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_shipdate"),
+            date_add(col("l_shipdate"), 30).as("l_winend"))
+        val ord = T(s, dir).orders.select(col("o_orderdate"))
+        graft.operators.Temporal.rangeCount(li, ord,
+          Seq("l_orderkey", "l_linenumber"),
+          "l_shipdate", "l_winend", "o_orderdate",
+          c => floor(datediff(c, lit("1992-01-01")) / 32).cast("long"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  count(o_orderdate) AS n_points
+             |FROM lineitem l LEFT JOIN orders o
+             |  ON o.o_orderdate BETWEEN l.l_shipdate
+             |    AND l.l_shipdate + INTERVAL 30 DAY
+             |WHERE l_orderkey % 100 = 0
+             |GROUP BY 1, 2""".stripMargin))
   )
 }
