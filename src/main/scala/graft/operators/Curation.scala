@@ -77,4 +77,27 @@ object Curation {
     val t = TextAnalysis.tokens(lower(text))
     round(lit(1.0) - size(array_distinct(t)).cast("double") / size(t), 4)
   }
+
+  /** The composite keep/drop decision a filtering pass actually runs:
+    * the C4/Gopher-style rule chain evaluated in order, keeping the
+    * FIRST failing rule as the drop reason (the audit column a corpus
+    * report aggregates). Pure column expressions, one scan, zero
+    * shuffles — at 100 TB this is a map-only pass whose predicates
+    * push into the scan.
+    */
+  def filterPipeline(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val t = col(textCol)
+    val rules: Seq[(String, Column)] = Seq(
+      "too_short" -> (TextAnalysis.tokenCount(t) < 5),
+      "repetition" -> (repetitionRatio(t) > 0.8),
+      "non_text" ->
+        (round(length(regexp_replace(t, "[^a-zA-Z]", "")).cast("double") /
+          length(t), 4) < 0.2))
+    val reason = rules.foldRight(lit(null).cast("string")) {
+      case ((name, failed), rest) => when(failed, name).otherwise(rest)
+    }
+    docs.select(col(idCol), reason.as("drop_reason"))
+      .withColumn("keep", col("drop_reason").isNull)
+  }
 }

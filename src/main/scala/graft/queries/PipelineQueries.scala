@@ -302,6 +302,28 @@ object PipelineQueries extends QueryPack {
              |WHERE (doc_id * 2654435761) % 1000 <
              |  CASE WHEN lang = 'en' THEN 50 ELSE 200 END""".stripMargin)),
 
+    // composite filtering decision with audit reasons (C4/Gopher-style
+    // rule chain; first failing rule wins)
+    QueryDef("t08_filter_pipeline",
+      (s, dir) => graft.operators.Curation.filterPipeline(
+        T(s, dir).documents, "doc_id", "text"),
+      Some(s"""SELECT doc_id,
+             |  CASE
+             |    WHEN len($sqlToks) < 5 THEN 'too_short'
+             |    WHEN round(1.0 - len(list_distinct($sqlToksLower)) * 1.0
+             |        / len($sqlToksLower), 4) > 0.8 THEN 'repetition'
+             |    WHEN round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+             |        * 1.0 / length(text), 4) < 0.2 THEN 'non_text'
+             |    ELSE NULL END AS drop_reason,
+             |  CASE
+             |    WHEN len($sqlToks) < 5 THEN false
+             |    WHEN round(1.0 - len(list_distinct($sqlToksLower)) * 1.0
+             |        / len($sqlToksLower), 4) > 0.8 THEN false
+             |    WHEN round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+             |        * 1.0 / length(text), 4) < 0.2 THEN false
+             |    ELSE true END AS keep
+             |FROM documents""".stripMargin)),
+
     // per-domain mixture table: docs, tokens, corpus token share
     QueryDef("p02_domain_mixture",
       (s, dir) => graft.operators.Curation.domainMixture(

@@ -148,6 +148,14 @@ class PlanInvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("decontamination joins broadcast the benchmark side (d06)") {
+    val p = physical("d06_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark shingle set should broadcast:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      "per-document hit count should hash-aggregate")
+  }
+
   test("two-sided vrange routes through the binned value index") {
     // PDB_HASH_BIN analog (pdb-bins.c): a bounded range under the
     // number comparator prunes candidates to the contiguous bin range
