@@ -78,6 +78,31 @@ object Curation {
     round(lit(1.0) - size(array_distinct(t)).cast("double") / size(t), 4)
   }
 
+  /** PII patterns kept deliberately inside the regex dialect both
+    * Java (Spark codegen) and RE2 (the DuckDB oracle) agree on:
+    * character classes, bounded repetition, word boundaries — no
+    * lookarounds, no backreferences.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  /** PII redaction: replace emails, IPv4 addresses, and phone-shaped
+    * digit runs with typed placeholder tokens — the scrubbing pass a
+    * corpus runs before anything ships to training. Pure chained
+    * `regexp_replace` column expressions: zero shuffles, one scan,
+    * whole-stage codegen. Order matters — emails first (their dots
+    * would otherwise be eaten as IPv4 fragments), then IPs (dotted
+    * digits, which the phone pattern would otherwise grab), then
+    * phones.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
   /** The composite keep/drop decision a filtering pass actually runs:
     * the C4/Gopher-style rule chain evaluated in order, keeping the
     * FIRST failing rule as the drop reason (the audit column a corpus

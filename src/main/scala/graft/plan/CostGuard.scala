@@ -106,14 +106,51 @@ object CostGuard {
       // completion anyway
       def run(): Unit = { expired = true; sc.cancelJobGroupAndFutureJobs(group) }
     }, ms, TimeUnit.MILLISECONDS))
-    sc.setJobGroup(group, "graft cost-guarded request", interruptOnCancel = true)
     val t0 = System.nanoTime()
+    // The action runs on ITS OWN interruptible thread, not the caller's.
+    // Job-group cancellation alone is not a termination guarantee: an
+    // AQE query whose group is cancelled between stage materializations
+    // can block forever in its internal stage-event loop (the cancelled
+    // stage job never posts a completion event), which would wedge the
+    // calling thread even though every Spark job is already dead. The
+    // guard's contract is "the request dies, the session survives", so
+    // after the group cancel it interrupts the action thread as a
+    // backstop — the blocking queue take unwinds with an interrupt and
+    // the worker's finally clears its thread-local job group.
+    val fut = pool.submit(new java.util.concurrent.Callable[T] {
+      def call(): T = {
+        sc.setJobGroup(group, "graft cost-guarded request",
+          interruptOnCancel = true)
+        try action finally sc.clearJobGroup()
+      }
+    })
+    def await(): T =
+      budget match {
+        case None => fut.get()
+        case Some(ms) =>
+          try fut.get(ms + GraceMillis, TimeUnit.MILLISECONDS)
+          catch {
+            case _: java.util.concurrent.TimeoutException =>
+              // budget fired but the action thread is still stuck —
+              // cancel again (idempotent), then interrupt it
+              sc.cancelJobGroupAndFutureJobs(group)
+              try fut.get(GraceMillis, TimeUnit.MILLISECONDS)
+              catch {
+                case _: java.util.concurrent.TimeoutException =>
+                  fut.cancel(true)
+                  throw CostLimitExceeded(ms)
+              }
+          }
+      }
     try {
       val r =
-        try action
+        try await()
         catch {
+          case e: CostLimitExceeded => throw e
           case e: Throwable if expired =>
             throw CostLimitExceeded(budget.getOrElse(0L))
+          case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause
         }
       if (expired) throw CostLimitExceeded(budget.getOrElse(0L))
       val wall = (System.nanoTime() - t0) / 1000000L
@@ -128,8 +165,20 @@ object CostGuard {
       (r, report)
     } finally {
       kill.foreach(_.cancel(false))
-      sc.clearJobGroup()
       sc.removeSparkListener(listener)
     }
   }
+
+  /** how long after a budget kill the guard waits for the action thread
+    * to unwind on its own before interrupting it
+    */
+  private val GraceMillis = 2000L
+
+  private val pool = Executors.newCachedThreadPool(new ThreadFactory {
+    private val n = new AtomicLong
+    def newThread(r: Runnable): Thread = {
+      val t = new Thread(r, "graft-cost-request-" + n.incrementAndGet())
+      t.setDaemon(true); t
+    }
+  })
 }

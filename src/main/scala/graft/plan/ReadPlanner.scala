@@ -1148,7 +1148,7 @@ object ReadPlanner {
       // a typeguid whose node has no resolvable name displays as
       // "#<guid>" (rerestore golden) — emitted here as a marker the
       // session renderer rewrites into the wire guid space
-      val unnamed = concat(lit("# "), col("typeguid").cast("string"))
+      val unnamed = concat(lit("#\u0000"), col("typeguid").cast("string"))
       val tn = store.typeNamesById
       if (tn.isEmpty)
         when(col("typeguid").isNull, lit(null).cast("string"))

@@ -334,7 +334,63 @@ object PipelineQueries extends QueryPack {
              |  FROM documents GROUP BY 1, 2)
              |SELECT lang, source, n_docs, n_tokens,
              |  round(n_tokens * 1.0 / sum(n_tokens) OVER (), 6) AS token_share
-             |FROM agg""".stripMargin))
+             |FROM agg""".stripMargin)),
+
+    // concat-then-chunk sequence-packing manifest: the oracle is the
+    // single-partition global-window formulation; the engine computes
+    // the identical result with the two-pass distributed prefix sum
+    // (per-partition subtotals -> driver prefix over one row per
+    // partition -> broadcast offsets), which is the form that scales
+    QueryDef("p03_pack_sequences",
+      (s, dir) => graft.operators.TrainingSet.packSequences(
+        T(s, dir).documents, "doc_id", "text", seqLen = 512),
+      Some(s"""WITH t AS (SELECT doc_id,
+             |    CAST(len($sqlToks) AS BIGINT) AS n_tokens FROM documents),
+             |c AS (SELECT doc_id, n_tokens,
+             |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS cum0 FROM t)
+             |SELECT doc_id, n_tokens,
+             |  CAST(cum0 // 512 AS BIGINT) AS seq_id,
+             |  CAST(cum0 % 512 AS BIGINT) AS seq_offset
+             |FROM c""".stripMargin)),
+
+    // deterministic seeded shuffle + shard assignment (reproducible
+    // training-example order); one shuffle on the shard key — the
+    // physical work of writing shard files in shuffled order
+    QueryDef("p04_shard_shuffle",
+      (s, dir) => graft.operators.TrainingSet.shardShuffle(
+        T(s, dir).documents, "doc_id", seed = "s7", numShards = 8),
+      Some("""WITH h AS (SELECT doc_id,
+             |    md5(CAST(doc_id AS VARCHAR) || ':s7') AS rk FROM documents),
+             |s AS (SELECT doc_id, rk,
+             |    CAST(('0x' || substr(rk, 1, 8)) AS BIGINT) % 8 AS shard
+             |  FROM h)
+             |SELECT doc_id, rk, shard,
+             |  CAST(row_number() OVER (PARTITION BY shard
+             |    ORDER BY rk, doc_id) AS BIGINT) AS pos
+             |FROM s""".stripMargin)),
+
+    // PII scrubbing: chained regexp_replace in the Java∩RE2 dialect —
+    // map-only, zero shuffles, codegen'd
+    QueryDef("p05_redact_pii",
+      (s, dir) => {
+        val red = graft.operators.Curation.redactPii(col("text"))
+        T(s, dir).documents.select(col("doc_id"), red.as("red_text"),
+          (red =!= col("text")).as("changed"))
+      },
+      Some(s"""SELECT doc_id,
+             |  regexp_replace(regexp_replace(regexp_replace(text,
+             |    '${graft.operators.Curation.EmailRe}', '<EMAIL>', 'g'),
+             |    '${graft.operators.Curation.Ipv4Re}', '<IP>', 'g'),
+             |    '${graft.operators.Curation.PhoneRe}', '<PHONE>', 'g')
+             |    AS red_text,
+             |  regexp_replace(regexp_replace(regexp_replace(text,
+             |    '${graft.operators.Curation.EmailRe}', '<EMAIL>', 'g'),
+             |    '${graft.operators.Curation.Ipv4Re}', '<IP>', 'g'),
+             |    '${graft.operators.Curation.PhoneRe}', '<PHONE>', 'g')
+             |    <> text AS changed
+             |FROM documents""".stripMargin))
   )
 
   // --- shared SQL machinery for the md5-derived LSH oracles ---

@@ -252,4 +252,63 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(3L) == ((1L, false)))
     assert(out(4L) == ((4L, true)))
   }
+
+  test("sequence packing equals the global-window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    // deliberately scrambled input partitioning: the two-pass prefix
+    // sum must restore GLOBAL id order before accumulating
+    val corpus = (1L to 200L).map(i =>
+      (i, Seq.fill((i % 7).toInt + 1)("tok").mkString(" ")))
+      .toDF("doc_id", "text").repartition(7)
+    val got = TrainingSet.packSequences(corpus, "doc_id", "text", seqLen = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val cum0 = coalesce(sum(col("n_tokens")).over(
+      Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)),
+      lit(0L))
+    val want = corpus
+      .select(col("doc_id"),
+        operators.TextAnalysis.tokenCount(col("text")).cast("long")
+          .as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        (cum0 / 10).cast("long").as("seq_id"),
+        (cum0 % 10).as("seq_offset"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == want)
+    assert(got.forall { case (_, _, _, off) => off >= 0 && off < 10 })
+    assert(got.exists { case (id, _, sq, off) => id == 1L && sq == 0L && off == 0L })
+  }
+
+  test("shard shuffle is seed-deterministic with contiguous positions") {
+    val corpus = (1L to 300L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    def run(seed: String) = TrainingSet.shardShuffle(corpus, "doc_id", seed, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    val a = run("s7")
+    assert(a == run("s7"))                       // reproducible
+    assert(a.map(_._1).size == 300)              // every doc placed once
+    assert(a.forall { case (_, sh, _) => sh >= 0 && sh < 8 })
+    // positions are 1..n within each shard, no gaps
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3) == (1L to rows.size).toSet)
+    }
+    // a different seed is an independent reshuffle (some doc moves)
+    val b = run("s8")
+    assert(a != b)
+  }
+
+  test("PII redaction scrubs emails, IPs, and phone runs") {
+    val r = Seq(
+      (1L, "mail me at jane.doe+x@example.co.uk today"),
+      (2L, "server at 10.0.255.7 is down"),
+      (3L, "call +1 (555) 867-5309 now"),
+      (4L, "nothing sensitive here")
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), Curation.redactPii(col("text")).as("t"))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r(1L) == "mail me at <EMAIL> today")
+    assert(r(2L) == "server at <IP> is down")
+    assert(r(3L) == "call <PHONE> now")
+    assert(r(4L) == "nothing sensitive here")
+  }
 }

@@ -178,6 +178,30 @@ class PlanInvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("sequence packing never plans a global window (p03)") {
+    // the two-pass prefix sum replaces the single-partition
+    // ORDER-BY-everything window the oracle SQL uses; the returned
+    // plan must be a per-partition map over a BY-NUM range exchange
+    // whose width derives from data size (at this test SF that width
+    // is legitimately 1; the scale property is that it is a
+    // sizedPartitions count, never a hardwired SinglePartition window)
+    val p = physical("p03_pack_sequences")
+    assert(!p.contains("Window"),
+      s"packing regressed to a window formulation:\n$p")
+    assert(p.contains("MapPartitions"),
+      s"expected the per-partition prefix-sum pass:\n$p")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    if (graft.graph.Analytics.sizedPartitions(docs) > 1)
+      assert(!p.contains("Exchange SinglePartition"),
+        s"packing funnels through one partition:\n$p")
+  }
+
+  test("PII redaction is a map-only scan — zero exchanges (p05)") {
+    val p = physical("p05_redact_pii")
+    assert(!p.contains("Exchange"), s"redaction should not shuffle:\n$p")
+    assert(!p.contains("Window") && !p.contains("Join"))
+  }
+
   test("datetime sort projects its key once and keeps TakeOrdered (q22)") {
     val p = physical("q22_datetime_sort")
     assert(p.contains("TakeOrderedAndProject"))
