@@ -286,4 +286,28 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col("a_id").as("id_a"), col("b_id").as("id_b"), col("sim"))
   }
+
+  /** Symmetric per-vector int8 quantization — the 4x storage/bandwidth
+    * cut an embedding store takes before serving ANN at corpus scale:
+    * scale = max|x| / 127, q_i = round(x_i / scale) ∈ [-127, 127].
+    * Pure column expressions over one scan (array_max/transform/round
+    * all codegen) — zero shuffles, and the arithmetic (float→double
+    * widening, HALF_UP round) is engine-portable, so the DuckDB oracle
+    * reproduces every q byte exactly. The zero vector keeps scale 0
+    * and quantizes to zeros rather than dividing by it.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    // scale is PROJECTED before the quantizing lambda captures it — a
+    // lambda re-evaluates captured expressions per element, so an
+    // inline array_max would be O(d^2) per row (see
+    // TextAnalysis.shinglesOfTokens for the same rule)
+    val v = transform(col(vecCol), x => x.cast("double"))
+    df.select(col(idCol), v.as("__v"),
+        (array_max(transform(v, x => abs(x))) / lit(127.0)).as("scale"))
+      .select(col(idCol), col("scale"),
+        when(col("scale") === 0.0,
+            transform(col("__v"), _ => lit(0).cast("int")))
+          .otherwise(transform(col("__v"),
+            x => round(x / col("scale"), 0).cast("int"))).as("q"))
+  }
 }

@@ -84,6 +84,31 @@ object TrainingSet {
     }.toDF("doc_id", "n_tokens", "seq_id", "seq_offset")
   }
 
+  /** Fixed-width token-length bucket accounting — the padding-
+    * efficiency table a batch assembler reads before grouping examples
+    * of similar length (padding cost is what length-bucketed batching
+    * exists to cut). Bucket b holds docs with n_tokens in
+    * [b*width, (b+1)*width); bucket `cap` is the open overflow bucket.
+    * `pad_tokens` totals the padding a batch padded to the bucket's
+    * upper bound would add (overflow docs pad to their own length —
+    * zero here). Map-side bucket assignment + ONE aggregation shuffle
+    * of at most cap+1 groups; integer arithmetic end to end, so the
+    * oracle matches exactly.
+    */
+  def lengthBuckets(docs: DataFrame, idCol: String, textCol: String,
+      width: Int, cap: Int): DataFrame = {
+    require(width > 0 && cap >= 0)
+    val nt = coalesce(TextAnalysis.tokenCount(col(textCol)).cast("long"),
+      lit(0L))
+    val bucket = least(floor(nt / lit(width)).cast("long"), lit(cap.toLong))
+    val pad = when(bucket < cap, (bucket + 1) * width - nt).otherwise(0L)
+    docs.select(bucket.as("bucket"), nt.as("n_tokens"), pad.as("pad_tokens"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tok_total"),
+        sum(col("pad_tokens")).as("pad_total"))
+  }
+
   /** Deterministic seeded shuffle + shard assignment: every document
     * gets a pseudo-random but reproducible rank key (md5 of id + seed),
     * a shard (top hex digits of the key mod `numShards`), and its

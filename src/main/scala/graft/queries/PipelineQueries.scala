@@ -371,6 +371,41 @@ object PipelineQueries extends QueryPack {
              |    ORDER BY rk, doc_id) AS BIGINT) AS pos
              |FROM s""".stripMargin)),
 
+    // fixed-width token-length bucket accounting (padding-efficiency
+    // table for length-bucketed batching): map-side bucket assignment,
+    // one <=cap+1-group aggregation, integer math end to end
+    QueryDef("p06_length_buckets",
+      (s, dir) => graft.operators.TrainingSet.lengthBuckets(
+        T(s, dir).documents, "doc_id", "text", width = 16, cap = 4),
+      Some(s"""WITH t AS (SELECT
+             |    CAST(len($sqlToks) AS BIGINT) AS nt FROM documents),
+             |b AS (SELECT nt,
+             |    LEAST(nt // 16, 4) AS bucket,
+             |    CASE WHEN nt // 16 < 4 THEN (nt // 16 + 1) * 16 - nt
+             |         ELSE 0 END AS pad FROM t)
+             |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(nt) AS BIGINT) AS tok_total,
+             |  CAST(sum(pad) AS BIGINT) AS pad_total
+             |FROM b GROUP BY bucket""".stripMargin)),
+
+    // symmetric int8 embedding quantization: scale = max|x|/127,
+    // q = round(x/scale) — engine-portable float->double arithmetic,
+    // every q byte identical under the DuckDB oracle
+    QueryDef("s05_quantize",
+      (s, dir) => graft.operators.Similarity.quantizeInt8(
+        T(s, dir).embeddings, "vec_id", "embedding"),
+      Some("""WITH v AS (SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+             |  FROM embeddings),
+             |s AS (SELECT vec_id, ve,
+             |    list_max(list_transform(ve, x -> abs(x))) / 127.0 AS scale
+             |  FROM v)
+             |SELECT vec_id, scale,
+             |  CASE WHEN scale = 0 THEN list_transform(ve, x -> 0)
+             |       ELSE list_transform(ve,
+             |         x -> CAST(round(x / scale) AS INT)) END AS q
+             |FROM s""".stripMargin)),
+
     // PII scrubbing: chained regexp_replace in the Java∩RE2 dialect —
     // map-only, zero shuffles, codegen'd
     QueryDef("p05_redact_pii",

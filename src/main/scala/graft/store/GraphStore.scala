@@ -177,8 +177,13 @@ final case class GraphStore(spark: SparkSession, primitives: DataFrame,
         // coalesced before caching: index probes are word-equality
         // scans of the cached blocks, and fewer/larger partitions keep
         // the per-probe task count (scheduler overhead) low for
-        // point-lookup workloads
-        wordsOf(primitives).coalesce(8).cache()
+        // point-lookup workloads. The width derives from the STORE's
+        // size (floor 8) — a fixed 8 would funnel the tokenize stage
+        // of a 100x store through eight tasks
+        wordsOf(primitives)
+          .coalesce(math.max(8,
+            graft.graph.Analytics.sizedPartitions(primitives)))
+          .cache()
     }
   }
 
@@ -201,7 +206,9 @@ final case class GraphStore(spark: SparkSession, primitives: DataFrame,
       primitives.filter(col("value").isNotNull)
         .select(col("id"),
           substring(sort_key(col("value"), cmp), 1, 2).as("bin"))
-        .coalesce(8).cache()
+        .coalesce(math.max(8,
+          graft.graph.Analytics.sizedPartitions(primitives)))
+        .cache()
     })
 
   /** Prefix index over `value` words — the PREFIX hmap analog

@@ -297,6 +297,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(a != b)
   }
 
+  test("int8 quantization bounds error by scale/2 and keeps zeros zero") {
+    val vecs = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),          // zero vector: scale 0
+      (3L, Seq(127.0f, -127.0f, 63.5f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(vecs, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getSeq[Int](2))).toMap
+    assert(out(2L) == ((0.0, Seq(0, 0, 0, 0))))
+    val (s1, q1) = out(1L)
+    assert(s1 == 1.0 / 127.0)
+    assert(q1 == Seq(64, -127, 32, 0))            // round(0.5*127)=64 (HALF_UP)
+    assert(out(3L)._2 == Seq(127, -127, 64, 1))
+    // dequantization error ≤ scale/2 per component
+    Seq(0.5f, -1.0f, 0.25f, 0.0f).zip(q1).foreach { case (x, q) =>
+      assert(math.abs(x - q * s1) <= s1 / 2 + 1e-12)
+    }
+  }
+
+  test("length buckets conserve docs and tokens; pads stay in-bucket") {
+    val corpus = (1L to 100L).map(i =>
+      (i, Seq.fill(i.toInt)("t").mkString(" "))).toDF("doc_id", "text")
+    val rows = TrainingSet.lengthBuckets(corpus, "doc_id", "text",
+        width = 16, cap = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.values.map(_._1).sum == 100)            // every doc counted
+    assert(rows.values.map(_._2).sum == (1L to 100L).sum)
+    assert(rows(0L)._1 == 15 && rows(3L)._1 == 100 - 47) // overflow bucket
+    assert(rows(3L)._3 == 0)                            // overflow never pads
+    // bucket 0 pads doc k (k=1..15) to 16 tokens
+    assert(rows(0L)._3 == (1L to 15L).map(16L - _).sum)
+  }
+
   test("PII redaction scrubs emails, IPs, and phone runs") {
     val r = Seq(
       (1L, "mail me at jane.doe+x@example.co.uk today"),
