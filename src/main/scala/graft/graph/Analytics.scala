@@ -332,4 +332,62 @@ object Analytics {
     }
     seen
   }
+
+  /** Undirected co-occurrence edges from a (key, member) link table:
+    * two members that share a key get one canonical (a < b) edge.
+    * Per-key member lists are capped (default 256) BEFORE the pair
+    * self-join — one hub key with a million members would otherwise
+    * emit half a trillion pairs; the cap keeps the blowup bounded at
+    * cap^2/2 per key, the same skew guard the LSH candidate
+    * generation uses.
+    */
+  def cooccurrenceEdges(links: DataFrame, keyCol: String, memberCol: String,
+      maxPerKey: Int = 256): DataFrame = {
+    val base = links.select(col(keyCol).as("k"), col(memberCol).as("m"))
+      .distinct()
+    val capped = graft.operators.Dedup.capBuckets(base, Seq("k"), maxPerKey)
+    val l = capped.toDF("k", "a")
+    val r = capped.toDF("k", "b")
+    l.join(r, l("k") === r("k") && col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+  }
+
+  /** Global triangle count by DEGREE-ORDERED ORIENTATION — the
+    * standard scalable formulation: orient every undirected edge from
+    * its lower-(degree, id) endpoint to the higher one, enumerate
+    * wedges only from each vertex's OUT-edges, and close them against
+    * the oriented edge set. Orientation bounds every vertex's
+    * out-degree by O(sqrt(|E|)), so hub vertices — whose naive wedge
+    * count is quadratic in degree — never fan out; the whole job is
+    * two equi-join shuffles over the edge list, no adjacency
+    * collection anywhere.
+    */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    // canonicalize to a < b (either input orientation), drop loops
+    val e = edges.select(
+        least(col("a"), col("b")).cast("long").as("a"),
+        greatest(col("a"), col("b")).cast("long").as("b"))
+      .filter(col("a") < col("b")).distinct()
+    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    // orient: u -> w iff (d_u, u) < (d_w, w)
+    val withDeg = e
+      .join(deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da"), "a")
+      .join(deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db"), "b")
+    val oriented = withDeg.select(
+      when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("u"), col("b").as("w")))
+        .otherwise(struct(col("b").as("u"), col("a").as("w"))).as("e"))
+      .select(col("e.u").as("u"), col("e.w").as("w"))
+    // wedges from shared out-vertex u: (v1, v2) with v1 < v2 by the
+    // orientation order is not guaranteed, so close against BOTH
+    // orientations via the canonical undirected form
+    val o1 = oriented.toDF("u", "v1")
+    val o2 = oriented.toDF("u", "v2")
+    val wedges = o1.join(o2, Seq("u")).filter(col("v1") < col("v2"))
+      .select(col("v1"), col("v2"))
+    wedges.join(e, wedges("v1") === e("a") && wedges("v2") === e("b"))
+      .agg(count(lit(1)).as("triangles"))
+  }
 }

@@ -211,7 +211,7 @@ object Dedup {
     * default high enough to never trigger at test SFs, and callers
     * doing corpus-scale dedup tune them down deliberately.
     */
-  private[operators] def capBuckets(df: DataFrame, keyCols: Seq[String],
+  private[graft] def capBuckets(df: DataFrame, keyCols: Seq[String],
       maxBucket: Int): DataFrame =
     if (maxBucket == Int.MaxValue) df
     else {

@@ -108,6 +108,23 @@ object TextAnalysis {
 
   // ---------- fingerprinting ----------
 
+  /** Corpus vocabulary induction: the top-K tokens by frequency with a
+    * deterministic dense id (`rank`) — the table a tokenizer-training
+    * step consumes. One explode + one aggregation shuffle; the global
+    * order collapses to TakeOrdered (top-K heap, never a full sort),
+    * and the rank window runs over the K survivors only.
+    */
+  def vocabulary(docs: DataFrame, textCol: String, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs.select(explode(tokens(lower(col(textCol)))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("token").asc)).cast("long"))
+  }
+
   /** content fingerprint: md5 of the normalized text (exact-dup key) */
   def fingerprint(text: Column): Column = md5(normalize(text))
 

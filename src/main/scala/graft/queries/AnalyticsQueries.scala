@@ -70,6 +70,38 @@ object AnalyticsQueries extends QueryPack {
       },
       Some(pageRankSql(iters = 5))),
 
+    // triangle count over the part co-occurrence graph (parts sharing
+    // an order): degree-ordered orientation — two equi-join shuffles,
+    // hub fan-out bounded by O(sqrt(E)) out-degree, no adjacency
+    // collection. The oracle counts the same triangles with the
+    // straightforward a<b<c three-way join.
+    QueryDef("a04_triangles",
+      (s, dir) => {
+        val st = GraphAdapter.store(s, dir)
+        // every-10th-order slice: the co-occurrence graph over ALL
+        // orders is near-complete on the small part catalog (its wedge
+        // count grows ~cubically with scale factor), which benchmarks
+        // graph density, not the operator; the slice keeps the gate
+        // exercising the full orient-wedge-close path at every SF
+        // (BOrders ≡ 0 mod 10, so left%10 == orderkey%10)
+        val contains = st.links
+          .filter(col("typeguid") === GraphAdapter.TContains &&
+            pmod(col("left"), lit(10L)) === 0)
+          .select(col("left").as("k"), col("right").as("m"))
+        Analytics.triangleCount(
+          Analytics.cooccurrenceEdges(contains, "k", "m"))
+      },
+      Some("""WITH items AS (
+             |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+             |  WHERE l_orderkey % 10 = 0),
+             |e AS (
+             |  SELECT DISTINCT i1.p AS a, i2.p AS b
+             |  FROM items i1 JOIN items i2 ON i1.o = i2.o AND i1.p < i2.p)
+             |SELECT CAST(count(*) AS BIGINT) AS triangles
+             |FROM e ab
+             |JOIN e ac ON ac.a = ab.a AND ac.b > ab.b
+             |JOIN e bc ON bc.a = ab.b AND bc.b = ac.b""".stripMargin)),
+
     // islink-style incremental materialization: stream the primitives
     // log (written once per sf) through foreachBatch merge, then read
     // the maintained per-type aggregate.

@@ -388,6 +388,22 @@ object PipelineQueries extends QueryPack {
              |  CAST(sum(pad) AS BIGINT) AS pad_total
              |FROM b GROUP BY bucket""".stripMargin)),
 
+    // corpus vocabulary induction: top-K tokens by frequency with a
+    // deterministic dense rank — one explode + one agg shuffle, global
+    // order collapses to a top-K heap (TakeOrdered), rank window over
+    // the K survivors only
+    QueryDef("p07_vocabulary",
+      (s, dir) => graft.operators.TextAnalysis.vocabulary(
+        T(s, dir).documents, "text", topK = 500),
+      Some(s"""WITH tok AS (SELECT unnest($sqlToksLower) AS token
+             |  FROM documents),
+             |c AS (SELECT token, CAST(count(*) AS BIGINT) AS n
+             |  FROM tok WHERE token <> '' GROUP BY token)
+             |SELECT token, n,
+             |  CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS BIGINT)
+             |    AS rank
+             |FROM c ORDER BY n DESC, token ASC LIMIT 500""".stripMargin)),
+
     // symmetric int8 embedding quantization: scale = max|x|/127,
     // q = round(x/scale) — engine-portable float->double arithmetic,
     // every q byte identical under the DuckDB oracle

@@ -73,4 +73,33 @@ class AnalyticsSpec extends AnyFunSuite {
     val n = Analytics.sizedPartitions(big)
     assert(n > floor && n >= 200, s"expected size-scaled count, got $n")
   }
+
+  test("triangle count: K4 has 4, square+diagonal has 2, star has 0") {
+    import spark.implicits._
+    def count(edges: Seq[(Long, Long)]): Long =
+      Analytics.triangleCount(edges.toDF("a", "b"))
+        .collect().head.getLong(0)
+    val k4 = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L))
+    assert(count(k4) == 4)
+    // square 1-2-3-4 with diagonal 1-3: triangles 123 and 134
+    assert(count(Seq((1L,2L),(2L,3L),(3L,4L),(1L,4L),(1L,3L))) == 2)
+    assert(count(Seq((1L,2L),(1L,3L),(1L,4L),(1L,5L))) == 0)
+    // orientation-independence: reversed/duplicated input edges
+    val messy = k4.map { case (a,b) => (b,a) } ++ k4
+    assert(Analytics.triangleCount(
+      messy.toDF("b", "a").select($"a", $"b")).collect().head.getLong(0) == 4)
+  }
+
+  test("co-occurrence edges: shared keys pair members; hub cap drops") {
+    import spark.implicits._
+    val links = Seq((10L,1L),(10L,2L),(10L,3L),(20L,2L),(20L,3L),(30L,7L))
+      .toDF("k", "m")
+    val e = Analytics.cooccurrenceEdges(links, "k", "m")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(e == Set((1L,2L),(1L,3L),(2L,3L)))
+    // cap of 2 drops the 3-member hub key entirely (skew guard)
+    val capped = Analytics.cooccurrenceEdges(links, "k", "m", maxPerKey = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((2L,3L)))
+  }
 }

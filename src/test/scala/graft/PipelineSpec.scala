@@ -332,6 +332,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows(0L)._3 == (1L to 15L).map(16L - _).sum)
   }
 
+  test("vocabulary induction ranks by frequency with token tie-break") {
+    val corpus = Seq(
+      (1L, "b b b a a c"),
+      (2L, "a d d")
+    ).toDF("doc_id", "text")
+    val v = TextAnalysis.vocabulary(corpus, "text", topK = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // a and b tie at 3 → token order breaks it; d (2) third; c cut
+    assert(v.toSeq == Seq(("a", 3L, 1L), ("b", 3L, 2L), ("d", 2L, 3L)))
+  }
+
   test("PII redaction scrubs emails, IPs, and phone runs") {
     val r = Seq(
       (1L, "mail me at jane.doe+x@example.co.uk today"),
