@@ -125,6 +125,35 @@ object TextAnalysis {
         Window.orderBy(col("n").desc, col("token").asc)).cast("long"))
   }
 
+  /** Term/document frequency statistics — the exact-integer table a
+    * TF-IDF / BM25 scoring step consumes: one row per (doc, token)
+    * with the in-doc term frequency, the token's document frequency,
+    * and the corpus size. Two aggregations (per-doc tf, per-token df)
+    * and one equi-join on token; every value is a count, so the oracle
+    * matches exactly — the log weighting itself is left to the
+    * consumer (it is a trivial per-row expression, and keeping floats
+    * out of the table keeps it engine-portable).
+    */
+  def tfidfStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val n = docs.count()
+    val tok = docs.select(col(idCol),
+        explode(tokens(lower(col(textCol)))).as("token"))
+      .filter(col("token") =!= "")
+    val tf = tok.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tok.select(col(idCol), col("token")).distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    tf.join(df_, "token")
+      .select(col(idCol), col("token"), col("tf"), col("df"),
+        lit(n).as("n_docs"))
+  }
+
+  /** the standard smoothed tf-idf weight over a [[tfidfStats]] row —
+    * the consumer-side expression kept out of the gated table
+    */
+  def tfIdfWeight(tf: Column, df_ : Column, nDocs: Column): Column =
+    tf * log((nDocs + 1).cast("double") / (df_ + 1))
+
   /** content fingerprint: md5 of the normalized text (exact-dup key) */
   def fingerprint(text: Column): Column = md5(normalize(text))
 

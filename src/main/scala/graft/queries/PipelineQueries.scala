@@ -388,6 +388,21 @@ object PipelineQueries extends QueryPack {
              |  CAST(sum(pad) AS BIGINT) AS pad_total
              |FROM b GROUP BY bucket""".stripMargin)),
 
+    // term/document frequency statistics (the exact-integer TF-IDF
+    // input table): two aggregations + one token equi-join
+    QueryDef("p08_tfidf_stats",
+      (s, dir) => graft.operators.TextAnalysis.tfidfStats(
+        T(s, dir).documents, "doc_id", "text"),
+      Some(s"""WITH tok AS (SELECT doc_id, unnest($sqlToksLower) AS token
+             |  FROM documents),
+             |t AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+             |  FROM tok WHERE token <> '' GROUP BY doc_id, token),
+             |d AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+             |  FROM tok WHERE token <> '' GROUP BY token)
+             |SELECT doc_id, t.token, tf, df,
+             |  (SELECT count(*) FROM documents) AS n_docs
+             |FROM t JOIN d ON t.token = d.token""".stripMargin)),
+
     // corpus vocabulary induction: top-K tokens by frequency with a
     // deterministic dense rank — one explode + one agg shuffle, global
     // order collapses to a top-K heap (TakeOrdered), rank window over

@@ -343,6 +343,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(v.toSeq == Seq(("a", 3L, 1L), ("b", 3L, 2L), ("d", 2L, 3L)))
   }
 
+  test("tfidf stats: exact tf/df/n counts per (doc, token)") {
+    val corpus = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfStats(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out == Map(
+      (1L, "a") -> ((2L, 1L, 2L)),
+      (1L, "b") -> ((1L, 2L, 2L)),
+      (2L, "b") -> ((1L, 2L, 2L)),
+      (2L, "c") -> ((1L, 1L, 2L))))
+    // the consumer-side weight: rare token outweighs common at equal tf
+    val w = corpus.sparkSession.range(1).select(
+      TextAnalysis.tfIdfWeight(lit(1L), lit(1L), lit(2L)).as("rare"),
+      TextAnalysis.tfIdfWeight(lit(1L), lit(2L), lit(2L)).as("common"))
+      .collect().head
+    assert(w.getDouble(0) > w.getDouble(1))
+  }
+
   test("PII redaction scrubs emails, IPs, and phone runs") {
     val r = Seq(
       (1L, "mail me at jane.doe+x@example.co.uk today"),
