@@ -78,6 +78,25 @@ object Curation {
     round(lit(1.0) - size(array_distinct(t)).cast("double") / size(t), 4)
   }
 
+  /** Per-group EXACT token-length percentiles (p50/p90/p99) — the
+    * distribution table a curation report reads before picking length
+    * cutoffs. Exact `percentile` (not approx_percentile): the gate
+    * demands engine-reproducible numbers, and the per-group sort it
+    * costs runs inside one aggregation over the already-shuffled
+    * groups. Rounded to 4dp — both engines interpolate linearly on
+    * (n-1)p but may associate the arithmetic differently by one ulp.
+    */
+  def lengthPercentiles(docs: DataFrame, textCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    val nt = TextAnalysis.tokenCount(col(textCol)).cast("long")
+    docs.select(groupCols.map(col) :+ nt.as("__nt"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        round(percentile(col("__nt"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("__nt"), lit(0.9)), 4).as("p90"),
+        round(percentile(col("__nt"), lit(0.99)), 4).as("p99"))
+  }
+
   /** PII patterns kept deliberately inside the regex dialect both
     * Java (Spark codegen) and RE2 (the DuckDB oracle) agree on:
     * character classes, bounded repetition, word boundaries — no

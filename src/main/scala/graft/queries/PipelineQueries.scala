@@ -388,6 +388,19 @@ object PipelineQueries extends QueryPack {
              |  CAST(sum(pad) AS BIGINT) AS pad_total
              |FROM b GROUP BY bucket""".stripMargin)),
 
+    // per-language exact token-length percentiles (the length-cutoff
+    // table a curation report reads): one aggregation shuffle
+    QueryDef("p09_length_percentiles",
+      (s, dir) => graft.operators.Curation.lengthPercentiles(
+        T(s, dir).documents, "text", Seq("lang")),
+      Some(s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |  round(quantile_cont(nt, 0.5), 4) AS p50,
+             |  round(quantile_cont(nt, 0.9), 4) AS p90,
+             |  round(quantile_cont(nt, 0.99), 4) AS p99
+             |FROM (SELECT lang, CAST(len($sqlToks) AS BIGINT) AS nt
+             |      FROM documents)
+             |GROUP BY lang""".stripMargin)),
+
     // term/document frequency statistics (the exact-integer TF-IDF
     // input table): two aggregations + one token equi-join
     QueryDef("p08_tfidf_stats",

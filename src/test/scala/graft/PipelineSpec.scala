@@ -343,6 +343,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(v.toSeq == Seq(("a", 3L, 1L), ("b", 3L, 2L), ("d", 2L, 3L)))
   }
 
+  test("length percentiles interpolate exactly per group") {
+    // group g: lengths 1..10 tokens -> p50 = 5.5, p90 = 9.1
+    val corpus = (1 to 10).map(i =>
+      ("g", Seq.fill(i)("t").mkString(" "))).toDF("lang", "text")
+    val r = Curation.lengthPercentiles(corpus, "text", Seq("lang"))
+      .collect().head
+    assert(r.getLong(1) == 10L)
+    assert(r.getDouble(2) == 5.5 && r.getDouble(3) == 9.1)
+  }
+
   test("tfidf stats: exact tf/df/n counts per (doc, token)") {
     val corpus = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
     val out = TextAnalysis.tfidfStats(corpus, "doc_id", "text")

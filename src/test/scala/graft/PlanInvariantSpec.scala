@@ -196,6 +196,12 @@ class PlanInvariantSpec extends AnyFunSuite {
         s"packing funnels through one partition:\n$p")
   }
 
+  test("vocabulary top-K plans a heap, not a full sort (p07)") {
+    val p = physical("p07_vocabulary")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocab global order should collapse to a top-K heap:\n$p")
+  }
+
   test("PII redaction is a map-only scan — zero exchanges (p05)") {
     val p = physical("p05_redact_pii")
     assert(!p.contains("Exchange"), s"redaction should not shuffle:\n$p")
