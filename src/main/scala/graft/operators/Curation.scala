@@ -129,8 +129,8 @@ object Curation {
     * shuffles — at 100 TB this is a map-only pass whose predicates
     * push into the scan.
     */
-  def filterPipeline(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
+  def filterPipeline(docs: DataFrame, idCol: String, textCol: String,
+      carryCols: Seq[String] = Nil): DataFrame = {
     val t = col(textCol)
     val rules: Seq[(String, Column)] = Seq(
       "too_short" -> (TextAnalysis.tokenCount(t) < 5),
@@ -141,7 +141,7 @@ object Curation {
     val reason = rules.foldRight(lit(null).cast("string")) {
       case ((name, failed), rest) => when(failed, name).otherwise(rest)
     }
-    docs.select(col(idCol), reason.as("drop_reason"))
+    docs.select(col(idCol) +: carryCols.map(col) :+ reason.as("drop_reason"): _*)
       .withColumn("keep", col("drop_reason").isNull)
   }
 }

@@ -201,6 +201,54 @@ object AnalyticsQueries extends QueryPack {
       Some("""SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS k, text AS v
              |FROM documents""".stripMargin)),
 
+    // the curation filter pass run AS A STREAM: the same pure-column
+    // filterPipeline the batch gate (t08) uses, applied per
+    // micro-batch with a complete-mode per-reason aggregation — the
+    // batch ≡ streaming composition a monitoring pass relies on
+    QueryDef("st04_stream_filter",
+      (s, dir) => {
+        val key = java.lang.Integer.toHexString(dir.hashCode)
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_filter_$key"
+        val feedDir = s"$base/feed"
+        if (!new java.io.File(feedDir).exists())
+          s.read.parquet(s"$dir/documents.parquet")
+            .select(col("doc_id"), col("source"), col("text"))
+            .coalesce(6).write.mode("overwrite").parquet(feedDir)
+        val incoming = s.readStream
+          .schema(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("source",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("text",
+              org.apache.spark.sql.types.StringType))))
+          .option("maxFilesPerTrigger", 2)
+          .parquet(feedDir)
+        val name = "st04_sink_" + key
+        val q = graft.operators.Curation.filterPipeline(
+            incoming, "doc_id", "text", carryCols = Seq("source"))
+          .groupBy(col("source"),
+            coalesce(col("drop_reason"), lit("kept")).as("reason"))
+          .agg(count(lit(1)).as("n"))
+          .writeStream.outputMode("complete").format("memory")
+          .queryName(name)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(name)
+      },
+      Some(s"""WITH r AS (SELECT
+             |  CASE
+             |    WHEN len(${PipelineQueries.sqlToksPub}) < 5 THEN 'too_short'
+             |    WHEN round(1.0 - len(list_distinct(${PipelineQueries.sqlToksLowerPub})) * 1.0
+             |        / len(${PipelineQueries.sqlToksLowerPub}), 4) > 0.8 THEN 'repetition'
+             |    WHEN round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+             |        * 1.0 / length(text), 4) < 0.2 THEN 'non_text'
+             |    ELSE 'kept' END AS reason, source
+             |  FROM documents)
+             |SELECT source, reason, count(*) AS n FROM r
+             |GROUP BY source, reason""".stripMargin)),
+
     // time travel: an asOf snapshot at the pre-orders horizon sees
     // exactly the region/nation/customer prefix of the id-ordered
     // build — the id predicate prunes partitions AND parquet row

@@ -14,9 +14,12 @@ import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
   */
 object PipelineQueries extends QueryPack {
 
-  // DuckDB rendition of TextAnalysis.tokens
+  // DuckDB rendition of TextAnalysis.tokens (Pub aliases: shared with
+  // the streaming gate in AnalyticsQueries)
   private val sqlToks = """regexp_split_to_array(trim(text), '\s+')"""
   private val sqlToksLower = """regexp_split_to_array(trim(lower(text)), '\s+')"""
+  private[queries] def sqlToksPub = sqlToks
+  private[queries] def sqlToksLowerPub = sqlToksLower
   private def sqlStopCount(words: Seq[String]) =
     s"""len(list_filter($sqlToksLower, x -> x IN (${words.map("'" + _ + "'").mkString(",")})))"""
 

@@ -111,6 +111,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(st.current.filter(col("name") === "k:solo").count() == 1)
   }
 
+  test("filter pipeline streams: per-batch reasons accumulate exactly") {
+    val dir = Files.createTempDirectory("graft_filt").toString + "/docs"
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "a", "plenty of perfectly ordinary english words here today"),
+      (2L, "a", "shrt"),                                  // too_short
+      (3L, "b", "dup dup dup dup dup dup dup dup dup dup"), // repetition
+      (4L, "b", "1 2 3 4 5 6 7 8 9 10 11 12"))            // non_text
+      .toDF("doc_id", "source", "text")
+    // one file per row: each micro-batch carries ONE document, so the
+    // complete-mode aggregate must accumulate across four batches
+    rows.repartition(4).write.parquet(dir)
+    val feed = spark.readStream.schema(rows.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = graft.operators.Curation
+      .filterPipeline(feed, "doc_id", "text", carryCols = Seq("source"))
+      .groupBy(col("source"),
+        coalesce(col("drop_reason"), lit("kept")).as("reason"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("filt_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("filt_out").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("a", "kept") -> 1L, ("a", "too_short") -> 1L,
+      ("b", "repetition") -> 1L, ("b", "non_text") -> 1L))
+  }
+
   test("windowed event counts run as a genuine stream to a memory sink") {
     val dir = Files.createTempDirectory("graft_ev").toString + "/events"
     import spark.implicits._
