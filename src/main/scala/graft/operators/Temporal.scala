@@ -65,4 +65,40 @@ object Temporal {
       .groupBy(idCols.map(iv(_)): _*)
       .agg(count(pt(ptCol)).as("n_points"))
   }
+
+  /** Ordered funnel analysis: how many keys reached stage i of an
+    * event-type sequence IN ORDER (stage i counts only after stage
+    * i-1 was already seen for that key). Returns one row of stage
+    * counts, column `n_<stage>`.
+    *
+    * Shape: the classic per-key sequential scan expressed as CHAINED
+    * cumulative-max windows over ONE partitioning — stage i's running
+    * flag conditions on stage i-1's — so the whole funnel costs a
+    * single shuffle on the key plus an in-partition sort, no
+    * self-joins and no per-key event-list collection (a hot key
+    * degrades linearly, never quadratically). Ties order by
+    * (time, tieCol), making stage progression deterministic.
+    */
+  def funnel(events: DataFrame, keyCol: String, timeCol: String,
+      tieCol: String, typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(timeCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    var df = events
+    var prev: Column = lit(1)
+    stages.zipWithIndex.foreach { case (st, i) =>
+      df = df.withColumn(s"__s$i",
+        max(when(col(typeCol) === st && prev === 1, 1).otherwise(0)).over(w))
+      prev = col(s"__s$i")
+    }
+    val perKey = df.groupBy(col(keyCol))
+      .agg(max(col("__s0")).as("r0"),
+        stages.indices.drop(1).map(i => max(col(s"__s$i")).as(s"r$i")): _*)
+    perKey.agg(
+      sum(col("r0")).cast("long").as(s"n_${stages.head}"),
+      stages.zipWithIndex.drop(1).map { case (st, i) =>
+        sum(col(s"r$i")).cast("long").as(s"n_$st")
+      }: _*)
+  }
 }

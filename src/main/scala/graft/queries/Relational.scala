@@ -290,6 +290,36 @@ object Relational extends QueryPack {
              |      FROM events)
              |GROUP BY user_id""".stripMargin)),
 
+    // ordered funnel (view -> click -> purchase): chained cumulative-
+    // max windows over ONE user partitioning — a single shuffle, no
+    // self-joins, no per-user event collection
+    QueryDef("q26_funnel",
+      (s, dir) => {
+        val ev = graft.queries.Util.eventsNanos(T(s, dir).events)
+        graft.operators.Temporal.funnel(ev, "user_id", "ts_ns",
+          "event_id", "event_type", Seq("view", "click", "purchase"))
+      },
+      Some("""WITH w0 AS (SELECT user_id, ts, event_id, event_type,
+             |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |            ROWS UNBOUNDED PRECEDING) AS s0 FROM events),
+             |w1 AS (SELECT *,
+             |    max(CASE WHEN event_type = 'click' AND s0 = 1
+             |        THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |            ROWS UNBOUNDED PRECEDING) AS s1 FROM w0),
+             |w2 AS (SELECT *,
+             |    max(CASE WHEN event_type = 'purchase' AND s1 = 1
+             |        THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |            ROWS UNBOUNDED PRECEDING) AS s2 FROM w1),
+             |u AS (SELECT user_id, max(s0) AS r0, max(s1) AS r1,
+             |    max(s2) AS r2 FROM w2 GROUP BY user_id)
+             |SELECT CAST(sum(r0) AS BIGINT) AS n_view,
+             |  CAST(sum(r1) AS BIGINT) AS n_click,
+             |  CAST(sum(r2) AS BIGINT) AS n_purchase
+             |FROM u""".stripMargin)),
+
     // per-parent top-k via the bounded-top-k AGGREGATE (the
     // graphd-sort-root.c:21 cross-level optimization): the map-side
     // partial phase reduces each partition to <=2 rows per customer

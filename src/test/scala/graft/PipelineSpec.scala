@@ -343,6 +343,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(v.toSeq == Seq(("a", 3L, 1L), ("b", 3L, 2L), ("d", 2L, 3L)))
   }
 
+  test("funnel counts stage progression strictly in order") {
+    // u1 completes in order; u2 clicks BEFORE viewing (click must not
+    // count) then never purchases after re-clicking; u3 views only
+    val ev = Seq(
+      (1L, 10L, 1L, "view"), (1L, 20L, 2L, "click"), (1L, 30L, 3L, "purchase"),
+      (2L, 10L, 4L, "click"), (2L, 20L, 5L, "view"), (2L, 25L, 6L, "purchase"),
+      (3L, 10L, 7L, "view")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val r = Temporal.funnel(ev, "user_id", "ts", "event_id", "event_type",
+      Seq("view", "click", "purchase")).collect().head
+    // n_view = 3 users; n_click = 1 (only u1 clicked after viewing);
+    // n_purchase = 1 (u2's purchase lacks an in-order click before it)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 1L, 1L)))
+  }
+
   test("length percentiles interpolate exactly per group") {
     // group g: lengths 1..10 tokens -> p50 = 5.5, p90 = 9.1
     val corpus = (1 to 10).map(i =>
