@@ -607,7 +607,7 @@ object SessionHarness {
           if (v == null) "null" else g(v.asInstanceOf[Long])
         // nameless type node: "#<guid>" in the wire space (rerestore)
         case "type" if v != null &&
-            v.asInstanceOf[String].startsWith("# ") =>
+            v.asInstanceOf[String].startsWith("#\u0000") =>
           quote("#" + g(v.asInstanceOf[String].substring(2).toLong))
         case "datatype" => // name form ("string", "null", ...)
           if (v == null) "null" else Datatype.name(v.asInstanceOf[Number].byteValue)
