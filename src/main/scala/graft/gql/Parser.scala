@@ -651,7 +651,17 @@ object Parser {
             .getOrElse(throw ParseError("timeout needs a value", pos))
           if (!v.matches("""\d+"""))
             throw ParseError(s"SYNTAX: bad timeout '$v'", pos)
-          c.copy(timeoutMillis = Some(v.toLong * 1000L))
+          // saturate, never overflow: >19-digit values would throw a
+          // raw NumberFormatException out of the parser, and a
+          // near-Long-max seconds value times 1000 would wrap NEGATIVE
+          // — an "infinite" timeout request killed at t=0
+          val seconds = try v.toLong catch {
+            case _: NumberFormatException => Long.MaxValue
+          }
+          val millis =
+            if (seconds > Long.MaxValue / 1000L) Long.MaxValue
+            else seconds * 1000L
+          c.copy(timeoutMillis = Some(millis))
         case "cost" =>
           // cost="tu=N tr=N ..." (doc/gr-protocol.txt:223-226): request
           // a cost report and optionally budget the request. Unknown

@@ -37,14 +37,17 @@ object Analytics {
 
   /** broadcast bound in ROWS, derived from the session's broadcast
     * byte threshold at ~16 bytes per (id, label) pair — past it the
-    * same plan runs as a shuffle join.
+    * same plan runs as a shuffle join. A threshold of -1 is the user
+    * DISABLING broadcasts; honoring it means returning 0 here (every
+    * frontier takes the shuffle path), not substituting a default —
+    * an explicit broadcast() hint would override the very opt-out.
     */
   private def broadcastMaxRows(df: DataFrame): Long = {
     val thresh = df.sparkSession.conf
       .get("spark.sql.autoBroadcastJoinThreshold", (10L << 20).toString)
     val bytes = org.apache.spark.network.util.JavaUtils
       .byteStringAsBytes(thresh)
-    if (bytes <= 0) 4000000L else math.max(bytes / 16L, 1L)
+    if (bytes <= 0) 0L else math.max(bytes / 16L, 1L)
   }
 
   /** current nodes/links → GraphX graph (node id = vertex id) */

@@ -34,23 +34,52 @@ object Dedup {
   private[graft] final case class Memoized(df: DataFrame,
       cached: Seq[DataFrame])
 
+  /** Refcounts over the cached DataFrames every memo holds, keyed by
+    * the ANALYZED plan's semantic hash — Spark's cache manager shares
+    * one materialization between plan-equal DataFrames, so two memo
+    * entries (even across different memos: the jaccard and LSH memos
+    * both cache the same shingle set) can hold the same cache block.
+    * Eviction must only unpersist when the LAST holder releases, or
+    * one memo's eviction silently degrades the survivors to full
+    * recomputation.
+    */
+  private[graft] object CacheRefs {
+    private val counts =
+      new java.util.concurrent.ConcurrentHashMap[Int, Integer]
+    private def key(df: DataFrame): Int =
+      df.queryExecution.analyzed.semanticHash()
+    def retain(df: DataFrame): Unit =
+      counts.merge(key(df), 1, (a, b) => a + b)
+    def release(df: DataFrame): Unit = {
+      val left = counts.merge(key(df), -1, (a, b) => a + b)
+      if (left <= 0) { counts.remove(key(df)); df.unpersist(false) }
+    }
+  }
+
   /** Size-capped LRU memo for cached operator DataFrames. Within the
     * cap, repeated same-parameter calls share one materialization (the
     * reason the memos exist); past it, the least-recently-used entry's
-    * cache blocks are unpersisted and storage returns to baseline.
+    * cache blocks are released — and unpersisted only when no other
+    * live memo entry anywhere still holds a plan-equal cache
+    * ([[CacheRefs]]).
     */
   private[graft] final class BoundedMemo[K](cap: Int) {
     private val map = new java.util.LinkedHashMap[K, Memoized](16, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[K, Memoized]): Boolean =
         if (size() > cap) {
-          e.getValue.cached.foreach(_.unpersist(false)); true
+          e.getValue.cached.foreach(CacheRefs.release); true
         } else false
     }
     def getOrElseUpdate(k: K, v: => Memoized): DataFrame = map.synchronized {
       val cur = map.get(k)
       if (cur != null) cur.df
-      else { val nv = v; map.put(k, nv); nv.df }
+      else {
+        val nv = v
+        nv.cached.foreach(CacheRefs.retain)
+        map.put(k, nv)
+        nv.df
+      }
     }
     def size: Int = map.synchronized(map.size())
   }
@@ -223,10 +252,22 @@ object Dedup {
         "left_semi")
     }
 
-  /** exact-Jaccard verification of candidate pairs */
+  /** exact-Jaccard verification of candidate pairs — memoized like the
+    * candidate generators, so the shingle cache it pins is released on
+    * LRU eviction instead of leaking per direct call
+    */
+  private val verifyMemo =
+    new BoundedMemo[(Int, Int, String, String, Int, Double)](memoCap)
   def verifyJaccard(df: DataFrame, idCol: String, textCol: String,
       cand: DataFrame, n: Int, threshold: Double): DataFrame =
-    verifyJaccardTracked(df, idCol, textCol, cand, n, threshold)._1
+    verifyMemo.getOrElseUpdate(
+      (df.queryExecution.analyzed.semanticHash(),
+        cand.queryExecution.analyzed.semanticHash(),
+        idCol, textCol, n, threshold), {
+        val (out, sh) = verifyJaccardTracked(df, idCol, textCol, cand,
+          n, threshold)
+        Memoized(out, Seq(sh))
+      })
 
   /** verification plus the shingle cache it pinned (for memo eviction) */
   private def verifyJaccardTracked(df: DataFrame, idCol: String,

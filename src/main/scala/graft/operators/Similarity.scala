@@ -194,10 +194,17 @@ object Similarity {
       .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
       .sortBy(_._1)
     for (_ <- 1 to iters) {
+      // ORDER-INDEPENDENT mean: a plain double avg's partial-sum order
+      // varies with partitioning/scheduling, so a mean landing within
+      // an ulp of a 5e-7 rounding boundary would flake run to run.
+      // Decimal addition is exact, so the sum (and thus the rounded
+      // mean) is identical under any aggregation order.
       val means = train
         .select(element_at(vec_nearest(col("vec"), cents, 1), 1).as("cid"),
           posexplode(col("vec")).as(Seq("d", "x")))
-        .groupBy("cid", "d").agg(avg(col("x")).as("m"))
+        .groupBy("cid", "d")
+        .agg((sum(col("x").cast("decimal(38,18)")) / count(lit(1)))
+          .cast("double").as("m"))
         .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
       cents = means.groupBy(_._1).toArray.sortBy(_._1).map { case (cid, ds) =>
         (cid, ds.sortBy(_._2).map(t =>

@@ -37,9 +37,23 @@ object TrainingSet {
     * projection, zero wide shuffles beyond the range exchange, and the
     * result is byte-identical to the global-window formulation.
     */
+  /** bounded memo over the packing manifests: the cached id-ordered
+    * projection releases (and unpersists, once unshared) on LRU
+    * eviction instead of leaking one corpus-sized cache per call
+    */
+  private val packMemo =
+    new Dedup.BoundedMemo[(Int, String, String, Int)](Dedup.memoCap)
+
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
       seqLen: Int): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    packMemo.getOrElseUpdate(
+      (docs.queryExecution.analyzed.semanticHash(), idCol, textCol, seqLen),
+      packOnce(docs, idCol, textCol, seqLen))
+  }
+
+  private def packOnce(docs: DataFrame, idCol: String, textCol: String,
+      seqLen: Int): Dedup.Memoized = {
     val spark = docs.sparkSession
     import spark.implicits._
 
@@ -73,7 +87,7 @@ object TrainingSet {
     }
 
     // pass 2: local running sum + broadcast partition offset
-    base.mapPartitions { it =>
+    val out = base.mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
       var cum = offsets(pid)
       it.map { case (id, nt) =>
@@ -82,6 +96,7 @@ object TrainingSet {
         (id, nt, before / seqLen, before % seqLen)
       }
     }.toDF("doc_id", "n_tokens", "seq_id", "seq_offset")
+    Dedup.Memoized(out, Seq(base.toDF()))
   }
 
   /** Fixed-width token-length bucket accounting — the padding-

@@ -58,12 +58,19 @@ object CostGuard {
   def renderCost(m: Map[String, Long]): String =
     Keys.collect { case k if m.contains(k) => s"$k=${m(k)}" }.mkString(" ")
 
-  /** the wall-clock budget a parsed cost limit implies: the tightest of
-    * tr (wall), te (end-to-end) and tu (user time — a request cannot
-    * spend more wall than the engine allows it in CPU)
+  /** the wall-clock budget a parsed cost limit implies: the tightest
+    * of tr (wall) and te (end-to-end). tu is a CPU budget — on a
+    * 32-thread executor a request burns 32 CPU-seconds per wall
+    * second, so mapping tu to a wall timer would overrun the declared
+    * CPU budget by the core count; [[run]] enforces tu separately by
+    * polling measured executor CPU.
     */
   def budgetMillis(limit: Map[String, Long]): Option[Long] =
-    Seq("tr", "te", "tu").flatMap(limit.get).minOption
+    Seq("tr", "te").flatMap(limit.get).minOption
+
+  /** the CPU budget (tu, millis) a parsed cost limit carries, if any */
+  def cpuBudgetMillis(limit: Map[String, Long]): Option[Long] =
+    limit.get("tu")
 
   private val timer = Executors.newSingleThreadScheduledExecutor(
     new ThreadFactory {
@@ -72,13 +79,20 @@ object CostGuard {
       }
     })
 
-  /** Run `action`'s Spark jobs under an optional wall-clock budget and
-    * measure their cost. Returns (result, cost-report string). On
-    * budget expiry the job group is cancelled (tasks interrupted) and
-    * CostLimitExceeded is thrown — partial results are dropped, the
-    * session survives.
+  /** Run `action`'s Spark jobs under an optional wall-clock budget
+    * (`budget`, from tr/te/timeout) and an optional CPU budget
+    * (`cpuBudget`, from tu) and measure their cost. Returns (result,
+    * cost-report string). On expiry of either the job group is
+    * cancelled (tasks interrupted) and CostLimitExceeded is thrown —
+    * partial results are dropped, the session survives.
+    *
+    * The CPU budget polls the listener-accumulated executor CPU of the
+    * request's own tasks; metrics land at task END, so enforcement is
+    * task-granular (the reference's is iterator-step-granular — same
+    * idea, coarser tick).
     */
-  def run[T](spark: SparkSession, budget: Option[Long])(action: => T): (T, String) = {
+  def run[T](spark: SparkSession, budget: Option[Long],
+      cpuBudget: Option[Long] = None)(action: => T): (T, String) = {
     val sc = spark.sparkContext
     val group = "graft-cost-" + java.util.UUID.randomUUID().toString
     val stages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
@@ -106,6 +120,17 @@ object CostGuard {
       // completion anyway
       def run(): Unit = { expired = true; sc.cancelJobGroupAndFutureJobs(group) }
     }, ms, TimeUnit.MILLISECONDS))
+    // tu: poll the request's accumulated executor CPU and kill when it
+    // crosses the budget — never a wall mapping (32 threads would
+    // overrun a wall-mapped CPU budget 32-fold)
+    val cpuKill = cpuBudget.map(tu => timer.scheduleWithFixedDelay(
+      new Runnable {
+        def run(): Unit =
+          if (cpuNanos.get / 1000000L > tu) {
+            expired = true
+            sc.cancelJobGroupAndFutureJobs(group)
+          }
+      }, 100L, 100L, TimeUnit.MILLISECONDS))
     val t0 = System.nanoTime()
     // The action runs on ITS OWN interruptible thread, not the caller's.
     // Job-group cancellation alone is not a termination guarantee: an
@@ -126,7 +151,25 @@ object CostGuard {
     })
     def await(): T =
       budget match {
-        case None => fut.get()
+        case None if cpuBudget.isEmpty => fut.get()
+        case None =>
+          // CPU-budget-only request: no wall deadline, but the same
+          // AQE-hang backstop must apply once the CPU kill fires
+          var out: Option[T] = None
+          while (out.isEmpty) {
+            try out = Some(fut.get(250L, TimeUnit.MILLISECONDS))
+            catch {
+              case _: java.util.concurrent.TimeoutException if expired =>
+                try out = Some(fut.get(GraceMillis, TimeUnit.MILLISECONDS))
+                catch {
+                  case _: java.util.concurrent.TimeoutException =>
+                    fut.cancel(true)
+                    throw CostLimitExceeded(cpuBudget.getOrElse(0L))
+                }
+              case _: java.util.concurrent.TimeoutException => ()
+            }
+          }
+          out.get
         case Some(ms) =>
           try fut.get(ms + GraceMillis, TimeUnit.MILLISECONDS)
           catch {
@@ -165,6 +208,7 @@ object CostGuard {
       (r, report)
     } finally {
       kill.foreach(_.cancel(false))
+      cpuKill.foreach(_.cancel(false))
       sc.removeSparkListener(listener)
     }
   }

@@ -113,11 +113,13 @@ object ReadPlanner {
   def collectWithCost(store: GraphStore,
       query: String): (Array[org.apache.spark.sql.Row], String) = {
     val root = Parser.parseRead(query)
+    val limit = root.costLimit.flatMap(s =>
+      graft.plan.CostGuard.parseCostLimit(s).toOption)
     val budget: Option[Long] = (root.timeoutMillis.toSeq ++
-      root.costLimit.toSeq.flatMap(s =>
-        graft.plan.CostGuard.parseCostLimit(s).toOption
-          .flatMap(graft.plan.CostGuard.budgetMillis))).minOption
-    CostGuard.run(store.spark, budget)(plan(store, root).collect())
+      limit.flatMap(graft.plan.CostGuard.budgetMillis)).minOption
+    val cpuBudget = limit.flatMap(graft.plan.CostGuard.cpuBudgetMillis)
+    CostGuard.run(store.spark, budget, cpuBudget)(
+      plan(store, root).collect())
   }
 
   /** `iterate` self-test (graphd/graphd-iterate.c:16-19 — "a variant
@@ -147,8 +149,20 @@ object ReadPlanner {
       plan(store, c).select(col("guid").cast("long"))
         .orderBy(col("guid")).limit(maxIds).collect().map(_.getLong(0)).toSeq
     val ids = idsOf(root)
+    // idsOf caps its collect at maxIds; past the cap the suffix trials
+    // compare PREFIXES (the resumed stream legitimately extends beyond
+    // the truncated candidate list)
+    val truncated = ids.length >= maxIds
+    // the query under test may carry its own dateline horizon — trial
+    // predicates intersect with it (max), never replace it
+    def withKeyset(x: Long): Constraint =
+      root.copy(datelineMin =
+        Some(math.max(root.datelineMin.getOrElse(Long.MinValue), x)))
     val trials = scala.collection.mutable.ArrayBuffer.empty[(String, String, Boolean)]
-    trials += (("production-order", s"n=${ids.length}",
+    // duplicate-freedom of the candidate id set (physical production
+    // order belongs to Catalyst; the keyset contract below is what
+    // cursor paging actually relies on)
+    trials += (("production-set", s"n=${ids.length}",
       ids.lazyZip(ids.drop(1)).forall(_ < _)))
     if (ids.nonEmpty) {
       val step = math.max(1, ids.length / math.max(1, samples))
@@ -158,13 +172,17 @@ object ReadPlanner {
         // find(x): the engine-side keyset `id > x-1` (the dateline
         // predicate — exactly what a thawed cursor applies) must land
         // on x first, member or gap alike
-        val found = idsOf(root.copy(datelineMin = Some(x - 1)))
+        val found = idsOf(withKeyset(x - 1))
         trials += (("find", s"id=$x", found.headOption.contains(x)))
         // resume after x: the keyset `id > x` must reproduce exactly
-        // the remaining suffix
-        val resumed = idsOf(root.copy(datelineMin = Some(x)))
-        trials += (("resume-suffix", s"after=$x",
-          resumed == ids.drop(i + 1)))
+        // the remaining suffix (prefix-compare when the candidate
+        // list itself was truncated at maxIds)
+        val resumed = idsOf(withKeyset(x))
+        val expect = ids.drop(i + 1)
+        val ok =
+          if (truncated) resumed.take(expect.length) == expect
+          else resumed == expect
+        trials += (("resume-suffix", s"after=$x", ok))
       }
     }
     trials.toSeq.toDF("trial", "detail", "pass")
@@ -599,7 +617,22 @@ object ReadPlanner {
           case Some(ids) =>
             base.filter(col("id").isin(ids.map(r => Long.box(r.getLong(0))).toSeq: _*))
           case None =>
-            base.join(broadcast(cand), base("id") === cand("__cand_id"), "left_semi")
+            // the broadcast must stay bounded: an UNSELECTIVE probe
+            // (common word, wide vrange) can admit a large fraction of
+            // the store, and broadcasting that id set OOMs the driver
+            // at scale. Past routeMax candidates the plain scan + the
+            // exact predicate below IS the cheaper plan — the same
+            // check-cost-vs-next-cost call the reference's and-
+            // iterator producer choice makes. The probe count is a
+            // limit over the cached index: bounded work either way.
+            val routeMax =
+              sys.props.get("graft.routeMax").map(_.toLong).getOrElse(1L << 19)
+            val selective =
+              cand.limit((routeMax + 1).toInt).count() <= routeMax
+            if (selective)
+              base.join(broadcast(cand),
+                base("id") === cand("__cand_id"), "left_semi")
+            else base
         }
       }
       // normalized equality candidates: a value that key-equals the

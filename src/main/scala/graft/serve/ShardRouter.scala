@@ -2,7 +2,7 @@ package graft.serve
 
 import org.apache.spark.sql.functions._
 
-import graft.gql.{Constraint, CountBounds, Parser, ParentPointsToChild}
+import graft.gql.{ChildPointsToParent, Constraint, CountBounds, Parser}
 import graft.store.GraphStore
 
 /** Shard router over [[PointServer]] snapshots — the serving tier's
@@ -47,9 +47,12 @@ object ShardRouter {
       versioned = false,
       localRows = store.currentLocal)
     val shards = (0 until n).map { s =>
+      // null endpoints must NOT default into shard 0 (a coalesce-to-0
+      // here would hand shard 0 every NODE in the corpus and break the
+      // 1/n per-shard memory bound); only real link endpoints co-locate
       val owned = pmod(col("id"), lit(n)) === s ||
-        pmod(coalesce(col("left"), lit(0L)), lit(n)) === s ||
-        pmod(coalesce(col("right"), lit(0L)), lit(n)) === s
+        (col("left").isNotNull && pmod(col("left"), lit(n)) === s) ||
+        (col("right").isNotNull && pmod(col("right"), lit(n)) === s)
       val shardStore = currentView.copy(
         primitives = currentView.primitives.filter(owned),
         localRows = currentView.localRows.map(_.filter(p =>
@@ -69,15 +72,25 @@ object ShardRouter {
     // global ordering across shards is by id for unsorted reads; a
     // comparator sort would need a keyed merge — Catalyst's job
     if (c.sort.nonEmpty) return None
-    // shard locality covers root predicates + fan-in children (links
-    // live in their endpoints' shards); a `left->(...)` child reads
-    // the node AT an endpoint — possibly foreign — and 2-hop children
-    // chain further: both fall back to the full plan. Root count
-    // BOUNDS are a global property; the router only answers
-    // bounds-free roots (count RESULTS aggregate fine).
+    // shard locality covers root predicates + left/right fan-in
+    // children ONLY: a shard holds every link whose left/right
+    // endpoint it owns, so those postings are complete. Everything
+    // else is non-local and falls back to the full plan:
+    //  - `left->(...)` children read the node AT an endpoint —
+    //    possibly foreign — as do linkage-less children (the point
+    //    server infers a parent->child direction for them);
+    //  - `<-typeguid` / `<-scope` fan-ins count postings co-located
+    //    by their OWN endpoints, not by typeguid/scope, so a shard
+    //    sees only a fraction of them;
+    //  - 2-hop children chain further.
+    // Root count BOUNDS are a global property; the router only
+    // answers bounds-free roots (count RESULTS aggregate fine).
     if (c.effectiveCount != CountBounds()) return None
-    if (c.subs.exists(sub => sub.subs.nonEmpty ||
-        sub.effectiveLinkage.exists(_.isInstanceOf[ParentPointsToChild])))
+    def shardLocal(sub: Constraint): Boolean = sub.effectiveLinkage match {
+      case Some(ChildPointsToParent(f)) => f == "left" || f == "right"
+      case _ => false
+    }
+    if (c.subs.exists(sub => sub.subs.nonEmpty || !shardLocal(sub)))
       return None
     // shards answer unpaged; the router pages the merged stream
     val unpaged = c.copy(pagesize = None, start = None)
