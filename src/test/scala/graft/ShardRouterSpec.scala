@@ -46,5 +46,30 @@ class ShardRouterSpec extends AnyFunSuite {
     // sorted reads need a keyed global merge
     assert(ShardRouter.serve(sharded,
       """read (type="customer" sort=value pagesize=3 result=((value)))""").isEmpty)
+    // left/right fan-in children ARE co-located: routed
+    assert(ShardRouter.serve(sharded,
+      """read (type="customer" result=((guid)) (<-right count>=1))""").isDefined)
+    // typeguid fan-ins count postings a shard holds only a fraction
+    // of (links co-locate by their own endpoints, not by typeguid)
+    assert(ShardRouter.serve(sharded,
+      """read (type="customer" result=((guid)) (<-typeguid count>=1))""").isEmpty)
+    // parent->child endpoint reads can leave the shard
+    assert(ShardRouter.serve(sharded,
+      """read (type="placed_by" result=((guid)) (left-> count>=1))""").isEmpty)
+  }
+
+  test("each shard's snapshot is bounded, not the whole corpus") {
+    // null link endpoints must not default into shard 0: with the
+    // coalesce-to-0 bug shard 0 held every NODE (~the full corpus);
+    // the contract is ~1/n owned rows plus co-located links
+    val n = 3
+    val sharded = ShardRouter.build(store, n)
+    val total = single.size.toDouble
+    sharded.shards.zipWithIndex.foreach { case (ix, s) =>
+      assert(ix.size < total * 0.75,
+        s"shard $s holds ${ix.size} of ${total.toInt} rows — not bounded")
+      // and every owned id actually hashes home
+      assert(ix.ids.filter(ix.home).forall(id => id % n == s))
+    }
   }
 }
