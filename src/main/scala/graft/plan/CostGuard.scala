@@ -191,11 +191,11 @@ object CostGuard {
         catch {
           case e: CostLimitExceeded => throw e
           case e: Throwable if expired =>
-            throw CostLimitExceeded(budget.getOrElse(0L))
+            throw CostLimitExceeded(budget.orElse(cpuBudget).getOrElse(0L))
           case e: java.util.concurrent.ExecutionException =>
             throw e.getCause
         }
-      if (expired) throw CostLimitExceeded(budget.getOrElse(0L))
+      if (expired) throw CostLimitExceeded(budget.orElse(cpuBudget).getOrElse(0L))
       val wall = (System.nanoTime() - t0) / 1000000L
       // listener events drain asynchronously; give the bus a moment so
       // the report covers the request's own tasks

@@ -41,10 +41,12 @@ object ReadPlanner {
     * "cursor" column (a pagesize=0 read still answers a positioned
     * cursor, brendan4.sh)
     */
-  @volatile var lastRootCursorTok: Option[String] = None
+  private val lastRootCursorTok0 =
+    new ThreadLocal[Option[String]] { override def initialValue = None }
+  def lastRootCursorTok: Option[String] = lastRootCursorTok0.get()
 
   def plan(store: GraphStore, root: Constraint): DataFrame = {
-    lastRootCursorTok = None
+    lastRootCursorTok0.set(None)
     // write-only keywords are rejected in reads, like the reference's
     // semantic phase (anchor.sh: `read (key=())` answers SYNTAX)
     def rejectWriteOnly(c: Constraint): Unit = {
@@ -484,18 +486,36 @@ object ReadPlanner {
         if (p.lineage) store.lineageMembers(p.serials.flatten)
         else p.serials.flatten
       val hasNull = p.serials.contains(None) || p.serials.isEmpty
-      if (targets.nonEmpty) {
+      def allPrevs = store.primitives.filter(col("prev").isNotNull)
+        .select(col("prev").as("__succ_prev"))
+      if (targets.nonEmpty && !hasNull) {
         val succs = store.primitives
           .filter(col("id").isin(targets.map(Long.box): _*))
           .filter(col("prev").isNotNull)
           .select(col("prev").as("__succ_prev"))
         df = df.join(succs, col("id") === col("__succ_prev"),
           if (p.include) "left_semi" else "left_anti")
-      } else if (hasNull && p.include) {
-        // next=null: no successor — this id is nobody's prev
-        val allPrevs = store.primitives.filter(col("prev").isNotNull)
-          .select(col("prev").as("__succ_prev"))
-        df = df.join(allPrevs, col("id") === col("__succ_prev"), "left_anti")
+      } else if (targets.isEmpty && hasNull) {
+        // next=null: no successor (this id is nobody's prev);
+        // next!=null: HAS a successor — the mirror semi-join (was
+        // silently unfiltered)
+        df = df.join(allPrevs, col("id") === col("__succ_prev"),
+          if (p.include) "left_anti" else "left_semi")
+      } else if (targets.nonEmpty && hasNull) {
+        // mixed next=(null G): successor-of-G OR no-successor — two
+        // outer-join flags, non-null boolean predicate (the previous=
+        // arm's alternative-union semantics)
+        val gSucc = store.primitives
+          .filter(col("id").isin(targets.map(Long.box): _*))
+          .filter(col("prev").isNotNull)
+          .select(col("prev").as("__nx_g")).distinct()
+        val aSucc = allPrevs.select(col("__succ_prev").as("__nx_a")).distinct()
+        val flagged = df
+          .join(gSucc, col("id") === col("__nx_g"), "left_outer")
+          .join(aSucc, col("id") === col("__nx_a"), "left_outer")
+        val cond = col("__nx_g").isNotNull || col("__nx_a").isNull
+        df = flagged.filter(if (p.include) cond else !cond)
+          .drop("__nx_g", "__nx_a")
       }
     }
     df = c.live match {
@@ -643,8 +663,14 @@ object ReadPlanner {
       if (Seq("default", "case-insensitive")
           .contains(c.valueComparator.getOrElse(c.comparator))) {
         c.value.filter(_.op == OpEq).foreach { p =>
+          // fractional literals equal values under NUMBER normalization
+          // ("0.5" = ".50") whose indexed digit-run words share nothing
+          // with the literal's — no sound index key exists (the same
+          // hasFractionalDigit guard firstIndexWord applies)
           val firstWords = p.values.map(
-            _.flatMap(v => graft.functions.GraphdText.words(v).headOption))
+            _.flatMap(v =>
+              if (graft.functions.GraphdText.hasFractionalDigit(v)) None
+              else graft.functions.GraphdText.words(v).headOption))
           if (firstWords.forall(_.isDefined)) {
             val cand = store.valueWordIndex
               .filter(col("word").isin(firstWords.flatten: _*))
@@ -1452,8 +1478,16 @@ object ReadPlanner {
             .flatMap(h => h(
               if (resumeOffset > 0) c.copy(start = None) else c,
               cursorHorizon(), off, ps, ids.map(_.getLong(0)).toSeq))
-            .getOrElse(graft.plan.Cursor.encode(graft.plan.Cursor.Token(
-              ids(ps.toInt - 1).getLong(0), cursorHorizon(), Nil, off + ps)))
+            .getOrElse {
+              // pagesize=0 still answers a POSITIONED cursor
+              // (brendan4): nothing was consumed, so the token resumes
+              // from the start of the set (id > -1, offset unchanged)
+              if (ps.toInt == 0)
+                graft.plan.Cursor.encode(graft.plan.Cursor.Token(
+                  -1L, cursorHorizon(), Nil, off))
+              else graft.plan.Cursor.encode(graft.plan.Cursor.Token(
+                ids(ps.toInt - 1).getLong(0), cursorHorizon(), Nil, off + ps))
+            }
         } else {
           // SORT cursor (reference "sort:..." wire form): freeze the
           // last page row's RAW sort values + guid tiebreak; resume is
@@ -1464,6 +1498,10 @@ object ReadPlanner {
             .select(frozen.map(_._1) :+ col("id"): _*)
             .limit(ps.toInt + 1).collect()
           if (rows.length <= ps) "null:"
+          else if (ps.toInt == 0)
+            // pagesize=0: no row consumed — resume from the start
+            graft.plan.Cursor.encode(graft.plan.Cursor.Token(
+              -1L, cursorHorizon(), Nil, off))
           else {
             val last = rows(ps.toInt - 1)
             val keys = c.sort.indices.map(i =>
@@ -1478,7 +1516,7 @@ object ReadPlanner {
       case (n, e) if n != "cursor" => e.as(n)
     }
     val shaped = out.select(cols: _*)
-    lastRootCursorTok = cursorTok
+    lastRootCursorTok0.set(cursorTok)
     cursorTok.map(t => shaped.withColumn("cursor", lit(t))).getOrElse(shaped)
   }
 }

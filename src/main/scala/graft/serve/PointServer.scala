@@ -198,12 +198,37 @@ object PointServer {
           case _ => return None
         }
       }
+      // number-comparator sorts over string fields drop rows whose key
+      // is null or non-decoding ("~"-prefixed) from the sorted set —
+      // mirror of ReadPlanner.shapeRoot's filter (sortnumber/david_10)
+      c.sort.zipWithIndex.foreach { case (sk, k) =>
+        val cmp = sk.comparator.getOrElse(c.comparator)
+        val stringField = sk.pat match {
+          case FieldPat("value") | FieldPat("name") => true
+          case _ => false
+        }
+        if (cmp == "number" && stringField)
+          out = out.filter { p =>
+            val key = keys(k)(p)
+            key != null && !key.startsWith("~")
+          }
+      }
       val dirs = c.sort.map(_.ascending)
       out = out.sortWith { (a, b) =>
         var r = 0; var k = 0
         while (r == 0 && k < keys.length) {
-          r = nullsLastCompare(keys(k)(a), keys(k)(b))
-          if (!dirs(k)) r = -r
+          val ka = keys(k)(a); val kb = keys(k)(b)
+          // nulls sort LAST under EITHER direction (the Spark path's
+          // asc_nulls_last/desc_nulls_last) — only the non-null
+          // comparison inverts for descending keys
+          r =
+            if (ka == null && kb == null) 0
+            else if (ka == null) 1
+            else if (kb == null) -1
+            else {
+              val c0 = ka.compareTo(kb)
+              if (dirs(k)) c0 else -c0
+            }
           k += 1
         }
         if (r != 0) r < 0 else ix.ids(a) < ix.ids(b)
@@ -232,6 +257,12 @@ object PointServer {
       c.newestMin.contains(0L) && c.newestMax.contains(0L) &&
       c.oldestEq.isEmpty && !c.isFalse &&
       c.guid.forall(!_.lineage) &&
+      // lineage linkage (left~=G): the snapshot has no lineage table
+      // to expand other generations of G — full plan
+      c.linkFields.values.forall(_.forall(!_.lineage)) &&
+      // dateline horizons are id-range views the snapshot doesn't
+      // carry (root OR child level) — full plan
+      c.datelineMin.isEmpty && c.datelineMax.isEmpty &&
       c.previous.isEmpty && c.next.isEmpty && // version-chain: full plan
       c.uniqueFields.isEmpty && c.keyFields.isEmpty && !c.anchorFlag &&
       // children must be bounds-only (existence class) and linked
@@ -246,6 +277,10 @@ object PointServer {
       c.start.isEmpty && c.assignments.isEmpty
 
   private def servablePat(p: Pattern): Boolean = p match {
+    // version-chain and archival renderings need columns the snapshot
+    // doesn't carry (fieldOf would fabricate archival=true /
+    // generation=0 / previous=null on a versioned store) — Spark path
+    case FieldPat("archival" | "generation" | "previous" | "next") => false
     case FieldPat(_) | LiteralPat(_, _) | CountPat | NonePat => true
     case PickPat(items) => items.forall(servablePat)
     case _ => false // contents/cursor/estimate/vars → Spark path
@@ -305,10 +340,16 @@ object PointServer {
     // word/prefix index for value~= / normalized value=
     locally {
       val fromMatch = c.value.filter(_.op == OpMatch).flatMap { p =>
-        val keys = p.values.flatten.map(pat =>
-          GraphdText.firstIndexWord(pat).map(Left(_))
-            .orElse(GraphdText.firstIndexPrefix(pat).map(Right(_))))
-        if (keys.nonEmpty && keys.forall(_.isDefined)) Some(keys.flatten) else None
+        // a null alternative admits NULL-VALUED rows, which no word
+        // posting contains — index pruning is unsound for the pred
+        if (p.values.exists(_.isEmpty)) None
+        else {
+          val keys = p.values.flatten.map(pat =>
+            GraphdText.firstIndexWord(pat).map(Left(_))
+              .orElse(GraphdText.firstIndexPrefix(pat).map(Right(_))))
+          if (keys.nonEmpty && keys.forall(_.isDefined)) Some(keys.flatten)
+          else None
+        }
       }
       val fromEq =
         if (Seq("default", "case-insensitive")
@@ -477,7 +518,13 @@ object PointServer {
           case None => v != null
         }
         case OpMatch =>
-          v != null && p.values.flatten.exists(GraphdText.matchesCmp(comparator, v, _))
+          // a null alternative (value~=null / value~=(null "x")) admits
+          // the null-valued row — mirrors ReadPlanner.strFilter
+          p.values.exists {
+            case None => v == null
+            case Some(pat) =>
+              v != null && GraphdText.matchesCmp(comparator, v, pat)
+          }
         case rangeOp =>
           val lits = p.values.flatten
           if (lits.isEmpty) false
@@ -560,13 +607,11 @@ object PointServer {
     case FieldPat("scope") => if (ix.scope(pos) < 0) null else ix.scope(pos)
     case FieldPat("datatype") | FieldPat("valuetype") => ix.datatype(pos)
     case FieldPat("timestamp") => ix.timestamp(pos)
-    case FieldPat("live") => true
-    case FieldPat("archival") => true
+    case FieldPat("live") => true // MustBeTrue-constrained, so sound
     case FieldPat("meta") =>
       // root constraints have no parent: links render "->"
       // (graphd/graphd-pattern.c:419-431)
       if (ix.left(pos) < 0 && ix.right(pos) < 0) "node" else "->"
-    case FieldPat("generation") => 0L
     case FieldPat("type") =>
       val tg = ix.typeguid(pos)
       if (tg < 0) null

@@ -21,6 +21,24 @@ class IterateSpec extends AnyFunSuite {
     assert(rep.count(_.getString(0) == "resume-suffix") >= 4)
   }
 
+  test("pagesize=0 mints a start-positioned cursor without crashing") {
+    import graft.model.Primitive.node
+    val st = graft.store.GraphStore.fromSeq(spark,
+      (1L to 9L).map(i => node(i, value = Some(s"v$i"))))
+    // engine path (no replay-harness hook): previously ids(-1) AIOOBE
+    val rows = graft.plan.ReadPlanner.plan(st,
+      """read (any result=(cursor) pagesize=0)""").collect()
+    val tok = graft.plan.ReadPlanner.lastRootCursorTok
+    assert(tok.isDefined && tok.get != "null:")
+    // the minted token resumes from the START of the set
+    val dec = graft.plan.Cursor.decode(tok.get)
+    assert(dec.lastId == -1L && dec.offset == 0L)
+    // sorted flavor of the same shape
+    graft.plan.ReadPlanner.plan(st,
+      """read (any sort=value result=(cursor) pagesize=0)""").collect()
+    assert(graft.plan.ReadPlanner.lastRootCursorTok.exists(_ != "null:"))
+  }
+
   test("iterate trials pass over an in-memory filtered store") {
     import graft.model.Primitive.node
     val st = graft.store.GraphStore.fromSeq(spark,
