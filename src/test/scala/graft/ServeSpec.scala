@@ -179,4 +179,35 @@ class ServeSpec extends AnyFunSuite {
     checkC(c.copy(value = Seq(graft.gql.StrPred(graft.gql.OpEq, Seq(Some("\n.5"))))),
       """read (any value="\n.5" ...)""")
   }
+
+  test("descending sorts keep nulls LAST, like the Spark path") {
+    // nodes 1-3 and links carry null values; under sort=(-value) the
+    // old negated comparator floated them to the front of the page
+    check("""read (any sort=(-value) pagesize=4 result=((guid value)))""")
+    check("""read (any sort=(-value) result=((guid value)))""")
+  }
+
+  test("number-comparator sorts drop null/non-decoding keys from the set") {
+    // "x9"/"x10"/names don't decode as numbers; the planner filters
+    // them from the sorted set and the snapshot must match
+    check("""read (any sort=(value) comparator="number" result=((guid value)))""")
+    check("""read (any sort=(-value) comparator="number" pagesize=3 result=((guid value)))""")
+  }
+
+  test("a null alternative in ~= admits null-valued rows") {
+    // value~=null matches the unvalued nodes; the word-index producer
+    // must stand down (no posting contains a null-valued row)
+    val base = graft.gql.Parser.parseRead("""read (any result=((guid value)))""")
+    checkC(base.copy(value = Seq(graft.gql.StrPred(graft.gql.OpMatch,
+      Seq(None)))), "read (any value~=null ...)")
+    checkC(base.copy(value = Seq(graft.gql.StrPred(graft.gql.OpMatch,
+      Seq(None, Some("herman"))))), "read (any value~=(null \"herman\") ...)")
+  }
+
+  test("dateline horizons and version-chain result fields fall back") {
+    check("""read (any dateline>"12" result=((guid)))""",
+      expectServable = false)
+    check("""read (any result=((guid archival)))""", expectServable = false)
+    check("""read (any result=((guid previous)))""", expectServable = false)
+  }
 }
