@@ -16,10 +16,15 @@ import graft.model.{GTimestamp, Guid}
   */
 object DumpRestore {
 
+  // %-escape the separator characters of the LINE-oriented format:
+  // TAB (field), newline/CR (record) — an embedded newline would split
+  // one tuple into two corrupt lines on restore
   private def esc(c: org.apache.spark.sql.Column) =
-    regexp_replace(regexp_replace(c, "%", "%25"), "\t", "%09")
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      c, "%", "%25"), "\t", "%09"), "\n", "%0A"), "\r", "%0D")
   private def unesc(c: org.apache.spark.sql.Column) =
-    regexp_replace(regexp_replace(c, "%09", "\t"), "%25", "%")
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      c, "%0D", "\r"), "%0A", "\n"), "%09", "\t"), "%25", "%")
 
   private def guidCol(c: org.apache.spark.sql.Column) =
     when(c.isNull, "").otherwise(

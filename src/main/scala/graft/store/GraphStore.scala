@@ -122,10 +122,14 @@ final case class GraphStore(spark: SparkSession, primitives: DataFrame,
   def asOf(horizon: Long): GraphStore = {
     // rows appended after load may carry a null id_part (union with
     // allowMissingColumns) — the prune must keep them, not drop them
+    // the partition term only applies while the shifted horizon fits an
+    // Int — asOf(Long.MaxValue) would truncate to -1 and silently drop
+    // every persisted row
+    val part = horizon >> PartShift
     val pred =
-      if (primitives.columns.contains("id_part"))
+      if (primitives.columns.contains("id_part") && part <= Int.MaxValue)
         col("id") <= horizon &&
-          (col("id_part").isNull || col("id_part") <= (horizon >> PartShift).toInt)
+          (col("id_part").isNull || col("id_part") <= part.toInt)
       else col("id") <= horizon
     copy(primitives = primitives.filter(pred),
       localRows = localRows.map(_.filter(_.id <= horizon)))

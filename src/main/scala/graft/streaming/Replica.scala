@@ -34,37 +34,67 @@ object Replica {
     * incrementally and merged into `stateDir` every micro-batch.
     * At scale the merge would be a Delta MERGE; here it is
     * read-modify-write of a small parquet aggregate.
+    *
+    * The read-modify-write is NOT naturally idempotent (re-adding a
+    * batch's delta double-counts), so a batch high-water mark rides
+    * inside the state directory (swapped atomically with it): a foreachBatch RETRY of an applied batch is a
+    * no-op. Full restart-idempotence additionally needs
+    * `checkpointDir` (so a restart resumes after the applied batches
+    * instead of re-reading the whole feed as new batch ids).
     */
-  def materializeTypeCounts(feed: DataFrame, stateDir: String): StreamingQuery =
-    feed.writeStream
-      .outputMode("update")
+  def materializeTypeCounts(feed: DataFrame, stateDir: String,
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val writer0 = feed.writeStream.outputMode("update")
+    val writer = checkpointDir.fold(writer0)(d =>
+      writer0.option("checkpointLocation", d))
+    writer
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val delta = batch
-          .filter(col("left").isNotNull && col("typeguid").isNotNull)
-          .groupBy(col("typeguid"))
-          .agg(count(lit(1)).as("n_links"), max(col("id")).as("dateline"))
         val fs = org.apache.hadoop.fs.FileSystem.get(
           spark.sparkContext.hadoopConfiguration)
-        // existence check, not read-and-catch: a caught analyzer
-        // exception still log-spams ERROR stacks into the driver output
-        val merged =
-          if (fs.exists(new org.apache.hadoop.fs.Path(stateDir))) {
-            spark.read.parquet(stateDir).unionByName(delta)
-              .groupBy(col("typeguid"))
-              .agg(sum(col("n_links")).as("n_links"),
-                max(col("dateline")).as("dateline"))
-          } else delta
-        // write-new-then-swap keeps readers consistent
-        val tmp = stateDir + "_next"
-        merged.write.mode("overwrite").parquet(tmp)
-        val dst = new org.apache.hadoop.fs.Path(stateDir)
-        fs.delete(dst, true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+        // the high-water mark lives INSIDE the state directory (an
+        // underscore file the parquet reader ignores), so the swap
+        // moves counts and mark together — no window where one moved
+        // and the other did not
+        val appliedPath =
+          new org.apache.hadoop.fs.Path(stateDir + "/_applied_batch")
+        val lastApplied: Long =
+          if (fs.exists(appliedPath)) {
+            val in = fs.open(appliedPath)
+            try in.readLong() finally in.close()
+          } else -1L
+        if (batchId > lastApplied) {
+          val delta = batch
+            .filter(col("left").isNotNull && col("typeguid").isNotNull)
+            .groupBy(col("typeguid"))
+            .agg(count(lit(1)).as("n_links"), max(col("id")).as("dateline"))
+          // existence check, not read-and-catch: a caught analyzer
+          // exception still log-spams ERROR stacks into the driver output
+          val merged =
+            if (fs.exists(new org.apache.hadoop.fs.Path(stateDir))) {
+              spark.read.parquet(stateDir).unionByName(delta)
+                .groupBy(col("typeguid"))
+                .agg(sum(col("n_links")).as("n_links"),
+                  max(col("dateline")).as("dateline"))
+            } else delta
+          // write-new-then-swap: the delete/rename pair is not atomic
+          // on a raw filesystem — a concurrent reader can land in the
+          // gap; the serving contract is that readers poll AFTER the
+          // stream's trigger completes (the gate does)
+          val tmp = stateDir + "_next"
+          merged.write.mode("overwrite").parquet(tmp)
+          val tmpMark = new org.apache.hadoop.fs.Path(tmp + "/_applied_batch")
+          val out = fs.create(tmpMark, true)
+          try out.writeLong(batchId) finally out.close()
+          val dst = new org.apache.hadoop.fs.Path(stateDir)
+          fs.delete(dst, true)
+          fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+        }
         ()
       }
       .trigger(Trigger.AvailableNow())
       .start()
+  }
 
   /** Streaming keyed ingestion — the CDC-apply shape: every micro-batch
     * of incoming records MERGEs into the persisted store under
@@ -154,10 +184,15 @@ object Replica {
       end_micros: Long, n_events: Long, sum_value: Double)
 
   /** Stateful gap-based sessionization over an event stream —
-    * `flatMapGroupsWithState` with an event-time timeout: a session
-    * closes after `gap` of silence and is emitted exactly once. The
-    * canonical custom-state Structured Streaming operator (the engine's
-    * beyond-reference streaming surface).
+    * `flatMapGroupsWithState`: a session is emitted exactly once, when
+    * a LATER event for the same user arrives past the gap. A user's
+    * final (open) session stays in state until that next event — there
+    * is deliberately no timeout flush: a pending group-state timeout
+    * keeps the micro-batch engine from ever quiescing, which breaks
+    * drain-style consumers (`processAllAvailable`) and the AvailableNow
+    * gates. A consumer needing open sessions flushed reads them as the
+    * current state (or sends a per-user sentinel event past the gap,
+    * the streaming-idiomatic close).
     */
   def sessionize(events: org.apache.spark.sql.Dataset[Ev], gapMicros: Long)
       : org.apache.spark.sql.Dataset[Session] = {

@@ -121,10 +121,17 @@ object BulkMerge {
       if (f == "name" || f == "value") sort_key(c, comparator) else c
     }
 
-    // duplicate keys in the batch → last occurrence wins (final state)
+    // duplicate keys in the batch → last occurrence wins (final state).
+    // EQUAL sequence values tie-break over every incoming column so a
+    // checkpoint replay of the same batch picks the SAME winner — an
+    // arbitrary pick would re-classify as "versioned" on the rerun and
+    // append a spurious version (the no-seqCol path in Replica builds
+    // the same total order for the same reason)
     if (seqCol.isDefined && keyFields.nonEmpty) {
+      val tiebreak = incoming.columns.filterNot(_ == seqCol.get)
+        .map(c => col(c).desc_nulls_last)
       val w = Window.partitionBy(keyFields.map(keyOf("__in_")): _*)
-        .orderBy(col(seqCol.get).desc)
+        .orderBy(col(seqCol.get).desc +: tiebreak: _*)
       in = in.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).drop("__rn")
     }
@@ -165,11 +172,22 @@ object BulkMerge {
     val joined =
       if (keyFields.isEmpty) {
         // key=() declares no identity: every record inserts fresh
-        // (keyburn6 golden) — synthesize an unmatched join shape
+        // (keyburn6 golden) — synthesize an unmatched join shape.
+        // unique=() is the OPPOSITE: the sequential path (writeUnique,
+        // matchRows over zero fields) matches ANY current row, so a
+        // non-empty store answers EXISTS for every record — mirror
+        // that here instead of silently double-inserting on replay
+        val existsHead: Option[Long] =
+          if (unique)
+            store.current.select(min(col("id")).as("m")).collect()
+              .headOption.filterNot(_.isNullAt(0)).map(_.getLong(0))
+          else None
         curCols.distinct.foldLeft(in) { (df, c) =>
           val t = if (c == "name" || c == "value") "string"
             else if (c == "datatype") "byte" else "long"
-          df.withColumn(s"__ex_$c", lit(null).cast(t))
+          if (c == "id" && existsHead.isDefined)
+            df.withColumn(s"__ex_$c", lit(existsHead.get))
+          else df.withColumn(s"__ex_$c", lit(null).cast(t))
         }
       } else {
         val cond = keyFields.map(f =>
@@ -316,6 +334,9 @@ object BulkMerge {
     */
   private def batchTimestamp(): Long = Writer.tickMicros match {
     case Some(t) => t.getAndAdd(100L)
-    case None => System.currentTimeMillis() * 1000L
+    // through the writer's monotone clock: a bulk batch stamped below
+    // an earlier sequential append would let asOfTimestamp cut an
+    // impossible snapshot (higher ids, lower timestamps)
+    case None => Writer.nextMonotoneMicros()
   }
 }

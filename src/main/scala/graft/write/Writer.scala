@@ -80,6 +80,13 @@ object Writer {
     * not collide or timestamp sorts become nondeterministic.
     */
   private val lastTs = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** the shared monotone clock reading — BulkMerge stamps its batches
+    * through HERE so bulk and sequential writes share one monotone
+    * timeline (asOfTimestamp's id-monotonicity contract)
+    */
+  private[write] def nextMonotoneMicros(): Long =
+    lastTs.updateAndGet(prev =>
+      Math.max(System.currentTimeMillis() * 1000L, prev + 1))
   /** replay hook: a deterministic tick (the reference's test mode
     * stamps writes 1970-01-01T00:00:00.0000Z, .0001Z, ... so golden
     * sessions are byte-reproducible — rungraphd -t). When set, each
@@ -88,8 +95,7 @@ object Writer {
   @volatile private[graft] var tickMicros: Option[java.util.concurrent.atomic.AtomicLong] = None
   private def now(): Long = tickMicros match {
     case Some(t) => t.getAndAdd(100L)
-    case None =>
-      lastTs.updateAndGet(prev => Math.max(System.currentTimeMillis() * 1000L, prev + 1))
+    case None => nextMonotoneMicros()
   }
 
   /** Append a batch of specs atomically; returns (new store, new ids).
@@ -354,7 +360,10 @@ object Writer {
           p.left.isEmpty && p.name.exists(names.contains)).map(_.id)
         case None => st.current
           .filter(col("left").isNull && col("name").isin(names: _*))
-          .select("id").limit(2).collect().headOption.map(_.getLong(0))
+          // lowest id, like the mirror path: an unordered limit picks
+          // whichever row the scan yields first
+          .select("id").orderBy(col("id")).limit(1)
+          .collect().headOption.map(_.getLong(0))
       }
       hit.getOrElse {
         // the minted node carries the type name as BOTH name and value:
@@ -773,7 +782,10 @@ object Writer {
           p.left.isEmpty && p.name.exists(names.contains)).map(_.id)
         case None => st.current
           .filter(col("left").isNull && col("name").isin(names: _*))
-          .select("id").limit(2).collect().headOption.map(_.getLong(0))
+          // lowest id, like the mirror path: an unordered limit picks
+          // whichever row the scan yields first
+          .select("id").orderBy(col("id")).limit(1)
+          .collect().headOption.map(_.getLong(0))
       }
       hit.getOrElse {
         // the minted node carries the type name as BOTH name and value:
@@ -1069,20 +1081,19 @@ object Writer {
             // joint all-or-nothing read (keyburn2 rounds 1.2 and 5);
             // key=() has no identity: always insert (keyburn6)
             if (c.keyFields.get.isEmpty) None
-            else matchRows(st, spec, c.keyFields.get,
+            else findMatchPaged(st, spec, c.keyFields.get,
                 presentOnly = ((deferredFields ++ clusterKids.map(_._2) ++
-                  parentLink.map(_._1)) & c.keyFields.get.toSet),
-                limit = 8)
-              .find(r => clusterKids.forall { case (_, f, sub) =>
-                !r.isNullAt(r.fieldIndex(f)) &&
-                  keyClusterMatches(sub, r.getAs[Long](f))
-              })
+                  parentLink.map(_._1)) & c.keyFields.get.toSet))(
+                r => clusterKids.forall { case (_, f, sub) =>
+                  !r.isNullAt(r.fieldIndex(f)) &&
+                    keyClusterMatches(sub, r.getAs[Long](f))
+                })
           else if (c.uniqueFields.isDefined) None
           else if (inCluster)
             // unkeyed pointed reuse requires the WHOLE requested form
             // (6.1.10.2): every deferred pointed subtree must match
-            matchRows(st, spec, anchorMatchFields(spec), limit = 8)
-              .find(r => deferred.forall { case (_, f, sub) =>
+            findMatchPaged(st, spec, anchorMatchFields(spec))(
+              r => deferred.forall { case (_, f, sub) =>
                 !r.isNullAt(r.fieldIndex(f)) &&
                   pointedMatches(sub, r.getAs[Long](f))
               })
@@ -1200,7 +1211,13 @@ object Writer {
     // it hangs off — anchor.sh). Peek those children before deciding
     // the root is fresh.
     val rootHasKeys = hasKeys(template)
-    if (!rootHasKeys) {
+    // a root carrying guid=/previous= MUST route through the rootVer
+    // block below — the pointed-reuse hint would skip the OUTDATED
+    // check and silently discard the root's own versioned fields
+    val rootHasGuid =
+      (template.guid ++ template.previous).exists(p =>
+        p.include && p.serials.flatten.nonEmpty)
+    if (!rootHasKeys && !rootHasGuid) {
       val hint = template.subs.flatMap { sub =>
         linkOf(template, sub) match {
           case Some(ChildPointsToParent(f)) if hasKeys(sub) =>
@@ -1317,6 +1334,35 @@ object Writer {
           .take(limit).map(primRow).toSeq
       case None => matchExisting(store, s, fields, presentOnly)
         .orderBy(col("id").asc).limit(limit).collect().toSeq
+    }
+
+  /** First current-view match (ascending id) that ALSO satisfies
+    * `pred` — pages through the candidate stream instead of truncating
+    * at a fixed limit: a key-equal candidate set wider than any cap
+    * (presence-only keys over a hot name) must still find the true
+    * cluster match, or the writer mints a duplicate cluster.
+    */
+  private[graft] def findMatchPaged(store: GraphStore, s: Spec,
+      fields: Seq[String], presentOnly: Set[String] = Set.empty)(
+      pred: Row => Boolean): Option[Row] =
+    store.currentLocalIter match {
+      case Some(it) =>
+        it.filter(localMatches(_, s, fields, presentOnly))
+          .map(primRow).find(pred)
+      case None =>
+        val page = 64
+        var after = -1L
+        var out: Option[Row] = None
+        var done = false
+        while (!done) {
+          val rows = matchExisting(store, s, fields, presentOnly)
+            .filter(col("id") > after)
+            .orderBy(col("id").asc).limit(page).collect()
+          out = rows.find(pred)
+          done = out.isDefined || rows.length < page
+          if (!done) after = rows.last.getLong(0)
+        }
+        out
     }
 
   /** does the current primitive `bid` match the spec on `fields`? */

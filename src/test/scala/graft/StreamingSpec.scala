@@ -28,8 +28,10 @@ class StreamingSpec extends AnyFunSuite {
       link(11, left = 3, right = Some(2), typeguid = Some(1))))
     st.primitives.coalesce(1).write.parquet(log)
 
+    val ckpt = s"$dir/ckpt"
     val q = Replica.materializeTypeCounts(
-      Replica.stream(spark, log, maxFilesPerTrigger = 1), state)
+      Replica.stream(spark, log, maxFilesPerTrigger = 1), state,
+      checkpointDir = Some(ckpt))
     q.awaitTermination()
     val rows = spark.read.parquet(state).collect()
     assert(rows.length == 1)
@@ -37,19 +39,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.head.getAs[Long]("n_links") == 2L)
     assert(rows.head.getAs[Long]("dateline") == 11L)
 
-    // append more primitives → the SAME state dir absorbs the delta
+    // append more primitives → a RESTART with the same checkpoint
+    // absorbs only the delta: counts stay EXACT (the read-modify-write
+    // merge is batch-id guarded, so neither the restart nor a
+    // foreachBatch retry ever double-counts)
     val (st2, _) = Writer.append(st, Seq(
       Writer.Spec(left = Some(2L), right = Some(3L), typeguid = Some(1L))))
     st2.primitives.filter(col("id") > 11).coalesce(1)
       .write.mode("append").parquet(log)
     val q2 = Replica.materializeTypeCounts(
-      Replica.stream(spark, log, maxFilesPerTrigger = 8), state)
+      Replica.stream(spark, log, maxFilesPerTrigger = 8), state,
+      checkpointDir = Some(ckpt))
     q2.awaitTermination()
-    // note: fresh query = fresh checkpoint, so counts rebuild from all
-    // files; the merge keeps one row per type with the latest dateline
     val after = spark.read.parquet(state)
       .filter(col("typeguid") === 1L).head
-    assert(after.getAs[Long]("n_links") >= 3L)
+    assert(after.getAs[Long]("n_links") == 3L)
     assert(after.getAs[Long]("dateline") == 12L)
   }
 
