@@ -4,6 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graft.bridge.{toColumn => column, toExpression => expression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -21,8 +22,13 @@ import org.apache.spark.unsafe.types.UTF8String
 case class GraphdSortKey(child: Expression, comparator: String)
     extends UnaryExpression {
   override def dataType: DataType = StringType
-  override def checkInputDataTypes() =
-    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  // actual checks, not a blanket Success: a wrong-typed input must fail
+  // ANALYSIS, not crash codegen/eval with a ClassCastException
+  override def checkInputDataTypes() = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graphd_sort_key expects a string input, got $other")
+  }
 
   override protected def nullSafeEval(v: Any): Any =
     UTF8String.fromString(
@@ -46,7 +52,11 @@ case class GraphdMatch(left: Expression, right: Expression,
     comparator: String = "default") extends BinaryExpression {
   override def dataType: DataType = BooleanType
   override def checkInputDataTypes() =
-    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graphd_match expects (string, string) inputs, got $other")
+    }
 
   override protected def nullSafeEval(v: Any, p: Any): Any =
     GraphdText.matchesCmp(comparator, v.asInstanceOf[UTF8String].toString,
@@ -69,8 +79,11 @@ case class GraphdMatch(left: Expression, right: Expression,
 case class GraphdWords(child: Expression) extends UnaryExpression {
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
-  override def checkInputDataTypes() =
-    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  override def checkInputDataTypes() = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graphd_words expects a string input, got $other")
+  }
 
   override protected def nullSafeEval(v: Any): Any = {
     val ws = GraphdText.words(v.asInstanceOf[UTF8String].toString)
@@ -101,8 +114,11 @@ object GraphdWords {
   */
 case class GraphdValueNorm(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
-  override def checkInputDataTypes() =
-    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  override def checkInputDataTypes() = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graphd_value_norm expects a string input, got $other")
+  }
 
   override protected def nullSafeEval(v: Any): Any =
     UTF8String.fromString(
@@ -129,8 +145,16 @@ case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression {
   import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   override def dataType: DataType = DoubleType
+  // int/long arrays would silently read misaligned words through the
+  // UnsafeArrayData double accessors — reject at analysis
   override def checkInputDataTypes() =
-    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _),
+            ArrayType(FloatType | DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"vec_dot expects float/double array inputs, got $other")
+    }
   private def isFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
@@ -157,8 +181,12 @@ case class VecDot(left: Expression, right: Expression)
 case class VecNorm(child: Expression) extends UnaryExpression {
   import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   override def dataType: DataType = DoubleType
-  override def checkInputDataTypes() =
-    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"vec_norm expects a float/double array input, got $other")
+  }
   private def isFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
@@ -189,10 +217,14 @@ case class VecNorm(child: Expression) extends UnaryExpression {
   */
 case class VecNearestCids(child: Expression, cents: Array[(Int, Array[Double])],
     n: Int) extends UnaryExpression {
-  import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType}
+  import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType}
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
-  override def checkInputDataTypes() =
-    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"vec_nearest expects a float/double array input, got $other")
+  }
   private def isFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false

@@ -187,10 +187,15 @@ object GraphdText {
       exp += (if (eneg) -v else v)
     }
     if (isZero) return "2"
+    // the 4-hex-digit exponent field holds ±32767; clamping anything
+    // past it would COLLIDE distinct exponents and misorder (1e40000
+    // before 9e39999) — such values fall out of the numeric domain and
+    // order lexically in the non-decoding bucket instead
+    if (exp + 0x8000L < 0L || exp + 0x8000L > 0xffffL) return null
     val digits = new StringBuilder(lnz - fnz + 1)
     k = fnz
     while (k <= lnz) { val c = s.charAt(k); if (c != '.') digits.append(c); k += 1 }
-    val expEnc = math.max(0L, math.min(0xffffL, exp + 0x8000L)).toInt
+    val expEnc = (exp + 0x8000L).toInt
     if (positive) "3" + f"$expEnc%04x" + digits
     else {
       var di = 0
@@ -407,20 +412,6 @@ object GraphdText {
   }
 
 
-  /** optional field encoding: absent=00 (sorts before any present
-    * value), present = v+1; complemented for negative years so larger
-    * fields sort earlier (and absent sorts after any present value).
-    */
-  private def fld(v: String, neg: Boolean): String = {
-    val enc = if (v == null) 0 else v.toInt + 1
-    f"${if (neg) 99 - enc else enc}%02d"
-  }
-
-  private val DateTimeRe =
-    raw"(-?)(\d{1,4})(?:-(\d{1,2}))?(?:-(\d{1,2}))?(?:[tT](\d{1,2})(?::(\d{1,2}))?(?::(\d{1,2}))?(?:\.(\d{1,6}))?)?[zZ]?".r
-  private val TimeOnlyRe =
-    raw"[tT](\d{1,2})(?::(\d{1,2}))?(?::(\d{1,2}))?(?:\.(\d{1,6}))?[zZ]?".r
-
   def caseSortKey(s: String): String = if (s == null) null else s.toLowerCase
 
   def sortKey(comparator: String, s: String): String = comparator match {
@@ -555,7 +546,20 @@ object GraphdText {
     * pattern may match a fraction-less number.
     */
   private def numberMatch(pat: String, ps0: Int, pe: Int,
-      txt: String, ts: Int, r0: Int, e: Int): Boolean = {
+      txt: String, ts: Int, r0: Int, e: Int,
+      failed: java.util.HashSet[Long] = new java.util.HashSet[Long]): Boolean = {
+    // failure memo, same rationale as globStep: the star-split branch
+    // recurses per split point — exponential without it
+    val __key = (ps0.toLong << 32) | (r0.toLong & 0xffffffffL)
+    if (failed.contains(__key)) return false
+    val __ok = numberMatchImpl(pat, ps0, pe, txt, ts, r0, e, failed)
+    if (!__ok) failed.add(__key)
+    __ok
+  }
+
+  private def numberMatchImpl(pat: String, ps0: Int, pe: Int,
+      txt: String, ts: Int, r0: Int, e: Int,
+      failed: java.util.HashSet[Long]): Boolean = {
     var ps = ps0
     var r = r0
     var inWord = false
@@ -592,7 +596,7 @@ object GraphdText {
           var hit = false
           while (!hit && r < e && (txt.charAt(r) == ch ||
               (isNumWordCh(txt.charAt(r)) && txt.charAt(r) != '.'))) {
-            if (numberMatch(pat, ps, pe, txt, ts, r, e)) hit = true else r += 1
+            if (numberMatch(pat, ps, pe, txt, ts, r, e, failed)) hit = true else r += 1
           }
           if (hit) return true
           // no split matched: fall through with the pattern parked
@@ -631,10 +635,27 @@ object GraphdText {
   }
 
   /** one alignment attempt of the full pattern from (pr0, r0)
-    * (graphd-comparator-default.c:327 glob_step)
+    * (graphd-comparator-default.c:327 glob_step).
+    *
+    * `failed` memoizes (pr0, r0) states that cannot match: the
+    * star-as-word-fragment branch tries every split point recursively,
+    * which without the memo is EXPONENTIAL in the number of stars — a
+    * ~15-char adversarial pattern ("*a*a*a*a*ab") against a 60-char
+    * word pegs a core for hours, per-row inside codegen. The function
+    * is pure in (pr0, r0), so caching failures makes it O(|pat|*|txt|).
     */
   private def globStep(shadow: String, pat: String, pr0: Int,
-      txt: String, r0: Int): Boolean = {
+      txt: String, r0: Int,
+      failed: java.util.HashSet[Long] = new java.util.HashSet[Long]): Boolean = {
+    val __key = (pr0.toLong << 32) | (r0.toLong & 0xffffffffL)
+    if (failed.contains(__key)) return false
+    val __ok = globStepImpl(shadow, pat, pr0, txt, r0, failed)
+    if (!__ok) failed.add(__key)
+    __ok
+  }
+
+  private def globStepImpl(shadow: String, pat: String, pr0: Int,
+      txt: String, r0: Int, failed: java.util.HashSet[Long]): Boolean = {
     val pe = pat.length
     val e = txt.length
     var pr = pr0
@@ -689,7 +710,7 @@ object GraphdText {
               // '*' as a word fragment: try every split point
               val rw = r
               while (r < e && ((r == rw && txt.charAt(r) == ch) || isWordCh(txt.charAt(r)))) {
-                if (globStep(shadow, pat, pr, txt, r)) return true
+                if (globStep(shadow, pat, pr, txt, r, failed)) return true
                 r += 1
               }
               return false
@@ -759,11 +780,14 @@ object GraphdText {
     val patIsNumber = fragmentNext(shadow, 0).exists(_._3 == FragNumber)
 
     var s = 0
+    // ONE failure memo across every start offset: the inner states a
+    // failed alignment visits repeat across starts
+    val failedStates = new java.util.HashSet[Long]()
     while (s < e) {
       // skip to the next plausible start
       while (s < e && value.charAt(s) != chPot &&
           (if (patIsNumber) !isNumWordCh(value.charAt(s)) else !isWordCh(value.charAt(s)))) s += 1
-      if (globStep(shadow, pattern, 0, value, s)) return true
+      if (globStep(shadow, pattern, 0, value, s, failedStates)) return true
       if (patIsNumber) {
         fragmentNext(value, s) match {
           case Some((_, fe, _)) => s = fe

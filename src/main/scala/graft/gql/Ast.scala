@@ -125,6 +125,10 @@ final case class Constraint(
     timestampMax: Option[(Long, Boolean)] = None,
     newestMin: Option[Long] = Some(0L), // default newest=0
     newestMax: Option[Long] = Some(0L),
+    /** true once an explicit newest op replaced the default window —
+      * later newest ops INTERSECT instead of re-widening the other side
+      */
+    newestTouched: Boolean = false,
     oldestEq: Option[Long] = None, // oldest=N: generation counted from old end
     asof: Option[Long] = None, // request modifier: snapshot id horizon
     asofTs: Option[Long] = None, // asof=<timestamp>: written at/before (micros)

@@ -181,7 +181,21 @@ object Parser {
       })
     }
 
+    // recursion budget: a deeply nested request must answer SYNTAX,
+    // not kill the serving thread with a StackOverflowError
+    var nestDepth = 0
+    def enterNest(pos: Int): Unit = {
+      nestDepth += 1
+      if (nestDepth > 400)
+        throw ParseError("SYNTAX: query nests too deeply", pos)
+    }
+    def exitNest(): Unit = nestDepth -= 1
+
     def parseConstraint(linkage: Option[Linkage]): Constraint = {
+      enterNest(peek.map(_.pos).getOrElse(0))
+      try parseConstraint0(linkage) finally exitNest()
+    }
+    def parseConstraint0(linkage: Option[Linkage]): Constraint = {
       expect({ case t: TOpen => t }, "'('")
       var c = Constraint(linkage = linkage)
       var branches = Vector.empty[Constraint] // completed `||` alternatives
@@ -362,7 +376,11 @@ object Parser {
       case _ => ()
     }
 
-    def parseRhs(): Rhs = peek match {
+    def parseRhs(): Rhs = {
+      enterNest(peek.map(_.pos).getOrElse(0))
+      try parseRhs0() finally exitNest()
+    }
+    def parseRhs0(): Rhs = peek match {
       case Some(TStr(s, _)) => next(); RVal(Some(s))
       case Some(TAtom("null", _)) => next(); RVal(None)
       case Some(TAtom(a, _)) => next(); RVal(Some(a), atom = true)
@@ -390,7 +408,11 @@ object Parser {
       case None => throw ParseError("EOF in rhs", input.length)
     }
 
-    def parsePattern(): Pattern = peek match {
+    def parsePattern(): Pattern = {
+      enterNest(peek.map(_.pos).getOrElse(0))
+      try parsePattern0() finally exitNest()
+    }
+    def parsePattern0(): Pattern = peek match {
       case Some(TStr(s, _)) => next(); LiteralPat(s)
       case Some(TVar(v, _)) => next(); VarPat(v)
       case Some(TAtom(a, pos)) =>
@@ -449,6 +471,15 @@ object Parser {
       case RPattern(_) => throw ParseError(s"$what takes values, not a pattern", pos)
     }
 
+    /** the single value of a SCALAR keyword — an empty list `x=()`
+      * answers SYNTAX instead of letting `.head` throw a raw
+      * NoSuchElementException out of the parser (list keywords like
+      * type=() / guid=() keep their empty-list semantics via rhsVals)
+      */
+    def rhs1(r: Rhs, what: String, pos: Int): Option[String] =
+      rhsVals(r, what, pos).headOption.getOrElse(
+        throw ParseError(s"SYNTAX: $what needs a value", pos))
+
     def rhsGuids(r: Rhs, what: String, pos: Int): Seq[Option[Long]] =
       rhsVals(r, what, pos).map {
         case None => None
@@ -492,6 +523,15 @@ object Parser {
     def longOf(v: Option[String], pos: Int): Long =
       v.flatMap(s => scala.util.Try(s.toLong).toOption)
         .getOrElse(throw ParseError("expected integer", pos))
+
+    /** digit-run → Long, answering SYNTAX on overflow instead of
+      * letting a raw NumberFormatException escape the parser
+      */
+    def longOrSyntax(s: String, what: String, pos: Int): Long =
+      try s.toLong catch {
+        case _: NumberFormatException =>
+          throw ParseError(s"""SYNTAX: invalid $what "$s"""", pos)
+      }
 
     def applyKeyword(c0: Constraint, word: String, op: String, rhs: Rhs,
         pos: Int): Constraint = {
@@ -562,14 +602,14 @@ object Parser {
         case "datatype" | "valuetype" =>
           if (c.datatype.isDefined)
             throw ParseError("more than one valuetype", pos)
-          val v = rhsVals(rhs, wl, pos).head
+          val v = rhs1(rhs, wl, pos)
             .getOrElse(throw ParseError("datatype needs a value", pos))
           val dt = Datatype.code(v).getOrElse(throw ParseError(s"bad datatype $v", pos))
           c.copy(datatype = Some(dt))
         case "live" | "archival" =>
           if (c.setFlags(wl))
             throw ParseError(s"""duplicate assignment to "$wl" flag""", pos)
-          val v = rhsVals(rhs, wl, pos).head.map(_.toLowerCase)
+          val v = rhs1(rhs, wl, pos).map(_.toLowerCase)
           val t = v match {
             case Some("true") => MustBeTrue
             case Some("false") => MustBeFalse
@@ -581,32 +621,43 @@ object Parser {
         case "anchor" =>
           // anchor is a flag; `anchor=local` restricts it to the local
           // database — same behavior in a single-db engine (anchor3)
-          rhsVals(rhs, "anchor", pos).head.map(_.toLowerCase) match {
+          rhs1(rhs, "anchor", pos).map(_.toLowerCase) match {
             case Some("true") => c.copy(anchorFlag = true)
             case Some("local") =>
               c.copy(anchorFlag = true, anchorLocal = true)
             case Some("false") => c.copy(anchorFlag = false)
             case other => throw ParseError(s"bad anchor value $other", pos)
           }
-        case "timestamp" => tsBound(op, rhsVals(rhs, "timestamp", pos).head, c, pos)
+        case "timestamp" => tsBound(op, rhs1(rhs, "timestamp", pos), c, pos)
         case "newest" =>
-          val v = longOf(rhsVals(rhs, "newest", pos).head, pos)
-          op match {
-            case "=" => c.copy(newestMin = Some(v), newestMax = Some(v))
-            case ">=" => c.copy(newestMin = Some(v), newestMax = None)
-            case "<=" => c.copy(newestMin = Some(0), newestMax = Some(v))
-            case ">" => c.copy(newestMin = Some(v + 1), newestMax = None)
-            case "<" => c.copy(newestMin = Some(0), newestMax = Some(v - 1))
+          val v = longOf(rhs1(rhs, "newest", pos), pos)
+          val (mn, mx): (Option[Long], Option[Long]) = op match {
+            case "=" => (Some(v), Some(v))
+            case ">=" => (Some(v), None)
+            case "<=" => (Some(0L), Some(v))
+            case ">" => (Some(v + 1), None)
+            case "<" => (Some(0L), Some(v - 1))
             case o => throw ParseError(s"newest does not support $o", pos)
           }
+          // the FIRST newest op replaces the default newest=0 window;
+          // later ones INTERSECT — `newest>=1 newest<=2` is 1..2, not
+          // whichever op parsed last re-widening the other side
+          if (!c.newestTouched)
+            c.copy(newestMin = mn, newestMax = mx, newestTouched = true)
+          else c.copy(
+            newestMin = (c.newestMin ++ mn).reduceOption(_ max _),
+            newestMax = (c.newestMax, mx) match {
+              case (Some(a), Some(b)) => Some(a min b)
+              case (a, b) => a.orElse(b)
+            })
         case "oldest" =>
-          val v = longOf(rhsVals(rhs, "oldest", pos).head, pos)
+          val v = longOf(rhs1(rhs, "oldest", pos), pos)
           op match {
             case "=" => c.copy(newestMin = None, newestMax = None, oldestEq = Some(v))
             case o => throw ParseError(s"oldest does not support $o", pos)
           }
         case "count" =>
-          val v = longOf(rhsVals(rhs, "count", pos).head, pos)
+          val v = longOf(rhs1(rhs, "count", pos), pos)
           op match {
             case "=" => c.copy(count = CountBounds(v, Some(v)))
             case ">=" => c.copy(count = c.count.copy(min = v))
@@ -615,7 +666,7 @@ object Parser {
             case "<" => c.copy(count = c.count.copy(max = Some(v - 1)))
             case o => throw ParseError(s"count does not support $o", pos)
           }
-        case "atleast" => c.copy(count = c.count.copy(min = longOf(rhsVals(rhs, "atleast", pos).head, pos)))
+        case "atleast" => c.copy(count = c.count.copy(min = longOf(rhs1(rhs, "atleast", pos), pos)))
         case "unique" =>
           c.copy(uniqueFields = Some(rhsVals(rhs, "unique", pos).flatten))
         case "key" =>
@@ -627,16 +678,16 @@ object Parser {
           //  - "db.count" odometer: exclusive count
           //  - timestamp: everything written at or before that instant
           //  - bare decimal serial: engine extension, INCLUSIVE
-          val v = rhsVals(rhs, "asof", pos).head
+          val v = rhs1(rhs, "asof", pos)
             .getOrElse(throw ParseError("asof needs a value", pos))
           Guid.parse(v) match {
             case Some((_, serial)) => c.copy(asof = Some(serial - 1))
             case None if v.matches("\\d+\\.\\d+") =>
               // the odometer count N = "N primitives exist": with our
               // 1-based dense ids that is the inclusive horizon N
-              c.copy(asof = Some(v.split("\\.").last.toLong))
-            case None if v.forall(_.isDigit) =>
-              c.copy(asof = Some(v.toLong))
+              c.copy(asof = Some(longOrSyntax(v.split("\\.").last, "asof", pos)))
+            case None if v.matches("\\d+") =>
+              c.copy(asof = Some(longOrSyntax(v, "asof", pos)))
             case None =>
               graft.model.GTimestamp.parse(v) match {
                 case Some(micros) => c.copy(asofTs = Some(micros))
@@ -647,7 +698,7 @@ object Parser {
           // timeout=<seconds> (doc/gr-protocol.txt:182,258): best-effort
           // request kill past the budget — enforced at execution by
           // CostGuard (Spark job-group cancel)
-          val v = rhsVals(rhs, "timeout", pos).head
+          val v = rhs1(rhs, "timeout", pos)
             .getOrElse(throw ParseError("timeout needs a value", pos))
           if (!v.matches("""\d+"""))
             throw ParseError(s"SYNTAX: bad timeout '$v'", pos)
@@ -666,7 +717,7 @@ object Parser {
           // cost="tu=N tr=N ..." (doc/gr-protocol.txt:223-226): request
           // a cost report and optionally budget the request. Unknown
           // keys reject the whole string (graphd_cost_from_string)
-          val v = rhsVals(rhs, "cost", pos).head.getOrElse("")
+          val v = rhs1(rhs, "cost", pos).getOrElse("")
           graft.plan.CostGuard.parseCostLimit(v) match {
             case Left(msg) => throw ParseError(s"SEMANTICS: $msg", pos)
             case Right(_) => c.copy(costLimit = Some(v))
@@ -678,14 +729,17 @@ object Parser {
           // Accepts a 32-hex guid or an instance.count odometer whose
           // count renders in HEX ("123456.10" = 16 primitives —
           // 033-1.sh) — both classified SYNTAX when malformed.
-          val v = rhsVals(rhs, "dateline", pos).head
+          val v = rhs1(rhs, "dateline", pos)
             .getOrElse(throw ParseError("SYNTAX: dateline needs a value", pos))
           // all forms resolve to a primitive COUNT horizon ("N exist")
           val ser: Long =
             if (v.isEmpty) 0L // dateline>"": no constraint (dateline-2)
             else if (v.matches("""[\w]+[.:][0-9a-fA-F]+"""))
-              java.lang.Long.parseLong(v.split("[.:]").last, 16)
-            else if (v.matches("""\d+""")) v.toLong // bare id horizon
+              try java.lang.Long.parseLong(v.split("[.:]").last, 16)
+              catch { case _: NumberFormatException =>
+                throw ParseError(s"""SYNTAX: invalid dateline "$v"""", pos) }
+            else if (v.matches("""\d+"""))
+              longOrSyntax(v, "dateline", pos) // bare id horizon
             else Guid.parse(v) match {
               case Some((_, serial)) => serial & ~(1L << 63)
               case None =>
@@ -704,12 +758,12 @@ object Parser {
           // signature renders each under its own keyword
           // (graphd-constraint-signature.c:441-466) — remember which
           // was written
-          c.copy(pagesize = Some(longOf(rhsVals(rhs, wl, pos).head, pos)),
+          c.copy(pagesize = Some(longOf(rhs1(rhs, wl, pos), pos)),
             setFlags =
               if (wl == "resultpagesize") c.setFlags + "resultpagesize"
               else c.setFlags)
-        case "start" => c.copy(start = Some(longOf(rhsVals(rhs, "start", pos).head, pos)))
-        case "countlimit" => c.copy(countlimit = Some(longOf(rhsVals(rhs, "countlimit", pos).head, pos)))
+        case "start" => c.copy(start = Some(longOf(rhs1(rhs, "start", pos), pos)))
+        case "countlimit" => c.copy(countlimit = Some(longOf(rhs1(rhs, "countlimit", pos), pos)))
         case "cursor" =>
           // only a quoted string or `null` is a cursor value; a bare
           // atom is a syntax error with line/column (cursor2), and a
@@ -721,19 +775,19 @@ object Parser {
                   "expected 'null' or a cursor value", pos)
             case _ => ()
           }
-          val v = rhsVals(rhs, "cursor", pos).head
+          val v = rhs1(rhs, "cursor", pos)
           if (c.cursorTok.isDefined && v.isDefined)
             throw ParseError("more than one cursor=...", pos)
           c.copy(cursorTok = v)
         case "comparator" =>
           // names may carry a locale prefix: "i;octet" → "octet"
           // (test/unit/compare.sh uses comparator="i;octet")
-          val raw = rhsVals(rhs, wl, pos).head.getOrElse("default")
+          val raw = rhs1(rhs, wl, pos).getOrElse("default")
           c.copy(comparator = canonicalComparator(raw.split(";").last))
         case "value-comparator" =>
           // value-predicate/-sort override; wins over comparator=
           // regardless of clause order (david_8)
-          val raw = rhsVals(rhs, wl, pos).head.getOrElse("default")
+          val raw = rhs1(rhs, wl, pos).getOrElse("default")
           c.copy(valueComparator =
             Some(canonicalComparator(raw.split(";").last)))
         case "sort-comparator" =>

@@ -112,7 +112,11 @@ object Guid {
 
   def parse(s: String): Option[(Long, Long)] = {
     val t = s.trim.toLowerCase
-    if (t.length == 32 && t.forall(c => c.isDigit || (c >= 'a' && c <= 'f')))
+    // ASCII hex ONLY — Character.isDigit admits Unicode decimal digits
+    // (Arabic-Indic etc.), which parseUnsignedLong would then happily
+    // decode, accepting malformed "guids"
+    if (t.length == 32 &&
+        t.forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')))
       Some((java.lang.Long.parseUnsignedLong(t.substring(0, 16), 16),
         java.lang.Long.parseUnsignedLong(t.substring(16), 16)))
     else None
@@ -120,6 +124,14 @@ object Guid {
 
   /** Parse to local serial; accepts full 32-hex form or a bare decimal
     * serial (convenience for tests/queries).
+    *
+    * Deliberately serial-space only — the DATABASE half is not checked
+    * against LocalDb here: the session-replay harness parses
+    * reference-form guids (the reference server's own db id) before
+    * translating serials into engine id space, so the parser must
+    * extract serials from any db. A deployment serving multiple
+    * databases would check `parse(s).exists(_._1 == LocalDb)` at its
+    * boundary.
     */
   def serialOf(s: String): Option[Long] =
     parse(s).map(_._2).orElse(scala.util.Try(s.trim.toLong).toOption)
