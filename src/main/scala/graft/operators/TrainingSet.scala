@@ -1,6 +1,5 @@
 package graft.operators
 
-import org.apache.spark.TaskContext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -69,31 +68,53 @@ object TrainingSet {
       .as[(Long, Long)]
       .persist()
 
-    // pass 1: one (partition, token subtotal) row per partition —
-    // collecting THIS is collecting parts rows, not the corpus
+    // pass 1: one (first doc_id, token subtotal) row per nonempty
+    // partition — collecting THIS is collecting parts rows, not the
+    // corpus. Keying by the partition's FIRST ID (not
+    // TaskContext.getPartitionId) matters: a downstream coalesce(1)
+    // recomputes parent partitions inside one task whose partition id
+    // is 0, which would hand every parent partition the first offset;
+    // the range key survives any such task re-composition because the
+    // iterator boundaries themselves are preserved.
     val subtotals = base.mapPartitions { it =>
-      val pid = TaskContext.getPartitionId()
-      var s = 0L
-      it.foreach(s += _._2)
-      Iterator.single((pid, s))
+      if (it.hasNext) {
+        val head = it.next()
+        var s = head._2
+        it.foreach(s += _._2)
+        Iterator.single((head._1, s))
+      } else Iterator.empty
     }.collect()
 
-    // driver-side prefix sum over one entry per partition (pass 1 ran
-    // on EVERY partition, empty ones included, so the pid set is total)
-    val offsets = new Array[Long](subtotals.map(_._1).max + 1)
+    // driver-side prefix sum over one entry per nonempty partition;
+    // the range exchange guarantees first-ids order partitions
+    val boundaries = subtotals.sortBy(_._1)
+    val firstIds = boundaries.map(_._1)
+    val offsets = new Array[Long](boundaries.length)
     var running = 0L
-    subtotals.sortBy(_._1).foreach { case (pid, s) =>
-      offsets(pid) = running; running += s
+    var i = 0
+    while (i < boundaries.length) {
+      offsets(i) = running; running += boundaries(i)._2; i += 1
     }
 
-    // pass 2: local running sum + broadcast partition offset
+    // pass 2: local running sum + broadcast partition offset, found by
+    // the greatest boundary first-id <= this partition's head id
     val out = base.mapPartitions { it =>
-      val pid = TaskContext.getPartitionId()
-      var cum = offsets(pid)
-      it.map { case (id, nt) =>
-        val before = cum
-        cum += nt
-        (id, nt, before / seqLen, before % seqLen)
+      if (!it.hasNext) Iterator.empty
+      else {
+        val buf = it.buffered
+        val headId = buf.head._1
+        var lo = 0; var hi = firstIds.length - 1; var idx = 0
+        while (lo <= hi) {
+          val mid = (lo + hi) >>> 1
+          if (firstIds(mid) <= headId) { idx = mid; lo = mid + 1 }
+          else hi = mid - 1
+        }
+        var cum = offsets(idx)
+        buf.map { case (id, nt) =>
+          val before = cum
+          cum += nt
+          (id, nt, before / seqLen, before % seqLen)
+        }
       }
     }.toDF("doc_id", "n_tokens", "seq_id", "seq_offset")
     Dedup.Memoized(out, Seq(base.toDF()))

@@ -333,10 +333,12 @@ object PipelineQueries extends QueryPack {
         T(s, dir).documents, "text", Seq("lang", "source")),
       Some("""WITH agg AS (
              |  SELECT lang, source, count(*) AS n_docs,
-             |    sum(len(regexp_split_to_array(trim(text), '\s+'))) AS n_tokens
+             |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+             |      AS BIGINT) AS n_tokens
              |  FROM documents GROUP BY 1, 2)
              |SELECT lang, source, n_docs, n_tokens,
-             |  round(n_tokens * 1.0 / sum(n_tokens) OVER (), 6) AS token_share
+             |  round(n_tokens * 1.0 / CAST(sum(n_tokens) OVER () AS DOUBLE), 6)
+             |    AS token_share
              |FROM agg""".stripMargin)),
 
     // concat-then-chunk sequence-packing manifest: the oracle is the
@@ -350,9 +352,9 @@ object PipelineQueries extends QueryPack {
       Some(s"""WITH t AS (SELECT doc_id,
              |    CAST(len($sqlToks) AS BIGINT) AS n_tokens FROM documents),
              |c AS (SELECT doc_id, n_tokens,
-             |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-             |      AS cum0 FROM t)
+             |      AS BIGINT) AS cum0 FROM t)
              |SELECT doc_id, n_tokens,
              |  CAST(cum0 // 512 AS BIGINT) AS seq_id,
              |  CAST(cum0 % 512 AS BIGINT) AS seq_offset
@@ -438,20 +440,31 @@ object PipelineQueries extends QueryPack {
     // symmetric int8 embedding quantization: scale = max|x|/127,
     // q = round(x/scale) — engine-portable float->double arithmetic,
     // every q byte identical under the DuckDB oracle
+    // the gate projects the int8 array to a comma-joined string plus a
+    // dims count: the driver's pandas checker sorts rows by every
+    // column, and a raw array column is unhashable there — the string
+    // form is byte-identical across Spark and DuckDB (int -> decimal
+    // text in both) and keeps the comparison element-exact
     QueryDef("s05_quantize",
       (s, dir) => graft.operators.Similarity.quantizeInt8(
-        T(s, dir).embeddings, "vec_id", "embedding"),
+          T(s, dir).embeddings, "vec_id", "embedding")
+        .select(col("vec_id"), col("scale"),
+          size(col("q")).cast("long").as("dims"),
+          array_join(col("q").cast("array<string>"), ",").as("q_str")),
       Some("""WITH v AS (SELECT vec_id,
              |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
              |  FROM embeddings),
              |s AS (SELECT vec_id, ve,
              |    list_max(list_transform(ve, x -> abs(x))) / 127.0 AS scale
-             |  FROM v)
-             |SELECT vec_id, scale,
+             |  FROM v),
+             |qq AS (SELECT vec_id, scale,
              |  CASE WHEN scale = 0 THEN list_transform(ve, x -> 0)
              |       ELSE list_transform(ve,
              |         x -> CAST(round(x / scale) AS INT)) END AS q
-             |FROM s""".stripMargin)),
+             |FROM s)
+             |SELECT vec_id, scale, CAST(len(q) AS BIGINT) AS dims,
+             |  array_to_string(q, ',') AS q_str
+             |FROM qq""".stripMargin)),
 
     // PII scrubbing: chained regexp_replace in the Java∩RE2 dialect —
     // map-only, zero shuffles, codegen'd

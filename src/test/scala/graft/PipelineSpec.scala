@@ -278,6 +278,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == want)
     assert(got.forall { case (_, _, _, off) => off >= 0 && off < 10 })
     assert(got.exists { case (id, _, sq, off) => id == 1L && sq == 0L && off == 0L })
+    // regression: Verify writes through .coalesce(1), which recomputes
+    // every parent partition inside ONE task (partition id 0) — a
+    // TaskContext-keyed offset lookup silently restarts the running sum
+    // at each parent-partition boundary under that plan
+    val coalesced = TrainingSet.packSequences(corpus, "doc_id", "text",
+        seqLen = 10).coalesce(1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(coalesced == want)
   }
 
   test("shard shuffle is seed-deterministic with contiguous positions") {
