@@ -82,7 +82,8 @@ object Replica {
           // gap; the serving contract is that readers poll AFTER the
           // stream's trigger completes (the gate does)
           val tmp = stateDir + "_next"
-          merged.write.mode("overwrite").parquet(tmp)
+          // state is one row per typeguid — one file, one write task
+          merged.coalesce(1).write.mode("overwrite").parquet(tmp)
           val tmpMark = new org.apache.hadoop.fs.Path(tmp + "/_applied_batch")
           val out = fs.create(tmpMark, true)
           try out.writeLong(batchId) finally out.close()
@@ -118,19 +119,40 @@ object Replica {
         * otherwise both land as live current rows forever.
         */
       seqCol: Option[String] = None,
-      comparator: String = "default"): StreamingQuery =
+      comparator: String = "default"): StreamingQuery = {
+    // merged-store handle + id high-water mark carried across
+    // micro-batches: re-listing the store directory and re-scanning
+    // max(id) per batch is what kills a CDC stream against a
+    // 100k-file store. Both are set only AFTER a batch's delta write
+    // completes, and BOTH reset on any batch failure — a replayed
+    // batch reloads from disk (where the failed attempt's rows, if any
+    // landed, are visible) and re-classifies against that, so
+    // duplicates and id collisions cannot happen under at-least-once
+    // replay. The carried plan is rebased from disk every few batches
+    // so the in-plan union chain stays shallow on long-running streams.
+    var carried: Option[(graft.store.GraphStore, Long)] = None
+    var carriedDepth = 0
+    val rebaseEvery = 8
     incoming.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+       try {
         val spark = batch.sparkSession
-        // a fresh load per batch sees every file appended so far; the
-        // merge classification materializes (localCheckpoint) before
-        // this batch's delta is written, so the listing is stable
-        // write-only handle: no ~= reads run here, so skip seeding the
-        // word-index watermark every micro-batch
-        val st = graft.store.GraphStore.load(spark, storeDir,
-          useWordIndex = false)
+        // the merge classification materializes (localCheckpoint)
+        // before this batch's delta is written, so a fresh listing is
+        // stable. write-only handle: no ~= reads run here, so skip
+        // seeding the word-index watermark every micro-batch
+        val (st, nextBase) = carried match {
+          case Some((s, b)) if carriedDepth < rebaseEvery =>
+            (s, Some(b))
+          case c =>
+            carriedDepth = 0
+            // a rebase keeps the trusted id watermark (it survives the
+            // plan swap; only a FAILURE resets it)
+            (graft.store.GraphStore.load(spark, storeDir,
+              useWordIndex = false), c.map(_._2))
+        }
         val b0 = batch.toDF()
         val deduped =
           if (seqCol.isDefined || keyFields.isEmpty) b0 // BulkMerge last-wins
@@ -155,17 +177,28 @@ object Replica {
           }
         val r =
           if (unique) graft.write.BulkMerge.mergeUnique(st, deduped, keyFields,
-            comparator, seqCol)
+            comparator, seqCol, baseId = nextBase)
           else graft.write.BulkMerge.mergeKeyed(st, deduped, keyFields,
-            comparator, seqCol)
+            comparator, seqCol, baseId = nextBase)
         r.appended
           .withColumn("id_part", shiftright(col("id"),
             graft.store.GraphStore.PartShift).cast("int"))
           .write.mode("append").partitionBy("id_part").parquet(storeDir)
+        carried = Some((r.store, r.nextIdAfter))
+        carriedDepth += 1
         ()
+       } catch { case e: Throwable =>
+        // at-least-once replay safety: never trust the carried handle
+        // or watermark past a failed attempt (its write may have
+        // partially landed); the retry reloads and re-derives both
+        carried = None
+        carriedDepth = 0
+        throw e
+       }
       }
       .trigger(Trigger.AvailableNow())
       .start()
+  }
 
   /** windowed event analytics over the events stream — watermark +
     * tumbling window, the standard Structured Streaming shape.

@@ -56,12 +56,31 @@ object BulkMerge {
   private val AllKeyFields =
     Set("name", "value", "typeguid", "left", "right", "scope", "datatype")
 
-  final case class Result(store: GraphStore, outcomes: DataFrame,
+  /** Merge result. The outcome COUNTS (and the merged store handle,
+    * whose `versioned` flag depends on them) are lazy: a streaming
+    * ingest loop that only writes `appended` never pays the extra
+    * count job per micro-batch, while callers that read `store` or the
+    * per-outcome tallies get exact values on first touch.
+    */
+  final class Result(
+      storeF: () => GraphStore,
+      val outcomes: DataFrame,
       /** the appended delta rows (ids assigned, pinned) — what an
         * append-only sink writes (streaming CDC apply)
         */
-      appended: DataFrame,
-      inserted: Long, unchanged: Long, versioned: Long, existing: Long)
+      val appended: DataFrame,
+      /** first id past this batch's appended rows — the next merge's
+        * `baseId`, known on the driver without another job
+        */
+      val nextIdAfter: Long,
+      countsF: () => Map[String, Long]) {
+    lazy val store: GraphStore = storeF()
+    private lazy val counts: Map[String, Long] = countsF()
+    def inserted: Long = counts.getOrElse("inserted", 0L)
+    def unchanged: Long = counts.getOrElse("unchanged", 0L)
+    def versioned: Long = counts.getOrElse("versioned", 0L)
+    def existing: Long = counts.getOrElse("exists", 0L)
+  }
 
   /** Bulk `key=(fields)` upsert. `incoming` columns are primitive
     * fields (any subset of name/value/datatype/typeguid/left/right/
@@ -75,8 +94,14 @@ object BulkMerge {
     */
   def mergeKeyed(store: GraphStore, incoming: DataFrame,
       keyFields: Seq[String], comparator: String = "default",
-      seqCol: Option[String] = None): Result =
-    run(store, incoming, keyFields, comparator, seqCol, unique = false)
+      seqCol: Option[String] = None,
+      /** id to assign from; None = derive via Writer.nextId (a pruned
+        * max-id scan). A streaming loop passes the previous batch's
+        * `nextIdAfter` to skip that scan per micro-batch.
+        */
+      baseId: Option[Long] = None): Result =
+    run(store, incoming, keyFields, comparator, seqCol, unique = false,
+      baseId)
 
   /** Bulk `unique=(fields)`: insert-if-absent. Records whose unique
     * cluster already exists get outcome "exists" (the batch report of
@@ -84,12 +109,14 @@ object BulkMerge {
     */
   def mergeUnique(store: GraphStore, incoming: DataFrame,
       fields: Seq[String], comparator: String = "default",
-      seqCol: Option[String] = None): Result =
-    run(store, incoming, fields, comparator, seqCol, unique = true)
+      seqCol: Option[String] = None,
+      baseId: Option[Long] = None): Result =
+    run(store, incoming, fields, comparator, seqCol, unique = true, baseId)
 
   private def run(store: GraphStore, incoming: DataFrame,
       keyFields: Seq[String], comparator: String,
-      seqCol: Option[String], unique: Boolean): Result = {
+      seqCol: Option[String], unique: Boolean,
+      baseId: Option[Long]): Result = {
     import graft.functions.GraphdFunctions.sort_key
     val spark = store.spark
     import spark.implicits._
@@ -246,22 +273,51 @@ object BulkMerge {
           lit(-1L)).as("lineage"))
       .as[Primitive]
 
-    // dense id assignment without a global sort: zipWithIndex runs one
-    // count pass for per-partition offsets, then stamps ids in place —
-    // the distributed rendition of the istore append cursor
-    val base = Writer.nextId(store)
+    // dense id assignment without a global sort: one count pass for
+    // per-partition offsets, then ids stamp in place — the distributed
+    // rendition of the istore append cursor. The counts land on the
+    // driver (they also hand the caller `nextIdAfter` for free); the
+    // stamping pass itself is lazy and DETERMINISTIC because it
+    // derives from the localCheckpoint-pinned classification — no
+    // second checkpoint needed to keep ids from re-rolling.
+    val base = baseId.getOrElse(Writer.nextId(store))
+    // ONE pass over the pinned classification collects, per partition,
+    // the outcome tallies — the inserted+versioned subtotal doubles as
+    // the id offset for that partition because `newRows` is a NARROW
+    // filter of `classified` (same partition count, same in-partition
+    // order), so no separate count pass is needed
+    val perPart = classified.select(col(OutcomeCol)).as[String].rdd
+      .mapPartitions({ it =>
+        var ins = 0L; var ver = 0L; var unch = 0L; var ex = 0L
+        it.foreach {
+          case "inserted"  => ins += 1
+          case "versioned" => ver += 1
+          case "unchanged" => unch += 1
+          case _           => ex += 1
+        }
+        Iterator.single((ins, ver, unch, ex))
+      }, preservesPartitioning = true).collect()
+    val offsets = perPart.map(p => p._1 + p._2).scanLeft(0L)(_ + _)
+    val nNew = offsets.last
+    val counts = Map(
+      "inserted" -> perPart.map(_._1).sum,
+      "versioned" -> perPart.map(_._2).sum,
+      "unchanged" -> perPart.map(_._3).sum,
+      "exists" -> perPart.map(_._4).sum)
+    val newRdd = newRows.rdd
+    require(newRdd.getNumPartitions == perPart.length,
+      s"partition drift: ${newRdd.getNumPartitions} vs ${perPart.length}")
     val assigned = spark.createDataset(
-      newRows.rdd.zipWithIndex().map { case (p, i) =>
-        val id = base + i
-        p.copy(id = id, txstart = i == 0L,
-          lineage = if (p.lineage == -1L) id else p.lineage)
+      newRdd.mapPartitionsWithIndex { (pi, it) =>
+        var id = base + offsets(pi)
+        it.map { p =>
+          val r = p.copy(id = id, txstart = id == base,
+            lineage = if (p.lineage == -1L) id else p.lineage)
+          id += 1L
+          r
+        }
       })
-    // pin the assignment: ids must not re-roll if the plan re-executes
-    val newDf = assigned.toDF().localCheckpoint()
-
-    val counts = classified.groupBy(col(OutcomeCol)).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val nVersioned = counts.getOrElse("versioned", 0L)
+    val newDf = assigned.toDF()
 
     // resolve each record's final id into the outcome frame — matched
     // head for unchanged/exists, the assigned id for inserts/versions.
@@ -299,31 +355,32 @@ object BulkMerge {
             keyFields.map(f => s"__o_$f")): _*)
       }
 
-    val merged = store.primitives
-      .unionByName(newDf, allowMissingColumns = true)
-    val mirror = store.localRows.map(_ ++ newDf.as[Primitive].collect())
-    // an index-serving store maintains its word index incrementally
-    // across the merge (the reference's on-write WORD hmap update):
-    // the built (cached) index becomes the base, rows past the
-    // watermark the delta. The watermark is set ONCE — later merges
-    // keep the same base and the delta predicate simply covers more
-    // appended rows — so the probe plan stays a single cached-base ∪
-    // delta-scan union regardless of merge count (a re-seed per merge
-    // would chain unions N deep). save/compact re-bases.
-    val wordSeed =
-      if (store.useWordIndex)
-        store.wordIndexBase.orElse(Some((store.valueWordIndex, base - 1)))
-      else store.wordIndexBase
-    Result(
-      store.copy(primitives = merged,
-        versioned = store.versioned || nVersioned > 0, localRows = mirror,
-        wordIndexBase = wordSeed),
-      outcomesWithIds,
-      newDf,
-      inserted = counts.getOrElse("inserted", 0L),
-      unchanged = counts.getOrElse("unchanged", 0L),
-      versioned = nVersioned,
-      existing = counts.getOrElse("exists", 0L))
+    new Result(
+      storeF = () => {
+        val merged = store.primitives
+          .unionByName(newDf, allowMissingColumns = true)
+        val mirror = store.localRows.map(_ ++ newDf.as[Primitive].collect())
+        // an index-serving store maintains its word index incrementally
+        // across the merge (the reference's on-write WORD hmap update):
+        // the built (cached) index becomes the base, rows past the
+        // watermark the delta. The watermark is set ONCE — later merges
+        // keep the same base and the delta predicate simply covers more
+        // appended rows — so the probe plan stays a single cached-base ∪
+        // delta-scan union regardless of merge count (a re-seed per merge
+        // would chain unions N deep). save/compact re-bases.
+        val wordSeed =
+          if (store.useWordIndex)
+            store.wordIndexBase.orElse(Some((store.valueWordIndex, base - 1)))
+          else store.wordIndexBase
+        store.copy(primitives = merged,
+          versioned =
+            store.versioned || counts.getOrElse("versioned", 0L) > 0,
+          localRows = mirror, wordIndexBase = wordSeed)
+      },
+      outcomes = outcomesWithIds,
+      appended = newDf,
+      nextIdAfter = base + nNew,
+      countsF = () => counts)
   }
 
   private def inColRaw(df: DataFrame, f: String): Column =
