@@ -184,8 +184,34 @@ object Similarity {
     * (computed from identical centroids by an ordered fold)
     * engine-portable.
     */
+  /** trained-quantizer memo: a coarse quantizer is trained ONCE per
+    * (corpus, params) and then serves every index build and probe —
+    * retraining per query would re-run the Lloyd rounds for an
+    * identical deterministic result. Bounded LRU like the Dedup memos.
+    */
+  private val centroidMemo = new java.util.LinkedHashMap[
+      (Int, String, String, Int, Int, Int), Array[(Int, Array[Double])]](
+      16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[
+        (Int, String, String, Int, Int, Int), Array[(Int, Array[Double])]])
+        : Boolean = size() > Dedup.memoCap
+  }
+
   def ivfCentroids(df: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iters: Int, sampleN: Int = 1 << 17): Array[(Int, Array[Double])] = {
+    val k = (df.queryExecution.analyzed.semanticHash(), idCol, vecCol,
+      nlist, iters, sampleN)
+    centroidMemo.synchronized {
+      val cur = centroidMemo.get(k)
+      if (cur != null) return cur
+    }
+    val trained = trainCentroids(df, idCol, vecCol, nlist, iters, sampleN)
+    centroidMemo.synchronized(centroidMemo.put(k, trained))
+    trained
+  }
+
+  private def trainCentroids(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int, sampleN: Int): Array[(Int, Array[Double])] = {
     import graft.functions.GraphdFunctions.vec_nearest
     val train = trainSample(df, idCol, vecCol, sampleN).cache()
     // init: ids < nlist (nlist rows — the only other driver landing)
@@ -235,6 +261,9 @@ object Similarity {
     * of all of it, and unlike multi-probe LSH each vector lives in
     * exactly ONE list, so no candidate dedup pass is needed.
     */
+  private val invMemo =
+    new Dedup.BoundedMemo[(Int, String, String, Int, Int, Int)](Dedup.memoCap)
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4, iters: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding",
@@ -243,11 +272,19 @@ object Similarity {
     // the inverted lists: corpus + norm, keyed by centroid — the cid
     // is a compiled projection (VecNearestCids reads the float array
     // directly, double math), so building the index is one
-    // shuffle-free codegen'd scan of the corpus
-    val inv = corpus.select(
-      element_at(nearestCids(col(vecCol), cents, 1), 1).as("cid"),
-      col(idCol).cast("long").as("n_id"),
-      col(vecCol).as("n_vec"), norm(col(vecCol)).as("n_norm"))
+    // shuffle-free codegen'd scan of the corpus. Built ONCE per
+    // (corpus, params) and cached: the index is the serving structure
+    // probes hit repeatedly (at 100 TB it persists, partitioned by cid)
+    val inv = invMemo.getOrElseUpdate(
+      (corpus.queryExecution.analyzed.semanticHash(), idCol, vecCol,
+        nlist, iters, sampleN), {
+        val built = corpus.select(
+          element_at(nearestCids(col(vecCol), cents, 1), 1).as("cid"),
+          col(idCol).cast("long").as("n_id"),
+          col(vecCol).as("n_vec"), norm(col(vecCol)).as("n_norm"))
+          .cache()
+        Dedup.Memoized(built, Seq(built))
+      })
     // nprobe nearest lists per query, again a projection
     val probes = queries.select(col(idCol).cast("long").as("q_id"),
       col(vecCol).as("q_vec"), norm(col(vecCol)).as("q_norm"),
