@@ -37,8 +37,37 @@ for name in sorted(oracle):
     if not files:
         print(f"FAIL {name}: no spark output"); fails += 1; continue
     try:
-        got = canon(pd.concat([pd.read_parquet(f) for f in files]))
-        exp = canon(con.sql(oracle[name]).df())
+        got_raw = pd.concat([pd.read_parquet(f) for f in files])
+        exp_raw = con.sql(oracle[name]).df()
+        # dtype pin: the driver's hash compare is dtype-sensitive. Every
+        # oracle column must arrive as int64 / float64 / bool / object /
+        # datetime BEFORE canon-normalization — a DuckDB HUGEINT (from
+        # an uncast sum/window) lands as float64 while Spark writes
+        # int64, failing the driver's hash even when values match; an
+        # unsortable column (arrays) crashes the checker. Catch both
+        # classes here: FAIL on any raw-dtype divergence between the
+        # two sides, so the gate SQL gets an explicit CAST instead.
+        for c in sorted(set(got_raw.columns) & set(exp_raw.columns)):
+            gk, ek = got_raw[c].dtype.kind, exp_raw[c].dtype.kind
+            num = set("iuf")
+            # only the numeric class breaks the driver's hash (int64 vs
+            # HUGEINT->float64); date-object vs datetime64 normalizes in
+            # canon and passes the driver today
+            if (gk in num or ek in num) and gk != ek:
+                raise AssertionError(
+                    f"dtype drift on col {c}: spark={got_raw[c].dtype} "
+                    f"oracle={exp_raw[c].dtype} — CAST it in the oracle SQL")
+            if gk == "O":
+                gv = got_raw[c].dropna()
+                if len(gv) and not isinstance(
+                        gv.iloc[0], (str, bytes, int, float,
+                                     __import__("datetime").date)):
+                    raise AssertionError(
+                        f"non-scalar object col {c} "
+                        f"({type(gv.iloc[0]).__name__}) — project to a "
+                        f"string/scalar form for the gate")
+        got = canon(got_raw)
+        exp = canon(exp_raw)
     except Exception as e:
         print(f"FAIL {name}: {e}"); fails += 1; continue
     if list(got.columns) != list(exp.columns):
