@@ -192,6 +192,21 @@ object Bench {
     val qpsSharded =
       (1 to 3).map(_ => drive(512, i => answerSharded(simpleQ(i)))).max
 
+    // SORTED point reads, unsharded vs routed: the router k-way-merges
+    // per-shard comparator-key streams (each shard pre-pages to the
+    // global page prefix) — the figure that shows sorted pages survive
+    // the horizontal split
+    val sortedQ = (i: Int) =>
+      s"""read (type="customer" value~="${1 + i % 997}" sort=value pagesize=10 result=((guid value)))"""
+    drive(64, i => answer(sortedQ(i)))
+    System.gc()
+    val qpsSorted =
+      (1 to 3).map(_ => drive(512, i => answer(sortedQ(i)))).max
+    drive(64, i => answerSharded(sortedQ(i)))
+    System.gc()
+    val qpsSortedSharded =
+      (1 to 3).map(_ => drive(512, i => answerSharded(sortedQ(i)))).max
+
     // the same loop through full Catalyst planning+execution — the
     // analytics path a query takes when it misses the serving tier.
     // AQE off: its per-stage replanning adds ~100ms of driver gaps to a
@@ -223,7 +238,7 @@ object Bench {
     // stop BEFORE printing: shutdown warnings must not land after the
     // JSON line the driver parses off stdout
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"qps_simple":$qps,"qps_simple_sharded":$qpsSharded,"qps_spark_path":$qpsSpark,"qps_point_batched":$batchQps,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"qps_simple":$qps,"qps_simple_sharded":$qpsSharded,"qps_sorted":$qpsSorted,"qps_sorted_sharded":$qpsSortedSharded,"qps_spark_path":$qpsSpark,"qps_point_batched":$batchQps,"sf":"$sfDir"}""")
     Console.out.flush()
   }
 }

@@ -168,16 +168,47 @@ object PointServer {
   final case class Served(columns: Seq[String], rows: Seq[Array[Any]],
       /** candidate id per row (empty for count results) — the shard
         * router's merge key */
-      rowIds: Seq[Long] = Nil)
+      rowIds: Seq[Long] = Nil,
+      /** per-row comparator sort keys (only when the query sorts AND
+        * the caller asked — the shard router's k-way merge keys; each
+        * inner array has one pre-computed key per sort spec, null
+        * meaning nulls-last) */
+      sortKeys: Seq[Array[String]] = Nil)
 
   def serve(ix: Index, query: String): Option[Served] =
     serve(ix, Parser.parseRead(query))
 
-  def serve(ix: Index, c: Constraint): Option[Served] = {
-    if (!servableRoot(c)) return None
+  def serve(ix: Index, c: Constraint): Option[Served] =
+    serve(ix, c, emitSortKeys = false)
+
+  def serve(ix: Index, c: Constraint, emitSortKeys: Boolean)
+      : Option[Served] = {
+    if (!servableFor(c)) return None
+    flatFor(c) match {
+      case Some(flat) => serveVetted(ix, c, flat, emitSortKeys)
+      case None => None
+    }
+  }
+
+  /** query-level servability, index-independent (router pre-check) */
+  private[serve] def servableFor(c: Constraint): Boolean = servableRoot(c)
+
+  /** flattened result pattern if every pat is servable (router
+    * pre-check; shared with the single-snapshot entry)
+    */
+  private[serve] def flatFor(c: Constraint): Option[Seq[Pattern]] = {
     val pat = c.result.getOrElse(ListPat(Seq(FieldPat("guid"), FieldPat("value"))))
     val flat = flatten(pat)
-    if (flat.exists(p => !servablePat(p))) return None
+    if (flat.exists(p => !servablePat(p))) None else Some(flat)
+  }
+
+  /** the per-shard entry: query-level servability and result-pattern
+    * flattening already done ONCE by the caller (the shard router
+    * fans one query out to n shards — per-shard re-validation is pure
+    * overhead on the point-read hot path)
+    */
+  private[serve] def serveVetted(ix: Index, c: Constraint,
+      flat: Seq[Pattern], emitSortKeys: Boolean): Option[Served] = {
     val cand = candidates(ix, c) match {
       case Some(ps) => ps
       case None => return None
@@ -186,7 +217,11 @@ object PointServer {
     // root count result
     if (flat == Seq(CountPat))
       return Some(Served(Seq("count"), Seq(Array[Any](out.length.toLong))))
-    // sort: comparator keys over value/name, id tiebreak
+    // sort: comparator keys over value/name, id tiebreak. Keys are
+    // MATERIALIZED once per row before sorting — a sortWith that calls
+    // the comparator normalization per COMPARISON would recompute each
+    // row's key O(log n) times on the serving hot path.
+    var keyed: Array[Array[String]] = null // parallel to out, post-sort
     if (c.sort.nonEmpty || c.pagesize.isDefined || c.start.isDefined) {
       val keys = c.sort.map { sk =>
         val cmp = sk.comparator.getOrElse(c.comparator)
@@ -197,48 +232,62 @@ object PointServer {
           case FieldPat("timestamp") => (p: Int) => f"${ix.timestamp(p)}%019d"
           case _ => return None
         }
-      }
-      // number-comparator sorts over string fields drop rows whose key
-      // is null or non-decoding ("~"-prefixed) from the sorted set —
-      // mirror of ReadPlanner.shapeRoot's filter (sortnumber/david_10)
-      c.sort.zipWithIndex.foreach { case (sk, k) =>
-        val cmp = sk.comparator.getOrElse(c.comparator)
-        val stringField = sk.pat match {
-          case FieldPat("value") | FieldPat("name") => true
-          case _ => false
-        }
-        if (cmp == "number" && stringField)
-          out = out.filter { p =>
-            val key = keys(k)(p)
-            key != null && !key.startsWith("~")
+      }.toArray
+      if (c.sort.nonEmpty) {
+        var rows = out.map(p => (p, keys.map(_(p))))
+        // number-comparator sorts over string fields drop rows whose
+        // key is null or non-decoding ("~"-prefixed) from the sorted
+        // set — mirror of ReadPlanner.shapeRoot's filter
+        // (sortnumber/david_10)
+        c.sort.zipWithIndex.foreach { case (sk, k) =>
+          val cmp = sk.comparator.getOrElse(c.comparator)
+          val stringField = sk.pat match {
+            case FieldPat("value") | FieldPat("name") => true
+            case _ => false
           }
-      }
-      val dirs = c.sort.map(_.ascending)
-      out = out.sortWith { (a, b) =>
-        var r = 0; var k = 0
-        while (r == 0 && k < keys.length) {
-          val ka = keys(k)(a); val kb = keys(k)(b)
-          // nulls sort LAST under EITHER direction (the Spark path's
-          // asc_nulls_last/desc_nulls_last) — only the non-null
-          // comparison inverts for descending keys
-          r =
-            if (ka == null && kb == null) 0
-            else if (ka == null) 1
-            else if (kb == null) -1
-            else {
-              val c0 = ka.compareTo(kb)
-              if (dirs(k)) c0 else -c0
+          if (cmp == "number" && stringField)
+            rows = rows.filter { case (_, ks) =>
+              ks(k) != null && !ks(k).startsWith("~")
             }
-          k += 1
         }
-        if (r != 0) r < 0 else ix.ids(a) < ix.ids(b)
+        val dirs = c.sort.map(_.ascending).toArray
+        val sorted = rows.sortWith { case ((a, ka0), (b, kb0)) =>
+          var r = 0; var k = 0
+          while (r == 0 && k < ka0.length) {
+            val ka = ka0(k); val kb = kb0(k)
+            // nulls sort LAST under EITHER direction (the Spark path's
+            // asc_nulls_last/desc_nulls_last) — only the non-null
+            // comparison inverts for descending keys
+            r =
+              if (ka == null && kb == null) 0
+              else if (ka == null) 1
+              else if (kb == null) -1
+              else {
+                val c0 = ka.compareTo(kb)
+                if (dirs(k)) c0 else -c0
+              }
+            k += 1
+          }
+          if (r != 0) r < 0 else ix.ids(a) < ix.ids(b)
+        }
+        out = sorted.map(_._1)
+        keyed = sorted.map(_._2)
       }
     }
-    c.start.foreach(s => out = out.drop(s.toInt))
-    c.pagesize.foreach(ps => out = out.take(ps.toInt))
+    c.start.foreach { s =>
+      out = out.drop(s.toInt)
+      if (keyed != null) keyed = keyed.drop(s.toInt)
+    }
+    c.pagesize.foreach { ps =>
+      out = out.take(ps.toInt)
+      if (keyed != null) keyed = keyed.take(ps.toInt)
+    }
     val cols = flat.zipWithIndex.map { case (p, idx) => patName(p, idx) }
     val rows = out.toSeq.map(p => flat.map(f => fieldOf(ix, f, p)).toArray)
-    Some(Served(cols, rows, out.toSeq.map(p => ix.ids(p))))
+    val sks =
+      if (emitSortKeys && keyed != null) keyed.toSeq
+      else Nil
+    Some(Served(cols, rows, out.toSeq.map(p => ix.ids(p)), sks))
   }
 
   // ---------- eligibility ----------

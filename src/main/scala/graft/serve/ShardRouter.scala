@@ -21,10 +21,11 @@ import graft.store.GraphStore
   * type-name vocabulary (tiny, global) is resolved once and broadcast
   * into every shard.
   *
-  * Routed queries: the unsorted point-read class (the qps benchmark
-  * class — "names containing herman"). Sorted reads need a global
-  * merge by comparator key and fall back to the Catalyst plan, like
-  * every other non-servable shape.
+  * Routed queries: the point-read class (the qps benchmark class —
+  * "names containing herman"), sorted or not. Each shard answers its
+  * slice in the query's order (PointServer pre-computes the
+  * comparator keys); the router k-way-merges the per-shard streams
+  * and takes the global page, capping every shard at the page prefix.
   */
 object ShardRouter {
 
@@ -69,9 +70,6 @@ object ShardRouter {
     serve(sh, Parser.parseRead(query))
 
   def serve(sh: Shards, c: Constraint): Option[PointServer.Served] = {
-    // global ordering across shards is by id for unsorted reads; a
-    // comparator sort would need a keyed merge — Catalyst's job
-    if (c.sort.nonEmpty) return None
     // shard locality covers root predicates + left/right fan-in
     // children ONLY: a shard holds every link whose left/right
     // endpoint it owns, so those postings are complete. Everything
@@ -92,21 +90,85 @@ object ShardRouter {
     }
     if (c.subs.exists(sub => sub.subs.nonEmpty || !shardLocal(sub)))
       return None
-    // shards answer unpaged; the router pages the merged stream
-    val unpaged = c.copy(pagesize = None, start = None)
-    val per = sh.shards.map(ix => PointServer.serve(ix, unpaged))
+    // shards answer un-started but PREFIX-capped: the global page
+    // [start, start+pagesize) can draw at most start+pagesize rows
+    // from any single shard, so each shard materializes only that
+    // prefix of ITS order (ascending id unsorted; comparator keys
+    // sorted — PointServer emits the keys so the router's merge uses
+    // the exact per-shard compare, never re-deriving them)
+    val prefix = c.pagesize.map(ps => c.start.getOrElse(0L) + ps)
+    val shardC = c.copy(start = None, pagesize = prefix)
+    // validate + flatten the result pattern ONCE; per-shard calls take
+    // the vetted fast entry
+    if (!PointServer.servableFor(shardC)) return None
+    val flat = PointServer.flatFor(shardC) match {
+      case Some(f) => f
+      case None => return None
+    }
+    val per = sh.shards.map(ix =>
+      PointServer.serveVetted(ix, shardC, flat, emitSortKeys = true))
     if (per.exists(_.isEmpty)) return None
     val answers = per.flatten
     if (answers.headOption.exists(_.columns == Seq("count"))) {
       val total = answers.map(_.rows.head(0).asInstanceOf[Long]).sum
       return Some(PointServer.Served(Seq("count"), Seq(Array[Any](total))))
     }
-    // merge by ascending id (each shard already ascending), then page
-    var merged = answers.flatMap(a => a.rowIds.zip(a.rows))
-      .sortBy(_._1)
-    c.start.foreach(s0 => merged = merged.drop(s0.toInt))
-    c.pagesize.foreach(ps => merged = merged.take(ps.toInt))
+    val merged = kWayMerge(answers, c)
     Some(PointServer.Served(answers.head.columns,
       merged.map(_._2), merged.map(_._1)))
+  }
+
+  /** n-way merge of per-shard answers (each already in the query's
+    * global order) into the requested page — no union re-sort, no
+    * materialization past start+pagesize. Compare mirrors
+    * PointServer's: per sort key nulls-last, direction per spec, id
+    * tiebreak; unsorted reads merge by ascending id.
+    */
+  private def kWayMerge(answers: Vector[PointServer.Served], c: Constraint)
+      : Vector[(Long, Array[Any])] = {
+    val dirs = c.sort.map(_.ascending).toArray
+    def lt(s: Int, i: Int, t: Int, j: Int): Boolean = {
+      var r = 0
+      var k = 0
+      val ka0 = if (c.sort.nonEmpty) answers(s).sortKeys(i) else null
+      val kb0 = if (c.sort.nonEmpty) answers(t).sortKeys(j) else null
+      while (r == 0 && ka0 != null && k < ka0.length) {
+        val ka = ka0(k); val kb = kb0(k)
+        r =
+          if (ka == null && kb == null) 0
+          else if (ka == null) 1
+          else if (kb == null) -1
+          else {
+            val c0 = ka.compareTo(kb)
+            if (dirs(k)) c0 else -c0
+          }
+        k += 1
+      }
+      if (r != 0) r < 0
+      else answers(s).rowIds(i) < answers(t).rowIds(j)
+    }
+    val cursors = Array.fill(answers.length)(0)
+    val total = answers.map(_.rowIds.length).sum
+    val start = math.min(c.start.getOrElse(0L).toInt, total)
+    val wanted = c.pagesize.fold(total - start)(ps =>
+      math.min(ps.toInt, total - start)).max(0)
+    val out = Vector.newBuilder[(Long, Array[Any])]
+    var taken = 0
+    while (taken < start + wanted) {
+      var best = -1
+      var s = 0
+      while (s < answers.length) {
+        if (cursors(s) < answers(s).rowIds.length &&
+            (best < 0 || lt(s, cursors(s), best, cursors(best))))
+          best = s
+        s += 1
+      }
+      val i = cursors(best)
+      cursors(best) += 1
+      if (taken >= start)
+        out += ((answers(best).rowIds(i), answers(best).rows(i)))
+      taken += 1
+    }
+    out.result()
   }
 }

@@ -23,6 +23,17 @@ class ShardRouterSpec extends AnyFunSuite {
     """read (any value~="special" result=((guid value)) pagesize=7)""",
     """read (type="supplier" result=((guid value)) start=3 pagesize=5)""")
 
+  /** sorted reads: the k-way comparator-key merge must reproduce the
+    * single snapshot's global order AND page — router answers these
+    * since round 8
+    */
+  private val sortedQueries = Seq(
+    """read (type="customer" sort=value pagesize=3 result=((value)))""",
+    """read (type="supplier" sort=-value result=((guid value)))""",
+    """read (type="part" sort=(value guid) start=2 pagesize=6 result=((guid value)))""",
+    """read (type="customer" sort-comparator=number sort=value result=((guid value)))""",
+    """read (any value~="special" sort=-guid pagesize=5 result=((guid value)))""")
+
   for (n <- Seq(1, 3, 5)) {
     lazy val sharded = ShardRouter.build(store, n)
     test(s"router answers match the single snapshot at n=$n") {
@@ -39,13 +50,24 @@ class ShardRouterSpec extends AnyFunSuite {
         assert(ids.lazyZip(ids.drop(1)).forall(_ < _), s"dup/unsorted ids: $q")
       }
     }
+    test(s"router sorted reads match the single snapshot at n=$n") {
+      sortedQueries.foreach { q =>
+        val one = PointServer.serve(single, q)
+        val many = ShardRouter.serve(sharded, q)
+        assert(one.isDefined, s"single snapshot declined: $q")
+        assert(many.isDefined, s"router declined: $q")
+        assert(many.get.columns == one.get.columns, q)
+        assert(many.get.rows.map(_.toSeq) == one.get.rows.map(_.toSeq),
+          s"rows differ at n=$n: $q")
+        // order comes from the merge keys; ids must still be unique
+        val ids = many.get.rowIds
+        assert(ids.distinct.size == ids.size, s"dup ids: $q")
+      }
+    }
   }
 
   test("router declines what shard locality cannot answer") {
     val sharded = ShardRouter.build(store, 3)
-    // sorted reads need a keyed global merge
-    assert(ShardRouter.serve(sharded,
-      """read (type="customer" sort=value pagesize=3 result=((value)))""").isEmpty)
     // left/right fan-in children ARE co-located: routed
     assert(ShardRouter.serve(sharded,
       """read (type="customer" result=((guid)) (<-right count>=1))""").isDefined)
