@@ -99,7 +99,8 @@ object ReadPlanner {
     def horizonForNewCursor: Long =
       pinned.getOrElse(graft.streaming.Replica.dateline(st.primitives))
     shapeRoot(st, solved, shapeRoot_c, horizonForNewCursor _,
-      resumeOffset = after.filter(_.skip > 0).map(_.offset).getOrElse(0L))
+      resumeOffset = after.filter(_.skip > 0).map(_.offset).getOrElse(0L),
+      resumeTok = after.filter(_.skip > 0).flatMap(_ => rootN.cursorTok))
   }
 
   def plan(store: GraphStore, query: String): DataFrame =
@@ -1386,7 +1387,10 @@ object ReadPlanner {
       cursorHorizon: () => Long = () => Long.MaxValue,
       // [o:] rows consumed so far, carried from a POSITIONAL resume
       // whose token was consumed into a start offset before this call
-      resumeOffset: Long = 0L): DataFrame = {
+      resumeOffset: Long = 0L,
+      // the RAW token of that consumed positional resume — re-freeze
+      // hooks pass sampled state fields through from it
+      resumeTok: Option[String] = None): DataFrame = {
     // set-level count result (result=count → one row); countlimit stops
     // counting past N (the reference returns TOOMANY beyond — callers
     // detect overflow by count == countlimit+1, graphd/graphd.h:1305).
@@ -1476,7 +1480,14 @@ object ReadPlanner {
             // consumed its token into an injected start offset, which
             // must not leak into the cursor signature
             .flatMap(h => h(
-              if (resumeOffset > 0) c.copy(start = None) else c,
+              if (resumeOffset > 0)
+                // start strips (it would leak into the signature); the
+                // consumed token re-attaches so the hook can pass its
+                // opaque sampled-state fields through (signed() strips
+                // cursorTok before signing)
+                c.copy(start = None,
+                  cursorTok = resumeTok.orElse(c.cursorTok))
+              else c,
               cursorHorizon(), off, ps, ids.map(_.getLong(0)).toSeq))
             .getOrElse {
               // pagesize=0 still answers a POSITIONED cursor

@@ -13,12 +13,14 @@ package graft
   * Bounds follow the reference's idarray clamp: an index iterator spans
   * [first posting, last posting + 1).
   *
-  * The one composite family NOT emitted is the `isa:` iterator, whose
-  * freeze embeds sampled cost statistics (`[st:n:cc:nc]`, the
-  * `:34:16:4091:` budget ledger — graphd-iterator-isa.c:3600-3700):
-  * that is the hand-rolled adaptive cost model this engine deliberately
-  * does not carry (AQE replaces it, SURVEY §4), so isa cursors resume
-  * exactly but re-freeze in engine form.
+  * The `isa:` family is emitted too (isaToken below): its sampled cost
+  * ledger (`:34:16:4091:` — graphd-iterator-isa.c:3600-3700) is the
+  * hand-rolled adaptive cost model this engine deliberately does not
+  * carry at EXECUTION time (AQE replaces it, SURVEY §4), but the freeze
+  * bytes are reproducible — first mints derive the sample from the
+  * reference's own formulas (isa_statistics_complete), and resumes pass
+  * the incoming token's ledger through opaquely, exactly as the
+  * reference thaws it from the wire.
   */
 object RefFreeze {
 
@@ -145,4 +147,97 @@ object RefFreeze {
     */
   def fixedIsaToken(fi: FixedIsa, consumed: Long, res: String): String =
     s"fixed:(${fi.masquerade})/$consumed/[cache:@$res]"
+
+  // ---- isa: freeze (graphd-iterator-isa.c:3589-3710) ----------------
+
+  /** pdb cost constants (libpdb/pdb.h:362-370) */
+  val CostGmapElement = 2L
+  val CostGmapArray = 10L
+  val CostHmapElement = 3L
+  val CostHmapArray = 11L
+  val CostFunctionCall = 1L
+  val CostPrimitive = CostHmapArray + 1 // 12
+
+  private def bits(x0: Long): Int = {
+    var x = x0; var b = 0
+    while (x != 0) { x >>= 1; b += 1 }
+    b
+  }
+
+  /** Prefix-iterator sampled statistics, frozen as `[st:n:nc:fc]`
+    * (graphd-iterator-prefix.c:771-779). The prefix expands to an OR
+    * of word-hmap branches — one per distinct 5-char word class among
+    * the matching words (pdb packs 5 chars x 5 bits into the word
+    * hash, libpdb/pdb-word.c:440-452) — and the or-statistics total
+    * exactly (graphd-iterator-or.c:558-585): n = sum of branch posting
+    * counts, nc = total_nc/total_n with every hmap branch's nc =
+    * FUNCTION_CALL + HMAP_ELEMENT (pdb-iterator-hmap.c:913), fc = sum
+    * of branch bsearch costs 1 + HMAP_ARRAY + HMAP_ELEMENT*bits(n_b)
+    * (pdb-iterator.c:147-157). Validated byte-for-byte against isa.sh:
+    * classes 31, n 4092, nc 4, fc 1116.
+    */
+  final case class PrefixStats(n: Long, nc: Long, fc: Long) {
+    def st: String = s"[st:$n:$nc:$fc]"
+    /** prefix check cost: PDB_COST_PRIMITIVE + 10
+      * (graphd-iterator-prefix.c:591)
+      */
+    def cc: Long = CostPrimitive + 10
+  }
+
+  def prefixStats(classCounts: Seq[Long]): PrefixStats = {
+    val n = classCounts.sum
+    val totalNc = classCounts.map(_ * (CostFunctionCall + CostHmapElement)).sum
+    val nc = if (n == 0) totalNc else totalNc / n
+    val fc = classCounts.map(c =>
+      CostFunctionCall + CostHmapArray + CostHmapElement * bits(c)).sum
+    PrefixStats(n, nc, fc)
+  }
+
+  /** isa-iterator sampled statistics (isa_statistics_complete,
+    * graphd-iterator-isa.c:2280-2372), frozen as `CC:NC:N`
+    * (pdb_iterator_freeze_statistics, libpdb/pdb-iterator.c:889-905):
+    *  - n: the sub's n scaled by the shared id spread, divided by the
+    *    sampled loss (trials per accepted result over the first 5);
+    *  - nc: cost of producing+reading all sub values amortized per
+    *    result;
+    *  - cc: GMAP_ARRAY + GMAP_ELEMENT + the sub's check cost.
+    */
+  final case class IsaStats(cc: Long, nc: Long, n: Long) {
+    def frozen: String = s"$cc:$nc:$n"
+  }
+
+  def isaStats(isaLo: Long, isaHi: Long, subLo: Long, subHi: Long,
+      sub: PrefixStats, trials: Long, accepted: Long): IsaStats = {
+    val maxLow = math.max(isaLo, subLo)
+    val subSpread = math.max(subHi - maxLow, 1L)
+    val isaSpread = math.max(isaHi - maxLow, 1L)
+    val sharedSpread = math.min(subSpread, isaSpread)
+    val cookedSubN =
+      math.min(math.min(sub.n, subSpread) * sharedSpread / subSpread,
+        sharedSpread)
+    val loss = if (accepted == 0) 1.0 else trials.toDouble / accepted
+    val n = math.max(
+      if (cookedSubN >= loss) (cookedSubN / loss).toLong else 1L, 5L)
+    val nc = math.min(sub.n, subSpread) * (sub.nc + CostPrimitive) / n +
+      n / 8000
+    IsaStats(CostGmapArray + CostGmapElement + sub.cc, nc, n)
+  }
+
+  /** Top-level `isa:` freeze: SET/POSITION/STATE
+    * (graphd-iterator-isa.c:3589-3710) —
+    * `isa:LO-HI:L<-(SUB)/LAST:~-[sp:SP]/0:(-/[st:..])-:CC:NC:N:-:[sd:(SUB/SDPOS/[st:..])@RES]`.
+    * Position: last returned endpoint, `~` = sub holds no position,
+    * `-` = no sub source. State: call state 0, the frozen sub
+    * (position -, its [st:..] stats), no fanin, the isa stats, no
+    * next-tmp, and the storable duplicate-check sub (the statistics
+    * clone, parked at the sub id the 5-sample trial stopped at) under
+    * its resource stamp.
+    */
+  def isaToken(isaLo: Long, isaHi: Long, linkChar: Char, sub: It,
+      subSt: PrefixStats, lastSerial: Long, sp: Long, stats: IsaStats,
+      sdPos: Long, res: String): String =
+    s"isa:$isaLo-$isaHi:$linkChar<-(${sub.set})" +
+      s"/$lastSerial:~-[sp:$sp]" +
+      s"/0:(-/${subSt.st})-:${stats.frozen}:-:" +
+      s"[sd:(${sub.set}/$sdPos/${subSt.st})@$res]"
 }

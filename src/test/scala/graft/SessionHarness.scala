@@ -908,6 +908,38 @@ object SessionHarness {
           }
         case _ => None
       }
+    // the isa-iterator shape (isa.sh): a bare root whose ONE sub is a
+    // `(<-left|right value~="p*")` fan-in — the root candidates are
+    // the left/right endpoints of the prefix matches, produced by the
+    // reference's isa iterator (graphd-iterator-isa.c). Returns the
+    // linkage char, the prefix sub-iterator, and the (link serial,
+    // endpoint serial) pairs in link id order (the isa production
+    // order).
+    def isaShape(c: Constraint)
+        : Option[(Char, String, RefFreeze.Prefix, Vector[(Long, Long)])] =
+      c.subs match {
+        case Seq(sub) if c.value.isEmpty && c.name.isEmpty &&
+            c.typePreds.isEmpty && c.guid.isEmpty && c.linkFields.isEmpty &&
+            sub.subs.isEmpty && sub.typePreds.isEmpty && sub.name.isEmpty =>
+          sub.effectiveLinkage match {
+            case Some(ChildPointsToParent(f)) if f == "left" || f == "right" =>
+              for {
+                pre <- literalPrefix(sub)
+                pIter <- prefixIter(pre)
+              } yield {
+                val pairs = livePrims.filter(_.value.exists(v =>
+                    graft.functions.GraphdText.words(v)
+                      .exists(_.startsWith(pre))))
+                  .sortBy(_.id)
+                  .flatMap(p => (if (f == "left") p.left else p.right)
+                    .map(ep => (p.id - 1, ep - 1)))
+                  .toVector
+                (f.head, pre, pIter, pairs)
+              }
+            case _ => None
+          }
+        case _ => None
+      }
     // signed iterator cursors (graphd-constraint-cursor.c): mint the
     // reference's `cursor:XXXX:[o:..][n:..]<frozen iterator>` wire
     // form. Resumes advance the incoming iterator body positionally;
@@ -986,7 +1018,50 @@ object SessionHarness {
               val pos = lastSerial
               val res = freezeRes.stamp("orstate:" + or.set + "/" + pos)
               Some(signed(RefFreeze.orToken(or, pos, res)))
-            case _ => None
+            case _ => isaShape(c).map { case (linkChar, pre, pIter, pairs) =>
+              // sub [st:..] stats: distinct 5-char word classes among
+              // the matching (class, primitive) postings — recomputed
+              // every freeze, like the reference's server-side prefix
+              // statistics cache (pdb_prefix_statistics_store/load,
+              // graphd-iterator-prefix.c:605,957) restores them even
+              // when the incoming token was stripped of them
+              val classCounts = livePrims.flatMap(p =>
+                  p.value.toSeq.flatMap(v =>
+                    graft.functions.GraphdText.words(v)
+                      .filter(_.startsWith(pre)).map(_.take(5)).distinct)
+                    .map(cls => (cls, p.id)))
+                .distinct.groupBy(_._1).map(_._2.size.toLong).toSeq
+              val subSt = RefFreeze.prefixStats(classCounts)
+              val isaLo = 0L
+              val isaHi = horizon - 1 // pdb_primitive_n - 1 (HIGH_ANY)
+              // the 5-sample statistics trial (GRAPHD_ISA_N_SAMPLES):
+              // walk sub matches in production order, collect distinct
+              // endpoints; the duplicate-check sub parks at the last
+              // sampled sub id
+              val seen = scala.collection.mutable.Set.empty[Long]
+              var trials = 0
+              while (trials < pairs.length && seen.size < 5) {
+                seen += pairs(trials)._2
+                trials += 1
+              }
+              val sdPos = if (trials > 0) pairs(trials - 1)._1 else 0L
+              // stats: first mint samples them; a RESUME passes the
+              // incoming token's CC:NC:N through opaquely — the
+              // reference thaws them from the wire
+              // (graphd-iterator-isa.c:2173 pdb_iterator_util_thaw)
+              // and re-emits whatever it was handed
+              val passThrough = c.cursorTok.flatMap(raw =>
+                """-:(\d+):(\d+):(\d+):-:\[sd:""".r
+                  .findFirstMatchIn(iterBodyOf(raw))
+                  .map(m => RefFreeze.IsaStats(m.group(1).toLong,
+                    m.group(2).toLong, m.group(3).toLong)))
+              val stats = passThrough.getOrElse(
+                RefFreeze.isaStats(isaLo, isaHi, pIter.lo, pIter.hi,
+                  subSt, trials, seen.size))
+              val res = freezeRes.stamp("isasd:" + pIter.set)
+              signed(RefFreeze.isaToken(isaLo, isaHi, linkChar, pIter,
+                subSt, lastSerial, oOut, stats, sdPos, res))
+            }
           }
       }
       val incoming = c.cursorTok.map(iterBodyOf)
