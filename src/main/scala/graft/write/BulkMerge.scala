@@ -164,10 +164,20 @@ object BulkMerge {
     }
 
     // -- existing candidates: lowest current id per key ---------------
+    // normalized key columns are PROJECTED ONCE on each side
+    // (__ik_/__ek_) instead of re-deriving sort_key inside the window
+    // partitioning, the join condition, and the identity compare —
+    // comparator normalization of long values is the merge's per-row
+    // CPU, and an expression repeated across shuffle boundaries
+    // re-evaluates on every side
+    in = keyFields.foldLeft(in)((df, f) =>
+      df.withColumn(s"__ik_$f", keyOf("__in_")(f)))
     val curCols = Seq("id", "lineage") ++ IdentityFields ++
       Seq("datatype", "scope")
-    val cur = store.current.select(curCols.distinct.map(c =>
+    val cur0 = store.current.select(curCols.distinct.map(c =>
       col(c).as(s"__ex_$c")): _*)
+    val cur = keyFields.foldLeft(cur0)((df, f) =>
+      df.withColumn(s"__ek_$f", keyOf("__ex_")(f)))
     val candidates =
       if (keyFields.isEmpty) null
       else {
@@ -175,22 +185,32 @@ object BulkMerge {
         // BEFORE the per-key window: the batch is small relative to
         // the store, so this is a broadcast semi-join that prunes the
         // window's shuffle to the touched keys — without it, every
-        // merge re-shuffles the entire current view at 100 TB
-        val batchKeys = in.select(keyFields.map(f =>
-          keyOf("__in_")(f).as(s"__bk_$f")): _*).distinct()
-        // broadcast only while the optimizer's size estimate for the
-        // batch stays bounded: the distinct key set of a billion-row
-        // ingest must not be collected to the driver. Past the bound
-        // the same semi-join runs as a shuffle (and AQE may still
-        // re-pick broadcast from observed runtime sizes).
-        val batchBytes = in.queryExecution.optimizedPlan.stats.sizeInBytes
-        val hintedKeys =
-          if (batchBytes <= BigInt(256L << 20)) broadcast(batchKeys)
-          else batchKeys
-        val touchCond = keyFields.map(f =>
-          keyOf("__ex_")(f) <=> col(s"__bk_$f")).reduce(_ && _)
-        val touched = cur.join(hintedKeys, touchCond, "left_semi")
-        val w = Window.partitionBy(keyFields.map(keyOf("__ex_")): _*)
+        // merge re-shuffles the entire current view at 100 TB. A
+        // SMALL store (one cached/columnar stage) skips the prune:
+        // two extra stages cost more than the window they'd save —
+        // the same size gate as GraphStore.indexRouteWorthwhile.
+        val pruneWorthwhile = store.scanBytes >= BigInt(
+          sys.props.get("graft.mergePruneMinBytes").map(_.toLong)
+            .getOrElse(64L << 20))
+        val touched =
+          if (!pruneWorthwhile) cur
+          else {
+            val batchKeys = in.select(keyFields.map(f =>
+              col(s"__ik_$f").as(s"__bk_$f")): _*).distinct()
+            // broadcast only while the optimizer's size estimate for
+            // the batch stays bounded: the distinct key set of a
+            // billion-row ingest must not be collected to the driver.
+            // Past the bound the same semi-join runs as a shuffle (and
+            // AQE may still re-pick broadcast from observed sizes).
+            val batchBytes = in.queryExecution.optimizedPlan.stats.sizeInBytes
+            val hintedKeys =
+              if (batchBytes <= BigInt(256L << 20)) broadcast(batchKeys)
+              else batchKeys
+            val touchCond = keyFields.map(f =>
+              col(s"__ek_$f") <=> col(s"__bk_$f")).reduce(_ && _)
+            cur.join(hintedKeys, touchCond, "left_semi")
+          }
+        val w = Window.partitionBy(keyFields.map(f => col(s"__ek_$f")): _*)
           .orderBy(col("__ex_id").asc)
         touched.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
@@ -218,15 +238,18 @@ object BulkMerge {
         }
       } else {
         val cond = keyFields.map(f =>
-          keyOf("__in_")(f) <=> keyOf("__ex_")(f)).reduce(_ && _)
+          col(s"__ik_$f") <=> col(s"__ek_$f")).reduce(_ && _)
         in.join(candidates, cond, "left")
       }
 
     // -- classify ------------------------------------------------------
     // identity per Writer.keyedApply: only fields the batch SPECIFIES
-    // participate; string fields compare comparator-normalized
+    // participate; string fields compare comparator-normalized (the
+    // pre-projected key columns where the field IS a key)
     def fieldSame(f: String): Column =
       if (!specified(f)) lit(true)
+      else if (keyFields.contains(f) && joined.columns.contains(s"__ek_$f"))
+        col(s"__ik_$f") <=> col(s"__ek_$f")
       else if (f == "name" || f == "value")
         sort_key(col(s"__in_$f"), comparator) <=>
           sort_key(col(s"__ex_$f"), comparator)
