@@ -51,6 +51,39 @@ object Multimodal {
     }
   }
 
+  /** Real image decode behind a classpath probe — the integration seam
+    * the stub documents. javax.imageio ships with the JDK, so IMAGE
+    * rows whose bytes actually decode (PNG/JPEG/BMP/GIF) get real
+    * width/height/channels; everything else — audio/video (no codecs
+    * in this container) and non-decodable payloads (the m01/m02 gates
+    * feed UTF-8 text as the opaque binary) — falls through to the
+    * deterministic stub, byte-identically to a stub-only build. The
+    * probe guards against stripped JREs; swapping in an ffmpeg/JNI
+    * codec means adding another `tryDecode` before the fallback.
+    */
+  object ImageIoCodec {
+    private lazy val available: Boolean =
+      try { Class.forName("javax.imageio.ImageIO"); true }
+      catch { case _: Throwable => false }
+
+    private def tryDecode(m: MediaRow): Option[MediaFeatures] =
+      if (!available || m.media_type != "image") None
+      else
+        try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(m.media))).map { img =>
+          val stub = StubCodec.decode(m) // sig/n_bytes stay codec-independent
+          stub.copy(
+            width = img.getWidth,
+            height = img.getHeight,
+            n_frames = 1,
+            channels = img.getColorModel.getNumComponents)
+        }
+        catch { case _: Exception => None }
+
+    def decode(m: MediaRow): MediaFeatures =
+      tryDecode(m).getOrElse(StubCodec.decode(m))
+  }
+
   /** documents table → synthetic media table (UTF-8 payload as the
     * opaque binary), exercising the exact schema/partitioning a real
     * media corpus would use.
@@ -63,10 +96,13 @@ object Multimodal {
         (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
       encode(col("text"), "UTF-8").as("media"))
 
-  /** batched decode / feature extraction — partition-preserving */
+  /** batched decode / feature extraction — partition-preserving. Real
+    * decode where a codec is present and the bytes decode; the stub
+    * otherwise (see [[ImageIoCodec]]).
+    */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
-    media.as[MediaRow].mapPartitions(_.map(StubCodec.decode))
+    media.as[MediaRow].mapPartitions(_.map(ImageIoCodec.decode))
   }
 
   /** frame sampling plan for video rows: every `stride`-th frame */

@@ -236,6 +236,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(frames.forall(r => r.getLong(0) % 3 == 2))
   }
 
+  test("multimodal: real image bytes decode through the codec probe") {
+    // a genuine 7x5 PNG rendered in-memory: the ImageIo path must
+    // report the REAL geometry, keeping stub-derived n_bytes/sig
+    val img = new java.awt.image.BufferedImage(7, 5,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(3, 2, 0xff8800)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val real = Multimodal.ImageIoCodec.decode(
+      Multimodal.MediaRow(1L, "image", png))
+    assert(real.width == 7 && real.height == 5)
+    assert(real.channels == 3 && real.n_frames == 1)
+    assert(real.n_bytes == png.length)
+    assert(real.sig == Multimodal.StubCodec.decode(
+      Multimodal.MediaRow(1L, "image", png)).sig)
+    // non-decodable payloads (and non-image types) stay STUB-IDENTICAL,
+    // so an environment without codecs behaves the same
+    val text = Multimodal.MediaRow(2L, "image", "not an image".getBytes)
+    assert(Multimodal.ImageIoCodec.decode(text) ==
+      Multimodal.StubCodec.decode(text))
+    val video = Multimodal.MediaRow(3L, "video", png)
+    assert(Multimodal.ImageIoCodec.decode(video) ==
+      Multimodal.StubCodec.decode(video))
+    // and the distributed path uses the probe: a real PNG row through
+    // extractFeatures reports decoded geometry
+    import spark.implicits._
+    val df = Seq((9L, "image", png)).toDF("doc_id", "media_type", "media")
+    val out = Multimodal.extractFeatures(spark, df).collect().head
+    assert(out.width == 7 && out.height == 5)
+  }
+
   test("near-dup clustering collapses transitive chains to one survivor") {
     // A≈B≈C chain (A and C differ more) must form ONE cluster
     val chain = Seq(
