@@ -28,6 +28,25 @@ class BulkMergeSpec extends AnyFunSuite {
     rows.toDF("name", "value")
   }
 
+  test("both candidate-prune shapes classify identically (size gate)") {
+    // the batch-keys semi-join prune is size-gated (small stores skip
+    // it); forcing it ON for this tiny store must not change one
+    // outcome or the merged view — pins the 100TB shape ≡ small shape
+    val batch = Seq("doc:1" -> "alpha", "doc:3" -> "gamma2",
+      "doc:9" -> "fresh")
+    def run() = {
+      val r = BulkMerge.mergeKeyed(baseStore(), batchDf(batch), Seq("name"))
+      (r.outcomes.select("name", "outcome").collect()
+         .map(x => (x.getString(0), x.getString(1))).toSet,
+       r.store.current.select("name", "value").collect()
+         .map(x => (x.getString(0), x.getString(1))).toSet)
+    }
+    val gated = run()
+    sys.props("graft.mergePruneMinBytes") = "0" // force the prune path
+    try assert(run() == gated)
+    finally sys.props.remove("graft.mergePruneMinBytes")
+  }
+
   test("mergeKeyed classifies insert / unchanged / versioned like the sequential path") {
     val batch = Seq(
       "doc:1" -> "alpha",        // identical → unchanged
