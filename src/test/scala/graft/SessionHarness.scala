@@ -1368,9 +1368,14 @@ object SessionHarness {
             // constraint signature; bare iterator freezes pass; any
             // other string is an unparseable old-style cursor
             c0.cursorTok.foreach { raw =>
-              // signature coverage: subs-free constraints only (the
-              // signature of nested trees isn't byte-validated yet)
-              if (raw.startsWith("cursor:") && c0.subs.isEmpty &&
+              // signature coverage: flat constraints plus one-LEAF-sub
+              // trees (the isa family — their emission checksums are
+              // pinned byte-exact by the isa golden, so validation of
+              // incoming tokens uses the same signature); deeper trees
+              // (colors3's 2-level fixed-isa resume) aren't
+              // byte-validated yet
+              if (raw.startsWith("cursor:") && c0.subs.length <= 1 &&
+                  c0.subs.forall(_.subs.isEmpty) &&
                   c0.orBranches.isEmpty) {
                 val rest = raw.stripPrefix("cursor:")
                 val colon = rest.indexOf(':')
