@@ -53,6 +53,42 @@ object Curation {
       perMille: Column): DataFrame =
     docs.filter(pmod(col(idCol) * lit(2654435761L), lit(1000L)) < perMille)
 
+  /** Deterministic mixture resampling: downsample each domain so the
+    * SURVIVING corpus approaches the target mixture `targetPpm`
+    * (parts-per-million of the ORIGINAL corpus size per domain;
+    * domains absent from the map drop out). The acceptance rate per
+    * domain is `min(1, target_count / n_domain)` in exact integer
+    * ppm arithmetic — over-represented domains thin to their share,
+    * under-represented ones pass whole (resampling never invents
+    * rows), and the same multiplicative-hash acceptance as
+    * [[sampleStratified]] keeps the pick reproducible across runs,
+    * engines, and cluster sizes.
+    *
+    * 100 TB shape: ONE aggregation shuffle over the domain-count
+    * table, a window over that aggregate only (domains, not rows), a
+    * broadcast join of the tiny rate table back onto the corpus, and
+    * a hash filter that stays map-side. Integer `div` end to end so
+    * the DuckDB oracle reproduces every rate exactly.
+    */
+  def mixtureResample(docs: DataFrame, idCol: String, domainCol: String,
+      targetPpm: Map[String, Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ppmOf = targetPpm.foldLeft(lit(0L)) { case (acc, (dom, ppm)) =>
+      when(col(domainCol) === dom, lit(ppm)).otherwise(acc)
+    }
+    val rates = docs.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("__nl"))
+      .withColumn("__n", sum(col("__nl")).over(Window.partitionBy()))
+      .withColumn("__ppm", ppmOf)
+      .withColumn("rate_ppm",
+        least(lit(1000000L), expr("__ppm * __n div __nl")).cast("long"))
+    docs.join(broadcast(rates.select(col(domainCol), col("rate_ppm"))),
+        Seq(domainCol))
+      .filter(pmod(col(idCol) * lit(2654435761L), lit(1000000L)) <
+        col("rate_ppm"))
+      .select(col(idCol), col(domainCol), col("rate_ppm"))
+  }
+
   /** Per-domain mixture accounting: document and token counts plus
     * each domain's share of corpus tokens — the table a mixture
     * re-weighting step consumes. One shuffle (the groupBy); the share

@@ -95,6 +95,28 @@ object Dedup {
       .groupBy(col("__fp").as("fp"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
 
+  /** Exact dedup with a RETENTION POLICY: per duplicate group keep the
+    * highest-quality member (quality-score argmax, lowest-id
+    * tiebreak) instead of the arbitrary smallest id — the canonical-
+    * selection step a curation pipeline runs so dedup doesn't discard
+    * the cleanest copy. ONE aggregation (max_by over a (quality, -id)
+    * struct) — partial-aggregable map-side, no per-group window, so
+    * the plan is the same single shuffle as [[exact]] at any scale.
+    */
+  def keepBestQuality(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    df.select(
+        TextAnalysis.fingerprint(col(textCol)).as("fp"),
+        col(idCol).cast("long").as("__id"),
+        TextAnalysis.qualityScore(col(textCol)).as("__q"))
+      .groupBy(col("fp"))
+      .agg(
+        count(lit(1)).as("n_dups"),
+        max_by(col("__id"),
+          struct(col("__q"), negate(col("__id").cast("double"))))
+          .as("keep_id"),
+        max(col("__q")).as("quality"))
+
   /** id -> distinct shingle hashes (the inverted-index source).
     *
     * Shingling runs in a typed flatMap — a pure column expression here

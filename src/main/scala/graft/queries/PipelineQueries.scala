@@ -22,6 +22,9 @@ object PipelineQueries extends QueryPack {
   private[queries] def sqlToksLowerPub = sqlToksLower
   private def sqlStopCount(words: Seq[String]) =
     s"""len(list_filter($sqlToksLower, x -> x IN (${words.map("'" + _ + "'").mkString(",")})))"""
+  // DuckDB rendition of TextAnalysis.fingerprint
+  private val sqlFp =
+    """md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))"""
 
   def defs: Seq[QueryDef] = Seq(
 
@@ -85,6 +88,33 @@ object PipelineQueries extends QueryPack {
       Some("""SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
              |  min(doc_id) AS doc_id, count(*) AS n_dups
              |FROM documents GROUP BY 1""".stripMargin)),
+
+    // dedup with a retention policy: keep the highest-quality member
+    // of each duplicate group (argmax quality, lowest-id tiebreak) —
+    // canonical selection so dedup keeps the cleanest copy. One
+    // partial-aggregable max_by shuffle on the Spark side; the oracle
+    // states the same winner with a window.
+    QueryDef("d07_dedup_best_quality",
+      (s, dir) => Dedup.keepBestQuality(T(s, dir).documents, "doc_id", "text"),
+      Some(s"""WITH f AS (SELECT doc_id, $sqlFp AS fp,
+             |    round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+             |          / length(text), 4) AS alpha_ratio,
+             |    round(${sqlStopCount(graft.operators.Stopwords.en)} * 1.0
+             |          / len($sqlToks), 4) AS stop_ratio,
+             |    len($sqlToks) AS n_tokens
+             |  FROM documents),
+             |q AS (SELECT doc_id, fp,
+             |  round(least(stop_ratio * 2.0, 1.0) * 0.4
+             |    + least(alpha_ratio * 1.25, 1.0) * 0.4
+             |    + CASE WHEN n_tokens BETWEEN 10 AND 100000
+             |        THEN 0.2 ELSE 0.0 END, 4) AS qv
+             |  FROM f)
+             |SELECT fp, n_dups, keep_id, quality FROM (
+             |  SELECT fp, doc_id AS keep_id, qv AS quality,
+             |    CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS n_dups,
+             |    row_number() OVER (PARTITION BY fp
+             |      ORDER BY qv DESC, doc_id ASC) AS rn
+             |  FROM q) WHERE rn = 1""".stripMargin)),
 
     QueryDef("d02_ngram_jaccard",
       (s, dir) => Dedup.ngramJaccardPairs(T(s, dir).documents, "doc_id", "text",
@@ -304,6 +334,29 @@ object PipelineQueries extends QueryPack {
       Some("""SELECT doc_id, lang FROM documents
              |WHERE (doc_id * 2654435761) % 1000 <
              |  CASE WHEN lang = 'en' THEN 50 ELSE 200 END""".stripMargin)),
+
+    // deterministic mixture resampling: thin over-represented domains
+    // to target ppm shares of the original corpus (en is ~44% here and
+    // thins toward 30%; the under-represented rest pass whole at the
+    // 1e6 cap; es is absent from the target map and drops out)
+    QueryDef("p10_mixture_resample",
+      (s, dir) => graft.operators.Curation.mixtureResample(
+        T(s, dir).documents, "doc_id", "lang",
+        Map("en" -> 300000L, "de" -> 250000L, "fr" -> 200000L,
+          "zh" -> 150000L)),
+      Some("""WITH n AS (SELECT lang, CAST(count(*) AS BIGINT) AS nl
+             |  FROM documents GROUP BY 1),
+             |t AS (SELECT lang, nl,
+             |  CAST(sum(nl) OVER () AS BIGINT) AS n FROM n),
+             |r AS (SELECT lang,
+             |  CAST(LEAST(1000000,
+             |    (CASE lang WHEN 'en' THEN 300000 WHEN 'de' THEN 250000
+             |      WHEN 'fr' THEN 200000 WHEN 'zh' THEN 150000
+             |      ELSE 0 END) * n // nl) AS BIGINT) AS rate_ppm
+             |  FROM t)
+             |SELECT d.doc_id, d.lang, r.rate_ppm
+             |FROM documents d JOIN r ON d.lang = r.lang
+             |WHERE (d.doc_id * 2654435761) % 1000000 < r.rate_ppm""".stripMargin)),
 
     // composite filtering decision with audit reasons (C4/Gopher-style
     // rule chain; first failing rule wins)

@@ -268,6 +268,55 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.width == 7 && out.height == 5)
   }
 
+  test("quality-retention dedup keeps the best copy, not the first") {
+    // ids 1..3 share a fingerprint (same normalized text); id 2 is the
+    // highest-quality rendering... all identical after normalization —
+    // so build the group from DIFFERENT texts with equal fingerprints?
+    // fingerprints differ per text, so instead: group = same text; the
+    // policy must still pick deterministically (equal quality → lowest
+    // id). A second group has a genuinely cleaner member with a HIGHER
+    // id, which min-id dedup would discard.
+    val docs = Seq(
+      (1L, "same words here exactly"),
+      (2L, "same  words   here exactly"), // normalizes identically
+      (3L, "same words here exactly"),
+      // group 2: one junky copy (id 10) vs one clean long copy (id 11)
+      (10L, "@@@@ #### $$$$ %%%% ^^^^"),
+      (11L, "the quick brown fox jumps over the lazy dog and it is fine"))
+      .toDF("doc_id", "text")
+    val out = operators.Dedup.keepBestQuality(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("keep_id") ->
+        (r.getAs[Long]("n_dups"), r.getAs[Double]("quality"))).toMap
+    // group 1: equal quality, keeper = lowest id
+    assert(out.contains(1L) && out(1L)._1 == 3L)
+    assert(!out.contains(2L) && !out.contains(3L))
+    // singletons keep themselves
+    assert(out.contains(10L) && out.contains(11L))
+    assert(out(11L)._2 > out(10L)._2)
+  }
+
+  test("mixture resample thins to target shares deterministically") {
+    val docs = (1L to 1000L).map(i =>
+      (i, if (i % 10 < 7) "en" else if (i % 10 < 9) "de" else "fr"))
+      .toDF("doc_id", "lang") // 700 en / 200 de / 100 fr
+    val out = operators.Curation.mixtureResample(docs, "doc_id", "lang",
+      Map("en" -> 300000L, "de" -> 300000L)).collect()
+    val byLang = out.groupBy(_.getAs[String]("lang"))
+    // fr absent from the target map: dropped entirely
+    assert(!byLang.contains("fr"))
+    // en rate = min(1e6, 3e5*1000/700) = 428571 ppm → ~300 of 700 kept
+    val enRate = byLang("en").head.getAs[Long]("rate_ppm")
+    assert(enRate == 300000L * 1000L / 700L)
+    assert(math.abs(byLang("en").length - 300) < 60)
+    // de under target (300 wanted, 200 present): passes whole
+    assert(byLang("de").head.getAs[Long]("rate_ppm") == 1000000L)
+    assert(byLang("de").length == 200)
+    // reproducible: second run identical
+    val again = operators.Curation.mixtureResample(docs, "doc_id", "lang",
+      Map("en" -> 300000L, "de" -> 300000L)).collect()
+    assert(again.map(_.toSeq).toSet == out.map(_.toSeq).toSet)
+  }
+
   test("near-dup clustering collapses transitive chains to one survivor") {
     // A≈B≈C chain (A and C differ more) must form ONE cluster
     val chain = Seq(
