@@ -176,12 +176,19 @@ object Bench {
     val perClient = 2048
     val qps = (1 to 3).map(_ => drive(perClient, i => answer(simpleQ(i)))).max
 
-    // the same workload through the SHARD ROUTER (4 shards): the
-    // serving tier's horizontal story — each shard holds 1/4 of the
+    // the same workload through the SHARD ROUTER (3 shards): the
+    // serving tier's horizontal story — each shard holds 1/n of the
     // corpus (plus endpoint-co-located links), the router
     // scatter-gathers and merges by id. ShardRouterSpec gates
-    // equivalence; this measures the routing overhead.
-    val sharded = graft.serve.ShardRouter.build(st0, 4)
+    // equivalence; this measures the routing overhead. On ONE box the
+    // scatter-gather fan-out costs ~15µs per shard per query against
+    // a ~120µs query, so the unsorted figure trails the single
+    // snapshot by that constant — the tier's win is horizontal
+    // (per-node memory stays 1/n, which is what lets the corpus
+    // outgrow one machine) plus the SORTED path below, where the
+    // per-shard n/k·log(n/k) sort + page-prefix cap beats the single
+    // snapshot's full n·log n even on one box.
+    val sharded = graft.serve.ShardRouter.build(st0, 3)
     def answerSharded(q: String): Long =
       graft.serve.ShardRouter.serve(sharded, q) match {
         case Some(s) => s.rows.length.toLong
