@@ -87,6 +87,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(st2.all.count() == 4) // no dead duplicate versions either
   }
 
+  test("a retried batch sees partial-landed rows and neither dups nor collides") {
+    // crash-mid-append simulation: a batch's merge classified and HALF
+    // its delta landed on disk before the failure. The retry (what
+    // mergeStream does after resetting its carried handle/watermark)
+    // reloads from disk, re-classifies — the landed half as unchanged,
+    // the lost half as fresh inserts — and re-derives the id base from
+    // the on-disk truth, so ids never collide with the partial write.
+    import spark.implicits._
+    import graft.write.BulkMerge
+    import graft.store.GraphStore
+    val base = Files.createTempDirectory("graft_crash").toString
+    val storeDir = s"$base/store"
+    GraphStore.fromSeq(spark,
+      Seq(graft.model.Primitive.node(1, name = Some("seed")))).save(storeDir)
+    val batch = Seq(("k:1", "v1"), ("k:2", "v2"), ("k:3", "v3"), ("k:4", "v4"))
+      .toDF("name", "value")
+    def appendDelta(df: org.apache.spark.sql.DataFrame): Unit =
+      df.withColumn("id_part", shiftright(col("id"),
+          GraphStore.PartShift).cast("int"))
+        .write.mode("append").partitionBy("id_part").parquet(storeDir)
+    val r1 = BulkMerge.mergeKeyed(
+      GraphStore.load(spark, storeDir, useWordIndex = false), batch, Seq("name"))
+    // ...crash: only two of the four appended rows land
+    appendDelta(r1.appended.orderBy("id").limit(2))
+    // the retry: fresh load (the carried handle was reset), no baseId
+    val r2 = BulkMerge.mergeKeyed(
+      GraphStore.load(spark, storeDir, useWordIndex = false), batch, Seq("name"))
+    assert(r2.unchanged == 2 && r2.inserted == 2 && r2.versioned == 0)
+    appendDelta(r2.appended)
+    val st = GraphStore.load(spark, storeDir)
+    val cur = st.current.collect()
+    assert(cur.length == 5) // seed + k:1..4, each exactly once
+    assert(cur.map(_.getAs[Long]("id")).distinct.length == 5)
+    assert(st.all.count() == 5) // no dead duplicate versions either
+  }
+
   test("mergeStream collapses same-key duplicates within one micro-batch") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_msd").toString
