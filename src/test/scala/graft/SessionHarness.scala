@@ -330,9 +330,29 @@ object SessionHarness {
     * common session with no restores, where id == serial + 1.
     */
   private def translateGuids(cmd: String,
+      lookup: String => Option[Long]): String = {
+    // cursor="..." values are OPAQUE WIRE PAYLOAD, not guid references:
+    // a frozen composite (colors3's fixed-isa) embeds raw 32-hex guids
+    // whose bytes participate in the token's checksum — translating
+    // them would both corrupt the checksum and desync re-freeze
+    // emission. Mask the spans, translate the rest, restore.
+    val cursorRe = """(?i)cursor\s*=\s*"[^"]*"""".r
+    val stash = scala.collection.mutable.ArrayBuffer.empty[String]
+    val masked = cursorRe.replaceAllIn(cmd, m => {
+      stash += m.matched
+      java.util.regex.Matcher.quoteReplacement(
+        "\u0001CUR" + (stash.length - 1) + "\u0001")
+    })
+    val translated = translateGuidRefs(masked, lookup)
+    stash.zipWithIndex.foldLeft(translated) { case (s, (orig, i)) =>
+      s.replace("\u0001CUR" + i + "\u0001", orig)
+    }
+  }
+
+  private def translateGuidRefs(cmd: String,
       lookup: String => Option[Long]): String =
-    // (?<!g): guids inside cursor strings ride as `g<hex>` serialized
-    // values (sortcursor) — those are wire payload, not references
+    // (?<!g): guids inside sort-cursor strings ride as `g<hex>`
+    // serialized values (sortcursor) — wire payload, not references
     "(?<!g)[0-9a-fA-F]{32}".r.replaceAllIn(cmd, m => {
       val hex = m.matched.toLowerCase // guid hex is case-insensitive (trailer2)
       lookup(hex) match {
@@ -1368,15 +1388,13 @@ object SessionHarness {
             // constraint signature; bare iterator freezes pass; any
             // other string is an unparseable old-style cursor
             c0.cursorTok.foreach { raw =>
-              // signature coverage: flat constraints plus one-LEAF-sub
-              // trees (the isa family — their emission checksums are
-              // pinned byte-exact by the isa golden, so validation of
-              // incoming tokens uses the same signature); deeper trees
-              // (colors3's 2-level fixed-isa resume) aren't
-              // byte-validated yet
-              if (raw.startsWith("cursor:") && c0.subs.length <= 1 &&
-                  c0.subs.forall(_.subs.isEmpty) &&
-                  c0.orBranches.isEmpty) {
+              // signature coverage: every signed cursor on a
+              // non-or-branch constraint — nested trees included (the
+              // isa / fixed-isa families' emission checksums are
+              // pinned byte-exact by their goldens, so validation uses
+              // the same signature; the cursor bytes reach here RAW,
+              // untouched by guid translation)
+              if (raw.startsWith("cursor:") && c0.orBranches.isEmpty) {
                 val rest = raw.stripPrefix("cursor:")
                 val colon = rest.indexOf(':')
                 val okForm = colon == 4 &&
