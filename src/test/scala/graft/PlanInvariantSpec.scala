@@ -208,6 +208,24 @@ class PlanInvariantSpec extends AnyFunSuite {
     assert(!p.contains("Window") && !p.contains("Join"))
   }
 
+  test("mixture resample broadcasts the rate table and keeps the filter map-side (p10)") {
+    val p = physical("p10_mixture_resample")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the domain-rate table must broadcast, never shuffle the corpus:\n$p")
+    // the only aggregation shuffle allowed is over the DOMAIN table;
+    // the corpus side must not window
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus side got shuffled for the rate join:\n$p")
+  }
+
+  test("quality-retention dedup is one aggregation, no per-group window (d07)") {
+    val p = physical("d07_dedup_best_quality")
+    assert(!p.contains("Window"),
+      s"argmax must be max_by partial aggregation, not a window:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate") ||
+      p.contains("SortAggregate"), s"expected one aggregation:\n$p")
+  }
+
   test("datetime sort projects its key once and keeps TakeOrdered (q22)") {
     val p = physical("q22_datetime_sort")
     assert(p.contains("TakeOrderedAndProject"))
