@@ -57,6 +57,12 @@ for name in sorted(oracle):
                 raise AssertionError(
                     f"dtype drift on col {c}: spark={got_raw[c].dtype} "
                     f"oracle={exp_raw[c].dtype} — CAST it in the oracle SQL")
+            # float width drift (float32 vs float64) also diverges the
+            # driver's hash; integer widths are safe (canon -> int64)
+            if gk == "f" and ek == "f" and got_raw[c].dtype != exp_raw[c].dtype:
+                raise AssertionError(
+                    f"float width drift on col {c}: spark={got_raw[c].dtype} "
+                    f"oracle={exp_raw[c].dtype} — CAST it in the oracle SQL")
             if gk == "O":
                 gv = got_raw[c].dropna()
                 if len(gv) and not isinstance(

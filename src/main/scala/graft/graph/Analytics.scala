@@ -365,12 +365,16 @@ object Analytics {
     * two equi-join shuffles over the edge list, no adjacency
     * collection anywhere.
     */
-  private val triMemo =
-    new graft.operators.Dedup.BoundedMemo[Int](graft.operators.Dedup.memoCap)
+  private val triMemo = new graft.operators.Dedup.BoundedMemo[(Int, String)](
+    graft.operators.Dedup.memoCap)
 
   def triangleCount(edges: DataFrame): DataFrame =
     triMemo.getOrElseUpdate(
-      edges.queryExecution.analyzed.semanticHash(), triangleOnce(edges))
+      // schema rides in the key like the sibling memos — the bare
+      // 32-bit plan hash alone is too collision-prone to be a cache key
+      (edges.queryExecution.analyzed.semanticHash(),
+        edges.columns.mkString(",")),
+      triangleOnce(edges))
 
   private def triangleOnce(edges: DataFrame): graft.operators.Dedup.Memoized = {
     // canonicalize to a < b (either input orientation), drop loops.

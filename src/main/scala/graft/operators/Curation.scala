@@ -82,11 +82,13 @@ object Curation {
       .withColumn("__ppm", ppmOf)
       .withColumn("rate_ppm",
         least(lit(1000000L), expr("__ppm * __n div __nl")).cast("long"))
+    // full surviving rows come back (same contract as sampleStratified
+    // — a downstream consumer keeps its text/meta columns without
+    // re-joining the corpus), plus the domain's applied rate
     docs.join(broadcast(rates.select(col(domainCol), col("rate_ppm"))),
         Seq(domainCol))
       .filter(pmod(col(idCol) * lit(2654435761L), lit(1000000L)) <
         col("rate_ppm"))
-      .select(col(idCol), col(domainCol), col("rate_ppm"))
   }
 
   /** Per-domain mixture accounting: document and token counts plus

@@ -112,8 +112,10 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(
         count(lit(1)).as("n_dups"),
-        max_by(col("__id"),
-          struct(col("__q"), negate(col("__id").cast("double"))))
+        // the tiebreak negates the LONG id directly — a double cast
+        // would collapse ids past 2^53 into one key and let max_by
+        // pick a partition-order-dependent keeper
+        max_by(col("__id"), struct(col("__q"), negate(col("__id"))))
           .as("keep_id"),
         max(col("__q")).as("quality"))
 

@@ -63,7 +63,15 @@ object Multimodal {
     */
   object ImageIoCodec {
     private lazy val available: Boolean =
-      try { Class.forName("javax.imageio.ImageIO"); true }
+      try {
+        Class.forName("javax.imageio.ImageIO")
+        // decode from memory: the JDK default spills every payload to
+        // a FileCacheImageInputStream temp file — per-row disk I/O on
+        // the executor hot path (and a hard failure in containers with
+        // an unwritable tmpdir)
+        javax.imageio.ImageIO.setUseCache(false)
+        true
+      }
       catch { case _: Throwable => false }
 
     private def tryDecode(m: MediaRow): Option[MediaFeatures] =

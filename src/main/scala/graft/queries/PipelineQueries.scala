@@ -343,7 +343,8 @@ object PipelineQueries extends QueryPack {
       (s, dir) => graft.operators.Curation.mixtureResample(
         T(s, dir).documents, "doc_id", "lang",
         Map("en" -> 300000L, "de" -> 250000L, "fr" -> 200000L,
-          "zh" -> 150000L)),
+          "zh" -> 150000L))
+        .select(col("doc_id"), col("lang"), col("rate_ppm")),
       Some("""WITH n AS (SELECT lang, CAST(count(*) AS BIGINT) AS nl
              |  FROM documents GROUP BY 1),
              |t AS (SELECT lang, nl,

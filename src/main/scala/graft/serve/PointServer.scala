@@ -190,6 +190,31 @@ object PointServer {
     }
   }
 
+  /** Compare two pre-computed sort-key rows under the sort directions:
+    * nulls sort LAST under EITHER direction (the Spark path's
+    * asc_nulls_last/desc_nulls_last) — only the non-null comparison
+    * inverts for descending keys. 0 = equal; callers tiebreak by id.
+    * The ONE ordering shared by the snapshot's own sort and the shard
+    * router's k-way merge — two copies would drift.
+    */
+  private[serve] def keyCompare(ka0: Array[String], kb0: Array[String],
+      dirs: Array[Boolean]): Int = {
+    var r = 0; var k = 0
+    while (r == 0 && k < ka0.length) {
+      val ka = ka0(k); val kb = kb0(k)
+      r =
+        if (ka == null && kb == null) 0
+        else if (ka == null) 1
+        else if (kb == null) -1
+        else {
+          val c0 = ka.compareTo(kb)
+          if (dirs(k)) c0 else -c0
+        }
+      k += 1
+    }
+    r
+  }
+
   /** query-level servability, index-independent (router pre-check) */
   private[serve] def servableFor(c: Constraint): Boolean = servableRoot(c)
 
@@ -252,22 +277,7 @@ object PointServer {
         }
         val dirs = c.sort.map(_.ascending).toArray
         val sorted = rows.sortWith { case ((a, ka0), (b, kb0)) =>
-          var r = 0; var k = 0
-          while (r == 0 && k < ka0.length) {
-            val ka = ka0(k); val kb = kb0(k)
-            // nulls sort LAST under EITHER direction (the Spark path's
-            // asc_nulls_last/desc_nulls_last) — only the non-null
-            // comparison inverts for descending keys
-            r =
-              if (ka == null && kb == null) 0
-              else if (ka == null) 1
-              else if (kb == null) -1
-              else {
-                val c0 = ka.compareTo(kb)
-                if (dirs(k)) c0 else -c0
-              }
-            k += 1
-          }
+          val r = keyCompare(ka0, kb0, dirs)
           if (r != 0) r < 0 else ix.ids(a) < ix.ids(b)
         }
         out = sorted.map(_._1)

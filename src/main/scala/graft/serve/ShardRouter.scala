@@ -128,22 +128,10 @@ object ShardRouter {
       : Vector[(Long, Array[Any])] = {
     val dirs = c.sort.map(_.ascending).toArray
     def lt(s: Int, i: Int, t: Int, j: Int): Boolean = {
-      var r = 0
-      var k = 0
-      val ka0 = if (c.sort.nonEmpty) answers(s).sortKeys(i) else null
-      val kb0 = if (c.sort.nonEmpty) answers(t).sortKeys(j) else null
-      while (r == 0 && ka0 != null && k < ka0.length) {
-        val ka = ka0(k); val kb = kb0(k)
-        r =
-          if (ka == null && kb == null) 0
-          else if (ka == null) 1
-          else if (kb == null) -1
-          else {
-            val c0 = ka.compareTo(kb)
-            if (dirs(k)) c0 else -c0
-          }
-        k += 1
-      }
+      val r =
+        if (c.sort.isEmpty) 0
+        else PointServer.keyCompare(
+          answers(s).sortKeys(i), answers(t).sortKeys(j), dirs)
       if (r != 0) r < 0
       else answers(s).rowIds(i) < answers(t).rowIds(j)
     }
