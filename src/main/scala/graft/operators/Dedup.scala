@@ -63,22 +63,36 @@ object Dedup {
     * live memo entry anywhere still holds a plan-equal cache
     * ([[CacheRefs]]).
     */
-  private[graft] final class BoundedMemo[K](cap: Int) {
-    private val map = new java.util.LinkedHashMap[K, Memoized](16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[K, Memoized]): Boolean =
-        if (size() > cap) {
-          e.getValue.cached.foreach(CacheRefs.release); true
-        } else false
+  private[graft] final class BoundedMemo[K](cap: Int)
+      extends BoundedMemoBase[K, Memoized](cap) {
+    override protected def onEvict(v: Memoized): Unit =
+      v.cached.foreach(CacheRefs.release)
+    override protected def onInsert(v: Memoized): Unit =
+      v.cached.foreach(CacheRefs.retain)
+    def getOrElseUpdate(k: K, v: => Memoized): DataFrame =
+      getOrElseUpdateValue(k, v).df
+  }
+
+  /** The shared bounded-LRU mechanism under every operator memo —
+    * value-type generic so plain-value memos (the IVF centroid table)
+    * use the exact same eviction/synchronization instead of a drifting
+    * copy.
+    */
+  private[graft] class BoundedMemoBase[K, V](cap: Int) {
+    protected def onEvict(v: V): Unit = ()
+    protected def onInsert(v: V): Unit = ()
+    private val map = new java.util.LinkedHashMap[K, V](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
+        if (size() > cap) { onEvict(e.getValue); true } else false
     }
-    def getOrElseUpdate(k: K, v: => Memoized): DataFrame = map.synchronized {
+    def getOrElseUpdateValue(k: K, v: => V): V = map.synchronized {
       val cur = map.get(k)
-      if (cur != null) cur.df
+      if (cur != null) cur
       else {
         val nv = v
-        nv.cached.foreach(CacheRefs.retain)
+        onInsert(nv)
         map.put(k, nv)
-        nv.df
+        nv
       }
     }
     def size: Int = map.synchronized(map.size())

@@ -187,28 +187,19 @@ object Similarity {
   /** trained-quantizer memo: a coarse quantizer is trained ONCE per
     * (corpus, params) and then serves every index build and probe —
     * retraining per query would re-run the Lloyd rounds for an
-    * identical deterministic result. Bounded LRU like the Dedup memos.
+    * identical deterministic result. Same bounded-LRU mechanism as
+    * every other operator memo (plain-value instantiation).
     */
-  private val centroidMemo = new java.util.LinkedHashMap[
-      (Int, String, String, Int, Int, Int), Array[(Int, Array[Double])]](
-      16, 0.75f, true) {
-    override def removeEldestEntry(e: java.util.Map.Entry[
-        (Int, String, String, Int, Int, Int), Array[(Int, Array[Double])]])
-        : Boolean = size() > Dedup.memoCap
-  }
+  private val centroidMemo = new Dedup.BoundedMemoBase[
+    (Int, String, String, Int, Int, Int), Array[(Int, Array[Double])]](
+    Dedup.memoCap)
 
   def ivfCentroids(df: DataFrame, idCol: String, vecCol: String,
-      nlist: Int, iters: Int, sampleN: Int = 1 << 17): Array[(Int, Array[Double])] = {
-    val k = (df.queryExecution.analyzed.semanticHash(), idCol, vecCol,
-      nlist, iters, sampleN)
-    centroidMemo.synchronized {
-      val cur = centroidMemo.get(k)
-      if (cur != null) return cur
-    }
-    val trained = trainCentroids(df, idCol, vecCol, nlist, iters, sampleN)
-    centroidMemo.synchronized(centroidMemo.put(k, trained))
-    trained
-  }
+      nlist: Int, iters: Int, sampleN: Int = 1 << 17): Array[(Int, Array[Double])] =
+    centroidMemo.getOrElseUpdateValue(
+      (df.queryExecution.analyzed.semanticHash(), idCol, vecCol,
+        nlist, iters, sampleN),
+      trainCentroids(df, idCol, vecCol, nlist, iters, sampleN))
 
   private def trainCentroids(df: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iters: Int, sampleN: Int): Array[(Int, Array[Double])] = {
