@@ -359,6 +359,74 @@ object PipelineQueries extends QueryPack {
              |FROM documents d JOIN r ON d.lang = r.lang
              |WHERE (d.doc_id * 2654435761) % 1000000 < r.rate_ppm""".stripMargin)),
 
+    // END-TO-END curation pipeline: quality filter -> quality-retention
+    // dedup -> sequence packing, composed from the gated operators —
+    // the capstone proving the stages CHAIN (each stage's output is the
+    // next one's input, no re-derivation); the oracle replays the same
+    // three stages as one CTE chain
+    QueryDef("p11_pipeline_e2e",
+      (s, dir) => {
+        import graft.operators.{Curation, Dedup}
+        // the corpus is clean at gate scale, so the pipeline input
+        // derives adversarial rows deterministically: a lowercased
+        // DUPLICATE of every doc (same fingerprint, same quality —
+        // the retention tiebreak must keep the original) and a
+        // too-short junk row per doc (the filter must drop it)
+        val docs0 = T(s, dir).documents.select(col("doc_id"), col("text"))
+        val docs = docs0
+          .unionByName(docs0.select((col("doc_id") + 100000L).as("doc_id"),
+            lower(col("text")).as("text")))
+          .unionByName(docs0.select((col("doc_id") + 200000L).as("doc_id"),
+            lit("one two").as("text")))
+        val kept = Curation.filterPipeline(docs, "doc_id", "text")
+          .filter(col("keep")).select("doc_id")
+        val docsKept = docs.join(kept, "doc_id")
+        val keepers = Dedup.keepBestQuality(docsKept, "doc_id", "text")
+          .select(col("keep_id").as("doc_id"))
+        graft.operators.TrainingSet.packSequences(
+          docsKept.join(keepers, "doc_id"), "doc_id", "text", seqLen = 256)
+      },
+      Some(s"""WITH src AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000, lower(text) FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 200000, 'one two' FROM documents),
+             |kept AS (SELECT doc_id, text FROM src
+             |  WHERE NOT (len($sqlToks) < 5)
+             |    AND NOT (round(1.0 - len(list_distinct($sqlToksLower)) * 1.0
+             |        / len($sqlToksLower), 4) > 0.8)
+             |    AND NOT (round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+             |        * 1.0 / length(text), 4) < 0.2)),
+             |f AS (SELECT doc_id, text, $sqlFp AS fp,
+             |    round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+             |          / length(text), 4) AS alpha_ratio,
+             |    round(${sqlStopCount(graft.operators.Stopwords.en)} * 1.0
+             |          / len($sqlToks), 4) AS stop_ratio,
+             |    len($sqlToks) AS n_tokens
+             |  FROM kept),
+             |q AS (SELECT doc_id, text, fp,
+             |  round(least(stop_ratio * 2.0, 1.0) * 0.4
+             |    + least(alpha_ratio * 1.25, 1.0) * 0.4
+             |    + CASE WHEN n_tokens BETWEEN 10 AND 100000
+             |        THEN 0.2 ELSE 0.0 END, 4) AS qv
+             |  FROM f),
+             |dd AS (SELECT doc_id, text FROM (
+             |  SELECT doc_id, text,
+             |    row_number() OVER (PARTITION BY fp
+             |      ORDER BY qv DESC, doc_id ASC) AS rn
+             |  FROM q) WHERE rn = 1),
+             |t AS (SELECT doc_id,
+             |    CAST(len($sqlToks) AS BIGINT) AS n_tokens FROM dd),
+             |c AS (SELECT doc_id, n_tokens,
+             |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS BIGINT) AS cum0 FROM t)
+             |SELECT doc_id, n_tokens,
+             |  CAST(cum0 // 256 AS BIGINT) AS seq_id,
+             |  CAST(cum0 % 256 AS BIGINT) AS seq_offset
+             |FROM c""".stripMargin)),
+
     // composite filtering decision with audit reasons (C4/Gopher-style
     // rule chain; first failing rule wins)
     QueryDef("t08_filter_pipeline",
