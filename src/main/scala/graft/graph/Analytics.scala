@@ -29,10 +29,23 @@ object Analytics {
   private[graft] def sizedPartitions(df: DataFrame,
       bytesPerPartition: Long = 64L << 20): Int = {
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val bySize = (bytes / bytesPerPartition).min(BigInt(1 << 16)).toInt + 1
-    val floor = math.max(1,
-      df.sparkSession.sparkContext.defaultParallelism / 4)
-    math.max(floor, bySize)
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val floor = math.max(1, par / 4)
+    // Catalyst's size estimate on a deep join tree multiplies
+    // selectivities and can explode to absurdity (observed 7e21
+    // "bytes" on a 3-way join of 15k rows — which sized a 65k-
+    // partition range exchange of pure scheduler overhead). Estimates
+    // past 1 PiB-per-job are treated as garbage and fall back to a
+    // couple of tasks per core; sane estimates still cap at 64 tasks
+    // per core — beyond that extra partitions add no parallelism for
+    // this session (a cluster deployment sizes its shuffle
+    // partitioning explicitly anyway).
+    if (bytes > BigInt(1L << 50)) math.max(floor, par * 2)
+    else {
+      val cap = math.max(64, par * 64)
+      val bySize = (bytes / bytesPerPartition).min(BigInt(cap)).toInt + 1
+      math.max(floor, bySize)
+    }
   }
 
   /** broadcast bound in ROWS, derived from the session's broadcast
