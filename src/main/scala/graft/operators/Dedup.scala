@@ -83,7 +83,7 @@ object Dedup {
     protected def onInsert(v: V): Unit = ()
     private val map = new java.util.LinkedHashMap[K, V](16, 0.75f, true) {
       override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
-        if (size() > cap) { onEvict(e.getValue); true } else false
+        if (this.size() > cap) { onEvict(e.getValue); true } else false
     }
     def getOrElseUpdateValue(k: K, v: => V): V = map.synchronized {
       val cur = map.get(k)

@@ -1235,7 +1235,6 @@ object ReadPlanner {
         if (c.effectiveLinkage.contains(ChildPointsToParent("right"))) "<-"
         else "->"
       when(col("left").isNull && col("right").isNull, "node").otherwise(arrow)
-    case FieldPat("valuetype") => col("datatype") // numeric datatype view
     case FieldPat(f) => col(f) // name value timestamp left right scope live archival
     case LiteralPat(s, _) => lit(s)
     case VarPat(v) => col(varCol(v))
