@@ -378,14 +378,14 @@ object Analytics {
     * two equi-join shuffles over the edge list, no adjacency
     * collection anywhere.
     */
-  private val triMemo = new graft.operators.Dedup.BoundedMemo[(Int, String)](
+  private val triMemo = new graft.operators.Dedup.BoundedMemo[(Long, String)](
     graft.operators.Dedup.memoCap)
 
   def triangleCount(edges: DataFrame): DataFrame =
     triMemo.getOrElseUpdate(
       // schema rides in the key like the sibling memos — the bare
       // 32-bit plan hash alone is too collision-prone to be a cache key
-      (edges.queryExecution.analyzed.semanticHash(),
+      (graft.operators.Dedup.planKey(edges),
         edges.columns.mkString(",")),
       triangleOnce(edges))
 

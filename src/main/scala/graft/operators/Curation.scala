@@ -81,7 +81,13 @@ object Curation {
       .withColumn("__n", sum(col("__nl")).over(Window.partitionBy()))
       .withColumn("__ppm", ppmOf)
       .withColumn("rate_ppm",
-        least(lit(1000000L), expr("__ppm * __n div __nl")).cast("long"))
+        // the multiply is widened to decimal(38,0): ppm up to 1e6 times
+        // a corpus count overflows Long past ~9.2e12 rows — exactly the
+        // 100 TB regime this operator targets. `div` on decimal operands
+        // still returns the exact integral quotient as a Long, so the
+        // DuckDB oracle (HUGEINT arithmetic) reproduces every rate.
+        least(lit(1000000L),
+          expr("cast(__ppm as decimal(38,0)) * __n div __nl")).cast("long"))
     // full surviving rows come back (same contract as sampleStratified
     // — a downstream consumer keeps its text/meta columns without
     // re-joining the corpus), plus the domain's applied rate

@@ -101,6 +101,28 @@ object Dedup {
   private[graft] def memoCap: Int =
     sys.props.get("graft.memoCap").map(_.toInt).getOrElse(32)
 
+  /** Memo key for an operator input: the analyzed plan's semantic hash
+    * FOLDED WITH a fingerprint of the plan's file-based leaves. The
+    * 32-bit plan hash alone cannot see data changes — rewriting a table
+    * at the same path yields a plan-equal DataFrame over new bytes, and
+    * a memo keyed on the plan would serve yesterday's result. Parquet
+    * (and every Spark file sink) mints unique part-file names per
+    * write, so hashing the input-file listing (already cached on the
+    * driver's FileIndex — no extra IO) catches same-path rewrites;
+    * in-memory leaves carry their rows inside the plan hash itself.
+    */
+  private[graft] def planKey(df: DataFrame): Long = {
+    var h = df.queryExecution.analyzed.semanticHash().toLong
+    val files = df.inputFiles
+    java.util.Arrays.sort(files, java.util.Comparator.naturalOrder[String]())
+    var i = 0
+    while (i < files.length) {
+      h = h * 1000003L + files(i).hashCode
+      i += 1
+    }
+    h * 31L + files.length
+  }
+
   /** Exact dedup on normalized content: keep the smallest id per
     * fingerprint group.
     */
@@ -171,12 +193,12 @@ object Dedup {
   // cached materialization is reused (plan-canonicalization equality
   // across separately-built self-join plans is not reliable)
   private val pairMemo =
-    new BoundedMemo[(Int, String, String, Int, Double, Int)](memoCap)
+    new BoundedMemo[(Long, String, String, Int, Double, Int)](memoCap)
 
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8, maxDf: Int = 1000): DataFrame =
     pairMemo.getOrElseUpdate(
-      (df.queryExecution.analyzed.semanticHash(), idCol, textCol, n,
+      (planKey(df), idCol, textCol, n,
         threshold, maxDf),
       ngramJaccardPairsUncached(df, idCol, textCol, n, threshold, maxDf))
 
@@ -233,13 +255,13 @@ object Dedup {
     * band slice), then verify candidates with exact Jaccard.
     */
   private val lshMemo =
-    new BoundedMemo[(Int, String, String, Int, Int, Int, Double, Int)](memoCap)
+    new BoundedMemo[(Long, String, String, Int, Int, Int, Double, Int)](memoCap)
 
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 64, bands: Int = 16,
       threshold: Double = 0.8, maxBucket: Int = 100000): DataFrame =
     lshMemo.getOrElseUpdate(
-      (df.queryExecution.analyzed.semanticHash(), idCol, textCol, n, k,
+      (planKey(df), idCol, textCol, n, k,
         bands, threshold, maxBucket),
       minhashLshPairsUncached(df, idCol, textCol, n, k, bands, threshold,
         maxBucket))
@@ -295,12 +317,11 @@ object Dedup {
     * LRU eviction instead of leaking per direct call
     */
   private val verifyMemo =
-    new BoundedMemo[(Int, Int, String, String, Int, Double)](memoCap)
+    new BoundedMemo[(Long, Long, String, String, Int, Double)](memoCap)
   def verifyJaccard(df: DataFrame, idCol: String, textCol: String,
       cand: DataFrame, n: Int, threshold: Double): DataFrame =
     verifyMemo.getOrElseUpdate(
-      (df.queryExecution.analyzed.semanticHash(),
-        cand.queryExecution.analyzed.semanticHash(),
+      (planKey(df), planKey(cand),
         idCol, textCol, n, threshold), {
         val (out, sh) = verifyJaccardTracked(df, idCol, textCol, cand,
           n, threshold)
@@ -372,12 +393,12 @@ object Dedup {
     * one of d+1 (guaranteed recall; the pigeonhole trick behind
     * chunked simhash search). maxDist=3 gives 4 chunks of 15 bits.
     */
-  private val simhashMemo = new BoundedMemo[(Int, String, String, Int)](memoCap)
+  private val simhashMemo = new BoundedMemo[(Long, String, String, Int)](memoCap)
 
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame =
     simhashMemo.getOrElseUpdate(
-      (df.queryExecution.analyzed.semanticHash(), idCol, textCol, maxDist),
+      (planKey(df), idCol, textCol, maxDist),
       { val out = simhashPairsUncached(df, idCol, textCol, maxDist).cache()
         Memoized(out, Seq(out)) })
 

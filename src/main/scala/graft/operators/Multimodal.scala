@@ -74,7 +74,7 @@ object Multimodal {
       }
       catch { case _: Throwable => false }
 
-    private def tryDecode(m: MediaRow): Option[MediaFeatures] =
+    private[operators] def tryDecode(m: MediaRow): Option[MediaFeatures] =
       if (!available || m.media_type != "image") None
       else
         try Option(javax.imageio.ImageIO.read(
@@ -85,6 +85,53 @@ object Multimodal {
             height = img.getHeight,
             n_frames = 1,
             channels = img.getColorModel.getNumComponents)
+        }
+        catch { case _: Exception => None }
+
+    def decode(m: MediaRow): MediaFeatures =
+      tryDecode(m).orElse(AudioCodec.tryDecode(m))
+        .getOrElse(StubCodec.decode(m))
+  }
+
+  /** Real audio METADATA decode behind the same classpath-probe seam:
+    * javax.sound.sampled ships with the JDK (like ImageIO), so AUDIO
+    * rows whose bytes parse as WAV/AU/AIFF headers get their real frame
+    * count, channel count, sample rate, and sample width — header
+    * reads only, the PCM payload is never inflated. The fixed
+    * MediaFeatures schema carries the audio-specific fields in the
+    * geometry slots: `width` = sample rate (Hz), `height` = bits per
+    * sample. Non-parseable payloads (the m01/m02 gates feed UTF-8 text)
+    * fall through to the deterministic stub byte-identically; a real
+    * compressed-codec integration (mp3/ogg) adds another `tryDecode`
+    * before the fallback.
+    */
+  object AudioCodec {
+    private lazy val available: Boolean =
+      try { Class.forName("javax.sound.sampled.AudioSystem"); true }
+      catch { case _: Throwable => false }
+
+    private[operators] def tryDecode(m: MediaRow): Option[MediaFeatures] =
+      if (!available || m.media_type != "audio") None
+      else
+        try {
+          val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+            new java.io.ByteArrayInputStream(m.media))
+          val fmt = aff.getFormat
+          val ns = javax.sound.sampled.AudioSystem.NOT_SPECIFIED
+          val stub = StubCodec.decode(m) // sig/n_bytes codec-independent
+          Some(stub.copy(
+            width =
+              if (fmt.getSampleRate > 0) fmt.getSampleRate.toInt
+              else stub.width,
+            height =
+              if (fmt.getSampleSizeInBits != ns) fmt.getSampleSizeInBits
+              else stub.height,
+            n_frames =
+              if (aff.getFrameLength != ns) aff.getFrameLength
+              else stub.n_frames,
+            channels =
+              if (fmt.getChannels != ns) fmt.getChannels
+              else stub.channels))
         }
         catch { case _: Exception => None }
 

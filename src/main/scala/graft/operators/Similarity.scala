@@ -94,12 +94,12 @@ object Similarity {
     * plan-equality (renames happen outside the cached plan).
     */
   private val sigMemo =
-    new Dedup.BoundedMemo[(Int, String, String, Int, Int, Int)](Dedup.memoCap)
+    new Dedup.BoundedMemo[(Long, String, String, Int, Int, Int)](Dedup.memoCap)
 
   private[graft] def probeSigs(df: DataFrame, idCol: String, vecCol: String,
       bits: Int, nProbes: Int, dims: Int): DataFrame =
     sigMemo.getOrElseUpdate(
-      (df.queryExecution.analyzed.semanticHash(), idCol, vecCol, bits,
+      (Dedup.planKey(df), idCol, vecCol, bits,
         nProbes, dims),
       { val out = df.select(col(idCol).cast("long").as("id"),
             posexplode(array((0 until nProbes).map(p =>
@@ -191,13 +191,13 @@ object Similarity {
     * every other operator memo (plain-value instantiation).
     */
   private val centroidMemo = new Dedup.BoundedMemoBase[
-    (Int, String, String, Int, Int, Int), Array[(Int, Array[Double])]](
+    (Long, String, String, Int, Int, Int), Array[(Int, Array[Double])]](
     Dedup.memoCap)
 
   def ivfCentroids(df: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iters: Int, sampleN: Int = 1 << 17): Array[(Int, Array[Double])] =
     centroidMemo.getOrElseUpdateValue(
-      (df.queryExecution.analyzed.semanticHash(), idCol, vecCol,
+      (Dedup.planKey(df), idCol, vecCol,
         nlist, iters, sampleN),
       trainCentroids(df, idCol, vecCol, nlist, iters, sampleN))
 
@@ -253,7 +253,7 @@ object Similarity {
     * exactly ONE list, so no candidate dedup pass is needed.
     */
   private val invMemo =
-    new Dedup.BoundedMemo[(Int, String, String, Int, Int, Int)](Dedup.memoCap)
+    new Dedup.BoundedMemo[(Long, String, String, Int, Int, Int)](Dedup.memoCap)
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4, iters: Int = 2,
@@ -267,7 +267,7 @@ object Similarity {
     // (corpus, params) and cached: the index is the serving structure
     // probes hit repeatedly (at 100 TB it persists, partitioned by cid)
     val inv = invMemo.getOrElseUpdate(
-      (corpus.queryExecution.analyzed.semanticHash(), idCol, vecCol,
+      (Dedup.planKey(corpus), idCol, vecCol,
         nlist, iters, sampleN), {
         val built = corpus.select(
           element_at(nearestCids(col(vecCol), cents, 1), 1).as("cid"),

@@ -41,13 +41,13 @@ object TrainingSet {
     * eviction instead of leaking one corpus-sized cache per call
     */
   private val packMemo =
-    new Dedup.BoundedMemo[(Int, String, String, Int)](Dedup.memoCap)
+    new Dedup.BoundedMemo[(Long, String, String, Int)](Dedup.memoCap)
 
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
       seqLen: Int): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive: $seqLen")
     packMemo.getOrElseUpdate(
-      (docs.queryExecution.analyzed.semanticHash(), idCol, textCol, seqLen),
+      (Dedup.planKey(docs), idCol, textCol, seqLen),
       packOnce(docs, idCol, textCol, seqLen))
   }
 

@@ -749,10 +749,12 @@ object PipelineQueries extends QueryPack {
     * distinct per doc, df cap mirrored: sizes over df<=maxDf shingles,
     * intersections over df in [2, maxDf]).
     */
-  private def ngramJaccardSql(threshold: Double, maxDf: Int): String =
-    s"""WITH toks AS (
+  private def ngramJaccardSql(threshold: Double, maxDf: Int,
+      srcSql: String = "SELECT doc_id, text FROM documents"): String =
+    s"""WITH src AS ($srcSql),
+       |toks AS (
        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') w
-       |  FROM documents),
+       |  FROM src),
        |sh AS (
        |  SELECT DISTINCT doc_id, sh FROM (
        |    SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]

@@ -369,17 +369,46 @@ object PointServer {
     }
   }
 
-  /** linear merge-intersection of two sorted position arrays (the
-    * reference's sorted-idarray intersect, libaddb/addb-idarray-intersect.c)
+  /** intersection of two sorted position arrays (the reference's
+    * sorted-idarray intersect, libaddb/addb-idarray-intersect.c — which
+    * likewise switches to binary probing when one side is much
+    * smaller). Balanced inputs take the linear merge; when one side is
+    * 8x+ longer, GALLOP: for each element of the small array,
+    * exponential-probe + binary-search the big one from a moving lower
+    * bound — O(small * log(big)) instead of O(big). This is the serving
+    * tier's hot loop: a selective type list intersecting a fat word
+    * posting list (fatter still per shard, where co-located links
+    * duplicate postings) must pay for the SMALL side, or the scatter
+    * path's per-shard cost tracks corpus size instead of shard size.
     */
-  private def intersectSorted(a: Array[Int], b: Array[Int]): Array[Int] = {
-    val out = new Array[Int](math.min(a.length, b.length))
-    var i = 0; var j = 0; var w = 0
-    while (i < a.length && j < b.length) {
-      val x = a(i); val y = b(j)
-      if (x == y) { out(w) = x; w += 1; i += 1; j += 1 }
-      else if (x < y) i += 1
-      else j += 1
+  private def intersectSorted(a0: Array[Int], b0: Array[Int]): Array[Int] = {
+    val (a, b) = if (a0.length <= b0.length) (a0, b0) else (b0, a0)
+    val out = new Array[Int](a.length)
+    var w = 0
+    if (a.length > 0 && b.length / a.length >= 8) {
+      var i = 0; var lo = 0
+      while (i < a.length && lo < b.length) {
+        val x = a(i)
+        if (b(lo) >= x) {
+          if (b(lo) == x) { out(w) = x; w += 1; lo += 1 }
+        } else {
+          var bound = 1
+          while (lo + bound < b.length && b(lo + bound) < x) bound <<= 1
+          val idx = java.util.Arrays.binarySearch(
+            b, lo + (bound >> 1), math.min(lo + bound + 1, b.length), x)
+          if (idx >= 0) { out(w) = x; w += 1; lo = idx + 1 }
+          else lo = -idx - 1
+        }
+        i += 1
+      }
+    } else {
+      var i = 0; var j = 0
+      while (i < a.length && j < b.length) {
+        val x = a(i); val y = b(j)
+        if (x == y) { out(w) = x; w += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
     }
     java.util.Arrays.copyOf(out, w)
   }

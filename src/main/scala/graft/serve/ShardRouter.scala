@@ -113,50 +113,63 @@ object ShardRouter {
       val total = answers.map(_.rows.head(0).asInstanceOf[Long]).sum
       return Some(PointServer.Served(Seq("count"), Seq(Array[Any](total))))
     }
-    val merged = kWayMerge(answers, c)
-    Some(PointServer.Served(answers.head.columns,
-      merged.map(_._2), merged.map(_._1)))
+    val (ids, rows) = kWayMerge(answers, c)
+    Some(PointServer.Served(answers.head.columns, rows, ids))
   }
 
   /** n-way merge of per-shard answers (each already in the query's
     * global order) into the requested page — no union re-sort, no
     * materialization past start+pagesize. Compare mirrors
     * PointServer's: per sort key nulls-last, direction per spec, id
-    * tiebreak; unsorted reads merge by ascending id.
+    * tiebreak; unsorted reads merge by ascending id through a
+    * SPECIALIZED primitive-long loop (no comparator indirection, no
+    * per-row tuple — this is every scatter-gather point read's tail).
     */
   private def kWayMerge(answers: Vector[PointServer.Served], c: Constraint)
-      : Vector[(Long, Array[Any])] = {
+      : (Vector[Long], Vector[Array[Any]]) = {
+    val n = answers.length
+    val cursors = new Array[Int](n)
+    val total = answers.map(_.rowIds.length).sum
+    // clamp in Long BEFORE narrowing: a start past 2^31 must clamp to
+    // `total` (an empty suffix), not wrap negative and return a bogus
+    // full page — same drop semantics as the single-snapshot path
+    val start = math.min(c.start.getOrElse(0L), total.toLong).toInt
+    val wanted = c.pagesize.fold(total - start)(ps =>
+      math.min(ps.toInt, total - start)).max(0)
+    val outIds = Vector.newBuilder[Long]
+    val outRows = Vector.newBuilder[Array[Any]]
+    outIds.sizeHint(wanted); outRows.sizeHint(wanted)
+    val sorted = c.sort.nonEmpty
     val dirs = c.sort.map(_.ascending).toArray
     def lt(s: Int, i: Int, t: Int, j: Int): Boolean = {
-      val r =
-        if (c.sort.isEmpty) 0
-        else PointServer.keyCompare(
-          answers(s).sortKeys(i), answers(t).sortKeys(j), dirs)
+      val r = PointServer.keyCompare(
+        answers(s).sortKeys(i), answers(t).sortKeys(j), dirs)
       if (r != 0) r < 0
       else answers(s).rowIds(i) < answers(t).rowIds(j)
     }
-    val cursors = Array.fill(answers.length)(0)
-    val total = answers.map(_.rowIds.length).sum
-    val start = math.min(c.start.getOrElse(0L).toInt, total)
-    val wanted = c.pagesize.fold(total - start)(ps =>
-      math.min(ps.toInt, total - start)).max(0)
-    val out = Vector.newBuilder[(Long, Array[Any])]
     var taken = 0
     while (taken < start + wanted) {
       var best = -1
+      var bestId = Long.MaxValue
       var s = 0
-      while (s < answers.length) {
-        if (cursors(s) < answers(s).rowIds.length &&
-            (best < 0 || lt(s, cursors(s), best, cursors(best))))
-          best = s
+      while (s < n) {
+        val cs = cursors(s)
+        if (cs < answers(s).rowIds.length) {
+          if (!sorted) {
+            val id = answers(s).rowIds(cs)
+            if (id < bestId) { best = s; bestId = id }
+          } else if (best < 0 || lt(s, cs, best, cursors(best))) best = s
+        }
         s += 1
       }
       val i = cursors(best)
       cursors(best) += 1
-      if (taken >= start)
-        out += ((answers(best).rowIds(i), answers(best).rows(i)))
+      if (taken >= start) {
+        outIds += answers(best).rowIds(i)
+        outRows += answers(best).rows(i)
+      }
       taken += 1
     }
-    out.result()
+    (outIds.result(), outRows.result())
   }
 }

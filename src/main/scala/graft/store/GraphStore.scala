@@ -394,14 +394,16 @@ final case class GraphStore(spark: SparkSession, primitives: DataFrame,
     * reads past the compaction horizon must stay answerable.
     */
   def compact(path: String): GraphStore = {
-    current
-      .withColumn("prev", lit(null).cast("long"))
-      // each survivor roots its own lineage: chain roots may be
-      // compacted away, and future versions chain from the survivor
-      .withColumn("lineage", col("id"))
-      .withColumn("id_part", shiftright(col("id"), PartShift).cast("int"))
-      .repartition(col("id_part"))
-      .write.mode(SaveMode.Overwrite).partitionBy("id_part").parquet(path)
+    StoreLock.withLock(spark, path) {
+      current
+        .withColumn("prev", lit(null).cast("long"))
+        // each survivor roots its own lineage: chain roots may be
+        // compacted away, and future versions chain from the survivor
+        .withColumn("lineage", col("id"))
+        .withColumn("id_part", shiftright(col("id"), PartShift).cast("int"))
+        .repartition(col("id_part"))
+        .write.mode(SaveMode.Overwrite).partitionBy("id_part").parquet(path)
+    }
     // copy(), not a fresh construction: engine configuration
     // (useWordIndex) survives compaction; the mirror and the
     // incremental-index watermark refer to pre-compaction state and
@@ -411,10 +413,12 @@ final case class GraphStore(spark: SparkSession, primitives: DataFrame,
   }
 
   def save(path: String): Unit =
-    primitives
-      .withColumn("id_part", shiftright(col("id"), PartShift).cast("int"))
-      .repartition(col("id_part"))
-      .write.mode(SaveMode.Overwrite).partitionBy("id_part").parquet(path)
+    StoreLock.withLock(spark, path) {
+      primitives
+        .withColumn("id_part", shiftright(col("id"), PartShift).cast("int"))
+        .repartition(col("id_part"))
+        .write.mode(SaveMode.Overwrite).partitionBy("id_part").parquet(path)
+    }
 
   /** Persist bucketed by a linkage column — the cluster-scale layout
     * for the gmap/VIP fan-in joins (SURVEY.md §1.4, §2.1): two tables
@@ -428,12 +432,73 @@ final case class GraphStore(spark: SparkSession, primitives: DataFrame,
     */
   def saveBucketed(table: String, path: String, key: String = "left",
       buckets: Int = 64): Unit =
-    primitives.filter(col(key).isNotNull)
-      .write.mode(SaveMode.Overwrite)
-      .option("path", path)
-      .bucketBy(buckets, key)
-      .sortBy(key)
-      .saveAsTable(table)
+    StoreLock.withLock(spark, path) {
+      primitives.filter(col(key).isNotNull)
+        .write.mode(SaveMode.Overwrite)
+        .option("path", path)
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .saveAsTable(table)
+    }
+}
+
+/** Single-writer guard for store directories — the library analog of
+  * the reference's start-twice protection (test/unit/start-twice.sh:
+  * a second graphd on the same database refuses to start). Two
+  * concurrent Overwrite writers against one path otherwise race
+  * last-writer-wins and can interleave part files from both jobs.
+  *
+  * The lock is a SIBLING marker file (`<path>.lock` — inside the
+  * directory it would be wiped by the Overwrite itself), created with
+  * `FileSystem.create(overwrite = false)`: atomic on local disk and
+  * HDFS; on object stores without atomic create-exclusive (S3) it is
+  * best-effort, the same caveat every Hadoop output committer carries.
+  * A crash leaves the lock behind; locks older than
+  * `graft.store.lockStaleMs` (default 30 min) are presumed abandoned
+  * and reclaimed, so an operator never has to hand-clean after a
+  * killed job — while a LIVE writer's lock always fails fast with the
+  * path in the error.
+  */
+private[graft] object StoreLock {
+  private def staleMs: Long =
+    sys.props.get("graft.store.lockStaleMs").map(_.toLong)
+      .getOrElse(30L * 60 * 1000)
+
+  /** acquire or throw; returns the release thunk */
+  def acquire(spark: SparkSession, path: String): () => Unit = {
+    val lock = new org.apache.hadoop.fs.Path(
+      path.stripSuffix("/") + ".lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def tryCreate(): Boolean =
+      try {
+        val out = fs.create(lock, false)
+        out.write(
+          s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}\n"
+            .getBytes("UTF-8"))
+        out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    val got = tryCreate() || {
+      // reclaim an abandoned lock (writer crashed mid-save)
+      val abandoned =
+        try System.currentTimeMillis() -
+          fs.getFileStatus(lock).getModificationTime > staleMs
+        catch { case _: java.io.IOException => true } // vanished: retry
+      abandoned && fs.delete(lock, false) && tryCreate()
+    }
+    if (!got)
+      throw new IllegalStateException(
+        s"store at $path is locked by another writer ($lock); a second " +
+          "concurrent save/compact would corrupt the overwrite — wait for " +
+          "it to finish (abandoned locks self-expire after " +
+          s"${staleMs / 1000}s)")
+    () => { fs.delete(lock, false); () }
+  }
+
+  def withLock[T](spark: SparkSession, path: String)(body: => T): T = {
+    val release = acquire(spark, path)
+    try body finally release()
+  }
 }
 
 object GraphStore {

@@ -56,11 +56,12 @@ object BulkMerge {
   private val AllKeyFields =
     Set("name", "value", "typeguid", "left", "right", "scope", "datatype")
 
-  /** Merge result. The outcome COUNTS (and the merged store handle,
-    * whose `versioned` flag depends on them) are lazy: a streaming
-    * ingest loop that only writes `appended` never pays the extra
-    * count job per micro-batch, while callers that read `store` or the
-    * per-outcome tallies get exact values on first touch.
+  /** Merge result. The merged STORE HANDLE is lazy (building it
+    * collects the local mirror rows when one exists); the outcome
+    * tallies are NOT an extra job — the one per-partition pass that
+    * computes them is the same pass that derives the id-assignment
+    * offsets `appended` needs, so every caller pays it exactly once as
+    * part of the merge itself.
     */
   final class Result(
       storeF: () => GraphStore,

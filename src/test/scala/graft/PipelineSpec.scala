@@ -268,6 +268,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.width == 7 && out.height == 5)
   }
 
+  test("multimodal: real WAV bytes decode through the audio probe") {
+    import javax.sound.sampled._
+    // a genuine in-memory WAV: 100 frames of 16-bit stereo PCM at 8kHz
+    val fmt = new AudioFormat(8000f, 16, 2, true, false)
+    val pcm = new Array[Byte](100 * fmt.getFrameSize)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 100L)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    val real = Multimodal.AudioCodec.decode(
+      Multimodal.MediaRow(4L, "audio", wav))
+    assert(real.width == 8000)      // sample rate rides in width
+    assert(real.height == 16)       // bits per sample in height
+    assert(real.n_frames == 100 && real.channels == 2)
+    assert(real.n_bytes == wav.length)
+    assert(real.sig == Multimodal.StubCodec.decode(
+      Multimodal.MediaRow(4L, "audio", wav)).sig)
+    // non-parseable audio payloads stay STUB-IDENTICAL (the m01/m02
+    // gates feed UTF-8 text as the opaque binary)
+    val textRow = Multimodal.MediaRow(5L, "audio", "not audio".getBytes)
+    assert(Multimodal.AudioCodec.decode(textRow) ==
+      Multimodal.StubCodec.decode(textRow))
+    // the unified chain routes by media_type: WAV bytes typed "image"
+    // fall to the stub, and the distributed path reports real metadata
+    assert(Multimodal.ImageIoCodec.decode(
+      Multimodal.MediaRow(6L, "image", wav)) ==
+      Multimodal.StubCodec.decode(Multimodal.MediaRow(6L, "image", wav)))
+    import spark.implicits._
+    val df = Seq((9L, "audio", wav)).toDF("doc_id", "media_type", "media")
+    val out = Multimodal.extractFeatures(spark, df).collect().head
+    assert(out.width == 8000 && out.n_frames == 100 && out.channels == 2)
+  }
+
   test("quality-retention dedup keeps the best copy, not the first") {
     // ids 1..3 share a fingerprint (same normalized text); id 2 is the
     // highest-quality rendering... all identical after normalization —

@@ -66,6 +66,31 @@ class StoreSpec extends AnyFunSuite {
     assert(page.count() == 5)
   }
 
+  test("single-writer lock: a second concurrent save fails cleanly") {
+    val prims = Seq(node(1, value = Some("a")), node(2, value = Some("b")))
+    val st = GraphStore.fromSeq(spark, prims)
+    val dir = Files.createTempDirectory("graft_lock").toString + "/prims"
+    // writer A holds the lock; writer B's save must fail fast with the
+    // path in the error, NOT race last-writer-wins into the directory
+    val release = graft.store.StoreLock.acquire(spark, dir)
+    val err = intercept[IllegalStateException] { st.save(dir) }
+    assert(err.getMessage.contains(dir))
+    assert(!new java.io.File(dir).exists()) // B wrote nothing
+    release()
+    st.save(dir) // after release the same writer succeeds
+    assert(GraphStore.load(spark, dir).primitives.count() == 2)
+    // the lock is released after a successful save: an immediate
+    // re-save (the steady-state snapshot loop) needs no cleanup
+    st.save(dir)
+    // a crashed writer's ABANDONED lock self-expires: plant a stale one
+    val lockFile = new java.io.File(dir + ".lock")
+    assert(lockFile.createNewFile())
+    assert(lockFile.setLastModified(
+      System.currentTimeMillis() - 31L * 60 * 1000))
+    st.save(dir) // reclaims and proceeds
+    assert(!lockFile.exists())
+  }
+
   test("compact materializes the current view: no versions, no window") {
     import graft.write.Writer
     // v1 → v2 of one doc, a tombstoned node, a plain survivor
