@@ -102,6 +102,38 @@ object AnalyticsQueries extends QueryPack {
              |JOIN e ac ON ac.a = ab.a AND ac.b > ab.b
              |JOIN e bc ON bc.a = ab.b AND bc.b = ac.b""".stripMargin)),
 
+    // ADVERSARIAL SKEW GATE: one synthetic hub key holds EVERY part
+    // (2000 members at sf0.01 — 8x past the 256 cap), the degenerate
+    // key whose uncapped pair fan-out (C(2000,2) ≈ 2M pairs from ONE
+    // key) dwarfs the real workload. cooccurrenceEdges' per-key cap
+    // must drop the hub in its entirety — whole-bucket drop is the
+    // deterministic contract, reproduced exactly by the oracle's
+    // HAVING count(*) <= cap — while every ordinary order (<= 7 items)
+    // keeps contributing its pairs.
+    QueryDef("a05_cooccur_hotkey",
+      (s, dir) => {
+        val st = GraphAdapter.store(s, dir)
+        val contains = st.links
+          .filter(col("typeguid") === GraphAdapter.TContains &&
+            pmod(col("left"), lit(10L)) === 0)
+          .select(col("left").as("k"), col("right").as("m"))
+        val hub = graft.Tables.T(s, dir).part.select(lit(0L).as("k"),
+          (col("p_partkey") + GraphAdapter.BPart).as("m"))
+        Analytics.cooccurrenceEdges(contains.unionByName(hub), "k", "m",
+          maxPerKey = 256)
+      },
+      Some(s"""WITH items AS (
+             |  SELECT DISTINCT l_orderkey AS k,
+             |    l_partkey + ${GraphAdapter.BPart} AS m
+             |  FROM lineitem WHERE l_orderkey % 10 = 0
+             |  UNION
+             |  SELECT -1, p_partkey + ${GraphAdapter.BPart} FROM part),
+             |ok AS (SELECT k FROM items GROUP BY k
+             |       HAVING count(*) <= 256),
+             |kept AS (SELECT i.* FROM items i JOIN ok USING (k))
+             |SELECT DISTINCT a.m AS a, b.m AS b
+             |FROM kept a JOIN kept b ON a.k = b.k AND a.m < b.m""".stripMargin)),
+
     // islink-style incremental materialization: stream the primitives
     // log (written once per sf) through foreachBatch merge, then read
     // the maintained per-type aggregate.

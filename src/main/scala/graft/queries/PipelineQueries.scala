@@ -149,6 +149,40 @@ object PipelineQueries extends QueryPack {
         n = 3, k = 64, bands = 16, threshold = 0.8),
       Some(ngramJaccardSql(0.8, Int.MaxValue))),
 
+    // ADVERSARIAL SKEW GATE: the same boilerplate sentence is appended
+    // to EVERY document, so its shingles' document frequency (550) is
+    // the whole corpus — the classic stop-shingle hot key. With
+    // maxDf=400 the df-cap MUST engage (550 > 400) and drop those
+    // shingles from candidate generation, or the self-join fans out
+    // toward 550^2/2 pairs per hot shingle; the derived near-dup
+    // copies (every 10th doc plus a tail marker) must still surface
+    // through their document-specific shingles. Capped Jaccard drops
+    // the boiler shingles from BOTH intersection and sizes, so the
+    // oracle reproduces the exact scores.
+    QueryDef("d08_jaccard_boilerplate",
+      (s, dir) => {
+        val boiler = " the very same boilerplate footer sentence appears " +
+          "on every single page of this corpus courtesy of the template"
+        val docs0 = T(s, dir).documents.select(col("doc_id"), col("text"))
+        val salted = docs0
+          .select(col("doc_id"), concat(col("text"), lit(boiler)).as("text"))
+          .unionByName(docs0.filter(pmod(col("doc_id"), lit(10L)) === 0)
+            .select((col("doc_id") + 500000L).as("doc_id"),
+              concat(col("text"), lit(boiler + " trailing near dup marker"))
+                .as("text")))
+        Dedup.ngramJaccardPairs(salted, "doc_id", "text",
+          n = 3, threshold = 0.8, maxDf = 400)
+      },
+      Some(ngramJaccardSql(0.8, 400,
+        srcSql = """SELECT doc_id, text ||
+             | ' the very same boilerplate footer sentence appears on every single page of this corpus courtesy of the template'
+             | AS text FROM documents
+             |UNION ALL
+             |SELECT doc_id + 500000, text ||
+             | ' the very same boilerplate footer sentence appears on every single page of this corpus courtesy of the template trailing near dup marker'
+             | FROM documents WHERE doc_id % 10 = 0""".stripMargin
+          .replace("\n", " ")))),
+
     // SimHash hamming-distance pairs — md5-derived 60-bit signatures
     // are engine-portable, so the oracle rebuilds them bit-for-bit.
     QueryDef("d04_simhash",
@@ -473,6 +507,37 @@ object PipelineQueries extends QueryPack {
         T(s, dir).documents, "doc_id", "text", seqLen = 512),
       Some(s"""WITH t AS (SELECT doc_id,
              |    CAST(len($sqlToks) AS BIGINT) AS n_tokens FROM documents),
+             |c AS (SELECT doc_id, n_tokens,
+             |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS BIGINT) AS cum0 FROM t)
+             |SELECT doc_id, n_tokens,
+             |  CAST(cum0 // 512 AS BIGINT) AS seq_id,
+             |  CAST(cum0 % 512 AS BIGINT) AS seq_offset
+             |FROM c""".stripMargin)),
+
+    // ADVERSARIAL SKEW GATE: one 60k-token document (120x the corpus
+    // average, spanning ~117 sequences by itself) is injected into the
+    // packing input. The two-pass distributed prefix sum must stay
+    // exact through the giant row — a per-partition running total that
+    // overflowed Int, or a partitioner that assumed uniform row cost,
+    // shows up as every post-giant offset shifting. Oracle = the same
+    // global-window formulation as p03 over the salted source.
+    QueryDef("p12_pack_giant",
+      (s, dir) => {
+        val giant = s.range(1).select(lit(900000L).as("doc_id"),
+          trim(repeat(lit("tok "), 60000)).as("text"))
+        val salted = T(s, dir).documents.select(col("doc_id"), col("text"))
+          .unionByName(giant)
+        graft.operators.TrainingSet.packSequences(
+          salted, "doc_id", "text", seqLen = 512)
+      },
+      Some(s"""WITH src AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT 900000, trim(repeat('tok ', 60000))),
+             |t AS (SELECT doc_id,
+             |    CAST(len($sqlToks) AS BIGINT) AS n_tokens FROM src),
              |c AS (SELECT doc_id, n_tokens,
              |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)

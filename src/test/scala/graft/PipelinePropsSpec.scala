@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.graph.Analytics
+import graft.operators.{Curation, Dedup, TextAnalysis, TrainingSet}
+
+/** Property sweeps over the integer-arithmetic curation operators —
+  * the parameter space (targetPpm maps incl. 0 / >1e6 / missing
+  * domains; quality ties; duplicate-free vs duplicate-heavy corpora)
+  * that a single-point oracle gate can't enumerate — plus the
+  * adversarial-skew unit checks proving the hot-key caps ENGAGE (the
+  * d08/a05/p12 gates show capped output matches the oracle; these show
+  * the uncapped formulation would have blown up).
+  */
+class PipelinePropsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def checkProp(p: Prop, n: Int = 15): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n).withWorkers(1), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val domains = Seq("en", "de", "fr", "code")
+
+  test("mixtureResample: survivors = hash-accepted rows of mapped domains, exact integer rates") {
+    // ids < 2^31 keep id * 2654435761 inside Long under ANSI arithmetic
+    // (the operator's documented contract; larger ids go through
+    // xxhash64 per the sampleStratified scaladoc)
+    val genDocs = Gen.nonEmptyListOf(
+      Gen.zip(Gen.chooseNum(0L, (1L << 31) - 1), Gen.oneOf(domains)))
+    val genPpm = Gen.mapOf(Gen.zip(Gen.oneOf(domains),
+      Gen.oneOf(0L, 1L, 17L, 313L, 999999L, 1000000L, 5000000L)))
+    checkProp(Prop.forAll(genDocs, genPpm) { (rows0, ppm) =>
+      val rows = rows0.distinctBy(_._1)
+      val df = rows.toDF("doc_id", "lang")
+      val out = Curation.mixtureResample(df, "doc_id", "lang", ppm)
+        .select("doc_id", "lang", "rate_ppm")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      // local oracle in BigInt arithmetic: rate = min(1e6, ppm*n/nl)
+      // exactly — any Long overflow or double rounding inside the
+      // operator diverges here
+      val byDom = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val n = rows.size.toLong
+      val expected = rows.flatMap { case (id, dom) =>
+        val p = ppm.getOrElse(dom, 0L)
+        val rate = (BigInt(p) * n / byDom(dom)).min(BigInt(1000000L)).toLong
+        if (java.lang.Math.floorMod(id * 2654435761L, 1000000L) < rate)
+          Some((id, dom, rate))
+        else None
+      }
+      out.toSet == expected.toSet
+    })
+  }
+
+  test("keepBestQuality: argmax (quality, -id), ties resolve to the lowest id") {
+    // a tiny word alphabet makes fingerprint collisions and exact
+    // quality TIES common — the regime where a sloppy tiebreak
+    // (double-cast ids, partition order) would diverge
+    val words = Seq("alpha", "beta", "the", "and", "of", "code", "#!?.", "12345")
+    val genText = Gen.nonEmptyListOf(Gen.oneOf(words)).map(_.mkString(" "))
+    val genDocs = Gen.nonEmptyListOf(
+      Gen.zip(Gen.chooseNum(1L, 1000000L), genText))
+    checkProp(Prop.forAll(genDocs) { rows0 =>
+      val rows = rows0.distinctBy(_._1)
+      val df = rows.toDF("doc_id", "text")
+      val out = Dedup.keepBestQuality(df, "doc_id", "text")
+        .collect()
+        .map(r => (r.getAs[String]("fp"),
+          (r.getAs[Long]("keep_id"), r.getAs[Long]("n_dups"),
+            r.getAs[Double]("quality")))).toMap
+      // recompute fp/quality with the same column functions; argmax
+      // locally with the documented order
+      val scored = df.select(
+          TextAnalysis.fingerprint(col("text")).as("fp"),
+          col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("q"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      val exp = scored.groupBy(_._1).map { case (fp, g) =>
+        val best = g.minBy(x => (-x._3, x._2))
+        (fp, (best._2, g.size.toLong, g.map(_._3).max))
+      }
+      out == exp
+    })
+  }
+
+  test("jaccard df-cap engages: a corpus-wide boilerplate shingle yields zero spurious pairs") {
+    // 30 boiler tokens after 2 unique ones: uncapped, every pair
+    // shares the 28 in-boiler shingles -> J = 28/32 = 0.875 >= 0.8 ->
+    // all C(60,2) pairs are "near-dups" of the template, not of each
+    // other. The df-cap (boiler df = 60 > 30) drops those shingles and
+    // with them every candidate.
+    val boiler = (1 to 30).map(i => s"b$i").mkString(" ")
+    val docs = (0 until 60)
+      .map(i => (i.toLong, s"unique$i second$i " + boiler))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.8, maxDf = Int.MaxValue)
+    assert(uncapped.count() == 60L * 59 / 2)
+    val capped = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.8, maxDf = 30)
+    assert(capped.count() == 0L)
+  }
+
+  test("co-occurrence per-key cap drops the hot key whole, keeps normal keys") {
+    val normal = (0 until 10).flatMap(o =>
+      Seq((100L + o, 1000L + o * 2), (100L + o, 1000L + o * 2 + 1)))
+    val hub = (0 until 300).map(m => (7L, m.toLong))
+    val links = (normal ++ hub).toDF("k", "m")
+    val edges = Analytics.cooccurrenceEdges(links, "k", "m", maxPerKey = 256)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges ==
+      (0 until 10).map(o => (1000L + o * 2, 1000L + o * 2 + 1)).toSet)
+    // without the cap the hub ALONE is C(300,2) = 44850 pairs — the
+    // blowup the cap exists to stop
+    val uncapped = Analytics.cooccurrenceEdges(links, "k", "m",
+      maxPerKey = Int.MaxValue)
+    assert(uncapped.count() == 44850L + 10L)
+  }
+
+  test("sequence packing stays exact through a giant document") {
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, ("tok " * 10000).trim),
+      (3L, "x y z")).toDF("doc_id", "text")
+    val out = TrainingSet.packSequences(docs, "doc_id", "text", seqLen = 512)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("seq_id"),
+          r.getAs[Long]("seq_offset")))).toMap
+    assert(out(1L) == ((5L, 0L, 0L)))
+    assert(out(2L) == ((10000L, 0L, 5L)))
+    val cum = 5L + 10000L
+    assert(out(3L) == ((3L, cum / 512, cum % 512)))
+  }
+}
