@@ -119,7 +119,10 @@ object Curation {
     */
   def repetitionRatio(text: Column): Column = {
     val t = TextAnalysis.tokens(lower(text))
-    round(lit(1.0) - size(array_distinct(t)).cast("double") / size(t), 4)
+    // tie-exact rounding (TextAnalysis.round4): this ratio feeds a
+    // > 0.8 keep/drop decision — a library-round tie would flip
+    // classification between engines
+    TextAnalysis.round4(lit(1.0) - size(array_distinct(t)).cast("double") / size(t))
   }
 
   /** Per-group EXACT token-length percentiles (p50/p90/p99) — the
@@ -180,8 +183,8 @@ object Curation {
       "too_short" -> (TextAnalysis.tokenCount(t) < 5),
       "repetition" -> (repetitionRatio(t) > 0.8),
       "non_text" ->
-        (round(length(regexp_replace(t, "[^a-zA-Z]", "")).cast("double") /
-          length(t), 4) < 0.2))
+        (TextAnalysis.round4(length(regexp_replace(t, "[^a-zA-Z]", ""))
+          .cast("double") / length(t)) < 0.2))
     val reason = rules.foldRight(lit(null).cast("string")) {
       case ((name, failed), rest) => when(failed, name).otherwise(rest)
     }

@@ -55,6 +55,18 @@ object TextAnalysis {
 
   // ---------- quality scoring ----------
 
+  /** Tie-exact 4-decimal rounding: floor(x·10⁴ + ½)/10⁴ in pure IEEE
+    * double ops, which every engine computes bit-identically. Library
+    * `round` half-up semantics DIVERGE across engines exactly on ties —
+    * one engine rounds the shortest decimal rendering of the double
+    * (0.78875 → 0.7888) while another rounds the binary value
+    * (0.788749999…96 → 0.7887) — so a ratio landing on a half-way
+    * point flips the 4th decimal between this library and a SQL
+    * oracle. Ratios of small integer counts (these quality features)
+    * hit such ties constantly at corpus scale.
+    */
+  def round4(c: Column): Column = floor(c * 10000d + 0.5d) / 10000d
+
   /** length / punctuation / stopword-ratio quality features
     * (all exact-SQL-expressible for oracle parity).
     */
@@ -69,9 +81,9 @@ object TextAnalysis {
     Seq(
       "n_chars" -> nChars,
       "n_tokens" -> size(toks),
-      "alpha_ratio" -> round(nAlpha.cast("double") / nChars, 4),
-      "punct_ratio" -> round(nPunct.cast("double") / nChars, 4),
-      "stop_ratio" -> round(nStop.cast("double") / size(toks), 4))
+      "alpha_ratio" -> round4(nAlpha.cast("double") / nChars),
+      "punct_ratio" -> round4(nPunct.cast("double") / nChars),
+      "stop_ratio" -> round4(nStop.cast("double") / size(toks)))
   }
 
   /** scalar quality score in [0,1]: stopword presence + sane token
@@ -79,11 +91,10 @@ object TextAnalysis {
     */
   def qualityScore(text: Column): Column = {
     val f = qualityFeatures(text).toMap
-    round(
+    round4(
       least(f("stop_ratio") * 2.0, lit(1.0)) * 0.4 +
         least(f("alpha_ratio") * 1.25, lit(1.0)) * 0.4 +
-        when(f("n_tokens") >= 10 && f("n_tokens") <= 100000, 0.2).otherwise(0.0),
-      4)
+        when(f("n_tokens") >= 10 && f("n_tokens") <= 100000, 0.2).otherwise(0.0))
   }
 
   // ---------- language id ----------

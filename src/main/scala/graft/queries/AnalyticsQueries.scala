@@ -139,7 +139,9 @@ object AnalyticsQueries extends QueryPack {
     // the maintained per-type aggregate.
     QueryDef("st01_stream_type_counts",
       (s, dir) => {
-        val key = java.lang.Integer.toHexString(dir.hashCode)
+        // keyed on the ORDERS fingerprint: this feed derives from the
+        // TPC-H tables, not documents
+        val key = Util.dataKey(s, dir, table = "orders")
         val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_v3_$key"
         val logDir = s"$base/log"
         val stateDir = s"$base/state"
@@ -198,7 +200,7 @@ object AnalyticsQueries extends QueryPack {
       (s, dir) => {
         import graft.store.GraphStore
         import graft.model.Datatype
-        val key = java.lang.Integer.toHexString(dir.hashCode)
+        val key = Util.dataKey(s, dir)
         val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_merge_$key"
         val feedDir = s"$base/feed"
         val storeDir = s"$base/store"
@@ -239,7 +241,7 @@ object AnalyticsQueries extends QueryPack {
     // batch ≡ streaming composition a monitoring pass relies on
     QueryDef("st04_stream_filter",
       (s, dir) => {
-        val key = java.lang.Integer.toHexString(dir.hashCode)
+        val key = Util.dataKey(s, dir)
         val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_filter_$key"
         val feedDir = s"$base/feed"
         if (!new java.io.File(feedDir).exists())
@@ -272,10 +274,10 @@ object AnalyticsQueries extends QueryPack {
       Some(s"""WITH r AS (SELECT
              |  CASE
              |    WHEN len(${PipelineQueries.sqlToksPub}) < 5 THEN 'too_short'
-             |    WHEN round(1.0 - len(list_distinct(${PipelineQueries.sqlToksLowerPub})) * 1.0
-             |        / len(${PipelineQueries.sqlToksLowerPub}), 4) > 0.8 THEN 'repetition'
-             |    WHEN round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
-             |        * 1.0 / length(text), 4) < 0.2 THEN 'non_text'
+             |    WHEN ${PipelineQueries.r4(s"""1.0 - len(list_distinct(${PipelineQueries.sqlToksLowerPub})) * 1.0
+             |        / len(${PipelineQueries.sqlToksLowerPub})""")} > 0.8 THEN 'repetition'
+             |    WHEN ${PipelineQueries.r4(s"""length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+             |        * 1.0 / length(text)""")} < 0.2 THEN 'non_text'
              |    ELSE 'kept' END AS reason, source
              |  FROM documents)
              |SELECT source, reason, count(*) AS n FROM r

@@ -25,6 +25,12 @@ object PipelineQueries extends QueryPack {
   // DuckDB rendition of TextAnalysis.fingerprint
   private val sqlFp =
     """md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))"""
+  // DuckDB rendition of TextAnalysis.round4 — tie-exact 4-decimal
+  // rounding in pure IEEE double ops. Library round() half-up diverges
+  // between engines exactly on .xxxx5 ties (shortest-decimal vs binary
+  // rounding), so every quality/repetition ratio the gates compare is
+  // rounded through this identical floor formulation on BOTH sides.
+  private[queries] def r4(e: String) = s"floor(($e) * 10000 + 0.5) / 10000"
 
   def defs: Seq[QueryDef] = Seq(
 
@@ -42,12 +48,12 @@ object PipelineQueries extends QueryPack {
       Some(s"""SELECT doc_id,
              |  length(text) AS n_chars,
              |  len($sqlToks) AS n_tokens,
-             |  round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
-             |        / length(text), 4) AS alpha_ratio,
-             |  round(length(regexp_replace(text, '[^.,;:!?''"-]', '', 'g')) * 1.0
-             |        / length(text), 4) AS punct_ratio,
-             |  round(${sqlStopCount(graft.operators.Stopwords.en)} * 1.0
-             |        / len($sqlToks), 4) AS stop_ratio
+             |  ${r4(s"""length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+             |        / length(text)""")} AS alpha_ratio,
+             |  ${r4(s"""length(regexp_replace(text, '[^.,;:!?''"-]', '', 'g')) * 1.0
+             |        / length(text)""")} AS punct_ratio,
+             |  ${r4(s"""${sqlStopCount(graft.operators.Stopwords.en)} * 1.0
+             |        / len($sqlToks)""")} AS stop_ratio
              |FROM documents""".stripMargin)),
 
     QueryDef("t03_langid",
@@ -97,17 +103,17 @@ object PipelineQueries extends QueryPack {
     QueryDef("d07_dedup_best_quality",
       (s, dir) => Dedup.keepBestQuality(T(s, dir).documents, "doc_id", "text"),
       Some(s"""WITH f AS (SELECT doc_id, $sqlFp AS fp,
-             |    round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
-             |          / length(text), 4) AS alpha_ratio,
-             |    round(${sqlStopCount(graft.operators.Stopwords.en)} * 1.0
-             |          / len($sqlToks), 4) AS stop_ratio,
+             |    ${r4(s"""length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+             |          / length(text)""")} AS alpha_ratio,
+             |    ${r4(s"""${sqlStopCount(graft.operators.Stopwords.en)} * 1.0
+             |          / len($sqlToks)""")} AS stop_ratio,
              |    len($sqlToks) AS n_tokens
              |  FROM documents),
              |q AS (SELECT doc_id, fp,
-             |  round(least(stop_ratio * 2.0, 1.0) * 0.4
+             |  ${r4("""least(stop_ratio * 2.0, 1.0) * 0.4
              |    + least(alpha_ratio * 1.25, 1.0) * 0.4
              |    + CASE WHEN n_tokens BETWEEN 10 AND 100000
-             |        THEN 0.2 ELSE 0.0 END, 4) AS qv
+             |        THEN 0.2 ELSE 0.0 END""")} AS qv
              |  FROM f)
              |SELECT fp, n_dups, keep_id, quality FROM (
              |  SELECT fp, doc_id AS keep_id, qv AS quality,
@@ -282,17 +288,17 @@ object PipelineQueries extends QueryPack {
         .select(col("doc_id"),
           TextAnalysis.qualityScore(col("text")).as("quality")),
       Some(s"""WITH f AS (SELECT doc_id,
-             |    round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
-             |          / length(text), 4) AS alpha_ratio,
-             |    round(${sqlStopCount(graft.operators.Stopwords.en)} * 1.0
-             |          / len($sqlToks), 4) AS stop_ratio,
+             |    ${r4(s"""length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+             |          / length(text)""")} AS alpha_ratio,
+             |    ${r4(s"""${sqlStopCount(graft.operators.Stopwords.en)} * 1.0
+             |          / len($sqlToks)""")} AS stop_ratio,
              |    len($sqlToks) AS n_tokens
              |  FROM documents)
              |SELECT doc_id,
-             |  round(least(stop_ratio * 2.0, 1.0) * 0.4
+             |  ${r4("""least(stop_ratio * 2.0, 1.0) * 0.4
              |    + least(alpha_ratio * 1.25, 1.0) * 0.4
              |    + CASE WHEN n_tokens BETWEEN 10 AND 100000
-             |        THEN 0.2 ELSE 0.0 END, 4) AS quality
+             |        THEN 0.2 ELSE 0.0 END""")} AS quality
              |FROM f""".stripMargin)),
 
     QueryDef("m01_multimodal_features",
@@ -350,10 +356,10 @@ object PipelineQueries extends QueryPack {
     QueryDef("t07_repetition",
       (s, dir) => T(s, dir).documents.select(col("doc_id"),
         graft.operators.Curation.repetitionRatio(col("text")).as("rep_ratio")),
-      Some("""SELECT doc_id,
-             |  round(1.0 - len(list_distinct(
+      Some(s"""SELECT doc_id,
+             |  ${r4("""1.0 - len(list_distinct(
              |      regexp_split_to_array(trim(lower(text)), '\s+'))) * 1.0
-             |    / len(regexp_split_to_array(trim(lower(text)), '\s+')), 4)
+             |    / len(regexp_split_to_array(trim(lower(text)), '\s+'))""")}
              |    AS rep_ratio
              |FROM documents""".stripMargin)),
 
@@ -428,22 +434,22 @@ object PipelineQueries extends QueryPack {
              |  SELECT doc_id + 200000, 'one two' FROM documents),
              |kept AS (SELECT doc_id, text FROM src
              |  WHERE NOT (len($sqlToks) < 5)
-             |    AND NOT (round(1.0 - len(list_distinct($sqlToksLower)) * 1.0
-             |        / len($sqlToksLower), 4) > 0.8)
-             |    AND NOT (round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
-             |        * 1.0 / length(text), 4) < 0.2)),
+             |    AND NOT (${r4(s"""1.0 - len(list_distinct($sqlToksLower)) * 1.0
+             |        / len($sqlToksLower)""")} > 0.8)
+             |    AND NOT (${r4(s"""length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+             |        * 1.0 / length(text)""")} < 0.2)),
              |f AS (SELECT doc_id, text, $sqlFp AS fp,
-             |    round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
-             |          / length(text), 4) AS alpha_ratio,
-             |    round(${sqlStopCount(graft.operators.Stopwords.en)} * 1.0
-             |          / len($sqlToks), 4) AS stop_ratio,
+             |    ${r4(s"""length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+             |          / length(text)""")} AS alpha_ratio,
+             |    ${r4(s"""${sqlStopCount(graft.operators.Stopwords.en)} * 1.0
+             |          / len($sqlToks)""")} AS stop_ratio,
              |    len($sqlToks) AS n_tokens
              |  FROM kept),
              |q AS (SELECT doc_id, text, fp,
-             |  round(least(stop_ratio * 2.0, 1.0) * 0.4
+             |  ${r4("""least(stop_ratio * 2.0, 1.0) * 0.4
              |    + least(alpha_ratio * 1.25, 1.0) * 0.4
              |    + CASE WHEN n_tokens BETWEEN 10 AND 100000
-             |        THEN 0.2 ELSE 0.0 END, 4) AS qv
+             |        THEN 0.2 ELSE 0.0 END""")} AS qv
              |  FROM f),
              |dd AS (SELECT doc_id, text FROM (
              |  SELECT doc_id, text,
@@ -469,17 +475,17 @@ object PipelineQueries extends QueryPack {
       Some(s"""SELECT doc_id,
              |  CASE
              |    WHEN len($sqlToks) < 5 THEN 'too_short'
-             |    WHEN round(1.0 - len(list_distinct($sqlToksLower)) * 1.0
-             |        / len($sqlToksLower), 4) > 0.8 THEN 'repetition'
-             |    WHEN round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
-             |        * 1.0 / length(text), 4) < 0.2 THEN 'non_text'
+             |    WHEN ${r4(s"""1.0 - len(list_distinct($sqlToksLower)) * 1.0
+             |        / len($sqlToksLower)""")} > 0.8 THEN 'repetition'
+             |    WHEN ${r4(s"""length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+             |        * 1.0 / length(text)""")} < 0.2 THEN 'non_text'
              |    ELSE NULL END AS drop_reason,
              |  CASE
              |    WHEN len($sqlToks) < 5 THEN false
-             |    WHEN round(1.0 - len(list_distinct($sqlToksLower)) * 1.0
-             |        / len($sqlToksLower), 4) > 0.8 THEN false
-             |    WHEN round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
-             |        * 1.0 / length(text), 4) < 0.2 THEN false
+             |    WHEN ${r4(s"""1.0 - len(list_distinct($sqlToksLower)) * 1.0
+             |        / len($sqlToksLower)""")} > 0.8 THEN false
+             |    WHEN ${r4(s"""length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+             |        * 1.0 / length(text)""")} < 0.2 THEN false
              |    ELSE true END AS keep
              |FROM documents""".stripMargin)),
 

@@ -22,4 +22,21 @@ object Util {
         events.withColumn("ts_ns", unix_micros(col("ts").cast(TimestampType)) * 1000L)
       case other => throw new IllegalStateException(s"unexpected ts type: $other")
     }
+
+  /** Working-directory key for gates that stage a feed/store under
+    * java.io.tmpdir: the source-dir path FOLDED WITH the fed table's
+    * (length, mtime). Keying on the path alone poisons re-runs when the
+    * data at that path is regenerated — the stale feed replays old
+    * rows (the same immutable-input trap the operator memos guard
+    * against with planKey). Distinct data ⇒ distinct working dirs.
+    */
+  def dataKey(spark: org.apache.spark.sql.SparkSession, dir: String,
+      table: String = "documents"): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(
+        s"$dir|${st.getLen}|${st.getModificationTime}").toLong & 0xffffffffL)
+  }
 }

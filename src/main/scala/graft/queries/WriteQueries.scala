@@ -108,7 +108,7 @@ object WriteQueries extends QueryPack {
           when(col("doc_id") % 3 === 0, concat(col("text"), lit(" v2")))
             .otherwise(col("text")).as("value"))
         val r = BulkMerge.mergeKeyed(docStore(s, dir), restated, Seq("name"))
-        val key = java.lang.Integer.toHexString(dir.hashCode)
+        val key = Util.dataKey(s, dir)
         val out = s"${System.getProperty("java.io.tmpdir")}/graft_compact_$key"
         val cp = r.store.compact(out)
         cp.current.select(col("name").as("k"), col("value").as("v"))

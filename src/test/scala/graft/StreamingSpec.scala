@@ -123,6 +123,67 @@ class StreamingSpec extends AnyFunSuite {
     assert(st.all.count() == 5) // no dead duplicate versions either
   }
 
+  test("mid-stream kill: restart absorbs a partially-landed micro-batch") {
+    // the full chaos path through mergeStream ITSELF (the sibling test
+    // above exercises the BulkMerge layer directly): batch A streams in
+    // and commits; a second file arrives and the process dies AFTER
+    // half of batch B's delta landed on disk but BEFORE its checkpoint
+    // commit — the exact crash window. The RESTART (same checkpoint)
+    // re-delivers file B through the real stream: its carried handle
+    // starts fresh (a restart, like a failure, never trusts the
+    // watermark), the landed half re-classifies as unchanged, the lost
+    // half inserts past the on-disk max id.
+    import spark.implicits._
+    import graft.write.BulkMerge
+    import graft.store.GraphStore
+    val base = Files.createTempDirectory("graft_chaos_ms").toString
+    val feed = s"$base/feed"; val storeDir = s"$base/store"
+    new java.io.File(feed).mkdirs()
+    def addFile(rows: Seq[(String, String)], tag: String): Unit = {
+      val tmp = s"$base/stage_$tag"
+      rows.toDF("name", "value").coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      assert(part.renameTo(new java.io.File(s"$feed/$tag.parquet")))
+    }
+    addFile(Seq(("k:a1", "v1"), ("k:a2", "v2")), "fileA")
+    GraphStore.fromSeq(spark,
+      Seq(graft.model.Primitive.node(1, name = Some("seed")))).save(storeDir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("name",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.StringType)))
+    def runStream(): Unit = {
+      val in = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(feed)
+      Replica.mergeStream(in, Seq("name"), storeDir, s"$base/ckpt")
+        .awaitTermination()
+    }
+    runStream() // batch A applied and committed
+    assert(GraphStore.load(spark, storeDir).current.count() == 3)
+    // file B arrives; the doomed attempt classifies it and lands ONE of
+    // its three delta rows (k:a1 re-delivers too — already unchanged)
+    val batchB = Seq(("k:b1", "w1"), ("k:b2", "w2"), ("k:a1", "v1"))
+    addFile(batchB, "fileB")
+    val doomed = BulkMerge.mergeKeyed(
+      GraphStore.load(spark, storeDir, useWordIndex = false),
+      batchB.toDF("name", "value"), Seq("name"))
+    assert(doomed.inserted == 2 && doomed.unchanged == 1)
+    doomed.appended.orderBy("id").limit(1)
+      .withColumn("id_part", shiftright(col("id"),
+        GraphStore.PartShift).cast("int"))
+      .write.mode("append").partitionBy("id_part").parquet(storeDir)
+    // ...crash (no checkpoint commit for B). Restart re-delivers B.
+    runStream()
+    val st = GraphStore.load(spark, storeDir)
+    val cur = st.current.collect()
+    assert(cur.length == 5, s"seed + a1 a2 b1 b2, got ${cur.length}")
+    assert(cur.map(_.getAs[Long]("id")).distinct.length == 5)
+    assert(st.all.count() == 5) // no dup versions from the replay
+    assert(st.current.filter(col("name").startsWith("k:b")).count() == 2)
+  }
+
   test("mergeStream collapses same-key duplicates within one micro-batch") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_msd").toString
