@@ -291,18 +291,52 @@ object Similarity {
       .select(col("q_id"), col("rk"), col("n_id"), col("sim"))
   }
 
+  /** Signature width that keeps expected LSH bucket occupancy at
+    * `target` as the corpus grows: smallest b in [minBits, maxBits]
+    * with n <= 2^b * target. A FIXED width is quadratic poison at
+    * scale — bucket count is then constant, occupancy grows with n,
+    * and the same-bucket self-join grows with n²/2^b (measured: the
+    * 10x sf sweep ran the fixed-6-bit formulation 32x slower, not
+    * 10x). Bit j of a signature depends only on (seed, j), so a b-bit
+    * signature is the LOW-b-bit prefix of a wider one — engines agree
+    * on `sig & (2^b - 1)` and a SQL oracle can compute b from its own
+    * count(*) through this exact ladder.
+    */
+  def autoSigBits(n: Long, target: Int = 128,
+      minBits: Int = 6, maxBits: Int = 24): Int = {
+    var b = minBits
+    while (b < maxBits && n > (1L << b) * target) b += 1
+    b
+  }
+
+  /** Width the signatures are materialized at under auto-sizing (the
+    * ladder's maxBits): past this, maxBucket capping is the guard. */
+  val AutoSigWidth = 24
+
   /** embedding-cosine near-duplicate pairs above a threshold, via LSH
-    * buckets (the embedding flavor of Dedup).
+    * buckets (the embedding flavor of Dedup). `bits <= 0` (the
+    * default) auto-sizes the bucket key to the corpus via autoSigBits:
+    * signatures are computed once at AutoSigWidth and the bucket key
+    * masks their low autoSigBits(count) bits, so candidate volume
+    * stays ~n·target/2 instead of n²/2^bits.
     */
   def cosineNearDupPairs(df: DataFrame, threshold: Double,
-      bits: Int = 12, nProbes: Int = 4, dims: Int = 64,
+      bits: Int = -1, nProbes: Int = 4, dims: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding",
       maxBucket: Int = 100000): DataFrame = {
     // one self-join of the cached (id, probe, sig) bucket index —
     // same-bucket pairs only; candidates carry id pairs only and the
     // rescoring pass pays one dot product per pair (norms joined in).
-    val a0 = probeSigs(df, idCol, vecCol, bits, nProbes, dims)
-      .toDF("a_id", "a_probe", "a_sig")
+    val sigs0 =
+      if (bits > 0) probeSigs(df, idCol, vecCol, bits, nProbes, dims)
+      else {
+        val useBits = autoSigBits(df.count())
+        // mask OUTSIDE the memoized full-width index: every corpus
+        // size shares one cached signature materialization
+        probeSigs(df, idCol, vecCol, AutoSigWidth, nProbes, dims)
+          .withColumn("sig", col("sig").bitwiseAND(lit((1L << useBits) - 1)))
+      }
+    val a0 = sigs0.toDF("a_id", "a_probe", "a_sig")
     // hot-bucket skew guard, shared with Dedup.minhashLshPairs
     val a = Dedup.capBuckets(a0, Seq("a_probe", "a_sig"), maxBucket)
     val b = a.toDF("b_id", "b_probe", "b_sig")

@@ -275,11 +275,15 @@ object PipelineQueries extends QueryPack {
 
     // embedding-cosine near-duplicate pairs via the same md5-derived
     // LSH bucketing — the embedding flavor of dedup, exactly replayed
-    // by the oracle (bucket join + rescoring, threshold on double cos)
+    // by the oracle (bucket join + rescoring, threshold on double cos).
+    // The bucket key AUTO-SIZES to the corpus (autoSigBits ladder,
+    // mirrored in the SQL from its own count(*)): at sf0.01/sf0.1 it
+    // resolves to the historical 6 bits byte-identically; at 10x it
+    // widens so the same-bucket self-join stays linear.
     QueryDef("s03_embed_neardup",
       (s, dir) => Similarity.cosineNearDupPairs(T(s, dir).embeddings,
-        threshold = 0.45, bits = 6, nProbes = 8, dims = 64),
-      Some(embedNearDupSql(threshold = 0.45, bits = 6, nProbes = 8, dims = 64))),
+        threshold = 0.45, nProbes = 8, dims = 64),
+      Some(embedNearDupSql(threshold = 0.45, nProbes = 8, dims = 64))),
 
     // scalar quality score (C4/Gopher-style heuristic blend over the
     // t02 features)
@@ -734,13 +738,23 @@ object PipelineQueries extends QueryPack {
   /** DuckDB rendition of Similarity.cosineNearDupPairs: same bucket
     * join over one table, same threshold on the rescored double cosine.
     */
-  private def embedNearDupSql(threshold: Double, bits: Int, nProbes: Int,
+  private def embedNearDupSql(threshold: Double, nProbes: Int,
       dims: Int): String = {
+    // full-width signatures + a count(*)-driven low-bit mask: the SQL
+    // rendition of Similarity.autoSigBits — the exact same ladder
+    // (smallest b in [6,24] with n <= 2^b * 128), so both engines pick
+    // the same bucket width from the same corpus
+    val w = graft.operators.Similarity.AutoSigWidth
+    val ladder = (6 until w).map(b =>
+      s"WHEN c <= ${(1L << b) * 128L} THEN ${(1L << b) - 1}").mkString(" ")
     val sigs = (p: String) => (0 until nProbes).map(i =>
-      s"${sigExpr("vec", 42 + i, bits, dims)} AS ${p}_sig_$i").mkString(",\n  ")
-    val probeCond = (0 until nProbes).map(i => s"a_sig_$i = b_sig_$i")
+      s"${sigExpr("vec", 42 + i, w, dims)} AS ${p}_sig_$i").mkString(",\n  ")
+    val probeCond = (0 until nProbes).map(i =>
+      s"(a_sig_$i & (SELECT msk FROM prm)) = (b_sig_$i & (SELECT msk FROM prm))")
       .mkString("(", " OR ", ")")
-    s"""WITH v AS (SELECT vec_id,
+    s"""WITH prm AS (SELECT CASE $ladder ELSE ${(1L << w) - 1} END AS msk
+       |  FROM (SELECT count(*) AS c FROM embeddings)),
+       |v AS (SELECT vec_id,
        |    list_transform(embedding, x -> x::DOUBLE) AS vec FROM embeddings),
        |av AS (SELECT vec_id AS a_id, vec AS a_vec, ${sigs("a")} FROM v),
        |bv AS (SELECT vec_id AS b_id, vec AS b_vec, ${sigs("b")} FROM v),

@@ -88,6 +88,42 @@ class PipelinePropsSpec extends AnyFunSuite {
     })
   }
 
+  test("autoSigBits: ladder keeps expected bucket occupancy <= target across 6 decades") {
+    import graft.operators.Similarity
+    // boundary exactness: the SQL oracle mirrors these thresholds
+    assert(Similarity.autoSigBits(0) == 6)
+    assert(Similarity.autoSigBits((1L << 6) * 128) == 6)      // 8192 -> 6
+    assert(Similarity.autoSigBits((1L << 6) * 128 + 1) == 7)  // 8193 -> 7
+    assert(Similarity.autoSigBits(60000) == 9)
+    assert(Similarity.autoSigBits(1L << 40) == 24)            // capped
+    // the invariant the ladder encodes: occupancy n/2^b <= target
+    // whenever the cap hasn't engaged
+    for (n <- Seq(1L, 100L, 8192L, 10000L, 1000000L, 100000000L)) {
+      val b = Similarity.autoSigBits(n)
+      if (b < 24) assert(n <= (1L << b) * 128L, s"n=$n b=$b")
+    }
+  }
+
+  test("cosineNearDupPairs auto-bits == explicit bits on a small corpus (low-bit prefix identity)") {
+    import graft.operators.Similarity
+    // 40 vectors -> ladder resolves to 6 bits; the auto path computes
+    // 24-bit signatures and masks — output must be IDENTICAL to the
+    // historical explicit-6-bit formulation (bit j depends only on
+    // (seed, j), so the mask is a true prefix)
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val auto = Similarity.cosineNearDupPairs(vecs, threshold = 0.2,
+      nProbes = 3, dims = 8)
+    val explicit = Similarity.cosineNearDupPairs(vecs, threshold = 0.2,
+      bits = 6, nProbes = 3, dims = 8)
+    assert(rows(auto) == rows(explicit))
+    assert(rows(auto).nonEmpty) // a vacuous identity proves nothing
+  }
+
   test("jaccard df-cap engages: a corpus-wide boilerplate shingle yields zero spurious pairs") {
     // 30 boiler tokens after 2 unique ones: uncapped, every pair
     // shares the 28 in-boiler shingles -> J = 28/32 = 0.875 >= 0.8 ->
