@@ -90,6 +90,7 @@ object Multimodal {
 
     def decode(m: MediaRow): MediaFeatures =
       tryDecode(m).orElse(AudioCodec.tryDecode(m))
+        .orElse(VideoCodec.tryDecode(m))
         .getOrElse(StubCodec.decode(m))
   }
 
@@ -137,6 +138,110 @@ object Multimodal {
 
     def decode(m: MediaRow): MediaFeatures =
       tryDecode(m).getOrElse(StubCodec.decode(m))
+  }
+
+  /** Real video CONTAINER-HEADER metadata — no JDK video codec exists,
+    * but the container formats are public byte layouts parseable with
+    * zero dependencies: ISO BMFF (MP4/MOV — `tkhd` 16.16-fixed
+    * width/height, `stsz` sample_count = frame count) and RIFF AVI
+    * (`avih` dwWidth/dwHeight/dwTotalFrames). Header reads only; the
+    * coded payload is never touched. Non-parseable payloads (the
+    * m01/m02 gates feed UTF-8 text) fall through to the deterministic
+    * stub byte-identically; a real ffmpeg/JNI integration adds another
+    * `tryDecode` before the fallback.
+    */
+  object VideoCodec {
+    private def be32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    private def le32(b: Array[Byte], o: Int): Long =
+      ((b(o + 3) & 0xffL) << 24) | ((b(o + 2) & 0xffL) << 16) |
+        ((b(o + 1) & 0xffL) << 8) | (b(o) & 0xffL)
+    private def cc(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, "ISO-8859-1")
+
+    // ISO BMFF containers worth descending into for tkhd/stsz
+    private val boxDirs = Set("moov", "trak", "mdia", "minf", "stbl")
+    private final class Mp4Meta {
+      var w = 0; var h = 0; var frames = 0
+      def done: Boolean = w > 0 && h > 0 && frames > 0
+    }
+    private def walkBoxes(b: Array[Byte], from: Int, to: Int,
+        m: Mp4Meta, depth: Int): Unit = {
+      if (depth > 8) return
+      var o = from
+      while (o + 8 <= to && !m.done) {
+        val sz = be32(b, o)
+        val typ = cc(b, o + 4)
+        // only plain 32-bit sizes: extended (1) / to-eof (0) boxes are
+        // legal MP4 but not worth the complexity on a metadata probe
+        if (sz < 8 || o + sz > to) return
+        val end = (o + sz).toInt
+        typ match {
+          case t if boxDirs(t) => walkBoxes(b, o + 8, end, m, depth + 1)
+          case "tkhd" =>
+            val p = o + 8 // FullBox payload: version(1) flags(3) ...
+            val v = b(p) & 0xff
+            val (wo, ho) = if (v == 1) (p + 88, p + 92) else (p + 76, p + 80)
+            if (ho + 4 <= end) {
+              val w = (be32(b, wo) >> 16).toInt // 16.16 fixed
+              val h = (be32(b, ho) >> 16).toInt
+              // audio/hint tracks carry 0x0 — keep the first video one
+              if (w > 0 && h > 0 && m.w == 0) { m.w = w; m.h = h }
+            }
+          case "stsz" =>
+            val p = o + 8
+            if (p + 12 <= end && m.frames == 0) {
+              val n = be32(b, p + 8).toInt // sample_count
+              if (n > 0) m.frames = n
+            }
+          case _ => ()
+        }
+        o = end
+      }
+    }
+
+    private def tryMp4(b: Array[Byte]): Option[(Int, Int, Int)] = {
+      // every ISO BMFF file leads with a box whose type is well-known
+      if (b.length < 12) return None
+      val head = cc(b, 4)
+      if (head != "ftyp" && head != "moov" && head != "mdat" &&
+          head != "free" && head != "wide") return None
+      val m = new Mp4Meta
+      walkBoxes(b, 0, b.length, m, 0)
+      if (m.w > 0 && m.h > 0) Some((m.w, m.h, math.max(m.frames, 1))) else None
+    }
+
+    private def tryAvi(b: Array[Byte]): Option[(Int, Int, Int)] = {
+      if (b.length < 64 || cc(b, 0) != "RIFF" || cc(b, 8) != "AVI ")
+        return None
+      // the avih chunk sits inside the first hdrl LIST; a bounded
+      // forward scan for its fourcc is robust to padding variations
+      var o = 12
+      val limit = math.min(b.length - 8, 1024)
+      while (o < limit) {
+        if (cc(b, o) == "avih") {
+          val p = o + 8 // fourcc + chunk size
+          if (p + 40 > b.length) return None
+          val frames = le32(b, p + 16).toInt
+          val w = le32(b, p + 32).toInt
+          val h = le32(b, p + 36).toInt
+          if (w > 0 && h > 0) return Some((w, h, math.max(frames, 1)))
+          return None
+        }
+        o += 4
+      }
+      None
+    }
+
+    private[operators] def tryDecode(m: MediaRow): Option[MediaFeatures] =
+      if (m.media_type != "video") None
+      else
+        try tryMp4(m.media).orElse(tryAvi(m.media)).map { case (w, h, n) =>
+          val stub = StubCodec.decode(m) // sig/n_bytes codec-independent
+          stub.copy(width = w, height = h, n_frames = n, channels = 3)
+        }
+        catch { case _: Exception => None }
   }
 
   /** documents table → synthetic media table (UTF-8 payload as the

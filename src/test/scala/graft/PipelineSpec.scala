@@ -302,6 +302,62 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.width == 8000 && out.n_frames == 100 && out.channels == 2)
   }
 
+  test("multimodal: MP4 and AVI container headers decode through the video probe") {
+    // ---- a minimal hand-built ISO BMFF file: ftyp + moov(trak(tkhd,
+    // mdia(minf(stbl(stsz))))) — exactly the boxes the probe reads
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++ typ.getBytes("ISO-8859-1") ++ payload
+    // tkhd v0: version/flags + 68 bytes of fields/matrix, then
+    // 16.16-fixed width=640, height=360
+    val tkhd = box("tkhd",
+      new Array[Byte](4 + 72) ++ be32(640L << 16) ++ be32(360L << 16))
+    // stsz v0: sample_size=0, sample_count=240
+    val stsz = box("stsz", new Array[Byte](4) ++ be32(0L) ++ be32(240L))
+    val mp4 = box("ftyp", "isom0000".getBytes("ISO-8859-1")) ++
+      box("moov", box("trak",
+        tkhd ++ box("mdia", box("minf", box("stbl", stsz)))))
+    val vReal = Multimodal.ImageIoCodec.decode(
+      Multimodal.MediaRow(7L, "video", mp4))
+    assert(vReal.width == 640 && vReal.height == 360)
+    assert(vReal.n_frames == 240 && vReal.channels == 3)
+    assert(vReal.n_bytes == mp4.length)
+    assert(vReal.sig == Multimodal.StubCodec.decode(
+      Multimodal.MediaRow(7L, "video", mp4)).sig)
+    // ---- a minimal RIFF AVI: RIFF('AVI ' LIST('hdrl' avih{...}))
+    def le32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val avih = le32(33367L) ++ le32(0L) ++ le32(0L) ++ le32(0L) ++
+      le32(120L) ++ new Array[Byte](12) ++ le32(320L) ++ le32(200L) ++
+      new Array[Byte](16)
+    val hdrl = "hdrl".getBytes("ISO-8859-1") ++
+      "avih".getBytes("ISO-8859-1") ++ le32(avih.length.toLong) ++ avih
+    val aviBody = "AVI ".getBytes("ISO-8859-1") ++
+      "LIST".getBytes("ISO-8859-1") ++ le32(hdrl.length.toLong) ++ hdrl
+    val avi = "RIFF".getBytes("ISO-8859-1") ++
+      le32(aviBody.length.toLong) ++ aviBody
+    val aReal = Multimodal.ImageIoCodec.decode(
+      Multimodal.MediaRow(8L, "video", avi))
+    assert(aReal.width == 320 && aReal.height == 200 && aReal.n_frames == 120)
+    // non-parseable video payloads stay STUB-IDENTICAL (the m01/m02
+    // gates feed UTF-8 text as the opaque binary)
+    val tv = Multimodal.MediaRow(9L, "video", "not a video".getBytes)
+    assert(Multimodal.ImageIoCodec.decode(tv) ==
+      Multimodal.StubCodec.decode(tv))
+    // MP4 bytes typed "audio" route past the video probe to the stub
+    val mis = Multimodal.MediaRow(10L, "audio", mp4)
+    assert(Multimodal.ImageIoCodec.decode(mis) ==
+      Multimodal.StubCodec.decode(mis))
+    // distributed path
+    import spark.implicits._
+    val df = Seq((9L, "video", mp4)).toDF("doc_id", "media_type", "media")
+    val out = Multimodal.extractFeatures(spark, df).collect().head
+    assert(out.width == 640 && out.n_frames == 240)
+  }
+
   test("quality-retention dedup keeps the best copy, not the first") {
     // ids 1..3 share a fingerprint (same normalized text); id 2 is the
     // highest-quality rendering... all identical after normalization —
