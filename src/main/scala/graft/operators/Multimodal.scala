@@ -111,7 +111,15 @@ object Multimodal {
       try { Class.forName("javax.sound.sampled.AudioSystem"); true }
       catch { case _: Throwable => false }
 
+    /** SPI first (AudioSystem consults every installed provider, so a
+      * classpath MP3/OGG SPI lights up compressed formats with no code
+      * change here), then the dependency-free compressed-header parse,
+      * then the stub.
+      */
     private[operators] def tryDecode(m: MediaRow): Option[MediaFeatures] =
+      trySpi(m).orElse(CompressedAudio.tryDecode(m))
+
+    private def trySpi(m: MediaRow): Option[MediaFeatures] =
       if (!available || m.media_type != "audio") None
       else
         try {
@@ -140,6 +148,137 @@ object Multimodal {
       tryDecode(m).getOrElse(StubCodec.decode(m))
   }
 
+  /** Real COMPRESSED-audio header metadata with zero dependencies —
+    * the same move as the video container walkers: the JDK ships no
+    * MP3/OGG codec, but the stream headers are public byte layouts
+    * (ISO 11172-3 / 13818-3 MPEG audio frame headers; RFC 3533 OGG
+    * pages with Vorbis-I / RFC 7845 OpusHead id headers). Header reads
+    * only — the coded payload is never inflated.
+    *
+    * MediaFeatures mapping mirrors the PCM path: `width` = sample rate
+    * (Hz), `channels` = channel count, `n_frames` = MPEG frames (MP3 —
+    * what an SPI's getFrameLength reports) or PCM samples from the
+    * final page's granule position (OGG). `height` (bits per sample)
+    * is undefined for compressed streams and keeps the stub value,
+    * exactly like an SPI returning NOT_SPECIFIED.
+    *
+    * Determinism guard: an MP3 claim is accepted only when the ENTIRE
+    * payload walks as chained valid frames (plus optional ID3v1/v2
+    * tags) — arbitrary binary that happens to start with sync bits
+    * falls to the stub instead of yielding garbage metadata.
+    */
+  object CompressedAudio {
+    private def le32(b: Array[Byte], o: Int): Long =
+      ((b(o + 3) & 0xffL) << 24) | ((b(o + 2) & 0xffL) << 16) |
+        ((b(o + 1) & 0xffL) << 8) | (b(o) & 0xffL)
+    private def le64(b: Array[Byte], o: Int): Long =
+      le32(b, o) | (le32(b, o + 4) << 32)
+    private def ascii(b: Array[Byte], o: Int, s: String): Boolean =
+      o + s.length <= b.length &&
+        s.indices.forall(i => (b(o + i) & 0xff) == s.charAt(i))
+
+    // MPEG sample-rate tables by version (V1 / V2 / V2.5), Layer III
+    // bitrate tables (kbps; index 0 = free format, 15 = invalid)
+    private val srV1 = Array(44100, 48000, 32000)
+    private val srV2 = Array(22050, 24000, 16000)
+    private val srV25 = Array(11025, 12000, 8000)
+    private val brV1L3 =
+      Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    private val brV2L3 =
+      Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+
+    private def id3v2Skip(b: Array[Byte]): Int =
+      if (ascii(b, 0, "ID3") && b.length >= 10) {
+        // syncsafe 28-bit tag size, exclusive of the 10-byte header
+        val sz = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+          ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+        10 + sz
+      } else 0
+
+    /** (sampleRate, channels, mpegFrames) if the whole payload is a
+      * Layer-III MPEG stream */
+    private[operators] def tryMp3(b: Array[Byte]): Option[(Int, Int, Int)] = {
+      var o = id3v2Skip(b)
+      var frames = 0; var rate = 0; var chans = 0
+      var ok = o + 4 <= b.length
+      while (ok && o + 4 <= b.length) {
+        val h1 = b(o) & 0xff; val h2 = b(o + 1) & 0xff
+        val h3 = b(o + 2) & 0xff; val h4 = b(o + 3) & 0xff
+        // AAAAAAAA AAABBCCD EEEEFFGH IIxxxxxx: sync(11) ver(2) layer(2)
+        // _ bitrate(4) samplerate(2) padding(1) _ channelmode(2)
+        if (h1 != 0xff || (h2 & 0xe0) != 0xe0) ok = false
+        else {
+          val ver = (h2 >> 3) & 3 // 3=MPEG1 2=MPEG2 0=MPEG2.5 1=reserved
+          val layer = (h2 >> 1) & 3 // 1 = Layer III
+          val brIdx = (h3 >> 4) & 0xf
+          val srIdx = (h3 >> 2) & 3
+          val pad = (h3 >> 1) & 1
+          val mode = (h4 >> 6) & 3 // 3 = mono
+          if (ver == 1 || layer != 1 || brIdx == 0 || brIdx == 15 ||
+              srIdx == 3) ok = false
+          else {
+            val sr =
+              (if (ver == 3) srV1 else if (ver == 2) srV2 else srV25)(srIdx)
+            val kbps = (if (ver == 3) brV1L3 else brV2L3)(brIdx)
+            // Layer III frame bytes: 144 (72 for MPEG2/2.5) * bitrate /
+            // samplerate + padding
+            val len = (if (ver == 3) 144000 else 72000) * kbps / sr + pad
+            if (len <= 4 || o + len > b.length) ok = false
+            else {
+              if (frames == 0) { rate = sr; chans = if (mode == 3) 1 else 2 }
+              frames += 1
+              o += len
+            }
+          }
+        }
+      }
+      val tail = b.length - o
+      val clean = tail == 0 || (tail == 128 && ascii(b, o, "TAG")) // ID3v1
+      if (frames > 0 && clean) Some((rate, chans, frames)) else None
+    }
+
+    /** (sampleRate, channels, pcmSamples) from an OGG stream's first
+      * page (codec id header) and last page (granule position) */
+    private[operators] def tryOgg(b: Array[Byte]): Option[(Int, Int, Int)] = {
+      if (b.length < 58 || !ascii(b, 0, "OggS") || b(4) != 0) return None
+      val nSegs = b(26) & 0xff
+      val p = 27 + nSegs // first page payload = the codec's id header
+      if (p + 19 > b.length) return None
+      val (rate, chans) =
+        if ((b(p) & 0xff) == 1 && ascii(b, p + 1, "vorbis"))
+          // Vorbis-I id header: type(1) "vorbis" version(4) channels(1)
+          // rate(le32)
+          (le32(b, p + 12).toInt, b(p + 11) & 0xff)
+        else if (ascii(b, p, "OpusHead"))
+          // RFC 7845 §5.1: "OpusHead" version(1) channels(1) preskip(2)
+          // input_sample_rate(le32)
+          (le32(b, p + 12).toInt, b(p + 9) & 0xff)
+        else return None
+      if (rate <= 0 || chans <= 0) return None
+      // total PCM samples = granule position of the FINAL page; scan
+      // backward for the last capture pattern
+      var q = b.length - 27
+      while (q >= 0 && !ascii(b, q, "OggS")) q -= 1
+      if (q < 0) return None
+      val gran = le64(b, q + 6)
+      if (gran < 0) return None
+      Some((rate, chans, math.min(gran, Int.MaxValue.toLong).toInt))
+    }
+
+    private[operators] def tryDecode(m: MediaRow): Option[MediaFeatures] =
+      if (m.media_type != "audio") None
+      else
+        try tryMp3(m.media).orElse(tryOgg(m.media)).map {
+          case (rate, chans, frames) =>
+            val stub = StubCodec.decode(m) // sig/n_bytes codec-independent
+            stub.copy(
+              width = rate,
+              n_frames = if (frames > 0) frames else stub.n_frames,
+              channels = chans)
+        }
+        catch { case _: Exception => None }
+  }
+
   /** Real video CONTAINER-HEADER metadata — no JDK video codec exists,
     * but the container formats are public byte layouts parseable with
     * zero dependencies: ISO BMFF (MP4/MOV — `tkhd` 16.16-fixed
@@ -157,6 +296,8 @@ object Multimodal {
     private def le32(b: Array[Byte], o: Int): Long =
       ((b(o + 3) & 0xffL) << 24) | ((b(o + 2) & 0xffL) << 16) |
         ((b(o + 1) & 0xffL) << 8) | (b(o) & 0xffL)
+    private def be64(b: Array[Byte], o: Int): Long =
+      (be32(b, o) << 32) | be32(b, o + 4)
     private def cc(b: Array[Byte], o: Int): String =
       new String(b, o, 4, "ISO-8859-1")
 
@@ -171,16 +312,27 @@ object Multimodal {
       if (depth > 8) return
       var o = from
       while (o + 8 <= to && !m.done) {
-        val sz = be32(b, o)
+        val sz0 = be32(b, o)
         val typ = cc(b, o + 4)
-        // only plain 32-bit sizes: extended (1) / to-eof (0) boxes are
-        // legal MP4 but not worth the complexity on a metadata probe
-        if (sz < 8 || o + sz > to) return
+        // ISO 14496-12 §4.2 size encodings: size==1 carries a 64-bit
+        // largesize after the type (mandatory once a box passes 4 GiB —
+        // mdat in any real video); size==0 means the box extends to the
+        // end of the enclosing scope (legal for the last box only).
+        // Bailing on either hands real large media to the stub.
+        var hdr = 8
+        val sz: Long =
+          if (sz0 == 1L) {
+            if (o + 16 > to) return
+            hdr = 16
+            be64(b, o + 8)
+          } else if (sz0 == 0L) (to - o).toLong
+          else sz0
+        if (sz < hdr || o + sz > to) return
         val end = (o + sz).toInt
         typ match {
-          case t if boxDirs(t) => walkBoxes(b, o + 8, end, m, depth + 1)
+          case t if boxDirs(t) => walkBoxes(b, o + hdr, end, m, depth + 1)
           case "tkhd" =>
-            val p = o + 8 // FullBox payload: version(1) flags(3) ...
+            val p = o + hdr // FullBox payload: version(1) flags(3) ...
             val v = b(p) & 0xff
             val (wo, ho) = if (v == 1) (p + 88, p + 92) else (p + 76, p + 80)
             if (ho + 4 <= end) {
@@ -190,7 +342,7 @@ object Multimodal {
               if (w > 0 && h > 0 && m.w == 0) { m.w = w; m.h = h }
             }
           case "stsz" =>
-            val p = o + 8
+            val p = o + hdr
             if (p + 12 <= end && m.frames == 0) {
               val n = be32(b, p + 8).toInt // sample_count
               if (n > 0) m.frames = n

@@ -313,6 +313,20 @@ object Similarity {
     * ladder's maxBits): past this, maxBucket capping is the guard. */
   val AutoSigWidth = 24
 
+  /** Corpus-count memo: the auto-sizing count shares the signature
+    * index's lifecycle. Without it every cosineNearDupPairs call pays a
+    * full corpus scan BEFORE any real work — a driver-blocking COUNT
+    * job per invocation at 100 TB even when the signatures themselves
+    * are cache-hits — and a same-path table rewrite could size buckets
+    * from different data than the cached signatures. planKey folds the
+    * input-file fingerprint, closing both holes with one key.
+    */
+  private val countMemo =
+    new Dedup.BoundedMemoBase[Long, java.lang.Long](Dedup.memoCap)
+  private[graft] def memoizedCount(df: DataFrame): Long =
+    countMemo.getOrElseUpdateValue(
+      Dedup.planKey(df), java.lang.Long.valueOf(df.count())).longValue
+
   /** embedding-cosine near-duplicate pairs above a threshold, via LSH
     * buckets (the embedding flavor of Dedup). `bits <= 0` (the
     * default) auto-sizes the bucket key to the corpus via autoSigBits:
@@ -330,7 +344,7 @@ object Similarity {
     val sigs0 =
       if (bits > 0) probeSigs(df, idCol, vecCol, bits, nProbes, dims)
       else {
-        val useBits = autoSigBits(df.count())
+        val useBits = autoSigBits(memoizedCount(df))
         // mask OUTSIDE the memoized full-width index: every corpus
         // size shares one cached signature materialization
         probeSigs(df, idCol, vecCol, AutoSigWidth, nProbes, dims)

@@ -392,10 +392,15 @@ object PointServer {
         if (b(lo) >= x) {
           if (b(lo) == x) { out(w) = x; w += 1; lo += 1 }
         } else {
-          var bound = 1
-          while (lo + bound < b.length && b(lo + bound) < x) bound <<= 1
+          // Long probe bound: an Int doubling wraps negative once the
+          // big array passes 2^30 elements with every probed value
+          // below x, and `lo + bound` would index negative
+          var bound = 1L
+          while (lo + bound < b.length && b((lo + bound).toInt) < x)
+            bound <<= 1
           val idx = java.util.Arrays.binarySearch(
-            b, lo + (bound >> 1), math.min(lo + bound + 1, b.length), x)
+            b, lo + (bound >> 1).toInt,
+            math.min(lo + bound + 1, b.length.toLong).toInt, x)
           if (idx >= 0) { out(w) = x; w += 1; lo = idx + 1 }
           else lo = -idx - 1
         }

@@ -464,35 +464,92 @@ private[graft] object StoreLock {
     sys.props.get("graft.store.lockStaleMs").map(_.toLong)
       .getOrElse(30L * 60 * 1000)
 
-  /** acquire or throw; returns the release thunk */
+  /** acquire or throw; returns the release thunk.
+    *
+    * Two races a naive stat→delete→create reclaim loses, both closed
+    * here:
+    *  - two contenders can BOTH observe the lock as abandoned; after A
+    *    deletes and recreates it, B's delete would remove A's FRESH
+    *    lock and both writers run Overwrite concurrently. Reclaim
+    *    therefore goes through an atomic RENAME of the stale lock to a
+    *    per-contender grave name — rename fails for everyone but one,
+    *    and the loser falls back to create-exclusive (which correctly
+    *    fails against the winner's fresh lock);
+    *  - a writer stalled past lockStaleMs gets reclaimed, then its
+    *    release() fires and would delete the RECLAIMER's lock. Release
+    *    deletes only if the lock file still carries this writer's
+    *    unique token.
+    * Rename can still grab a fresh lock created in the stat→rename
+    * window, so the winner re-checks the grave's mtime against the
+    * stat it acted on and restores (renames back) anything newer.
+    */
   def acquire(spark: SparkSession, path: String): () => Unit = {
     val lock = new org.apache.hadoop.fs.Path(
       path.stripSuffix("/") + ".lock")
     val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val writerId =
+      s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}/" +
+        java.util.UUID.randomUUID().toString
     def tryCreate(): Boolean =
       try {
         val out = fs.create(lock, false)
-        out.write(
-          s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}\n"
-            .getBytes("UTF-8"))
+        out.write(s"$writerId\n".getBytes("UTF-8"))
         out.close()
         true
       } catch { case _: java.io.IOException => false }
-    val got = tryCreate() || {
-      // reclaim an abandoned lock (writer crashed mid-save)
-      val abandoned =
-        try System.currentTimeMillis() -
-          fs.getFileStatus(lock).getModificationTime > staleMs
-        catch { case _: java.io.IOException => true } // vanished: retry
-      abandoned && fs.delete(lock, false) && tryCreate()
+    def reclaim(): Boolean = {
+      val observed =
+        try Some(fs.getFileStatus(lock).getModificationTime)
+        catch { case _: java.io.IOException => None } // vanished: retry create
+      observed match {
+        case None => tryCreate()
+        case Some(mtime)
+            if System.currentTimeMillis() - mtime > staleMs =>
+          val grave = new org.apache.hadoop.fs.Path(
+            lock.toString + ".reclaim." +
+              java.lang.Integer.toHexString(writerId.hashCode))
+          val won =
+            try fs.rename(lock, grave)
+            catch { case _: java.io.IOException => false }
+          if (!won) tryCreate() // another contender's rename won; race
+          else {
+            // identity check: did we grave the file we stat'ed, or a
+            // fresh lock created in the window? mtime is the identity
+            // (staleMs is minutes; fresh locks are seconds old)
+            val graveMtime =
+              try fs.getFileStatus(grave).getModificationTime
+              catch { case _: java.io.IOException => mtime }
+            if (graveMtime == mtime) { fs.delete(grave, false); tryCreate() }
+            else {
+              // we grabbed a live writer's lock — put it back
+              try fs.rename(grave, lock)
+              catch { case _: java.io.IOException => () }
+              false
+            }
+          }
+        case Some(_) => false // live lock
+      }
     }
+    val got = tryCreate() || reclaim()
     if (!got)
       throw new IllegalStateException(
         s"store at $path is locked by another writer ($lock); a second " +
           "concurrent save/compact would corrupt the overwrite — wait for " +
           "it to finish (abandoned locks self-expire after " +
           s"${staleMs / 1000}s)")
-    () => { fs.delete(lock, false); () }
+    () => {
+      // delete only OUR lock: if we stalled past staleMs and were
+      // reclaimed, the file now carries the reclaimer's token
+      val stillMine =
+        try {
+          val in = fs.open(lock)
+          val buf = new Array[Byte](writerId.length)
+          try in.readFully(0L, buf) finally in.close() // EOF => not ours
+          new String(buf, "UTF-8") == writerId
+        } catch { case _: java.io.IOException => false }
+      if (stillMine) fs.delete(lock, false)
+      ()
+    }
   }
 
   def withLock[T](spark: SparkSession, path: String)(body: => T): T = {

@@ -302,6 +302,89 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.width == 8000 && out.n_frames == 100 && out.channels == 2)
   }
 
+  test("multimodal: MP3 frame headers decode through the compressed-audio probe") {
+    // MPEG1 Layer III 44.1kHz 128kbps stereo: header ff fb 90 00,
+    // frame length 144000*128/44100 = 417 bytes
+    val f1 = Array(0xff, 0xfb, 0x90, 0x00).map(_.toByte) ++
+      new Array[Byte](413)
+    val id3v2 = "ID3".getBytes("ISO-8859-1") ++
+      Array[Byte](4, 0, 0) ++ Array[Byte](0, 0, 0, 0) // empty syncsafe tag
+    val id3v1 = "TAG".getBytes("ISO-8859-1") ++ new Array[Byte](125)
+    val mp3 = id3v2 ++ f1 ++ f1 ++ f1 ++ id3v1
+    val real = Multimodal.AudioCodec.decode(
+      Multimodal.MediaRow(20L, "audio", mp3))
+    assert(real.width == 44100) // sample rate rides in width
+    assert(real.channels == 2 && real.n_frames == 3)
+    assert(real.n_bytes == mp3.length)
+    assert(real.sig == Multimodal.StubCodec.decode(
+      Multimodal.MediaRow(20L, "audio", mp3)).sig)
+    // MPEG2 Layer III 24kHz 32kbps mono: ff f3 44 c0, frame length
+    // 72000*32/24000 = 96 bytes — the V2 rate/bitrate tables
+    val f2 = Array(0xff, 0xf3, 0x44, 0xc0).map(_.toByte) ++
+      new Array[Byte](92)
+    val mono = f2 ++ f2
+    val r2 = Multimodal.AudioCodec.decode(
+      Multimodal.MediaRow(21L, "audio", mono))
+    assert(r2.width == 24000 && r2.channels == 1 && r2.n_frames == 2)
+    // determinism guard: valid sync bits followed by non-frame bytes
+    // must NOT claim the payload — whole-stream walk or stub
+    val junk = Array(0xff, 0xfb, 0x90, 0x00).map(_.toByte) ++
+      "definitely not four hundred bytes".getBytes
+    assert(Multimodal.AudioCodec.decode(
+      Multimodal.MediaRow(22L, "audio", junk)) ==
+      Multimodal.StubCodec.decode(Multimodal.MediaRow(22L, "audio", junk)))
+  }
+
+  test("multimodal: OGG page headers decode through the compressed-audio probe") {
+    def le32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le64(v: Long): Array[Byte] = le32(v & 0xffffffffL) ++ le32(v >>> 32)
+    def page(typ: Int, granule: Long, seq: Long, segs: Array[Byte],
+        payload: Array[Byte]): Array[Byte] =
+      "OggS".getBytes("ISO-8859-1") ++ Array[Byte](0, typ.toByte) ++
+        le64(granule) ++ le32(0x1234L) ++ le32(seq) ++ le32(0L) ++
+        Array(segs.length.toByte) ++ segs ++ payload
+    // Opus: id header on the BOS page, total samples on the EOS granule
+    val opusHead = "OpusHead".getBytes("ISO-8859-1") ++
+      Array[Byte](1, 2) ++ Array[Byte](0x38, 1) ++ le32(48000L) ++
+      Array[Byte](0, 0, 0)
+    val ogg = page(2, 0L, 0L, Array(opusHead.length.toByte), opusHead) ++
+      page(4, 96000L, 1L, Array[Byte](), Array[Byte]())
+    val real = Multimodal.AudioCodec.decode(
+      Multimodal.MediaRow(23L, "audio", ogg))
+    assert(real.width == 48000 && real.channels == 2)
+    assert(real.n_frames == 96000) // PCM samples from the final granule
+    // Vorbis-I id header variant
+    val vorbisId = Array[Byte](1) ++ "vorbis".getBytes("ISO-8859-1") ++
+      le32(0L) ++ Array[Byte](2) ++ le32(22050L) ++ new Array[Byte](17)
+    val oggV = page(2, 0L, 0L, Array(vorbisId.length.toByte), vorbisId) ++
+      page(4, 44100L, 1L, Array[Byte](), Array[Byte]())
+    val rv = Multimodal.AudioCodec.decode(
+      Multimodal.MediaRow(24L, "audio", oggV))
+    assert(rv.width == 22050 && rv.channels == 2 && rv.n_frames == 44100)
+  }
+
+  test("multimodal: an installed MP3/OGG AudioSystem SPI takes precedence (clean skip without one)") {
+    // the SPI seam: AudioSystem consults every installed provider, so a
+    // classpath MP3 SPI serves compressed formats ahead of the header
+    // parse. This container ships none — the test cancels cleanly then.
+    val f1 = Array(0xff, 0xfb, 0x90, 0x00).map(_.toByte) ++
+      new Array[Byte](413)
+    val spiPresent =
+      try {
+        javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(f1 ++ f1))
+        true
+      } catch { case _: Exception => false }
+    assume(spiPresent,
+      "no MP3 AudioSystem SPI on this classpath — the probe falls " +
+        "through to the header parse (covered by the MP3 test above)")
+    val real = Multimodal.AudioCodec.decode(
+      Multimodal.MediaRow(25L, "audio", f1 ++ f1))
+    assert(real.width == 44100 && real.channels == 2)
+  }
+
   test("multimodal: MP4 and AVI container headers decode through the video probe") {
     // ---- a minimal hand-built ISO BMFF file: ftyp + moov(trak(tkhd,
     // mdia(minf(stbl(stsz))))) — exactly the boxes the probe reads
@@ -356,6 +439,45 @@ class PipelineSpec extends AnyFunSuite {
     val df = Seq((9L, "video", mp4)).toDF("doc_id", "media_type", "media")
     val out = Multimodal.extractFeatures(spark, df).collect().head
     assert(out.width == 640 && out.n_frames == 240)
+  }
+
+  test("multimodal: BMFF largesize and to-EOF boxes decode real metadata") {
+    // ISO 14496-12 §4.2: size==1 carries a 64-bit largesize after the
+    // type (mandatory past 4 GiB — mdat in any real video); size==0
+    // runs to the end of the enclosing scope. A probe that bails on
+    // either silently hands real large media to the stub.
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++ typ.getBytes("ISO-8859-1") ++ payload
+    def largeBox(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(1L) ++ typ.getBytes("ISO-8859-1") ++
+        be32(0L) ++ be32(payload.length + 16L) ++ payload // 64-bit size
+    def eofBox(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(0L) ++ typ.getBytes("ISO-8859-1") ++ payload // runs to EOF
+    val tkhd = box("tkhd",
+      new Array[Byte](4 + 72) ++ be32(1280L << 16) ++ be32(720L << 16))
+    val stsz = box("stsz", new Array[Byte](4) ++ be32(0L) ++ be32(360L))
+    val trak = box("trak",
+      tkhd ++ box("mdia", box("minf", box("stbl", stsz))))
+    // moov as a LARGESIZE box
+    val mp4Large = box("ftyp", "isom0000".getBytes("ISO-8859-1")) ++
+      largeBox("moov", trak)
+    val rl = Multimodal.ImageIoCodec.decode(
+      Multimodal.MediaRow(30L, "video", mp4Large))
+    assert(rl.width == 1280 && rl.height == 720 && rl.n_frames == 360)
+    // moov as the final TO-EOF box
+    val mp4Eof = box("ftyp", "isom0000".getBytes("ISO-8859-1")) ++
+      eofBox("moov", trak)
+    val re = Multimodal.ImageIoCodec.decode(
+      Multimodal.MediaRow(31L, "video", mp4Eof))
+    assert(re.width == 1280 && re.height == 720 && re.n_frames == 360)
+    // a truncated largesize header still falls to the stub, not a throw
+    val cut = Multimodal.MediaRow(32L, "video",
+      be32(1L) ++ "moov".getBytes("ISO-8859-1") ++ be32(0L))
+    assert(Multimodal.ImageIoCodec.decode(cut) ==
+      Multimodal.StubCodec.decode(cut))
   }
 
   test("quality-retention dedup keeps the best copy, not the first") {

@@ -44,18 +44,58 @@ class PlanInvariantSpec extends AnyFunSuite {
     }
   }
 
+  /** BNLJ nodes whose OWN build-side subtree does not cap at one row.
+    * A BNLJ over a LocalLimit(1)/GlobalLimit(1) build is Catalyst's
+    * rewrite of a CONSTANT-key semi-join into an existence probe
+    * (a05's salted hot-key branch joins on literal 0) — O(n) against a
+    * <=1-row broadcast, not an all-pairs join. Structural walk of the
+    * physical tree (subqueries included): a flat-string window around
+    * the node name can be fooled by an unrelated `LocalLimit 1`
+    * landing nearby in the explain text; the subtree cannot.
+    */
+  private def multiRowBnljs(
+      plan: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec}
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    plan.collectWithSubqueries {
+      case j: BroadcastNestedLoopJoinExec =>
+        val build = j.buildSide match {
+          case BuildLeft => j.left
+          case BuildRight => j.right
+        }
+        val oneRowBuild = build.collect {
+          case l: LocalLimitExec if l.limit == 1 => l
+          case g: GlobalLimitExec if g.limit == 1 => g
+        }.nonEmpty
+        if (oneRowBuild) None else Some(j.simpleString(120))
+    }.flatten
+  }
+
   test("nested-loop joins only where all-pairs is the semantics (s01)") {
-    // a BNLJ whose build side is LocalLimit(1) is Catalyst's rewrite of
-    // a CONSTANT-key semi-join into an existence probe (a05's salted
-    // hot-key branch joins on literal 0) — O(n) against a <=1-row
-    // broadcast, not an all-pairs join; only BNLJs with a real
-    // multi-row build side violate the invariant
-    val probe = """BroadcastNestedLoopJoin[\s\S]{0,2000}?LocalLimit 1""".r
     planOnly.filterNot(_ == "s01_knn_brute").foreach { q =>
-      assert(!probe.replaceAllIn(physical(q), "")
-          .contains("BroadcastNestedLoopJoin"),
-        s"$q plans a nested-loop join over a multi-row build side")
+      val bad = multiRowBnljs(
+        SparkEntry.queries(q)(spark, dir).queryExecution.sparkPlan)
+      assert(bad.isEmpty,
+        s"$q plans a nested-loop join over a multi-row build side:\n" +
+          bad.mkString("\n"))
     }
+  }
+
+  test("the BNLJ checker catches a multi-row build planted next to an existence probe") {
+    import org.apache.spark.sql.functions.broadcast
+    val big = spark.range(100).toDF("n")
+    val one = spark.range(5).toDF("m").limit(1)
+    val multi = spark.range(3).toDF("k")
+    val probe = big.crossJoin(broadcast(one)) // exempt: <=1-row build
+    assert(multiRowBnljs(probe.queryExecution.sparkPlan).isEmpty,
+      "the existence-probe shape must stay exempt")
+    // the old regex window would excise everything between the planted
+    // BNLJ and the probe's LocalLimit 1 and miss the violation
+    val planted = big.crossJoin(broadcast(multi))
+      .crossJoin(broadcast(one))
+    assert(multiRowBnljs(planted.queryExecution.sparkPlan).nonEmpty,
+      "a planted multi-row-build BNLJ must be caught")
   }
 
   test("filter pushdown and column pruning reach the lineitem scan (q01)") {

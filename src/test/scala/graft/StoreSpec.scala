@@ -91,6 +91,32 @@ class StoreSpec extends AnyFunSuite {
     assert(!lockFile.exists())
   }
 
+  test("single-writer lock: a reclaimed writer's late release never deletes the reclaimer's lock") {
+    val dir = Files.createTempDirectory("graft_lock2").toString + "/prims"
+    val lockFile = new java.io.File(dir + ".lock")
+    // writer A acquires, then stalls past the stale horizon (simulated
+    // by aging its lock file); contender B reclaims the abandoned lock
+    val releaseA = graft.store.StoreLock.acquire(spark, dir)
+    assert(lockFile.setLastModified(
+      System.currentTimeMillis() - 31L * 60 * 1000))
+    val releaseB = graft.store.StoreLock.acquire(spark, dir)
+    assert(lockFile.exists())
+    // reclaim leaves no grave marker behind
+    assert(!Option(lockFile.getParentFile.listFiles()).get
+      .exists(_.getName.contains(".reclaim.")))
+    // A's LATE release must be a no-op — the lock now carries B's
+    // token; an unconditional delete here would let a third writer in
+    // while B is still mid-overwrite
+    releaseA()
+    assert(lockFile.exists(), "A's stale release deleted B's live lock")
+    // and a third contender still fails fast against B's live lock
+    intercept[IllegalStateException] {
+      graft.store.StoreLock.acquire(spark, dir)
+    }
+    releaseB()
+    assert(!lockFile.exists())
+  }
+
   test("compact materializes the current view: no versions, no window") {
     import graft.write.Writer
     // v1 → v2 of one doc, a tombstoned node, a plain survivor
