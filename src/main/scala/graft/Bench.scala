@@ -162,68 +162,26 @@ object Bench {
       pool.shutdown()
       (nClients.toLong * n) / ((System.nanoTime() - t0) / 1e9)
     }
-    // steady-state measurement: a real multithreaded warmup first (the
-    // serve path JIT-compiles over thousands of calls — one priming
-    // request leaves most of the timed window interpreting), then drop
-    // the query suite's garbage so the timed run isn't paying its GC
-    // PEAK sustained throughput over several windows — the same way
-    // the reference's steady-state figure was taken. Single windows on
-    // a shared box land anywhere between half and full speed (CPU
-    // contention from whatever else the host runs lands inside one
-    // window); the max of three is the machine's actual capability.
-    drive(256, i => answer(simpleQ(i)))
-    System.gc()
-    val perClient = 2048
-    val qps = (1 to 3).map(_ => drive(perClient, i => answer(simpleQ(i)))).max
-
-    // the same workload through the SHARD ROUTER (3 shards): the
-    // serving tier's horizontal story — each shard holds 1/n of the
-    // corpus (plus endpoint-co-located links), the router
-    // scatter-gathers and merges by id. ShardRouterSpec gates
-    // equivalence; this measures the routing overhead. On ONE box the
-    // scatter-gather fan-out costs ~15µs per shard per query against
-    // a ~120µs query, so the unsorted figure trails the single
-    // snapshot by that constant — the tier's win is horizontal
-    // (per-node memory stays 1/n, which is what lets the corpus
-    // outgrow one machine) plus the SORTED path below, where the
-    // per-shard n/k·log(n/k) sort + page-prefix cap beats the single
-    // snapshot's full n·log n even on one box.
+    // SORTED point reads drive the same pattern through the
+    // comparator-key path with a page cap
+    val sortedQ = (i: Int) =>
+      s"""read (type="customer" value~="${1 + i % 997}" sort=value pagesize=10 result=((guid value)))"""
+    // the SHARD ROUTER (3 shards): the serving tier's horizontal story
+    // — each shard holds 1/n of the corpus (plus endpoint-co-located
+    // links), the router scatter-gathers and merges by id.
+    // ShardRouterSpec gates equivalence; this measures routing
+    // overhead. SERVING.md carries the measured scatter-tax model: on
+    // ONE box an unsorted thin read pays k-1 extra fixed probe costs
+    // plus the merge against a probe that is already ~3-7µs, so the
+    // unsorted routed figure structurally trails the single snapshot;
+    // the tier's win is horizontal capacity (per-node memory 1/n) and
+    // the sorted path's per-shard n/k·log(n/k) + page-prefix cap.
     val sharded = graft.serve.ShardRouter.build(st0, 3)
     def answerSharded(q: String): Long =
       graft.serve.ShardRouter.serve(sharded, q) match {
         case Some(s) => s.rows.length.toLong
         case None => answer(q)
       }
-    drive(64, i => answerSharded(simpleQ(i)))
-    System.gc()
-    val qpsSharded =
-      (1 to 3).map(_ => drive(512, i => answerSharded(simpleQ(i)))).max
-
-    // SORTED point reads, unsharded vs routed: the router k-way-merges
-    // per-shard comparator-key streams (each shard pre-pages to the
-    // global page prefix) — the figure that shows sorted pages survive
-    // the horizontal split
-    val sortedQ = (i: Int) =>
-      s"""read (type="customer" value~="${1 + i % 997}" sort=value pagesize=10 result=((guid value)))"""
-    drive(64, i => answer(sortedQ(i)))
-    System.gc()
-    val qpsSorted =
-      (1 to 3).map(_ => drive(512, i => answer(sortedQ(i)))).max
-    drive(64, i => answerSharded(sortedQ(i)))
-    System.gc()
-    val qpsSortedSharded =
-      (1 to 3).map(_ => drive(512, i => answerSharded(sortedQ(i)))).max
-
-    // the same loop through full Catalyst planning+execution — the
-    // analytics path a query takes when it misses the serving tier.
-    // AQE off: its per-stage replanning adds ~100ms of driver gaps to a
-    // 2-stage point query (small cached inputs, broadcast-hinted joins).
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    drive(2, i => { graft.plan.ReadPlanner.plan(st0, simpleQ(i)).collect(); () })
-    val qpsSpark = (1 to 2).map(_ => drive(8,
-      i => { graft.plan.ReadPlanner.plan(st0, simpleQ(i)).collect(); () })).max
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
-
     // batched point-read throughput: 1000 guid lookups in ONE plan —
     // the way a Spark engine actually serves bulk point reads. Each
     // resolved id corresponds to one reference "simple query".
@@ -237,7 +195,116 @@ object Bench {
         .count()
       resolved / ((System.nanoTime() - t1) / 1e9)
     }
-    val batchQps = (1 to 3).map(_ => batchRun()).max
+    def sparkPathRun(perClient: Int): Double = {
+      // full Catalyst planning+execution — the analytics path a query
+      // takes when it misses the serving tier, and the CODE-INDEPENDENT
+      // CANARY for window classification (it exercises scheduler +
+      // codegen infrastructure, not this repo's serving code). AQE off:
+      // per-stage replanning adds ~100ms of driver gaps to a 2-stage
+      // point query.
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val v = drive(perClient,
+        i => { graft.plan.ReadPlanner.plan(st0, simpleQ(i)).collect(); () })
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      v
+    }
+
+    // steady-state warmup: the serve paths JIT-compile over thousands
+    // of calls — one priming request would leave most of the timed
+    // windows interpreting; then drop the query suite's garbage so the
+    // timed windows aren't paying its GC
+    drive(256, i => answer(simpleQ(i)))
+    drive(128, i => answerSharded(simpleQ(i)))
+    drive(128, i => answer(sortedQ(i)))
+    drive(128, i => answerSharded(sortedQ(i)))
+    sparkPathRun(2)
+    System.gc()
+
+    // canary-classified windows (the methodology SCALING.md uses for
+    // the query suite, applied to ALL serving figures): this box
+    // shares a virtualized host whose contention swings identical
+    // binaries 3-10x, and a single window cannot distinguish a code
+    // regression from a co-tenant stall. Each window measures the
+    // canary FIRST, then every figure; a figure's published value is
+    // its best over QUIET windows (canary >= 100 — the empirical
+    // quiet/contended boundary, see SERVING.md), falling back to best
+    // over all windows when the host never went quiet. The raw
+    // per-window values ride along in the JSON so any reader can
+    // re-classify.
+    val nWindows =
+      sys.env.getOrElse("SPARK_GRAFT_SERVING_WINDOWS", "3").toInt
+    val quietBar = 100.0
+    val figNames = Seq("qps_simple", "qps_simple_sharded", "qps_sorted",
+      "qps_sorted_sharded", "qps_point_batched")
+    val windows = (1 to nWindows).map { _ =>
+      val canary = sparkPathRun(8)
+      val figs = Seq(
+        "qps_simple" -> drive(4096, i => answer(simpleQ(i))),
+        "qps_simple_sharded" -> drive(2048, i => answerSharded(simpleQ(i))),
+        "qps_sorted" -> drive(2048, i => answer(sortedQ(i))),
+        "qps_sorted_sharded" -> drive(2048, i => answerSharded(sortedQ(i))),
+        "qps_point_batched" -> batchRun())
+      System.gc()
+      (canary, figs.toMap)
+    }
+    val quiet = windows.filter(_._1 >= quietBar)
+    val pool = if (quiet.nonEmpty) quiet else windows
+    def fig(name: String): Double = pool.map(_._2(name)).max
+    val qps = fig("qps_simple")
+    val qpsSharded = fig("qps_simple_sharded")
+    val qpsSorted = fig("qps_sorted")
+    val qpsSortedSharded = fig("qps_sorted_sharded")
+    val batchQps = fig("qps_point_batched")
+    val qpsSpark = windows.map(_._1).max
+    val windowsJson = windows.map { case (c, figs) =>
+      (Seq("canary" -> c) ++ figNames.map(n => n -> figs(n)))
+        .map { case (k, v) => "\"" + k + "\":" + f"$v%.1f" }
+        .mkString("{", ",", "}")
+    }.mkString("[", ",", "]")
+
+    // --- per-round sf1 scale subset (SCALING.md's ten worst-ratio
+    // queries): scaling regressions should surface in BENCH_rN, not in
+    // a once-off sweep. Written to BENCH_sf1.json (stderr progress
+    // only — stdout stays the driver's single JSON line), with ratios
+    // against the round-9 sweep's canary-classified sf1 minima.
+    val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR",
+      "/root/repo/scaledata/sf1")
+    val sf1On = sys.env.getOrElse("SPARK_GRAFT_BENCH_SF1", "1") == "1" &&
+      only.isEmpty && new java.io.File(sf1Dir).isDirectory
+    if (sf1On) try {
+      // round-9 sf1 minima (SCALING.md table) for the ratio column
+      val r9 = Seq(
+        "g10_gql_prefix" -> 1.37, "s03_embed_neardup" -> 11.35,
+        "g03_gql_exists" -> 7.30, "a02_connected_components" -> 10.48,
+        "q22_datetime_sort" -> 2.66, "m02_frame_sample" -> 2.50,
+        "g07_gql_match" -> 0.89, "g08_gql_vrange" -> 2.43,
+        "m01_multimodal_features" -> 2.19, "q13_window_newest" -> 2.10)
+      val best1 = scala.collection.mutable.LinkedHashMap
+        .empty[String, Double] ++= r9.map(_._1 -> -1.0)
+      for (rep <- 1 to 2; (name, _) <- r9) {
+        val t0 = System.nanoTime()
+        val ok =
+          try { SparkEntry.queries(name)(spark, sf1Dir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench-sf1] $name FAILED: ${e.getMessage}")
+            false
+          }
+        val secs = (System.nanoTime() - t0) / 1e9
+        if (ok && (best1(name) < 0 || secs < best1(name))) best1(name) = secs
+        System.err.println(f"[bench-sf1] rep$rep $name%-28s $secs%6.2f s")
+      }
+      val body = r9.map { case (name, ref) =>
+        val v = best1(name)
+        val ratio = if (v >= 0) v / ref else -1.0
+        "\"" + name + "\":{\"sec\":" + f"$v%.3f" +
+          ",\"r9_sec\":" + ref + ",\"vs_r9\":" + f"$ratio%.2f" + "}"
+      }.mkString("{", ",", "}")
+      val w = new java.io.PrintWriter("BENCH_sf1.json")
+      w.println(s"""{"sf":"$sf1Dir","canary_qps_spark_path":$qpsSpark,"queries":$body}""")
+      w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench-sf1] skipped: ${e.getMessage}")
+    }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -245,7 +312,7 @@ object Bench {
     // stop BEFORE printing: shutdown warnings must not land after the
     // JSON line the driver parses off stdout
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"qps_simple":$qps,"qps_simple_sharded":$qpsSharded,"qps_sorted":$qpsSorted,"qps_sorted_sharded":$qpsSortedSharded,"qps_spark_path":$qpsSpark,"qps_point_batched":$batchQps,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"qps_simple":$qps,"qps_simple_sharded":$qpsSharded,"qps_sorted":$qpsSorted,"qps_sorted_sharded":$qpsSortedSharded,"qps_spark_path":$qpsSpark,"qps_point_batched":$batchQps,"serving_quiet_bar":100,"serving_windows":$windowsJson,"sf":"$sfDir"}""")
     Console.out.flush()
   }
 }

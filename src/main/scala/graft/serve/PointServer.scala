@@ -175,8 +175,17 @@ object PointServer {
         * meaning nulls-last) */
       sortKeys: Seq[Array[String]] = Nil)
 
-  def serve(ix: Index, query: String): Option[Served] =
-    serve(ix, Parser.parseRead(query))
+  /** text entry — parse + vetting come from the prepared-statement
+    * cache (StatementCache): a steady-state server re-answers the same
+    * query shapes, and the ~17µs parse dwarfs the ~7µs probe
+    */
+  def serve(ix: Index, query: String): Option[Served] = {
+    val p = StatementCache.prepared(query)
+    p.single match {
+      case Some(flat) => serveVetted(ix, p.c, flat, emitSortKeys = false)
+      case None => None
+    }
+  }
 
   def serve(ix: Index, c: Constraint): Option[Served] =
     serve(ix, c, emitSortKeys = false)
@@ -238,9 +247,30 @@ object PointServer {
       case Some(ps) => ps
       case None => return None
     }
-    var out = cand.filter(p => ix.home(ix.ids(p)) && accepts(ix, c, p))
+    // unsorted paged reads EARLY-TERMINATE: candidates arrive in the
+    // output order (ascending id), so the page [start, start+pagesize)
+    // needs only the first start+pagesize accepted rows — the lazy-
+    // iterator semantics of the reference's next-loop (a fat predicate
+    // behind `pagesize=100` must not pay an accept per corpus match).
+    // Counts and sorted reads still consume every candidate; the
+    // remaining eager stage is the candidate-postings intersect itself,
+    // documented in SERVING.md as the next laziness lever.
+    val isCount = flat == Seq(CountPat)
+    var out =
+      if (!isCount && c.sort.isEmpty && c.pagesize.isDefined) {
+        val cap = math.min(
+          c.start.getOrElse(0L) + c.pagesize.get, cand.length.toLong).toInt
+        val buf = new scala.collection.mutable.ArrayBuilder.ofInt
+        var i = 0; var n = 0
+        while (i < cand.length && n < cap) {
+          val p = cand(i)
+          if (ix.home(ix.ids(p)) && accepts(ix, c, p)) { buf += p; n += 1 }
+          i += 1
+        }
+        buf.result()
+      } else cand.filter(p => ix.home(ix.ids(p)) && accepts(ix, c, p))
     // root count result
-    if (flat == Seq(CountPat))
+    if (isCount)
       return Some(Served(Seq("count"), Seq(Array[Any](out.length.toLong))))
     // sort: comparator keys over value/name, id tiebreak. Keys are
     // MATERIALIZED once per row before sorting — a sortWith that calls

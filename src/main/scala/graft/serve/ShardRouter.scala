@@ -66,23 +66,41 @@ object ShardRouter {
     Shards(shards, n)
   }
 
-  def serve(sh: Shards, query: String): Option[PointServer.Served] =
-    serve(sh, Parser.parseRead(query))
+  /** The scatter plan the router derives once per query shape: the
+    * per-shard constraint (un-started, prefix-capped), the flattened
+    * result pattern, and the merge's sort directions. Cached per query
+    * string in [[StatementCache]] — on the point-read hot path the
+    * locality analysis + vetting below costs ~2.4µs against a ~2.9µs
+    * per-shard probe (ServeProfile).
+    */
+  final case class RoutedPlan(shardC: Constraint, flat: Seq[graft.gql.Pattern],
+      sorted: Boolean, dirs: Array[Boolean])
 
-  def serve(sh: Shards, c: Constraint): Option[PointServer.Served] = {
-    // shard locality covers root predicates + left/right fan-in
-    // children ONLY: a shard holds every link whose left/right
-    // endpoint it owns, so those postings are complete. Everything
-    // else is non-local and falls back to the full plan:
-    //  - `left->(...)` children read the node AT an endpoint —
-    //    possibly foreign — as do linkage-less children (the point
-    //    server infers a parent->child direction for them);
-    //  - `<-typeguid` / `<-scope` fan-ins count postings co-located
-    //    by their OWN endpoints, not by typeguid/scope, so a shard
-    //    sees only a fraction of them;
-    //  - 2-hop children chain further.
-    // Root count BOUNDS are a global property; the router only
-    // answers bounds-free roots (count RESULTS aggregate fine).
+  def serve(sh: Shards, query: String): Option[PointServer.Served] = {
+    val p = StatementCache.prepared(query)
+    p.routed.flatMap(r => serveRouted(sh, p.c, r))
+  }
+
+  def serve(sh: Shards, c: Constraint): Option[PointServer.Served] =
+    routedPlan(c).flatMap(r => serveRouted(sh, c, r))
+
+  /** None = not a routed query class; fall back to the full plan.
+    *
+    * Shard locality covers root predicates + left/right fan-in
+    * children ONLY: a shard holds every link whose left/right
+    * endpoint it owns, so those postings are complete. Everything
+    * else is non-local:
+    *  - `left->(...)` children read the node AT an endpoint —
+    *    possibly foreign — as do linkage-less children (the point
+    *    server infers a parent->child direction for them);
+    *  - `<-typeguid` / `<-scope` fan-ins count postings co-located
+    *    by their OWN endpoints, not by typeguid/scope, so a shard
+    *    sees only a fraction of them;
+    *  - 2-hop children chain further.
+    * Root count BOUNDS are a global property; the router only
+    * answers bounds-free roots (count RESULTS aggregate fine).
+    */
+  private[serve] def routedPlan(c: Constraint): Option[RoutedPlan] = {
     if (c.effectiveCount != CountBounds()) return None
     def shardLocal(sub: Constraint): Boolean = sub.effectiveLinkage match {
       case Some(ChildPointsToParent(f)) => f == "left" || f == "right"
@@ -101,19 +119,24 @@ object ShardRouter {
     // validate + flatten the result pattern ONCE; per-shard calls take
     // the vetted fast entry
     if (!PointServer.servableFor(shardC)) return None
-    val flat = PointServer.flatFor(shardC) match {
-      case Some(f) => f
-      case None => return None
-    }
+    PointServer.flatFor(shardC).map(flat =>
+      RoutedPlan(shardC, flat, c.sort.nonEmpty,
+        c.sort.map(_.ascending).toArray))
+  }
+
+  private[serve] def serveRouted(sh: Shards, c: Constraint, r: RoutedPlan)
+      : Option[PointServer.Served] = {
+    // sort keys ride along only when the merge needs them (sorted
+    // reads); the unsorted merge keys on ascending id alone
     val per = sh.shards.map(ix =>
-      PointServer.serveVetted(ix, shardC, flat, emitSortKeys = true))
+      PointServer.serveVetted(ix, r.shardC, r.flat, emitSortKeys = r.sorted))
     if (per.exists(_.isEmpty)) return None
     val answers = per.flatten
     if (answers.headOption.exists(_.columns == Seq("count"))) {
       val total = answers.map(_.rows.head(0).asInstanceOf[Long]).sum
       return Some(PointServer.Served(Seq("count"), Seq(Array[Any](total))))
     }
-    val (ids, rows) = kWayMerge(answers, c)
+    val (ids, rows) = kWayMerge(answers, c, r.dirs)
     Some(PointServer.Served(answers.head.columns, rows, ids))
   }
 
@@ -125,8 +148,8 @@ object ShardRouter {
     * SPECIALIZED primitive-long loop (no comparator indirection, no
     * per-row tuple — this is every scatter-gather point read's tail).
     */
-  private def kWayMerge(answers: Vector[PointServer.Served], c: Constraint)
-      : (Vector[Long], Vector[Array[Any]]) = {
+  private def kWayMerge(answers: Vector[PointServer.Served], c: Constraint,
+      dirs: Array[Boolean]): (Vector[Long], Vector[Array[Any]]) = {
     val n = answers.length
     val cursors = new Array[Int](n)
     val total = answers.map(_.rowIds.length).sum
@@ -139,8 +162,7 @@ object ShardRouter {
     val outIds = Vector.newBuilder[Long]
     val outRows = Vector.newBuilder[Array[Any]]
     outIds.sizeHint(wanted); outRows.sizeHint(wanted)
-    val sorted = c.sort.nonEmpty
-    val dirs = c.sort.map(_.ascending).toArray
+    val sorted = dirs.length > 0
     def lt(s: Int, i: Int, t: Int, j: Int): Boolean = {
       val r = PointServer.keyCompare(
         answers(s).sortKeys(i), answers(t).sortKeys(j), dirs)
