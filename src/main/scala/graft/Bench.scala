@@ -120,6 +120,14 @@ object Bench {
       if (ok && (best(name) < 0 || secs < best(name))) best(name) = secs
     }
     val results = best.toSeq
+    // serving section opt-out: targeted scale spot-runs (e.g. the sf10
+    // probe) time SUITE queries only — building a multi-10M-primitive
+    // serving snapshot there measures nothing the probe asks about
+    val skipServing =
+      sys.env.get("SPARK_GRAFT_BENCH_SKIP_SERVING").contains("1")
+    val (qps, qpsSharded, qpsSorted, qpsSortedSharded, batchQps, qpsSpark,
+        windowsJson) = if (skipServing) (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, "[]")
+    else {
     // drop the per-query plan caches (shingle sets, adjacency, etc.)
     // before the serving measurements: the throughput section should
     // run against a quiet executor, the way the reference's steady-
@@ -250,17 +258,15 @@ object Bench {
     val quiet = windows.filter(_._1 >= quietBar)
     val pool = if (quiet.nonEmpty) quiet else windows
     def fig(name: String): Double = pool.map(_._2(name)).max
-    val qps = fig("qps_simple")
-    val qpsSharded = fig("qps_simple_sharded")
-    val qpsSorted = fig("qps_sorted")
-    val qpsSortedSharded = fig("qps_sorted_sharded")
-    val batchQps = fig("qps_point_batched")
-    val qpsSpark = windows.map(_._1).max
-    val windowsJson = windows.map { case (c, figs) =>
+    val wJson = windows.map { case (c, figs) =>
       (Seq("canary" -> c) ++ figNames.map(n => n -> figs(n)))
         .map { case (k, v) => "\"" + k + "\":" + f"$v%.1f" }
         .mkString("{", ",", "}")
     }.mkString("[", ",", "]")
+    (fig("qps_simple"), fig("qps_simple_sharded"), fig("qps_sorted"),
+      fig("qps_sorted_sharded"), fig("qps_point_batched"),
+      windows.map(_._1).max, wJson)
+    }
 
     // --- per-round sf1 scale subset (SCALING.md's ten worst-ratio
     // queries): scaling regressions should surface in BENCH_rN, not in

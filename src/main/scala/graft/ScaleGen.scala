@@ -35,6 +35,13 @@ object ScaleGen {
     val base = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("scaledata/sf1")
     val k = args.lift(2).map(_.toInt).getOrElse(10)
+    // optional comma-separated table filter (4th arg): a targeted
+    // spot-run (e.g. the sf10 probe of SCALING.md's worst-ratio
+    // queries) only needs the tables those queries read — generating
+    // 100x lineitem to measure an embeddings query wastes an hour of
+    // generator wall time. Empty/absent = all tables.
+    val tableFilter = args.lift(3).map(_.split(",").map(_.trim).toSet)
+    def wanted(t: String): Boolean = tableFilter.forall(_.contains(t))
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-scalegen")
@@ -53,6 +60,7 @@ object ScaleGen {
     // one parquet FILE per table (the driver's layout; DuckDB reads the
     // bare path): write the coalesced dir, then move the part file up
     def writeOne(df: DataFrame, t: String): Unit = {
+      if (!wanted(t)) return
       val tmp = s"$out/__tmp_$t"
       df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
       val fs = new org.apache.hadoop.fs.Path(out)
