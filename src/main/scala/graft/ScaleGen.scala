@@ -126,13 +126,24 @@ object ScaleGen {
       .drop("__r")
     writeOne(salted, "documents")
 
+    // the rotation index wraps at the vector width (k can exceed the
+    // 64-dim rotation budget), and each full cycle FLIPS SIGN —
+    // norm-preserving, direction-reversing — so replicas 0..2·dims-1
+    // carry distinct direction sets and cross-replica cosines stay far
+    // from +1 (near-dup statistics keep scaling linearly past k=dims;
+    // for k<=dims this is byte-identical to the plain rotation)
+    val dims = size(col("embedding"))
+    val rot = (col("__r") % dims).cast("int")
+    val flip = when(((col("__r") / dims).cast("int") % 2) === 1,
+      lit(-1.0f)).otherwise(lit(1.0f))
     writeOne(rep(load("embeddings"))
       .withColumn("embedding",
         when(col("__r") === 0, col("embedding")).otherwise(
-          concat(
-            slice(col("embedding"), col("__r").cast("int") + 1,
-              size(col("embedding")) - col("__r").cast("int")),
-            slice(col("embedding"), lit(1), col("__r").cast("int")))))
+          transform(
+            concat(
+              slice(col("embedding"), rot + lit(1), dims - rot),
+              slice(col("embedding"), lit(1), rot)),
+            x => x * flip)))
       .withColumn("vec_id", col("vec_id") + col("__r") * vecOff)
       .drop("__r"), "embeddings")
 
