@@ -121,6 +121,22 @@ class ServeSpec extends AnyFunSuite {
     check("""read (type="person" sort=(-value) start=1 pagesize=2 result=((guid value)))""")
   }
 
+  test("unsorted page early-termination returns the eager prefix; counts stay full") {
+    // the paged accept loop stops at start+pagesize accepted rows — the
+    // result must be exactly the eager (filter-everything) prefix, and
+    // a count result must NOT be clipped by a page bound
+    def serve(q: String) =
+      PointServer.serve(ix, graft.gql.Parser.parseRead(q)).get
+    val all = serve("""read (type="person" result=((guid value)))""")
+    val paged = serve("""read (type="person" pagesize=2 result=((guid value)))""")
+    assert(paged.rows.map(_.toSeq) == all.rows.take(2).map(_.toSeq))
+    val started =
+      serve("""read (type="person" start=1 pagesize=2 result=((guid value)))""")
+    assert(started.rows.map(_.toSeq) == all.rows.slice(1, 3).map(_.toSeq))
+    val counted = serve("""read (type="person" pagesize=2 result=count)""")
+    assert(counted.rows.head(0) == all.rows.length.toLong)
+  }
+
   test("count result") {
     check("""read (type="person" result=count)""")
     check("""read (typeguid=3 result=count)""")
