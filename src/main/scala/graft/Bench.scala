@@ -203,16 +203,28 @@ object Bench {
         .count()
       resolved / ((System.nanoTime() - t1) / 1e9)
     }
+    // full Catalyst planning+execution — the analytics path a query
+    // takes when it misses the serving tier, and the CANARY for window
+    // classification. A canary must be CODE- and DATA-independent (a
+    // pure host meter), so it always runs against the fixed reference
+    // corpus regardless of the benched SF — the round-9/10 sf1 runs
+    // mis-read their own windows because the canary scanned the 10x
+    // corpus and reported 'contended' at its own quiet value.
+    val canaryDir = sys.env.getOrElse("SPARK_GRAFT_CANARY_DIR",
+      "/root/testdata/sf0.1")
+    val stCanary =
+      if (canaryDir == sfDir) st0
+      else {
+        val s = graft.store.GraphAdapter.store(spark, canaryDir)
+        s.current.count()
+        s
+      }
     def sparkPathRun(perClient: Int): Double = {
-      // full Catalyst planning+execution — the analytics path a query
-      // takes when it misses the serving tier, and the CODE-INDEPENDENT
-      // CANARY for window classification (it exercises scheduler +
-      // codegen infrastructure, not this repo's serving code). AQE off:
-      // per-stage replanning adds ~100ms of driver gaps to a 2-stage
-      // point query.
+      // AQE off: per-stage replanning adds ~100ms of driver gaps to a
+      // 2-stage point query.
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       val v = drive(perClient,
-        i => { graft.plan.ReadPlanner.plan(st0, simpleQ(i)).collect(); () })
+        i => { graft.plan.ReadPlanner.plan(stCanary, simpleQ(i)).collect(); () })
       spark.conf.set("spark.sql.adaptive.enabled", "true")
       v
     }

@@ -182,7 +182,8 @@ object PointServer {
   def serve(ix: Index, query: String): Option[Served] = {
     val p = StatementCache.prepared(query)
     p.single match {
-      case Some(flat) => serveVetted(ix, p.c, flat, emitSortKeys = false)
+      case Some(flat) =>
+        serveVetted(ix, p.c, flat, emitSortKeys = false, p.wordKeys)
       case None => None
     }
   }
@@ -242,8 +243,10 @@ object PointServer {
     * overhead on the point-read hot path)
     */
   private[serve] def serveVetted(ix: Index, c: Constraint,
-      flat: Seq[Pattern], emitSortKeys: Boolean): Option[Served] = {
-    val cand = candidates(ix, c) match {
+      flat: Seq[Pattern], emitSortKeys: Boolean,
+      wordKeys: Seq[Seq[Either[String, String]]] = null): Option[Served] = {
+    val wk = if (wordKeys != null) wordKeys else wordProbeKeys(c)
+    val cand = candidates(ix, c, wk) match {
       case Some(ps) => ps
       case None => return None
     }
@@ -453,7 +456,47 @@ object PointServer {
     * each producer is a sorted id stream, the AND is their merge; the
     * per-candidate check then re-verifies everything exactly
     */
-  private def candidates(ix: Index, c: Constraint): Option[Array[Int]] = {
+  /** Word/prefix index probe keys for the value predicates — one list
+    * of keys per pred that can prune soundly (Left = exact word,
+    * Right = prefix range). Constraint-only (regex segmentation of the
+    * pattern, no index access), so the prepared-statement cache
+    * derives it ONCE per query shape instead of once per shard per
+    * call on the scatter hot path.
+    */
+  private[serve] def wordProbeKeys(c: Constraint)
+      : Seq[Seq[Either[String, String]]] = {
+    val fromMatch = c.value.filter(_.op == OpMatch).flatMap { p =>
+      // a null alternative admits NULL-VALUED rows, which no word
+      // posting contains — index pruning is unsound for the pred
+      if (p.values.exists(_.isEmpty)) None
+      else {
+        val keys = p.values.flatten.map(pat =>
+          GraphdText.firstIndexWord(pat).map(Left(_))
+            .orElse(GraphdText.firstIndexPrefix(pat).map(Right(_))))
+        if (keys.nonEmpty && keys.forall(_.isDefined)) Some(keys.flatten)
+        else None
+      }
+    }
+    val fromEq =
+      if (Seq("default", "case-insensitive")
+          .contains(c.valueComparator.getOrElse(c.comparator)))
+        c.value.filter(_.op == OpEq).flatMap { p =>
+          // fractional decimals compare NORMALIZED under these
+          // comparators (sortKey("0.5")==sortKey(".50")) but the word
+          // index holds raw digit runs (words(".50")=["50"]) — no
+          // sound index key exists; same guard as firstIndexWord
+          val ws = p.values.map(_.flatMap(v =>
+            if (GraphdText.hasFractionalDigit(v)) None
+            else GraphdText.words(v).headOption))
+          if (ws.nonEmpty && ws.forall(_.isDefined)) Some(ws.flatten.map(Left(_)))
+          else None
+        }
+      else Nil
+    fromMatch ++ fromEq
+  }
+
+  private def candidates(ix: Index, c: Constraint,
+      wordKeys: Seq[Seq[Either[String, String]]]): Option[Array[Int]] = {
     val producers = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
     def offer(a: Array[Int]): Unit = producers += a
     // explicit guid set
@@ -461,43 +504,14 @@ object PointServer {
       offer(g.serials.flatten.map(ix.posOf).filter(_ >= 0).sorted.toArray)
     }
     // word/prefix index for value~= / normalized value=
-    locally {
-      val fromMatch = c.value.filter(_.op == OpMatch).flatMap { p =>
-        // a null alternative admits NULL-VALUED rows, which no word
-        // posting contains — index pruning is unsound for the pred
-        if (p.values.exists(_.isEmpty)) None
-        else {
-          val keys = p.values.flatten.map(pat =>
-            GraphdText.firstIndexWord(pat).map(Left(_))
-              .orElse(GraphdText.firstIndexPrefix(pat).map(Right(_))))
-          if (keys.nonEmpty && keys.forall(_.isDefined)) Some(keys.flatten)
-          else None
-        }
-      }
-      val fromEq =
-        if (Seq("default", "case-insensitive")
-            .contains(c.valueComparator.getOrElse(c.comparator)))
-          c.value.filter(_.op == OpEq).flatMap { p =>
-            // fractional decimals compare NORMALIZED under these
-            // comparators (sortKey("0.5")==sortKey(".50")) but the word
-            // index holds raw digit runs (words(".50")=["50"]) — no
-            // sound index key exists; same guard as firstIndexWord
-            val ws = p.values.map(_.flatMap(v =>
-              if (GraphdText.hasFractionalDigit(v)) None
-              else GraphdText.words(v).headOption))
-            if (ws.nonEmpty && ws.forall(_.isDefined)) Some(ws.flatten.map(Left(_)))
-            else None
-          }
-        else Nil
-      (fromMatch ++ fromEq).foreach { keys =>
-        offer(mergePostings(keys.map {
-          case Left(w) =>
-            val p = ix.words.get(w); if (p == null) Array.empty[Int] else p
-          case Right(pre) =>
-            import scala.jdk.CollectionConverters._
-            mergePostings(ix.words.subMap(pre, pre + "￿").values.asScala.toSeq)
-        }))
-      }
+    wordKeys.foreach { keys =>
+      offer(mergePostings(keys.map {
+        case Left(w) =>
+          val p = ix.words.get(w); if (p == null) Array.empty[Int] else p
+        case Right(pre) =>
+          import scala.jdk.CollectionConverters._
+          mergePostings(ix.words.subMap(pre, pre + "￿").values.asScala.toSeq)
+      }))
     }
     // endpoint postings (gmap analog — the reference indexes all four
     // linkages incl. scope, PDB_LINKAGE_SCOPE)

@@ -74,7 +74,8 @@ object ShardRouter {
     * per-shard probe (ServeProfile).
     */
   final case class RoutedPlan(shardC: Constraint, flat: Seq[graft.gql.Pattern],
-      sorted: Boolean, dirs: Array[Boolean])
+      sorted: Boolean, dirs: Array[Boolean],
+      wordKeys: Seq[Seq[Either[String, String]]])
 
   def serve(sh: Shards, query: String): Option[PointServer.Served] = {
     val p = StatementCache.prepared(query)
@@ -121,7 +122,8 @@ object ShardRouter {
     if (!PointServer.servableFor(shardC)) return None
     PointServer.flatFor(shardC).map(flat =>
       RoutedPlan(shardC, flat, c.sort.nonEmpty,
-        c.sort.map(_.ascending).toArray))
+        c.sort.map(_.ascending).toArray,
+        PointServer.wordProbeKeys(shardC)))
   }
 
   private[serve] def serveRouted(sh: Shards, c: Constraint, r: RoutedPlan)
@@ -129,7 +131,8 @@ object ShardRouter {
     // sort keys ride along only when the merge needs them (sorted
     // reads); the unsorted merge keys on ascending id alone
     val per = sh.shards.map(ix =>
-      PointServer.serveVetted(ix, r.shardC, r.flat, emitSortKeys = r.sorted))
+      PointServer.serveVetted(ix, r.shardC, r.flat, emitSortKeys = r.sorted,
+        r.wordKeys))
     if (per.exists(_.isEmpty)) return None
     val answers = per.flatten
     if (answers.headOption.exists(_.columns == Seq("count"))) {

@@ -37,7 +37,10 @@ private[graft] object StatementCache {
   final case class Prepared(
       c: Constraint,
       single: Option[Seq[Pattern]],
-      routed: Option[ShardRouter.RoutedPlan])
+      routed: Option[ShardRouter.RoutedPlan],
+      /** word/prefix probe keys — the regex-heavy constraint analysis
+        * the candidate producer needs, derived once per query shape */
+      wordKeys: Seq[Seq[Either[String, String]]])
 
   private val map = new ConcurrentHashMap[String, Prepared]()
 
@@ -48,7 +51,8 @@ private[graft] object StatementCache {
       val c = Parser.parseRead(q)
       val single =
         if (PointServer.servableFor(c)) PointServer.flatFor(c) else None
-      val p = Prepared(c, single, ShardRouter.routedPlan(c))
+      val p = Prepared(c, single, ShardRouter.routedPlan(c),
+        PointServer.wordProbeKeys(c))
       if (map.size >= cap) map.clear()
       map.put(q, p)
       p
