@@ -246,32 +246,45 @@ object PointServer {
       flat: Seq[Pattern], emitSortKeys: Boolean,
       wordKeys: Seq[Seq[Either[String, String]]] = null): Option[Served] = {
     val wk = if (wordKeys != null) wordKeys else wordProbeKeys(c)
-    val cand = candidates(ix, c, wk) match {
-      case Some(ps) => ps
-      case None => return None
-    }
-    // unsorted paged reads EARLY-TERMINATE: candidates arrive in the
-    // output order (ascending id), so the page [start, start+pagesize)
-    // needs only the first start+pagesize accepted rows — the lazy-
-    // iterator semantics of the reference's next-loop (a fat predicate
-    // behind `pagesize=100` must not pay an accept per corpus match).
-    // Counts and sorted reads still consume every candidate; the
-    // remaining eager stage is the candidate-postings intersect itself,
-    // documented in SERVING.md as the next laziness lever.
+    // unsorted paged reads are FULLY LAZY: candidates pull through the
+    // and-cursor (leapfrog intersect) and the accept loop stops at
+    // start+pagesize accepted rows — the reference's iterator
+    // next-loop semantics. Neither the posting intersection nor the
+    // accept checks run past the page (a fat predicate behind
+    // `pagesize=100` pays for 100 rows, not the corpus). Counts and
+    // sorted reads still consume every candidate eagerly.
     val isCount = flat == Seq(CountPat)
     var out =
       if (!isCount && c.sort.isEmpty && c.pagesize.isDefined) {
-        val cap = math.min(
-          c.start.getOrElse(0L) + c.pagesize.get, cand.length.toLong).toInt
+        val cap = math.max(
+          math.min(c.start.getOrElse(0L) + c.pagesize.get,
+            Int.MaxValue.toLong).toInt, 0)
         val buf = new scala.collection.mutable.ArrayBuilder.ofInt
-        var i = 0; var n = 0
-        while (i < cand.length && n < cap) {
-          val p = cand(i)
-          if (ix.home(ix.ids(p)) && accepts(ix, c, p)) { buf += p; n += 1 }
-          i += 1
+        var n = 0
+        val producers = producersOf(ix, c, wk)
+        if (producers.isEmpty) {
+          // no index prunes: bounded scan of the snapshot
+          var p = 0
+          while (p < ix.size && n < cap) {
+            if (ix.home(ix.ids(p)) && accepts(ix, c, p)) { buf += p; n += 1 }
+            p += 1
+          }
+        } else {
+          val cur = new AndCursor(producers.toArray)
+          var p = cur.next()
+          while (p >= 0 && n < cap) {
+            if (ix.home(ix.ids(p)) && accepts(ix, c, p)) { buf += p; n += 1 }
+            p = cur.next()
+          }
         }
         buf.result()
-      } else cand.filter(p => ix.home(ix.ids(p)) && accepts(ix, c, p))
+      } else {
+        val cand = candidates(ix, c, wk) match {
+          case Some(ps) => ps
+          case None => return None
+        }
+        cand.filter(p => ix.home(ix.ids(p)) && accepts(ix, c, p))
+      }
     // root count result
     if (isCount)
       return Some(Served(Seq("count"), Seq(Array[Any](out.length.toLong))))
@@ -495,8 +508,13 @@ object PointServer {
     fromMatch ++ fromEq
   }
 
-  private def candidates(ix: Index, c: Constraint,
-      wordKeys: Seq[Seq[Either[String, String]]]): Option[Array[Int]] = {
+  /** the sorted posting lists the constraint's index-sound predicates
+    * produce — the and-iterator's producer set. Empty = no index can
+    * prune; the caller scans the snapshot.
+    */
+  private def producersOf(ix: Index, c: Constraint,
+      wordKeys: Seq[Seq[Either[String, String]]])
+      : scala.collection.mutable.ArrayBuffer[Array[Int]] = {
     val producers = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
     def offer(a: Array[Int]): Unit = producers += a
     // explicit guid set
@@ -542,6 +560,12 @@ object PointServer {
         val a = ix.byType.get(id); if (a == null) Array.empty[Int] else a
       }))
     }
+    producers
+  }
+
+  private def candidates(ix: Index, c: Constraint,
+      wordKeys: Seq[Seq[Either[String, String]]]): Option[Array[Int]] = {
+    val producers = producersOf(ix, c, wordKeys)
     if (producers.nonEmpty) {
       // smallest-first so each merge shrinks the running set fastest
       val sorted = producers.sortBy(_.length)
@@ -555,6 +579,51 @@ object PointServer {
     // full scan of the snapshot — correct, but not a point read; only
     // sensible for small shards
     else Some(Array.range(0, ix.size))
+  }
+
+  /** Pull-based sorted intersect over the candidate producers — the
+    * reference's and-iterator next-loop (graphd-iterator-and.c's
+    * producer/checker contract; libaddb/addb-idarray-intersect.c is
+    * its batch analog). Leapfrog with galloping advance: each next()
+    * costs O(producers · log(posting)) amortized, so an early-
+    * terminating consumer (an unsorted paged read) pays for the PAGE,
+    * not for materializing the full intersection — at a 100 TB shard's
+    * posting sizes the eager intersect would dominate every paged
+    * point read.
+    */
+  private[graft] final class AndCursor(producers: Array[Array[Int]]) {
+    private val pos = new Array[Int](producers.length)
+    /** next common element in ascending order, or -1 when drained */
+    def next(): Int = {
+      val n = producers.length
+      if (n == 0 || pos(0) >= producers(0).length) return -1
+      var cand = producers(0)(pos(0))
+      var agree = 1 // producers verified to contain cand, starting at #0
+      var k = if (n == 1) 0 else 1
+      while (agree < n) {
+        val arr = producers(k)
+        var i = pos(k)
+        if (i >= arr.length) return -1
+        if (arr(i) < cand) {
+          // gallop to the first element >= cand (Long bound: cannot wrap)
+          var bound = 1L
+          while (i + bound < arr.length && arr((i + bound).toInt) < cand)
+            bound <<= 1
+          val idx = java.util.Arrays.binarySearch(arr, i + (bound >> 1).toInt,
+            math.min(i + bound + 1, arr.length.toLong).toInt, cand)
+          i = if (idx >= 0) idx else -idx - 1
+          pos(k) = i
+          if (i >= arr.length) return -1
+        }
+        if (arr(i) == cand) agree += 1
+        else { cand = arr(i); agree = 1 } // new frontier; re-verify the rest
+        k += 1; if (k == n) k = 0
+      }
+      // all producers sit AT cand; step everyone past it
+      var j = 0
+      while (j < n) { pos(j) += 1; j += 1 }
+      cand
+    }
   }
 
   // ---------- per-candidate check (graphd-match.c analog) ----------

@@ -121,6 +121,26 @@ class ServeSpec extends AnyFunSuite {
     check("""read (type="person" sort=(-value) start=1 pagesize=2 result=((guid value)))""")
   }
 
+  test("and-cursor leapfrog equals the eager sorted intersection") {
+    // the pull-based intersect behind unsorted paged reads must yield
+    // EXACTLY the eager intersection, in ascending order, for any
+    // producer mix (empty lists, single producer, skewed sizes)
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 300) {
+      val n = 1 + rnd.nextInt(4)
+      val producers = Array.fill(n) {
+        val size = rnd.nextInt(60)
+        val max = 1 + rnd.nextInt(120)
+        Array.fill(size)(rnd.nextInt(max)).distinct.sorted
+      }
+      val expect = producers.map(_.toSet).reduce(_ intersect _).toSeq.sorted
+      val cur = new PointServer.AndCursor(producers)
+      val got = Iterator.continually(cur.next()).takeWhile(_ >= 0).toList
+      assert(got == expect,
+        producers.map(_.mkString("[", ",", "]")).mkString(" "))
+    }
+  }
+
   test("unsorted page early-termination returns the eager prefix; counts stay full") {
     // the paged accept loop stops at start+pagesize accepted rows — the
     // result must be exactly the eager (filter-everything) prefix, and
