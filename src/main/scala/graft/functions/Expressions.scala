@@ -301,6 +301,36 @@ final case class CentroidTable(cents: Array[(Int, Array[Double])])
   }
 }
 
+/** Bloom-filter membership probe over a string column. The filter
+  * rides inside the expression (task-closure serialized, surfaced to
+  * codegen via addReferenceObj) so the probe is a pure compiled
+  * projection — no join, no UDF codegen barrier. `false` is definitive
+  * (no false negatives); `true` means "might", so exact consumers must
+  * confirm positives (see Dedup.incrementalNew — the filter prunes the
+  * shuffle, a confirming anti-join keeps the semantics exact).
+  */
+case class BloomProbe(child: Expression,
+    bf: org.apache.spark.util.sketch.BloomFilter) extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes() = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bloom_probe expects a string input, got $other")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    bf.mightContainBinary(v.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloom", bf,
+      "org.apache.spark.util.sketch.BloomFilter")
+    defineCodeGen(ctx, ev, c => s"$ref.mightContainBinary($c.getBytes())")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomProbe =
+    copy(child = newChild)
+}
+
 /** codegen helpers — dense numeric arrays (no null elements), as
   * embedding columns are by construction
   */
@@ -360,6 +390,13 @@ object GraphdFunctions {
     */
   def vec_nearest(a: Column, cents: Array[(Int, Array[Double])], n: Int): Column =
     column(VecNearestCids(expression(a), cents, n))
+
+  /** compiled Bloom membership probe of a string column (false is
+    * definitive-absent; true needs exact confirmation)
+    */
+  def bloom_probe(c: Column,
+      bf: org.apache.spark.util.sketch.BloomFilter): Column =
+    column(BloomProbe(expression(c), bf))
 
   /** per-group bounded top-k aggregate (graphd-sort-root.c analog):
     * the k smallest elements in the element type's natural ascending

@@ -155,6 +155,90 @@ object Dedup {
           .as("keep_id"),
         max(col("__q")).as("quality"))
 
+  /** Exact duplicated-SPAN detection — the window-level analog of
+    * [[exact]]: near-verbatim reuse surfaces even when whole-document
+    * fingerprints differ (the suffix-array exact-substring dedup of
+    * "Deduplicating Training Data Makes Language Models Better" recast
+    * as one hash aggregation over strided character windows).
+    *
+    * Windows of `width` chars at `stride` offsets over whitespace-
+    * normalized text; a span is reported when it appears in >=
+    * `minDocs` DISTINCT documents. Shape at 100 TB: the window
+    * emission is map-only (len/stride rows per doc, done in a typed
+    * flatMap so the normalization runs once per document — a column
+    * `transform` would get the regexp inlined into every lambda
+    * element by CollapseProject, going quadratic per doc, the same
+    * trap [[shingleSet]] documents); the distinct step shuffles on
+    * (span, doc) with map-side partial aggregation, so a boilerplate
+    * span repeated through one document costs one row per map
+    * partition, not one per occurrence; the count step re-shuffles
+    * only one row per (span, doc). No pair join exists anywhere, so
+    * there is no quadratic to cap — corpus-wide boilerplate degrades
+    * into ONE aggregation row, not an n² fan-out. (At 100 TB the
+    * shuffle key would be xxhash64(span) with one representative span
+    * carried via min; here the span text IS the result, and the gate
+    * compares it byte-for-byte against the oracle.)
+    */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      width: Int = 50, stride: Int = 25, minDocs: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(width > 0 && stride > 0)
+    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val t = text.trim.toLowerCase.replaceAll("\\s+", " ")
+        if (t.length < width) Iterator.empty
+        else Range.inclusive(0, t.length - width, stride).iterator
+          .map(i => (id, t.substring(i, i + width)))
+      }
+      .toDF(idCol, "span")
+      // explicit two-phase distinct-count: both aggregations are
+      // partial-aggregable map-side (a grouped countDistinct would
+      // plan the same two exchanges through Expand, less legibly)
+      .groupBy(col("span"), col(idCol)).agg(count(lit(1)).as("__occ"))
+      .groupBy(col("span"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("first_doc"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
+  /** Incremental dedup of a new batch against an (immutable, already-
+    * deduped) history corpus: returns the batch rows whose normalized
+    * fingerprint does NOT appear in history — EXACT semantics at a
+    * fraction of the anti-join's shuffle.
+    *
+    * Mechanics: one distributed pass over history builds a Bloom
+    * filter of its fingerprints (`expectedItems`/`fpp` size it; pass
+    * the history cardinality you track — at 100 TB you know it — or
+    * let the operator count once). The batch then splits by a
+    * compiled [[graft.functions.BloomProbe]] projection:
+    *
+    *  - probe=false rows are DEFINITELY new (Bloom has no false
+    *    negatives) and ship straight to the output — zero shuffle;
+    *  - probe=true rows (true dups + ~fpp false positives) are the
+    *    only rows entering the exact confirming anti-join.
+    *
+    * With a deduped history and a mostly-novel batch the anti-join's
+    * left side shrinks from |batch| to |dups| + fpp·|batch| — the
+    * filter prunes the shuffle, the join keeps the answer exact, so
+    * the output is byte-identical to the plain anti-join the oracle
+    * states. History still streams through the join's build side once;
+    * the Bloom pass is the price of not shuffling the batch.
+    */
+  def incrementalNew(batch: DataFrame, history: DataFrame, idCol: String,
+      textCol: String, expectedItems: Long = -1L, fpp: Double = 0.01)
+      : DataFrame = {
+    val bFp = batch.select(col(idCol),
+      TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    val hFp = history.select(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    val items = if (expectedItems > 0) expectedItems
+      else math.max(hFp.count(), 1L)
+    val bf = hFp.stat.bloomFilter("fp", items, fpp)
+    val might = graft.functions.GraphdFunctions.bloom_probe(col("fp"), bf)
+    val definitelyNew = bFp.filter(!might)
+    val confirmedNew = bFp.filter(might).join(hFp, Seq("fp"), "left_anti")
+    definitelyNew.unionByName(confirmedNew).select(col(idCol), col("fp"))
+  }
+
   /** id -> distinct shingle hashes (the inverted-index source).
     *
     * Shingling runs in a typed flatMap — a pure column expression here

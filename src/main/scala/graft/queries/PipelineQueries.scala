@@ -189,6 +189,50 @@ object PipelineQueries extends QueryPack {
              | FROM documents WHERE doc_id % 10 = 0""".stripMargin
           .replace("\n", " ")))),
 
+    // exact duplicated-SPAN detection (window-level dedup): strided
+    // 50-char windows over normalized text, spans appearing in >= 2
+    // distinct docs. No pair join anywhere — boilerplate degrades into
+    // one aggregation row, so this needs no df-cap. The oracle builds
+    // the identical window set with generate_series + substring.
+    QueryDef("d09_substring_spans",
+      (s, dir) => Dedup.duplicatedSpans(T(s, dir).documents, "doc_id", "text",
+        width = 50, stride = 25),
+      Some("""WITH t AS (SELECT doc_id,
+             |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+             |  FROM documents),
+             |w AS (SELECT DISTINCT doc_id,
+             |    substring(t, CAST(i AS INT), 50) AS span
+             |  FROM t, LATERAL unnest(generate_series(1, length(t) - 49, 25)) AS g(i)
+             |  WHERE length(t) >= 50)
+             |SELECT span, count(*) AS n_docs, min(doc_id) AS first_doc
+             |FROM w GROUP BY 1 HAVING count(*) >= 2""".stripMargin)),
+
+    // incremental dedup of a new batch against history through a
+    // Bloom-filter pre-prune + exact confirming anti-join (output is
+    // byte-identical to the plain anti-join the oracle states; the
+    // Bloom only decides which rows may skip the shuffle). The batch
+    // mixes true dups (re-keyed copies of history docs — must NOT
+    // surface) with genuinely new docs (marker-suffixed — must).
+    QueryDef("p13_incremental_dedup",
+      (s, dir) => {
+        val docs = T(s, dir).documents.select(col("doc_id"), col("text"))
+        val batch = docs.filter(pmod(col("doc_id"), lit(10L)) === 0)
+          .select((col("doc_id") + 900000L).as("doc_id"), col("text"))
+          .unionByName(docs.filter(pmod(col("doc_id"), lit(10L)) === 5)
+            .select((col("doc_id") + 950000L).as("doc_id"),
+              concat(col("text"), lit(" fresh novel tail")).as("text")))
+        Dedup.incrementalNew(batch, docs, "doc_id", "text")
+      },
+      Some(s"""WITH batch AS (
+             |  SELECT doc_id + 900000 AS doc_id, text
+             |  FROM documents WHERE doc_id % 10 = 0
+             |  UNION ALL
+             |  SELECT doc_id + 950000, text || ' fresh novel tail'
+             |  FROM documents WHERE doc_id % 10 = 5),
+             |h AS (SELECT $sqlFp AS fp FROM documents)
+             |SELECT doc_id, $sqlFp AS fp FROM batch b
+             |WHERE NOT EXISTS (SELECT 1 FROM h WHERE h.fp = $sqlFp)""".stripMargin)),
+
     // SimHash hamming-distance pairs — md5-derived 60-bit signatures
     // are engine-portable, so the oracle rebuilds them bit-for-bit.
     QueryDef("d04_simhash",

@@ -702,4 +702,74 @@ class PipelineSpec extends AnyFunSuite {
     assert(r(3L) == "call <PHONE> now")
     assert(r(4L) == "nothing sensitive here")
   }
+
+  test("duplicated spans: shared windows surface, within-doc repeats don't") {
+    // docs 1/2 share a long verbatim prefix (>= width) but differ at
+    // the tail, so whole-doc dedup misses them; doc 3 repeats ITS OWN
+    // window twice (within-doc repeat must not count as n_docs 2);
+    // doc 4 is shorter than the window and must emit nothing.
+    val pre = "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    val d = Seq(
+      (1L, pre + "ending one"),
+      (2L, pre + "a different ending two"),
+      (3L, (pre + pre).trim),
+      (4L, "tiny")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(d, "doc_id", "text",
+        width = 40, stride = 20, minDocs = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    // every reported span really is a window of >= 2 distinct docs
+    val norm = Map(
+      1L -> (pre + "ending one"),
+      2L -> (pre + "a different ending two"),
+      3L -> (pre + pre).trim,
+      4L -> "tiny"
+    ).map { case (k, v) => k -> v.trim.toLowerCase.replaceAll("\\s+", " ") }
+    out.foreach { case (span, nDocs, firstDoc) =>
+      val holders = norm.filter { case (_, t) =>
+        Range.inclusive(0, math.max(t.length - 40, -1), 20)
+          .exists(i => t.length >= 40 && t.substring(i, i + 40) == span)
+      }.keySet
+      assert(holders.size.toLong == nDocs && holders.min == firstDoc, span)
+    }
+    // doc 3's self-repeated window is NOT reported on its own
+    assert(out.forall(_._2 >= 2))
+  }
+
+  test("incremental dedup equals the plain anti-join; bloom path stays exact") {
+    val history = Seq(
+      (1L, "seen before one"), (2L, "seen before two"),
+      (3L, "seen before three")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "seen  BEFORE one"),   // dup of 1 modulo normalization
+      (11L, "genuinely new doc a"),
+      (12L, "genuinely new doc b"),
+      (13L, "seen before three")   // exact dup of 3
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalNew(batch, history, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(11L, 12L))
+    // tiny fpp saturation: an undersized filter still returns the
+    // exact answer (false positives are confirmed away by the join)
+    val out2 = Dedup.incrementalNew(batch, history, "doc_id", "text",
+      expectedItems = 1L, fpp = 0.5).collect().map(_.getLong(0)).toSet
+    assert(out2 == Set(11L, 12L))
+  }
+
+  test("bloom probe projection agrees with the filter it wraps") {
+    import graft.functions.GraphdFunctions.bloom_probe
+    val vals = (0 until 1000).map(i => s"fp_$i")
+    val df = vals.toDF("fp")
+    val bf = df.stat.bloomFilter("fp", 1000, 0.01)
+    // all present values MUST probe true (no false negatives)
+    val present = df.select(bloom_probe(col("fp"), bf).as("m"))
+      .collect().map(_.getBoolean(0))
+    assert(present.forall(identity))
+    // absent values probe mostly false (fpp 1% — allow generous slack)
+    val absent = (0 until 1000).map(i => s"zz_$i").toDF("fp")
+      .select(bloom_probe(col("fp"), bf).as("m"))
+      .collect().count(_.getBoolean(0))
+    assert(absent < 100, s"$absent false positives of 1000 at fpp=0.01")
+  }
 }
