@@ -123,6 +123,23 @@ object Dedup {
     h * 31L + files.length
   }
 
+  /** Corpus-count memo shared by every operator whose sizing decision
+    * needs |corpus| (LSH auto-bits, Bloom capacity): keyed on
+    * [[planKey]] so the count shares the lifecycle of any index built
+    * over the same input, and a repeat call costs zero jobs instead of
+    * a full corpus scan.
+    */
+  private val countMemo = new BoundedMemoBase[Long, java.lang.Long](memoCap)
+  private[graft] def memoizedCount(df: DataFrame): Long =
+    countMemo.getOrElseUpdateValue(
+      planKey(df), java.lang.Long.valueOf(df.count())).longValue
+
+  /** history Bloom filters for [[incrementalNew]] — ~1.2 MB per million
+    * items at fpp 0.01, bounded by [[memoCap]]
+    */
+  private val bloomMemo = new BoundedMemoBase[(Long, Long, Double),
+    org.apache.spark.util.sketch.BloomFilter](memoCap)
+
   /** Exact dedup on normalized content: keep the smallest id per
     * fingerprint group.
     */
@@ -186,7 +203,10 @@ object Dedup {
     require(width > 0 && stride > 0)
     df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .flatMap { case (id, text) =>
-        val t = text.trim.toLowerCase.replaceAll("\\s+", " ")
+        // null text emits nothing (the oracle's length(NULL) >= width
+        // predicate is NULL, excluding the row the same way)
+        val t =
+          if (text == null) "" else text.trim.toLowerCase.replaceAll("\\s+", " ")
         if (t.length < width) Iterator.empty
         else Range.inclusive(0, t.length - width, stride).iterator
           .map(i => (id, t.substring(i, i + width)))
@@ -229,11 +249,24 @@ object Dedup {
       : DataFrame = {
     val bFp = batch.select(col(idCol),
       TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    // null history fingerprints can never match a batch key (null !=
+    // null in the join) — and the sketch builder NPEs on them
     val hFp = history.select(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .filter(col("fp").isNotNull)
     val items = if (expectedItems > 0) expectedItems
-      else math.max(hFp.count(), 1L)
-    val bf = hFp.stat.bloomFilter("fp", items, fpp)
-    val might = graft.functions.GraphdFunctions.bloom_probe(col("fp"), bf)
+      else math.max(memoizedCount(hFp), 1L)
+    // the filter is memoized on (history planKey, items, fpp): the
+    // operator's natural shape is many batches against one immutable
+    // history, and only the FIRST batch should pay the history
+    // aggregation (planKey folds the input-file listing, so a history
+    // rewrite rebuilds rather than serving a stale filter)
+    val bf = bloomMemo.getOrElseUpdateValue((planKey(hFp), items, fpp),
+      hFp.stat.bloomFilter("fp", items, fpp))
+    // null fingerprints route to the definitely-new side: a null join
+    // key never matches, so the plain anti-join KEEPS those rows — the
+    // probe (null in, null out) must not silently drop them instead
+    val might = coalesce(
+      graft.functions.GraphdFunctions.bloom_probe(col("fp"), bf), lit(false))
     val definitelyNew = bFp.filter(!might)
     val confirmedNew = bFp.filter(might).join(hFp, Seq("fp"), "left_anti")
     definitelyNew.unionByName(confirmedNew).select(col(idCol), col("fp"))

@@ -321,11 +321,8 @@ object Similarity {
     * from different data than the cached signatures. planKey folds the
     * input-file fingerprint, closing both holes with one key.
     */
-  private val countMemo =
-    new Dedup.BoundedMemoBase[Long, java.lang.Long](Dedup.memoCap)
   private[graft] def memoizedCount(df: DataFrame): Long =
-    countMemo.getOrElseUpdateValue(
-      Dedup.planKey(df), java.lang.Long.valueOf(df.count())).longValue
+    Dedup.memoizedCount(df)
 
   /** embedding-cosine near-duplicate pairs above a threshold, via LSH
     * buckets (the embedding flavor of Dedup). `bits <= 0` (the

@@ -158,6 +158,71 @@ class PipelinePropsSpec extends AnyFunSuite {
     assert(uncapped.count() == 44850L + 10L)
   }
 
+  test("duplicatedSpans: matches a brute-force window model on messy whitespace/case") {
+    // texts drawn from a tiny vocab with erratic whitespace and case
+    // so (a) cross-doc window collisions are common and (b) the
+    // operator's normalization (trim/lower/collapse-\s+) is actually
+    // exercised, not bypassed
+    val words = Seq("alpha", "BETA", "the", "And", "of", "code")
+    val genSep = Gen.oneOf(" ", "  ", "\t", " \n ")
+    val genText: Gen[String] = Gen.frequency(
+      9 -> Gen.nonEmptyListOf(Gen.zip(Gen.oneOf(words), genSep))
+        .map(_.map { case (w, s) => w + s }.mkString),
+      1 -> Gen.const(null: String))
+    val genDocs = Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(1L, 100000L), genText))
+    val genW = Gen.chooseNum(4, 14)
+    checkProp(Prop.forAll(genDocs, genW, Gen.chooseNum(1, 8)) { (rows0, w, st) =>
+      val rows = rows0.distinctBy(_._1)
+      val df = rows.toDF("doc_id", "text")
+      val out = Dedup.duplicatedSpans(df, "doc_id", "text",
+          width = w, stride = st, minDocs = 2)
+        .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+        .toMap
+      // local model: identical normalization, every strided window,
+      // distinct docs per span, count >= 2, min doc id
+      val exp = rows.flatMap { case (id, text) =>
+          val t =
+            if (text == null) "" else text.trim.toLowerCase.replaceAll("\\s+", " ")
+          if (t.length < w) Nil
+          else Range.inclusive(0, t.length - w, st)
+            .map(i => (t.substring(i, i + w), id)).distinct
+        }
+        .groupBy(_._1).view
+        .mapValues(g => (g.size.toLong, g.map(_._2).min))
+        .filter(_._2._1 >= 2).toMap
+      out == exp
+    }, n = 12)
+  }
+
+  test("incrementalNew: identical to the plain fingerprint anti-join at every fpp") {
+    // the bloom filter must only ROUTE rows (skip-shuffle vs confirm),
+    // never change the answer — including a deliberately undersized
+    // filter where nearly everything false-positives into the join
+    val words = Seq("seen", "new", "doc", "alpha", "beta")
+    // null texts included: fp(null) = null, and a null key never
+    // matches in the anti-join — the bloom split must KEEP those rows,
+    // not drop them through a null probe
+    val genText: Gen[String] = Gen.frequency(
+      9 -> Gen.nonEmptyListOf(Gen.oneOf(words)).map(_.mkString(" ")),
+      1 -> Gen.const(null: String))
+    val genRows = Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(1L, 100000L), genText))
+    checkProp(Prop.forAll(genRows, genRows,
+        Gen.oneOf(-1L, 1L), Gen.oneOf(0.01, 0.5)) { (h0, b0, items, fpp) =>
+      val hist = h0.distinctBy(_._1).toDF("doc_id", "text")
+      val batch = b0.distinctBy(_._1).toDF("doc_id", "text")
+      val out = Dedup.incrementalNew(batch, hist, "doc_id", "text",
+          expectedItems = items, fpp = fpp)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val plain = batch
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .join(hist.select(TextAnalysis.fingerprint(col("text")).as("fp")),
+          Seq("fp"), "left_anti")
+        .select("doc_id", "fp")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      out == plain
+    }, n = 10)
+  }
+
   test("sequence packing stays exact through a giant document") {
     val docs = Seq(
       (1L, "a b c d e"),

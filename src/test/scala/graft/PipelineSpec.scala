@@ -757,6 +757,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(out2 == Set(11L, 12L))
   }
 
+  test("incremental dedup: same-path history rewrite invalidates the bloom memo") {
+    // the filter memo keys on planKey = plan hash + input-file listing;
+    // rewriting the history at the SAME path mints new part files, so
+    // the second call must rebuild rather than serve yesterday's filter
+    // (which would bloom-skip rows the new history no longer contains)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom_rewrite")
+      .toString
+    val batch = Seq((10L, "doc one"), (11L, "doc two")).toDF("doc_id", "text")
+    Seq((1L, "doc one")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val h1 = spark.read.parquet(dir)
+    val out1 = Dedup.incrementalNew(batch, h1, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(out1 == Set(11L)) // "doc one" is history
+    Seq((1L, "doc two")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val h2 = spark.read.parquet(dir)
+    val out2 = Dedup.incrementalNew(batch, h2, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(out2 == Set(10L), "stale memoized bloom filter served after rewrite")
+  }
+
   test("bloom probe projection agrees with the filter it wraps") {
     import graft.functions.GraphdFunctions.bloom_probe
     val vals = (0 until 1000).map(i => s"fp_$i")
