@@ -386,7 +386,7 @@ object Multimodal {
       None
     }
 
-    private[operators] def tryDecode(m: MediaRow): Option[MediaFeatures] =
+    private[graft] def tryDecode(m: MediaRow): Option[MediaFeatures] =
       if (m.media_type != "video") None
       else
         try tryMp4(m.media).orElse(tryAvi(m.media)).map { case (w, h, n) =>
@@ -394,6 +394,151 @@ object Multimodal {
           stub.copy(width = w, height = h, n_frames = n, channels = 3)
         }
         catch { case _: Exception => None }
+  }
+
+  final case class SampledFrame(doc_id: Long, frame_idx: Int,
+      width: Int, height: Int, frame_sig: Long, decoded: Boolean)
+
+  /** Real video FRAME decode with zero dependencies: MJPEG-in-AVI
+    * stores each frame as a complete JPEG ('00dc' chunks in the RIFF
+    * 'movi' list), so the JDK's ImageIO decodes actual pixels — the
+    * one mainstream video codec a stock JVM can fully open. Anything
+    * else (H.264 in MP4, arbitrary bytes) falls back to the metadata
+    * chain, keeping [[decodeFrameSamples]] total.
+    *
+    * Determinism guard, same philosophy as the MP3 whole-stream walk:
+    * the MJPEG claim is accepted only when the container walks cleanly
+    * AND every SAMPLED chunk leads with a JPEG SOI marker and decodes —
+    * one bad frame sends the whole payload to the fallback rather than
+    * yielding a half-real row mix.
+    */
+  object MjpegFrames {
+    private def le32(b: Array[Byte], o: Int): Long =
+      ((b(o + 3) & 0xffL) << 24) | ((b(o + 2) & 0xffL) << 16) |
+        ((b(o + 1) & 0xffL) << 8) | (b(o) & 0xffL)
+    private def cc(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, "ISO-8859-1")
+
+    /** (offset, size) of every non-empty video frame chunk in 'movi',
+      * in stream order. None = not a RIFF AVI. Zero-size chunks are
+      * AVI's dropped-frame convention and are skipped; 'rec ' groups
+      * (interleave batching) are descended.
+      */
+    private[graft] def frameChunks(b: Array[Byte])
+        : Option[Vector[(Int, Int)]] = {
+      if (b.length < 12 || cc(b, 0) != "RIFF" || cc(b, 8) != "AVI ")
+        return None
+      val out = Vector.newBuilder[(Int, Int)]
+      def scan(from: Int, to: Int, inMovi: Boolean, depth: Int): Unit = {
+        if (depth > 4) return
+        var o = from
+        while (o + 8 <= to) {
+          val id = cc(b, o)
+          val sz = le32(b, o + 4).toInt
+          if (sz < 0 || o + 8 + sz > to) return
+          if (id == "LIST" && sz >= 4) {
+            val lt = cc(b, o + 8)
+            if (lt == "movi" || (inMovi && lt == "rec "))
+              scan(o + 12, o + 8 + sz, inMovi = true, depth + 1)
+          } else if (inMovi && sz > 0 && id.length == 4 &&
+              id.charAt(0).isDigit && id.charAt(1).isDigit &&
+              (id.endsWith("dc") || id.endsWith("db"))) {
+            out += ((o + 8, sz))
+          }
+          o += 8 + sz + (sz & 1) // chunks are word-aligned
+        }
+      }
+      scan(12, b.length, inMovi = false, 0)
+      Some(out.result())
+    }
+
+    private def pixelSig(img: java.awt.image.BufferedImage): Long = {
+      var h = 1125899906842597L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          h = 31 * h + img.getRGB(x, y)
+          x += 1
+        }
+        y += 1
+      }
+      h
+    }
+
+    /** every `stride`-th frame ACTUALLY decoded (width/height from the
+      * frame's own pixels, sig over the raster); None = not MJPEG AVI
+      * or a sampled frame failed to decode
+      */
+    private[graft] def tryDecodeFrames(m: MediaRow, stride: Int)
+        : Option[Seq[SampledFrame]] =
+      if (m.media_type != "video") None
+      else frameChunks(m.media).flatMap { chunks =>
+        if (chunks.isEmpty) None
+        else try {
+          val rows = Range(0, chunks.size, stride).map { i =>
+            val (off, len) = chunks(i)
+            // MJPEG frames are complete JPEGs: SOI marker required
+            if (len < 4 || (m.media(off) & 0xff) != 0xff ||
+                (m.media(off + 1) & 0xff) != 0xd8)
+              throw new java.io.IOException("not a JPEG frame")
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(m.media, off, len))
+            if (img == null) throw new java.io.IOException("undecodable")
+            SampledFrame(m.doc_id, i, img.getWidth, img.getHeight,
+              pixelSig(img), decoded = true)
+          }
+          Some(rows)
+        } catch { case _: Exception => None }
+      }
+  }
+
+  /** Deterministic synthetic media fixtures — the media analog of
+    * [[graft.ScaleGen]]: gates need REAL decodable payloads built from
+    * nothing but the row key, so the oracle can state the decoded
+    * output in closed form (geometry and frame indexes are exact;
+    * raster signatures are excluded from oracled output since JPEG
+    * encoder bytes may vary across JDK builds).
+    */
+  object MediaFixtures {
+    private def putLe(a: Array[Byte], o: Int, v: Int): Unit = {
+      a(o) = (v & 0xff).toByte; a(o + 1) = ((v >> 8) & 0xff).toByte
+      a(o + 2) = ((v >> 16) & 0xff).toByte; a(o + 3) = ((v >> 24) & 0xff).toByte
+    }
+    private def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+      val hdr = new Array[Byte](8)
+      id.getBytes("ISO-8859-1").copyToArray(hdr)
+      putLe(hdr, 4, payload.length)
+      hdr ++ payload ++
+        (if ((payload.length & 1) == 1) Array[Byte](0) else Array.empty[Byte])
+    }
+    private def list(ltype: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", ltype.getBytes("ISO-8859-1") ++ body)
+
+    /** a complete MJPEG-in-AVI: `nFrames` solid-color JPEG frames of
+      * w×h, colors derived from (seed, frame index)
+      */
+    def mjpegAvi(nFrames: Int, w: Int, h: Int, seed: Long): Array[Byte] = {
+      val frames = (0 until nFrames).map { i =>
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val color = (seed * 2654435761L + i * 0x9e3779b9L).toInt & 0xffffff
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, color); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        bos.toByteArray
+      }
+      val avih = new Array[Byte](56)
+      putLe(avih, 16, nFrames); putLe(avih, 32, w); putLe(avih, 36, h)
+      chunk("RIFF", "AVI ".getBytes("ISO-8859-1") ++
+        list("hdrl", chunk("avih", avih)) ++
+        list("movi", frames.map(f => chunk("00dc", f)).reduce(_ ++ _)))
+    }
   }
 
   /** documents table → synthetic media table (UTF-8 payload as the
@@ -425,5 +570,29 @@ object Multimodal {
       .withColumn("frame_idx",
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))))
       .select(col("doc_id"), col("frame_idx"), col("width"), col("height"))
+  }
+
+  /** frame sampling with REAL pixel decode where the payload allows it
+    * (MJPEG AVI via [[MjpegFrames]]; `decoded = true`, per-frame
+    * width/height/raster-sig from the actual pixels) and the
+    * metadata-derived rows of [[sampleFrames]] everywhere else
+    * (`decoded = false`, sig 0). Same 100 TB shape as every decode
+    * stage here: partition-preserving mapPartitions, payload bytes
+    * never shuffle, only the small frame rows move.
+    */
+  def decodeFrameSamples(spark: SparkSession, media: DataFrame,
+      stride: Int): Dataset[SampledFrame] = {
+    import spark.implicits._
+    require(stride > 0)
+    media.as[MediaRow]
+      .filter(col("media_type") === "video")
+      .mapPartitions(_.flatMap { m =>
+        MjpegFrames.tryDecodeFrames(m, stride).getOrElse {
+          val f = ImageIoCodec.decode(m)
+          Range(0, f.n_frames, stride).map(i =>
+            SampledFrame(m.doc_id, i, f.width, f.height, 0L,
+              decoded = false))
+        }
+      })
   }
 }

@@ -381,6 +381,41 @@ object PipelineQueries extends QueryPack {
              |  64 + (n * 7) % 768 AS height
              |FROM m""".stripMargin)),
 
+    // REAL frame decode through the MJPEG path: every 5th video row
+    // becomes a genuine 4-frame MJPEG AVI (MediaFixtures — actual JPEG
+    // pixels through ImageIO), the rest stay UTF-8 text payloads that
+    // fall back to the metadata chain. The oracle states the decoded
+    // output in closed form: real rows sample frames 0 and 2 of the
+    // 8x6 fixture; fallback rows reproduce the stub arithmetic. The
+    // raster signature column is excluded (JPEG encoder bytes may vary
+    // across JDK builds; the unit spec pins it within one JVM).
+    QueryDef("m03_decode_frames",
+      (s, dir) => {
+        import s.implicits._
+        val media0 = Multimodal.mediaTable(T(s, dir).documents)
+          .filter(col("media_type") === "video")
+        val media = media0.as[Multimodal.MediaRow].map { m =>
+          if (m.doc_id % 5 == 0)
+            m.copy(media = Multimodal.MediaFixtures.mjpegAvi(4, 8, 6, m.doc_id))
+          else m
+        }.toDF()
+        Multimodal.decodeFrameSamples(s, media, stride = 2)
+          .select(col("doc_id"), col("frame_idx"), col("width"),
+            col("height"), col("decoded"))
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id, octet_length(encode(text)) AS n
+             |  FROM documents WHERE doc_id % 3 = 2)
+             |SELECT doc_id, unnest([0, 2]) AS frame_idx,
+             |  8 AS width, 6 AS height, true AS decoded
+             |FROM m WHERE doc_id % 5 = 0
+             |UNION ALL
+             |SELECT doc_id,
+             |  unnest(generate_series(0, n // 1000, 2)) AS frame_idx,
+             |  64 + n % 1024 AS width, 64 + (n * 7) % 768 AS height,
+             |  false AS decoded
+             |FROM m WHERE doc_id % 5 <> 0""".stripMargin)),
+
     // train/test decontamination: corpus docs sharing any 5-gram with
     // the benchmark subset (docs with doc_id % 17 = 0 stand in for an
     // eval suite). Benchmark shingles broadcast; corpus scans once.
