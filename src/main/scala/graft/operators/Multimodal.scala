@@ -515,6 +515,52 @@ object Multimodal {
     private def list(ltype: String, body: Array[Byte]): Array[Byte] =
       chunk("LIST", ltype.getBytes("ISO-8859-1") ++ body)
 
+    /** a real PNG: solid color derived from the seed (PNG is lossless,
+      * so decode geometry and pixels are exact)
+      */
+    def png(w: Int, h: Int, seed: Long): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val color = (seed * 2654435761L).toInt & 0xffffff
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, color); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** sample i of the PCM fixture — the closed form a SQL oracle can
+      * restate: ((seed·7 + i) mod 201) − 100, range [−100, 100]
+      */
+    def pcmSample(seed: Long, i: Int): Int =
+      (((seed * 7 + i) % 201) - 100).toInt
+
+    /** a real mono 16-bit 8 kHz WAV of `n` samples following
+      * [[pcmSample]] (PCM is lossless: the decoder returns these exact
+      * values)
+      */
+    def wavPcm(n: Int, seed: Long): Array[Byte] = {
+      import javax.sound.sampled._
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val pcm = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val v = pcmSample(seed, i)
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
     /** a complete MJPEG-in-AVI: `nFrames` solid-color JPEG frames of
       * w×h, colors derived from (seed, frame index)
       */
@@ -595,4 +641,112 @@ object Multimodal {
         }
       })
   }
+
+  final case class ResizedImage(doc_id: Long, width: Int, height: Int,
+      n_bytes: Int, resized: Boolean)
+
+  /** bound an image's longest side to `maxSide` preserving aspect.
+    * Pure INTEGER geometry — floor(dim·maxSide / longSide), min 1 — so
+    * an engine-independent oracle restates it exactly; already-small
+    * images pass through unscaled.
+    */
+  private[graft] def boundedDims(w: Int, h: Int, maxSide: Int): (Int, Int) = {
+    val long = math.max(w, h)
+    if (long <= maxSide) (w, h)
+    else (math.max(1, (w.toLong * maxSide / long).toInt),
+      math.max(1, (h.toLong * maxSide / long).toInt))
+  }
+
+  /** REAL image resize where the payload decodes (Graphics2D rescale +
+    * PNG re-encode; `resized = true`, `n_bytes` = the re-encoded
+    * payload) and the stub byte-budget arithmetic on stub geometry
+    * everywhere else. Both paths bound geometry via [[boundedDims]].
+    * Same decode-stage shape: partition-preserving, payloads never
+    * shuffle, output rows are small (the resized BYTES would be
+    * written back to storage per partition in a real pipeline — only
+    * their size is reported here).
+    */
+  def resizeImages(spark: SparkSession, media: DataFrame,
+      maxSide: Int): Dataset[ResizedImage] = {
+    import spark.implicits._
+    require(maxSide > 0)
+    media.as[MediaRow]
+      .filter(col("media_type") === "image")
+      .mapPartitions(_.map { m =>
+        // ONE decode: pixels and geometry come from the same read
+        val img =
+          try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(m.media)))
+          catch { case _: Exception => None }
+        img match {
+          case Some(src) =>
+            val (nw, nh) = boundedDims(src.getWidth, src.getHeight, maxSide)
+            val out = new java.awt.image.BufferedImage(nw, nh,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            g.drawImage(src, 0, 0, nw, nh, null)
+            g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            ResizedImage(m.doc_id, nw, nh, bos.size(), resized = true)
+          case None =>
+            val f = StubCodec.decode(m)
+            val (nw, nh) = boundedDims(f.width, f.height, maxSide)
+            ResizedImage(m.doc_id, nw, nh,
+              StubCodec.resizedBytes(f, maxSide), resized = false)
+        }
+      })
+  }
+
+  final case class PcmFeatures(doc_id: Long, n_samples: Long, peak: Int,
+      sum_sq: Long, decoded: Boolean)
+
+  /** REAL audio feature extraction: decodable 16-bit PCM payloads
+    * (WAV/AU/AIFF through javax.sound — lossless, so sample values are
+    * exact) report sample count, peak |amplitude| and the integer sum
+    * of squares (integer so engines agree bit-for-bit; RMS is one
+    * consumer-side sqrt away). Non-decodable payloads fall back to the
+    * metadata chain with zeroed amplitude stats.
+    */
+  def pcmFeatures(spark: SparkSession, media: DataFrame)
+      : Dataset[PcmFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow]
+      .filter(col("media_type") === "audio")
+      .mapPartitions(_.map { m =>
+        tryPcm(m).getOrElse {
+          val f = ImageIoCodec.decode(m)
+          PcmFeatures(m.doc_id, f.n_frames.toLong, 0, 0L, decoded = false)
+        }
+      })
+  }
+
+  private def tryPcm(m: MediaRow): Option[PcmFeatures] =
+    try {
+      import javax.sound.sampled._
+      val ais = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(m.media))
+      val fmt = ais.getFormat
+      if (fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
+          fmt.getSampleSizeInBits != 16) None
+      else {
+        val bytes = ais.readAllBytes()
+        val be = fmt.isBigEndian
+        var peak = 0
+        var sumSq = 0L
+        var n = 0L
+        var o = 0
+        while (o + 1 < bytes.length) {
+          val v =
+            if (be) ((bytes(o) << 8) | (bytes(o + 1) & 0xff)).toShort.toInt
+            else ((bytes(o + 1) << 8) | (bytes(o) & 0xff)).toShort.toInt
+          val a = math.abs(v)
+          if (a > peak) peak = a
+          sumSq += v.toLong * v
+          n += 1
+          o += 2
+        }
+        Some(PcmFeatures(m.doc_id, n, peak, sumSq, decoded = true))
+      }
+    } catch { case _: Exception => None }
 }

@@ -416,6 +416,72 @@ object PipelineQueries extends QueryPack {
              |  false AS decoded
              |FROM m WHERE doc_id % 5 <> 0""".stripMargin)),
 
+    // REAL image resize: every 5th image row becomes a genuine 40x30
+    // PNG (decoded + Graphics2D-rescaled + re-encoded), the rest run
+    // the stub byte-budget on stub geometry. Both paths bound geometry
+    // through the same integer formula (floor(dim*maxSide/longSide),
+    // min 1), so the oracle restates every output row exactly;
+    // re-encoded byte size is excluded (encoder-dependent).
+    QueryDef("m04_resize_images",
+      (s, dir) => {
+        import s.implicits._
+        val media0 = Multimodal.mediaTable(T(s, dir).documents)
+          .filter(col("media_type") === "image")
+        val media = media0.as[Multimodal.MediaRow].map { m =>
+          if (m.doc_id % 5 == 0)
+            m.copy(media = Multimodal.MediaFixtures.png(40, 30, m.doc_id))
+          else m
+        }.toDF()
+        Multimodal.resizeImages(s, media, maxSide = 10)
+          .select(col("doc_id"), col("width"), col("height"), col("resized"))
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id, octet_length(encode(text)) AS n
+             |  FROM documents WHERE doc_id % 3 = 0),
+             |s AS (
+             |  SELECT doc_id, 64 + n % 1024 AS w, 64 + (n * 7) % 768 AS h
+             |  FROM m WHERE doc_id % 5 <> 0)
+             |SELECT doc_id, 10 AS width, 7 AS height, true AS resized
+             |FROM m WHERE doc_id % 5 = 0
+             |UNION ALL
+             |SELECT doc_id,
+             |  CAST(GREATEST(1, w * 10 // GREATEST(w, h)) AS INT) AS width,
+             |  CAST(GREATEST(1, h * 10 // GREATEST(w, h)) AS INT) AS height,
+             |  false AS resized
+             |FROM s""".stripMargin)),
+
+    // REAL audio feature extraction: every 5th audio row becomes a
+    // genuine 64-sample 16-bit WAV whose samples follow the closed form
+    // ((doc_id*7 + i) mod 201) - 100 — PCM is lossless, so the decoded
+    // peak and integer sum of squares are exact and the oracle
+    // recomputes them from the same formula. Non-decodable rows fall
+    // back to metadata with zeroed amplitude stats.
+    QueryDef("m05_pcm_features",
+      (s, dir) => {
+        import s.implicits._
+        val media0 = Multimodal.mediaTable(T(s, dir).documents)
+          .filter(col("media_type") === "audio")
+        val media = media0.as[Multimodal.MediaRow].map { m =>
+          if (m.doc_id % 5 == 0)
+            m.copy(media = Multimodal.MediaFixtures.wavPcm(64, m.doc_id))
+          else m
+        }.toDF()
+        Multimodal.pcmFeatures(s, media).toDF()
+      },
+      Some("""WITH a AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1)
+             |SELECT doc_id, CAST(64 AS BIGINT) AS n_samples,
+             |  CAST((SELECT max(abs((doc_id * 7 + g.i) % 201 - 100))
+             |        FROM unnest(generate_series(0, 63)) g(i)) AS INT) AS peak,
+             |  CAST((SELECT sum(((doc_id * 7 + g.i) % 201 - 100) *
+             |                   ((doc_id * 7 + g.i) % 201 - 100))
+             |        FROM unnest(generate_series(0, 63)) g(i)) AS BIGINT) AS sum_sq,
+             |  true AS decoded
+             |FROM a WHERE doc_id % 5 = 0
+             |UNION ALL
+             |SELECT doc_id, CAST(1 AS BIGINT), CAST(0 AS INT),
+             |  CAST(0 AS BIGINT), false
+             |FROM a WHERE doc_id % 5 <> 0""".stripMargin)),
+
     // train/test decontamination: corpus docs sharing any 5-gram with
     // the benchmark subset (docs with doc_id % 17 = 0 stand in for an
     // eval suite). Benchmark shingles broadcast; corpus scans once.

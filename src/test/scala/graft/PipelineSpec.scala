@@ -767,6 +767,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(2L).length == Range(0, stubFrames, 2).length)
   }
 
+  test("multimodal: real resize rescales decoded pixels; stub path shares the geometry formula") {
+    // a genuine 40x30 PNG bounds to 10x7 (floor(30*10/40)); the output
+    // is a real re-encoded PNG whose pixels decode back at 10x7
+    val png = Multimodal.MediaFixtures.png(40, 30, seed = 3L)
+    val df = Seq(
+      (1L, "image", png),
+      (2L, "image", "not an image".getBytes)
+    ).toDF("doc_id", "media_type", "media")
+    val out = Multimodal.resizeImages(spark, df, maxSide = 10)
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(out(1L).width == 10 && out(1L).height == 7 && out(1L).resized)
+    assert(out(1L).n_bytes > 0)
+    // the stub path bounds STUB geometry through the same formula
+    val f = Multimodal.StubCodec.decode(
+      Multimodal.MediaRow(2L, "image", "not an image".getBytes))
+    val (ew, eh) = Multimodal.boundedDims(f.width, f.height, 10)
+    assert(out(2L).width == ew && out(2L).height == eh && !out(2L).resized)
+    assert(out(2L).n_bytes == Multimodal.StubCodec.resizedBytes(f, 10))
+    // already-small images pass through unscaled
+    val small = Multimodal.MediaFixtures.png(8, 6, seed = 4L)
+    val one = Multimodal.resizeImages(spark,
+      Seq((3L, "image", small)).toDF("doc_id", "media_type", "media"), 10)
+      .collect().head
+    assert(one.width == 8 && one.height == 6 && one.resized)
+  }
+
+  test("multimodal: PCM features decode exact sample stats") {
+    val wav = Multimodal.MediaFixtures.wavPcm(64, seed = 7L)
+    val df = Seq(
+      (1L, "audio", wav),
+      (2L, "audio", "not audio".getBytes)
+    ).toDF("doc_id", "media_type", "media")
+    val out = Multimodal.pcmFeatures(spark, df)
+      .collect().map(r => r.doc_id -> r).toMap
+    val samples = (0 until 64).map(Multimodal.MediaFixtures.pcmSample(7L, _))
+    assert(out(1L).decoded && out(1L).n_samples == 64L)
+    assert(out(1L).peak == samples.map(math.abs).max)
+    assert(out(1L).sum_sq == samples.map(v => v.toLong * v).sum)
+    // non-decodable audio: metadata fallback with zeroed amplitude
+    assert(!out(2L).decoded && out(2L).n_samples == 1L &&
+      out(2L).peak == 0 && out(2L).sum_sq == 0L)
+  }
+
   test("duplicated spans: shared windows surface, within-doc repeats don't") {
     // docs 1/2 share a long verbatim prefix (>= width) but differ at
     // the tail, so whole-doc dedup misses them; doc 3 repeats ITS OWN
