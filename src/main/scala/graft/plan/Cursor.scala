@@ -291,7 +291,7 @@ object Cursor {
     */
   def next(store: GraphStore, pageDf: DataFrame, cursor: Option[String],
       pagesize: Int): Option[String] = {
-    val ids = pageDf.select(max(col("id")), count(lit(1))).head
+    val ids = pageDf.select(max(col("id")), count(lit(1))).head()
     if (ids.isNullAt(0) || ids.getLong(1) < pagesize) None
     else {
       val horizon = cursor.map(decode(_).horizon)

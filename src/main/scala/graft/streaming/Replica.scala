@@ -258,5 +258,5 @@ object Replica {
 
   /** dateline: the replica's read-your-writes horizon */
   def dateline(primitives: DataFrame): Long =
-    primitives.agg(coalesce(max(col("id")), lit(0L))).head.getLong(0)
+    primitives.agg(coalesce(max(col("id")), lit(0L))).head().getLong(0)
 }

@@ -64,14 +64,14 @@ object Writer {
       // those instead of the whole id column (at 100 TB the full
       // max(id) pass is a terabyte-scale column scan per batch)
       if (p.columns.contains("id_part")) {
-        val mp = p.agg(max(col("id_part"))).head
+        val mp = p.agg(max(col("id_part"))).head()
         val pruned =
           if (mp.isNullAt(0)) p
           else p.filter(col("id_part").isNull ||
             col("id_part") === mp.get(0))
-        pruned.agg(coalesce(max(col("id")), lit(0L))).head.getLong(0) + 1L
+        pruned.agg(coalesce(max(col("id")), lit(0L))).head().getLong(0) + 1L
       } else
-        p.agg(coalesce(max(col("id")), lit(0L))).head.getLong(0) + 1L
+        p.agg(coalesce(max(col("id")), lit(0L))).head().getLong(0) + 1L
   }
 
   /** unique monotone per-writer timestamps — the reference guarantees
@@ -209,7 +209,7 @@ object Writer {
     if (linRows.isEmpty) throw WriteError("SEMANTICS", s"not found: cannot read predecessor record $target")
     val head = store.newestAll
       .filter(col("lineage") === linRows.head.getLong(0))
-      .select("id").head.getLong(0)
+      .select("id").head().getLong(0)
     if (!opportunistic && head != target)
       throw WriteError("OUTDATED", s"$target is not newest (head=$head)")
     val (st, ids) = append(store, Seq(spec.copy(prev = Some(head))))
@@ -462,7 +462,7 @@ object Writer {
       if (linRows.isEmpty) throw WriteError("SEMANTICS", s"not found: cannot read predecessor record $g")
       val head = st.newestAll
         .filter(col("lineage") === linRows.head.getLong(0))
-        .select("id").head.getLong(0)
+        .select("id").head().getLong(0)
       if (!opportunistic && head != g)
         throw WriteError("OUTDATED",
           "\"" + graft.plan.Cursor.renderGuid(g) + "\" has been versioned")
@@ -595,7 +595,7 @@ object Writer {
       if (linRows.isEmpty) throw WriteError("SEMANTICS", s"not found: cannot read predecessor record $g")
       val head = st.newestAll
         .filter(col("lineage") === linRows.head.getLong(0))
-        .select("id").head.getLong(0)
+        .select("id").head().getLong(0)
       if (!opportunistic && head != g)
         throw WriteError("OUTDATED",
           "\"" + graft.plan.Cursor.renderGuid(g) + "\" has been versioned")
@@ -879,7 +879,7 @@ object Writer {
         if (linRows.isEmpty) throw WriteError(
           "SEMANTICS", s"not found: cannot read predecessor record $g")
         st.newestAll.filter(col("lineage") === linRows.head.getLong(0))
-          .select("id").head.getLong(0)
+          .select("id").head().getLong(0)
     }
     def clusterDup(c: Constraint, keepLinkage: Boolean): Constraint = {
       val unq = c.uniqueFields.getOrElse(Nil).toSet

@@ -84,7 +84,7 @@ class BulkMergeSpec extends AnyFunSuite {
 
     // the version chains: doc:3's head carries prev=3, lineage=3
     val head = r.store.current.filter(col("name") === "doc:3")
-      .select("prev", "lineage").head
+      .select("prev", "lineage").head()
     assert(head.getLong(0) == 3L && head.getLong(1) == 3L)
   }
 

@@ -128,7 +128,7 @@ class GoldenSpec extends AnyFunSuite {
     assert(ids1.length == 2)
     val n1 = st1.all.count()
     // parent node + link created
-    val link = st1.current.filter(col("value") === "data-source").head
+    val link = st1.current.filter(col("value") === "data-source").head()
     assert(link.getAs[Long]("right") == 2L)
     assert(link.getAs[Long]("left") == ids1.head)
 
@@ -294,7 +294,7 @@ class GoldenSpec extends AnyFunSuite {
         |  (<-"is-reply-to" ("article" value="a2"
         |    (<- "is-reply-to" ("article" value="a3"
         |      (<- "is-reply-to" ("article" value="a4")))))))""".stripMargin)
-      .head.getLong(0)
+      .head().getLong(0)
     assert(deep == 1L)
 
     // a broken innermost value kills the whole chain
@@ -303,7 +303,7 @@ class GoldenSpec extends AnyFunSuite {
         |  (<-"is-reply-to" ("article" value="a2"
         |    (<- "is-reply-to" ("article" value="a3"
         |      (<- "is-reply-to" ("article" value="WRONG")))))))""".stripMargin)
-      .head.getLong(0)
+      .head().getLong(0)
     assert(broken == 0L)
 
     // replies are walkable hop by hop: the replier is the link's LEFT

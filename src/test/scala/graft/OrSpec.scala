@@ -29,7 +29,7 @@ class OrSpec extends AnyFunSuite {
   test("or: three branches with shared shaping") {
     val n = ReadPlanner.plan(fx,
       """read (value="a" || value="b" || value="c" result=count)""")
-      .head.getLong(0)
+      .head().getLong(0)
     assert(n == 4L)
   }
 
@@ -108,13 +108,13 @@ class OrSpec extends AnyFunSuite {
 
   test("countlimit stops counting past the allowance") {
     val n = ReadPlanner.plan(fx, "read (countlimit=2 result=count)")
-      .head.getLong(0)
+      .head().getLong(0)
     assert(n == 3L) // countlimit+1 signals TOOMANY overflow
   }
 
   test("estimate-count returns optimizer statistics without execution") {
     val est = ReadPlanner.plan(fx, "read (result=estimate-count)")
-      .head.getLong(0)
+      .head().getLong(0)
     assert(est > 0L)
   }
 }

@@ -118,7 +118,7 @@ class PipelineSpec extends AnyFunSuite {
     // projection, means aggregate to nlist×dims cells)
     val sample = Similarity.trainSample(vecs, "vec_id", "embedding", 50)
     assert(sample.count() == 50)
-    assert(sample.agg(max(col("id"))).head.getLong(0) == 49L)
+    assert(sample.agg(max(col("id"))).head().getLong(0) == 49L)
     // centroids computed from the sample must equal a driver
     // re-computation over exactly those 50 rows (proving both the
     // sample bound and the distributed Lloyd arithmetic)

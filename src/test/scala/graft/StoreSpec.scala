@@ -45,7 +45,7 @@ class StoreSpec extends AnyFunSuite {
       s"expected partition pruning in plan:\n$physical")
 
     // engine reads work against the loaded store
-    val n = ReadPlanner.plan(loaded, "read (node result=count)").head.getLong(0)
+    val n = ReadPlanner.plan(loaded, "read (node result=count)").head().getLong(0)
     assert(n == 4L)
 
     // appends on a loaded store work despite the extra partition column
@@ -139,7 +139,7 @@ class StoreSpec extends AnyFunSuite {
     // a compacted store keeps versioning correctly from here
     val (cp2, _) = Writer.versionOf(cp,
       cp.current.filter(org.apache.spark.sql.functions.col("name") === "a")
-        .select("id").head.getLong(0),
+        .select("id").head().getLong(0),
       Writer.Spec(name = Some("a"), value = Some("v3")))
     val after = cp2.current.filter(
       org.apache.spark.sql.functions.col("name") === "a")
@@ -184,7 +184,7 @@ class StoreSpec extends AnyFunSuite {
       node(1, value = Some("a")), node(2, value = Some("b")),
       node(3, live = false),
       graft.model.Primitive.link(4, left = 1, right = Some(2), typeguid = Some(1))))
-    val row = st.status().head
+    val row = st.status().head()
     assert(row.getAs[Long]("n_primitives") == 4L)
     assert(row.getAs[Long]("n_nodes") == 3L)
     assert(row.getAs[Long]("n_links") == 1L)

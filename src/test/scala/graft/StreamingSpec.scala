@@ -52,7 +52,7 @@ class StreamingSpec extends AnyFunSuite {
       checkpointDir = Some(ckpt))
     q2.awaitTermination()
     val after = spark.read.parquet(state)
-      .filter(col("typeguid") === 1L).head
+      .filter(col("typeguid") === 1L).head()
     assert(after.getAs[Long]("n_links") == 3L)
     assert(after.getAs[Long]("dateline") == 12L)
   }

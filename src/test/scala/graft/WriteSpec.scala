@@ -46,7 +46,7 @@ class WriteSpec extends AnyFunSuite {
     val (st2, _) = Writer.versionOf(st1, 2L, Spec(value = Some("pink")),
       opportunistic = true)
     assert(st2.current.filter(col("lineage") === 2L)
-      .head.getAs[String]("value") == "pink")
+      .head().getAs[String]("value") == "pink")
     assert(st2.all.filter(col("lineage") === 2L).count() == 3)
   }
 
@@ -56,7 +56,7 @@ class WriteSpec extends AnyFunSuite {
     assert(st.all.filter(col("lineage") === 3L).count() == 2)
     // live=dontcare still sees the tombstone via the engine
     val n = ReadPlanner.plan(st, "read (live=false result=count)")
-      .head.getLong(0)
+      .head().getLong(0)
     assert(n == 1L)
   }
 

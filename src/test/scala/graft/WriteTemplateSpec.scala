@@ -35,8 +35,8 @@ class WriteTemplateSpec extends AnyFunSuite {
     val (st1, ids) = Writer.write(st0,
       """write (value="band" right->(value="musician"))""")
     assert(ids.length == 2)
-    val band = st1.current.filter(col("value") === "band").head
-    val musician = st1.current.filter(col("value") === "musician").head
+    val band = st1.current.filter(col("value") === "band").head()
+    val musician = st1.current.filter(col("value") === "musician").head()
     assert(band.getAs[Long]("right") == musician.getAs[Long]("id"))
   }
 
@@ -48,12 +48,12 @@ class WriteTemplateSpec extends AnyFunSuite {
       .filter(col("name") === "fresh_type" && col("left").isNull).collect()
     assert(typeNode.length == 1)
     // the link's typeguid points at the minted node
-    val lnk = st1.current.filter(col("left").isNotNull).head
+    val lnk = st1.current.filter(col("left").isNotNull).head()
     assert(lnk.getAs[Long]("typeguid") == typeNode.head.getAs[Long]("id"))
     // and a read through the type name finds it
     val n = ReadPlanner.plan(st1,
       """read (value="x" result=count (<-left type="fresh_type"))""")
-      .head.getLong(0)
+      .head().getLong(0)
     assert(n == 1L)
   }
 
@@ -73,7 +73,7 @@ class WriteTemplateSpec extends AnyFunSuite {
     assert(cur.length == 1 && cur.head != root && cur.head != ids2.head)
     // all three versions share the lineage
     val all = ReadPlanner.plan(st3,
-      s"""read (guid~=$root newest>=0 result=count)""").head.getLong(0)
+      s"""read (guid~=$root newest>=0 result=count)""").head().getLong(0)
     assert(all == 3L)
     // newest=1 is the middle version
     val mid = ReadPlanner.plan(st3,
@@ -91,7 +91,7 @@ class WriteTemplateSpec extends AnyFunSuite {
     val g0 = ids1.head
     def prevNewest(st: GraphStore): Option[Long] = {
       val r = ReadPlanner.plan(st,
-        s"""read (guid~=$g0 result=((previous)))""").head
+        s"""read (guid~=$g0 result=((previous)))""").head()
       if (r.isNullAt(0)) None else Some(r.getLong(0))
     }
     assert(prevNewest(st1).isEmpty)
@@ -103,7 +103,7 @@ class WriteTemplateSpec extends AnyFunSuite {
     assert(prevNewest(st4).contains(ids3.head))
 
     def onePrev(q: String): Option[Long] = {
-      val r = ReadPlanner.plan(st4, q).head
+      val r = ReadPlanner.plan(st4, q).head()
       if (r.isNullAt(0)) None else Some(r.getLong(0))
     }
     // oldest=0: the original — no previous
@@ -116,7 +116,7 @@ class WriteTemplateSpec extends AnyFunSuite {
     assert(onePrev("read (newest=0 result=((previous)))").contains(ids3.head))
     // final shape: (name previous)
     val last = ReadPlanner.plan(st4,
-      s"""read (guid~=$g0 result=((name previous)))""").head
+      s"""read (guid~=$g0 result=((name previous)))""").head()
     assert(last.getString(0) == "Hello, Mars!" && last.getLong(1) == ids3.head)
   }
 
