@@ -134,11 +134,89 @@ object Dedup {
     countMemo.getOrElseUpdateValue(
       planKey(df), java.lang.Long.valueOf(df.count())).longValue
 
-  /** history Bloom filters for [[incrementalNew]] — ~1.2 MB per million
-    * items at fpp 0.01, bounded by [[memoCap]]
+  /** Bits the sketch needs — BloomFilter's own optimal-m formula,
+    * -n·ln(p)/ln(2)², computed here so the size GATE can run before any
+    * driver object exists.
     */
-  private val bloomMemo = new BoundedMemoBase[(Long, Long, Double),
-    org.apache.spark.util.sketch.BloomFilter](memoCap)
+  private[graft] def bloomBits(items: Long, fpp: Double): Long =
+    math.ceil(-items.toDouble * math.log(fpp) /
+      (math.log(2) * math.log(2))).toLong
+
+  /** Largest single driver-resident Bloom filter [[incrementalNew]]
+    * will build (bits). Above it the sketch is hash-partitioned into
+    * executor-resident bucket filters — a 1e11-item history at fpp
+    * 0.01 needs ~120 GB of bits, which must never materialize on the
+    * driver. Default 2^31 bits = 256 MB.
+    */
+  private[graft] def maxSingleBloomBits: Long =
+    sys.props.get("graft.bloom.maxSingleBits").map(_.toLong)
+      .getOrElse(1L << 31)
+
+  /** Per-bucket bit budget for the partitioned sketch (default 2^27
+    * bits = 16 MB per executor task building/holding one bucket).
+    */
+  private[graft] def bloomBucketBits: Long =
+    sys.props.get("graft.bloom.bucketBits").map(_.toLong)
+      .getOrElse(1L << 27)
+
+  /** Driver-heap budget for memoized single-path Bloom filters. The
+    * entry-count LRU alone bounds the wrong resource — 32 entries of
+    * caller-sized filters can pin multi-GB of driver heap — so this
+    * memo evicts by TOTAL BYTES (default 512 MB; each entry is already
+    * individually capped by [[maxSingleBloomBits]]).
+    */
+  private[graft] def bloomMemoBytes: Long =
+    sys.props.get("graft.bloom.memoBytes").map(_.toLong)
+      .getOrElse(512L << 20)
+
+  private[graft] final class ByteBoundedMemo[K](maxBytes: => Long) {
+    private var total = 0L
+    private val map = new java.util.LinkedHashMap[K,
+      org.apache.spark.util.sketch.BloomFilter](16, 0.75f, true)
+    def getOrElseUpdateValue(k: K,
+        v: => org.apache.spark.util.sketch.BloomFilter)
+        : org.apache.spark.util.sketch.BloomFilter = synchronized {
+      val cur = map.get(k)
+      if (cur != null) cur
+      else {
+        val nv = v
+        map.put(k, nv)
+        total += nv.bitSize() / 8
+        // evict eldest-first (access order puts the fresh entry last,
+        // so it survives unless it alone exceeds the budget)
+        val it = map.entrySet().iterator()
+        while (total > maxBytes && map.size() > 1 && it.hasNext) {
+          val e = it.next()
+          total -= e.getValue.bitSize() / 8
+          it.remove()
+        }
+        nv
+      }
+    }
+    def size: Int = synchronized(map.size())
+    def totalBytes: Long = synchronized(total)
+  }
+
+  /** history Bloom filters for [[incrementalNew]]'s single-filter path
+    * — ~1.2 MB per million items at fpp 0.01, bounded by total bytes
+    * ([[bloomMemoBytes]]), each entry gated by [[maxSingleBloomBits]]
+    */
+  private val bloomMemo =
+    new ByteBoundedMemo[(Long, Long, Double)](bloomMemoBytes)
+
+  /** persisted bucket-filter tables for the partitioned path, keyed on
+    * (history planKey, numBuckets, fpp); eviction unpersists
+    */
+  private[graft] val bucketBloomMemo = new BoundedMemoBase[(Long, Int, Double),
+      org.apache.spark.sql.Dataset[(Int, Array[Byte])]](memoCap) {
+    override protected def onEvict(
+        v: org.apache.spark.sql.Dataset[(Int, Array[Byte])]): Unit =
+      v.unpersist(false)
+  }
+
+  /** how many times the partitioned-sketch path engaged (test probe) */
+  private[graft] val partitionedBloomBuilds =
+    new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Exact dedup on normalized content: keep the smallest id per
     * fingerprint group.
@@ -204,9 +282,17 @@ object Dedup {
     df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .flatMap { case (id, text) =>
         // null text emits nothing (the oracle's length(NULL) >= width
-        // predicate is NULL, excluding the row the same way)
+        // predicate is NULL, excluding the row the same way).
+        // Normalization order matters: collapse \s+ FIRST, then strip
+        // the (now at most single) edge spaces. String.trim strips
+        // every char <= 0x20 while SQL trim() strips spaces only, so
+        // trimming first diverges from the oracle on tab/newline edges.
         val t =
-          if (text == null) "" else text.trim.toLowerCase.replaceAll("\\s+", " ")
+          if (text == null) ""
+          else {
+            val c = text.toLowerCase.replaceAll("\\s+", " ")
+            c.stripPrefix(" ").stripSuffix(" ")
+          }
         if (t.length < width) Iterator.empty
         else Range.inclusive(0, t.length - width, stride).iterator
           .map(i => (id, t.substring(i, i + width)))
@@ -243,6 +329,27 @@ object Dedup {
     * the output is byte-identical to the plain anti-join the oracle
     * states. History still streams through the join's build side once;
     * the Bloom pass is the price of not shuffling the batch.
+    *
+    * Memory bound, both regimes:
+    *
+    *  - sketch bits <= [[maxSingleBloomBits]] (256 MB default): ONE
+    *    driver-built filter, broadcast into a codegen [[graft.functions
+    *    .BloomProbe]] — definitely-new rows never shuffle. The memo
+    *    holding these filters is BYTE-bounded ([[bloomMemoBytes]]).
+    *  - above the gate (a 1e11-item history at fpp 0.01 is ~120 GB of
+    *    bits — driver OOM as a single object): the sketch is hash-
+    *    partitioned into 2^b bucket filters of <= [[bloomBucketBits]]
+    *    each, built DISTRIBUTED (groupByKey.mapGroups streams each
+    *    bucket's fingerprints through one executor task holding only
+    *    its own <=16 MB filter) and persisted as a (bucket, bytes)
+    *    table that lives on executors. Probing cogroups the batch with
+    *    that table on the bucket key: the batch shuffles once on
+    *    hash(fp) — unavoidable once the sketch can't be broadcast —
+    *    but each subsequent batch reuses the persisted sketch instead
+    *    of re-streaming the full history through an anti-join build
+    *    side, and only might-contain survivors enter the exact
+    *    confirming join. No single process ever holds more than one
+    *    bucket filter. Output is byte-identical in both regimes.
     */
   def incrementalNew(batch: DataFrame, history: DataFrame, idCol: String,
       textCol: String, expectedItems: Long = -1L, fpp: Double = 0.01)
@@ -255,21 +362,91 @@ object Dedup {
       .filter(col("fp").isNotNull)
     val items = if (expectedItems > 0) expectedItems
       else math.max(memoizedCount(hFp), 1L)
-    // the filter is memoized on (history planKey, items, fpp): the
-    // operator's natural shape is many batches against one immutable
-    // history, and only the FIRST batch should pay the history
-    // aggregation (planKey folds the input-file listing, so a history
-    // rewrite rebuilds rather than serving a stale filter)
-    val bf = bloomMemo.getOrElseUpdateValue((planKey(hFp), items, fpp),
-      hFp.stat.bloomFilter("fp", items, fpp))
-    // null fingerprints route to the definitely-new side: a null join
-    // key never matches, so the plain anti-join KEEPS those rows — the
-    // probe (null in, null out) must not silently drop them instead
-    val might = coalesce(
-      graft.functions.GraphdFunctions.bloom_probe(col("fp"), bf), lit(false))
-    val definitelyNew = bFp.filter(!might)
-    val confirmedNew = bFp.filter(might).join(hFp, Seq("fp"), "left_anti")
-    definitelyNew.unionByName(confirmedNew).select(col(idCol), col("fp"))
+    val confirmedVia = // might-contain rows -> exact confirming anti-join
+      (mightDf: DataFrame) => mightDf.join(hFp, Seq("fp"), "left_anti")
+    if (bloomBits(items, fpp) <= maxSingleBloomBits) {
+      // the filter is memoized on (history planKey, items, fpp): the
+      // operator's natural shape is many batches against one immutable
+      // history, and only the FIRST batch should pay the history
+      // aggregation (planKey folds the input-file listing, so a history
+      // rewrite rebuilds rather than serving a stale filter)
+      val bf = bloomMemo.getOrElseUpdateValue((planKey(hFp), items, fpp),
+        hFp.stat.bloomFilter("fp", items, fpp))
+      // null fingerprints route to the definitely-new side: a null join
+      // key never matches, so the plain anti-join KEEPS those rows — the
+      // probe (null in, null out) must not silently drop them instead
+      val might = coalesce(
+        graft.functions.GraphdFunctions.bloom_probe(col("fp"), bf),
+        lit(false))
+      val definitelyNew = bFp.filter(!might)
+      val confirmedNew = confirmedVia(bFp.filter(might))
+      definitelyNew.unionByName(confirmedNew).select(col(idCol), col("fp"))
+    } else {
+      partitionedBloomBuilds.incrementAndGet()
+      val probed = partitionedBloomProbe(bFp, hFp, items, fpp)
+      val definitelyNew = probed.filter(!col("__might")).drop("__might")
+      val confirmedNew = confirmedVia(
+        probed.filter(col("__might")).drop("__might"))
+      definitelyNew.unionByName(confirmedNew).select(col(idCol), col("fp"))
+    }
+  }
+
+  /** deterministic bucket for a fingerprint — must agree between the
+    * sketch build and the probe (both run this exact function)
+    */
+  private def bloomBucket(fp: String, numBuckets: Int): Int =
+    (fp.hashCode & 0x7fffffff) % numBuckets
+
+  /** bFp plus a `__might` boolean: the partitioned-sketch probe.
+    * Null-fp rows key to bucket -1, which no filter row carries, so
+    * they surface as definitely-new — the same routing the single-path
+    * coalesce(probe, false) performs.
+    */
+  private def partitionedBloomProbe(bFp: DataFrame, hFp: DataFrame,
+      items: Long, fpp: Double): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.util.sketch.BloomFilter
+    val numBuckets = {
+      var n = 1
+      while (n < (1 << 24) &&
+          bloomBits(math.max(items / n, 1L), fpp) > bloomBucketBits)
+        n <<= 1
+      n
+    }
+    val filters = bucketBloomMemo.getOrElseUpdateValue(
+      (planKey(hFp), numBuckets, fpp), {
+        val perBucket = math.max(items / numBuckets, 1L)
+        val ds = hFp.select(col("fp")).as(Encoders.STRING)
+          .groupByKey(fp => bloomBucket(fp, numBuckets))(Encoders.scalaInt)
+          .mapGroups { (bkt, fps) =>
+            val bf = BloomFilter.create(perBucket, fpp)
+            fps.foreach(bf.putString)
+            val bos = new java.io.ByteArrayOutputStream()
+            bf.writeTo(bos)
+            (bkt, bos.toByteArray)
+          }(Encoders.tuple(Encoders.scalaInt, Encoders.BINARY))
+        ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
+    val outSchema = bFp.schema.add("__might",
+      org.apache.spark.sql.types.BooleanType, nullable = false)
+    val fpIdx = bFp.schema.fieldIndex("fp")
+    bFp.groupByKey { r =>
+        if (r.isNullAt(fpIdx)) -1
+        else bloomBucket(r.getString(fpIdx), numBuckets)
+      }(Encoders.scalaInt)
+      .cogroup(filters.groupByKey(_._1)(Encoders.scalaInt)) {
+        (_, rows, fIt) =>
+          val bf = fIt.nextOption().map(t =>
+            BloomFilter.readFrom(new java.io.ByteArrayInputStream(t._2)))
+          bf match {
+            case None => rows.map(r => Row.fromSeq(r.toSeq :+ false))
+            case Some(f) => rows.map { r =>
+              val might = !r.isNullAt(fpIdx) &&
+                f.mightContainString(r.getString(fpIdx))
+              Row.fromSeq(r.toSeq :+ might)
+            }
+          }
+      }(Encoders.row(outSchema))
   }
 
   /** id -> distinct shingle hashes (the inverted-index source).

@@ -435,7 +435,9 @@ object Multimodal {
         while (o + 8 <= to) {
           val id = cc(b, o)
           val sz = le32(b, o + 4).toInt
-          if (sz < 0 || o + 8 + sz > to) return
+          // Long arithmetic: a corrupt sz near 2^31 would overflow
+          // `o + 8 + sz` negative and sneak past an Int-typed guard
+          if (sz < 0 || o + 8L + sz > to) return
           if (id == "LIST" && sz >= 4) {
             val lt = cc(b, o + 8)
             if (lt == "movi" || (inMovi && lt == "rec "))
@@ -473,7 +475,11 @@ object Multimodal {
     private[graft] def tryDecodeFrames(m: MediaRow, stride: Int)
         : Option[Seq[SampledFrame]] =
       if (m.media_type != "video") None
-      else frameChunks(m.media).flatMap { chunks =>
+      // the container walk itself sits inside the try so a corrupt
+      // payload falls back to the metadata path instead of failing
+      // the Spark task
+      else (try frameChunks(m.media) catch { case _: Exception => None })
+        .flatMap { chunks =>
         if (chunks.isEmpty) None
         else try {
           val rows = Range(0, chunks.size, stride).map { i =>
@@ -703,10 +709,14 @@ object Multimodal {
 
   /** REAL audio feature extraction: decodable 16-bit PCM payloads
     * (WAV/AU/AIFF through javax.sound — lossless, so sample values are
-    * exact) report sample count, peak |amplitude| and the integer sum
-    * of squares (integer so engines agree bit-for-bit; RMS is one
-    * consumer-side sqrt away). Non-decodable payloads fall back to the
-    * metadata chain with zeroed amplitude stats.
+    * exact) report FRAME count (per-channel sample count / channels,
+    * so `n_samples` means the same thing as the metadata fallback's
+    * `n_frames` regardless of channel layout), peak |amplitude| and the
+    * integer sum of squares over ALL channel values (integer so
+    * engines agree bit-for-bit; RMS is one consumer-side sqrt away).
+    * Non-decodable payloads fall back to the metadata chain with
+    * zeroed amplitude stats. A trailing odd byte is not a 16-bit
+    * sample and is ignored.
     */
   def pcmFeatures(spark: SparkSession, media: DataFrame)
       : Dataset[PcmFeatures] = {
@@ -746,7 +756,8 @@ object Multimodal {
           n += 1
           o += 2
         }
-        Some(PcmFeatures(m.doc_id, n, peak, sumSq, decoded = true))
+        val channels = math.max(1, fmt.getChannels)
+        Some(PcmFeatures(m.doc_id, n / channels, peak, sumSq, decoded = true))
       }
     } catch { case _: Exception => None }
 }

@@ -198,7 +198,7 @@ object PipelineQueries extends QueryPack {
       (s, dir) => Dedup.duplicatedSpans(T(s, dir).documents, "doc_id", "text",
         width = 50, stride = 25),
       Some("""WITH t AS (SELECT doc_id,
-             |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+             |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
              |  FROM documents),
              |w AS (SELECT DISTINCT doc_id,
              |    substring(t, CAST(i AS INT), 50) AS span

@@ -181,8 +181,13 @@ class PipelinePropsSpec extends AnyFunSuite {
       // local model: identical normalization, every strided window,
       // distinct docs per span, count >= 2, min doc id
       val exp = rows.flatMap { case (id, text) =>
+          // same order as the operator and the DuckDB oracle: collapse
+          // \s+ FIRST, then strip edge spaces (SQL trim strips spaces
+          // only, so trimming first would diverge on tab/newline edges)
           val t =
-            if (text == null) "" else text.trim.toLowerCase.replaceAll("\\s+", " ")
+            if (text == null) ""
+            else text.toLowerCase.replaceAll("\\s+", " ")
+              .stripPrefix(" ").stripSuffix(" ")
           if (t.length < w) Nil
           else Range.inclusive(0, t.length - w, st)
             .map(i => (t.substring(i, i + w), id)).distinct

@@ -901,4 +901,108 @@ class PipelineSpec extends AnyFunSuite {
       .collect().count(_.getBoolean(0))
     assert(absent < 100, s"$absent false positives of 1000 at fpp=0.01")
   }
+
+  test("incremental dedup: partitioned sketch engages past the size gate, stays exact") {
+    // force the gate: a 1-bit single-filter budget rejects every real
+    // sketch, and a 32-bit bucket budget splits it into several buckets
+    System.setProperty("graft.bloom.maxSingleBits", "1")
+    System.setProperty("graft.bloom.bucketBits", "32")
+    try {
+      val history = Seq(
+        (1L, "seen before one"), (2L, "seen before two"),
+        (3L, "seen before three"), (4L, "seen before four"),
+        (5L, "seen before five"), (6L, "seen before six"),
+        (7L, "seen before seven"), (8L, "seen before eight")
+      ).toDF("doc_id", "text")
+      val batch = Seq(
+        (10L, "seen  BEFORE one"),    // dup modulo normalization
+        (11L, "genuinely new doc a"),
+        (12L, "genuinely new doc b"),
+        (13L, "seen before three"),   // exact dup
+        (14L, null.asInstanceOf[String]) // null fp: anti-join keeps it
+      ).toDF("doc_id", "text")
+      val before = Dedup.partitionedBloomBuilds.get()
+      val memoBefore = Dedup.bucketBloomMemo.size
+      val out = Dedup.incrementalNew(batch, history, "doc_id", "text")
+        .collect().map(_.getLong(0)).toSet
+      assert(out == Set(11L, 12L, 14L))
+      assert(Dedup.partitionedBloomBuilds.get() > before,
+        "size gate did not route to the partitioned path")
+      assert(Dedup.bucketBloomMemo.size == memoBefore + 1)
+      // second batch against the SAME history reuses the persisted
+      // bucket-filter table (no new memo entry) and stays exact
+      val batch2 = Seq(
+        (20L, "seen before five"), (21L, "another brand new doc")
+      ).toDF("doc_id", "text")
+      val out2 = Dedup.incrementalNew(batch2, history, "doc_id", "text")
+        .collect().map(_.getLong(0)).toSet
+      assert(out2 == Set(21L))
+      assert(Dedup.bucketBloomMemo.size == memoBefore + 1,
+        "repeat batch rebuilt the bucket sketch instead of reusing it")
+    } finally {
+      System.clearProperty("graft.bloom.maxSingleBits")
+      System.clearProperty("graft.bloom.bucketBits")
+    }
+  }
+
+  test("bloom memo evicts by total bytes, not entry count") {
+    import org.apache.spark.util.sketch.BloomFilter
+    def mk(n: Long) = BloomFilter.create(n, 0.01)
+    val perFilterBytes = mk(10000L).bitSize() / 8 // ~12 KB each
+    val memo = new Dedup.ByteBoundedMemo[Int](perFilterBytes * 3 + 16)
+    (0 until 8).foreach(i => memo.getOrElseUpdateValue(i, mk(10000L)))
+    assert(memo.totalBytes <= perFilterBytes * 3 + 16,
+      s"memo holds ${memo.totalBytes} bytes over its budget")
+    assert(memo.size < 8 && memo.size >= 1)
+    // the most recent entry survived (access-ordered eviction)
+    val f7 = mk(1L)
+    assert(memo.getOrElseUpdateValue(7, f7) ne f7)
+  }
+
+  test("frameChunks survives a corrupt chunk size near 2^31") {
+    // RIFF/AVI header followed by one chunk whose size field would
+    // overflow Int in `o + 8 + sz` — the walk must return cleanly
+    // (metadata fallback), not throw from a negative offset
+    val b = new Array[Byte](64)
+    def put(o: Int, s: String): Unit =
+      s.getBytes("ISO-8859-1").copyToArray(b, o)
+    def putLe(o: Int, v: Long): Unit = {
+      b(o) = (v & 0xff).toByte; b(o + 1) = ((v >> 8) & 0xff).toByte
+      b(o + 2) = ((v >> 16) & 0xff).toByte; b(o + 3) = ((v >> 24) & 0xff).toByte
+    }
+    put(0, "RIFF"); putLe(4, 56); put(8, "AVI ")
+    put(12, "LIST"); putLe(16, 0x7ffffff0L); put(20, "movi")
+    val chunks = Multimodal.MjpegFrames.frameChunks(b)
+    assert(chunks.exists(_.isEmpty))
+    // and the full decode path falls back rather than failing the task
+    val media = Seq(Multimodal.MediaRow(1L, "video", b)).toDF()
+    val rows = Multimodal.decodeFrameSamples(spark, media, stride = 1)
+      .collect()
+    assert(rows.forall(!_.decoded))
+  }
+
+  test("pcm features report FRAMES for stereo payloads (same unit as fallback)") {
+    import javax.sound.sampled._
+    // 4 stereo frames = 8 16-bit values, little-endian
+    val vals: Array[Short] = Array(100, -200, 300, -400, 500, -600, 700, -800)
+    val bytes = new Array[Byte](vals.length * 2)
+    vals.zipWithIndex.foreach { case (v, i) =>
+      bytes(2 * i) = (v & 0xff).toByte
+      bytes(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(8000f, 16, 2, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, vals.length / 2)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    val media = Seq(Multimodal.MediaRow(1L, "audio", bos.toByteArray)).toDF()
+    val out = Multimodal.pcmFeatures(spark, media).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.decoded)
+    assert(r.n_samples == 4L, s"expected 4 frames, got ${r.n_samples}")
+    // amplitude stats still span ALL channel values
+    assert(r.peak == 800)
+    assert(r.sum_sq == vals.map(v => v.toLong * v).sum)
+  }
 }
