@@ -180,6 +180,101 @@ object Analytics {
     * contraction. mapPartitions is warranted here: DSU is genuinely
     * per-partition imperative state with no declarative equivalent.
     */
+  /** Forest-row count above which [[connectedComponentsDSU]] hands the
+    * contracted forest to [[starComponents]] instead of fanning in to
+    * one partition: the fan-in tail ends with a SINGLE task holding a
+    * ~V-entry hash map, which is exactly the super-linear wall the
+    * sf10 measurement found (16.3x per decade). Below it the one-task
+    * tail is cheaper than star rounds' shuffles.
+    */
+  private[graft] def starRowsThreshold: Long =
+    sys.props.get("graft.cc.starRows").map(_.toLong).getOrElse(8L << 20)
+
+  /** how many times the star path engaged (test probe) */
+  private[graft] val starPathRuns =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Large-star/small-star alternation over a canonical (u > v) pair
+    * set — the O(log n)-round MapReduce CC of Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond" (SoCC'14), as pure
+    * DataFrame algebra. Every round is two aggregate+join passes on
+    * the same key (partial-aggregable map-side, co-partitioned agg and
+    * join) plus one distinct; NO task ever holds more than its hash
+    * partition, so the per-round work stays flat as V grows — the
+    * property the DSU fan-in tail loses at scale.
+    *
+    *  - large-star: for each node n, connect every LARGER neighbor to
+    *    m = min(N(n) ∪ n). Emitted pairs stay canonical (nbr > n >= m).
+    *  - small-star: orient edges large→small; for each u, connect its
+    *    smaller neighbors and u itself to m = min(N_small(u)).
+    *
+    * Both steps preserve connectivity and monotonically shrink a
+    * potential function; the fixpoint is a forest of stars centered at
+    * component minima, read off as (leaf → center) labels. Fixpoint
+    * detection compares an order-independent checksum (count,
+    * bit_xor(h), decimal-sum(h)) of consecutive small-star outputs —
+    * one extra aggregation per round, collision-proof in practice.
+    *
+    * Input: (u, v) pairs, any orientation, self-loops allowed (dropped
+    * here). Output: (id, component-min) for every node WITH an edge;
+    * the caller joins isolated nodes back.
+    */
+  private[graft] def starComponents(pairs: DataFrame,
+      maxIters: Int = 64): DataFrame = {
+    starPathRuns.incrementAndGet()
+    val parts = sizedPartitions(pairs)
+    def canon(df: DataFrame): DataFrame = df
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct()
+    def checksum(df: DataFrame): (Long, Long, java.math.BigDecimal) = {
+      val h = xxhash64(col("u"), col("v"))
+      val r = df.agg(count(lit(1)), bit_xor(h),
+        sum(h.cast("decimal(38,0)"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) java.math.BigDecimal.ZERO
+        else r.getDecimal(2))
+    }
+    var e = canon(pairs).repartition(parts, col("u")).localCheckpoint()
+    var sig = checksum(e)
+    var it = 0
+    var converged = sig._1 == 0L
+    while (!converged && it < maxIters) {
+      // large-star: symmetric neighborhoods in one scan of e
+      val sym = e.select(explode(array(
+          struct(col("u").as("n"), col("v").as("nbr")),
+          struct(col("v").as("n"), col("u").as("nbr")))).as("p"))
+        .select(col("p.n").as("n"), col("p.nbr").as("nbr"))
+      val mins = sym.groupBy(col("n"))
+        .agg(min(col("nbr")).as("mn"))
+        .select(col("n"), least(col("mn"), col("n")).as("m"))
+      val large = canon(sym.filter(col("nbr") > col("n"))
+        .join(mins, "n")
+        .select(col("nbr").as("u"), col("m").as("v")))
+      // small-star on the (already canonical u > v) large-star output
+      val minsS = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = canon(
+        large.join(minsS, "u")
+          .select(col("v").as("u"), col("m").as("v"))
+          .unionByName(minsS.select(col("u"), col("m").as("v"))))
+        .repartition(parts, col("u"))
+        .localCheckpoint()
+      val nextSig = checksum(small)
+      converged = nextSig == sig
+      e = small
+      sig = nextSig
+      it += 1
+    }
+    if (!converged && sig._1 > 0L)
+      throw new IllegalStateException(
+        s"star contraction did not converge in $maxIters rounds")
+    // stars: every edge is (leaf, component-min); centers label themselves
+    e.select(col("u").as("id"), col("v").as("component"))
+      .unionByName(
+        e.select(col("v").as("id"), col("v").as("component")).distinct())
+  }
+
   def connectedComponentsDSU(nodes: DataFrame, edges: DataFrame,
       fanIn: Int = 16): DataFrame = {
     val spark = nodes.sparkSession
@@ -217,12 +312,24 @@ object Analytics {
     // label join would otherwise re-evaluate it once per reference
     var forest = contract(edges.select(col("left").as("a"), col("right").as("b"))
       .as[(Long, Long)]).localCheckpoint()
-    var parts = forest.rdd.getNumPartitions
-    while (parts > 1) {
-      parts = math.max(1, parts / fanIn)
-      forest = contract(forest.repartition(parts)).localCheckpoint()
-    }
-    val roots = forest.toDF("id", "component")
+    // DISPATCH: the fan-in tail below ends in ONE task whose hash map
+    // holds every surviving node — unbeatable while that fits a core's
+    // cache-ish working set, measurably super-linear once it doesn't
+    // (sf10: 16.3x per decade). Past the threshold the contracted
+    // forest (already <= V pairs, connectivity-equivalent to the input)
+    // goes to the star alternation, whose per-task state is one hash
+    // partition at every scale.
+    val roots =
+      if (forest.count() > starRowsThreshold)
+        starComponents(forest.toDF("u", "v")).toDF("id", "component")
+      else {
+        var parts = forest.rdd.getNumPartitions
+        while (parts > 1) {
+          parts = math.max(1, parts / fanIn)
+          forest = contract(forest.repartition(parts)).localCheckpoint()
+        }
+        forest.toDF("id", "component")
+      }
     // isolated vertices (no edges) are their own component
     nodes.join(roots, Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))

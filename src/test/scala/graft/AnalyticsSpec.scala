@@ -102,4 +102,47 @@ class AnalyticsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(capped == Set((2L,3L)))
   }
+
+  test("star contraction matches DSU on chains, stars, self-loops, isolates") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // worst case for label propagation: a long descending chain (min
+    // must travel the full diameter); plus a hub star, a self-loop-only
+    // node, a two-cycle, and isolated nodes via the node table
+    val chain = (1L to 40L).sliding(2).map(s => (s(1), s(0))).toSeq
+    val star = Seq((100L, 101L), (100L, 102L), (100L, 103L))
+    val loopy = Seq((200L, 200L), (300L, 301L), (301L, 300L))
+    val edges = (chain ++ star ++ loopy).toDF("left", "right")
+    val nodes = ((1L to 40L) ++ Seq(100L, 101L, 102L, 103L,
+      200L, 300L, 301L, 999L)).toDF("id")
+    val expected = Analytics.connectedComponentsDSU(nodes, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(expected(40L) == 1L && expected(103L) == 100L &&
+      expected(200L) == 200L && expected(301L) == 300L &&
+      expected(999L) == 999L)
+    val direct = Analytics.starComponents(
+        edges.select(col("left").as("u"), col("right").as("v"))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // star output covers edge-bearing, non-self-loop-only nodes
+    assert((expected - 200L - 999L) == direct)
+  }
+
+  test("DSU dispatches to the star path past the forest-size threshold") {
+    import spark.implicits._
+    System.setProperty("graft.cc.starRows", "0")
+    try {
+      val before = Analytics.starPathRuns.get()
+      val nodes = (1L to 12L).toDF("id")
+      val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L), (7L, 7L))
+        .toDF("left", "right")
+      val out = Analytics.connectedComponentsDSU(nodes, edges).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(Analytics.starPathRuns.get() > before,
+        "threshold 0 did not engage the star path")
+      assert(out(1L) == 1L && out(2L) == 1L && out(3L) == 1L)
+      assert(out(5L) == 5L && out(6L) == 5L)
+      assert(out(7L) == 7L) // self-loop only
+      assert((8L to 12L).forall(i => out(i) == i)) // isolated
+    } finally System.clearProperty("graft.cc.starRows")
+  }
 }

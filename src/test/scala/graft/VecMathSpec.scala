@@ -87,6 +87,14 @@ class VecMathSpec extends AnyFunSuite {
       val delta = Analytics.connectedComponentsDF(nodes, edges)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(dsu == delta, s"trial $trial")
+      // third algorithm, same answer: star alternation on the same
+      // random multigraph (self-loops/parallels included by chance)
+      System.setProperty("graft.cc.starRows", "0")
+      try {
+        val star = Analytics.connectedComponentsDSU(nodes, edges, fanIn = 2)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(star == delta, s"star trial $trial")
+      } finally System.clearProperty("graft.cc.starRows")
     }
   }
 }
