@@ -156,6 +156,9 @@ object Bench {
       spark.conf.set("spark.sql.adaptive.enabled", "true")
       v
     }
+    // the empirical quiet/contended canary boundary (SERVING.md),
+    // shared by the serving windows and the sf1 subset classifier
+    val quietBar = 100.0
 
     // serving section opt-out: targeted scale spot-runs (e.g. the sf10
     // probe) time SUITE queries only — building a multi-10M-primitive
@@ -250,25 +253,31 @@ object Bench {
     // re-classify.
     val nWindows =
       sys.env.getOrElse("SPARK_GRAFT_SERVING_WINDOWS", "3").toInt
-    val quietBar = 100.0
     val figNames = Seq("qps_simple", "qps_simple_sharded", "qps_sorted",
       "qps_sorted_sharded", "qps_point_batched")
+    // each window is SANDWICHED between canaries and classified by the
+    // worse of the two: a window that starts quiet and gets stomped
+    // mid-flight (a real r11 observation: one window's sorted figure
+    // collapsed 12x while its start-canary read quiet) must not
+    // publish as quiet
     val windows = (1 to nWindows).map { _ =>
-      val canary = sparkPathRun(8)
+      val cPre = sparkPathRun(8)
       val figs = Seq(
         "qps_simple" -> drive(4096, i => answer(simpleQ(i))),
         "qps_simple_sharded" -> drive(2048, i => answerSharded(simpleQ(i))),
         "qps_sorted" -> drive(2048, i => answer(sortedQ(i))),
         "qps_sorted_sharded" -> drive(2048, i => answerSharded(sortedQ(i))),
         "qps_point_batched" -> batchRun())
+      val cPost = sparkPathRun(8)
       System.gc()
-      (canary, figs.toMap)
+      (math.min(cPre, cPost), figs.toMap, cPre, cPost)
     }
     val quiet = windows.filter(_._1 >= quietBar)
     val pool = if (quiet.nonEmpty) quiet else windows
     def fig(name: String): Double = pool.map(_._2(name)).max
-    val wJson = windows.map { case (c, figs) =>
-      (Seq("canary" -> c) ++ figNames.map(n => n -> figs(n)))
+    val wJson = windows.map { case (c, figs, cPre, cPost) =>
+      (Seq("canary" -> c, "canary_pre" -> cPre, "canary_post" -> cPost) ++
+        figNames.map(n => n -> figs(n)))
         .map { case (k, v) => "\"" + k + "\":" + f"$v%.1f" }
         .mkString("{", ",", "}")
     }.mkString("[", ",", "]")
@@ -320,33 +329,68 @@ object Bench {
         catch { case _: Throwable => () }
       System.err.println(
         f"[bench-sf1] warmup ${(System.nanoTime() - wT0) / 1e9}%.1f s")
-      val best1 = scala.collection.mutable.LinkedHashMap
+      // SELF-CLASSIFYING sampling: every timed query is SANDWICHED
+      // between canaries (each canary doubles as the next query's
+      // pre), and a sample only counts as classified when BOTH its
+      // canaries clear the quiet bar. Queries re-run across passes
+      // until they hold `targetQuiet` quiet samples or the pass budget
+      // runs out — a contended window (r10's q22: canary_post 4.75)
+      // now produces more sampling, never a published regression
+      // candidate. Published sec = min over quiet samples;
+      // classified=false marks the best-over-all fallback when the
+      // host never went quiet around that query.
+      val maxPasses =
+        sys.env.getOrElse("SPARK_GRAFT_SF1_PASSES", "4").toInt
+      val targetQuiet = 2
+      val bestQuiet = scala.collection.mutable.LinkedHashMap
         .empty[String, Double] ++= r9.map(_._1 -> -1.0)
-      for (rep <- 1 to 2; (name, _) <- r9) {
-        val t0 = System.nanoTime()
-        val ok =
-          try { SparkEntry.queries(name)(spark, sf1Dir).count(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench-sf1] $name FAILED: ${e.getMessage}")
-            false
+      val bestAny = scala.collection.mutable.LinkedHashMap
+        .empty[String, Double] ++= r9.map(_._1 -> -1.0)
+      val nQuiet = scala.collection.mutable.LinkedHashMap
+        .empty[String, Int] ++= r9.map(_._1 -> 0)
+      var canary = sf1CanaryPre
+      var canaryLast = canary
+      var pass = 0
+      while (pass < maxPasses && nQuiet.valuesIterator.exists(_ < targetQuiet)) {
+        pass += 1
+        for ((name, _) <- r9 if nQuiet(name) < targetQuiet) {
+          val cPre = canary
+          val t0 = System.nanoTime()
+          val ok =
+            try { SparkEntry.queries(name)(spark, sf1Dir).count(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench-sf1] $name FAILED: ${e.getMessage}")
+              false
+            }
+          val secs = (System.nanoTime() - t0) / 1e9
+          canary = sparkPathRun(4)
+          canaryLast = canary
+          val quiet = math.min(cPre, canary) >= quietBar
+          if (ok) {
+            if (bestAny(name) < 0 || secs < bestAny(name)) bestAny(name) = secs
+            if (quiet) {
+              nQuiet(name) += 1
+              if (bestQuiet(name) < 0 || secs < bestQuiet(name))
+                bestQuiet(name) = secs
+            }
           }
-        val secs = (System.nanoTime() - t0) / 1e9
-        if (ok && (best1(name) < 0 || secs < best1(name))) best1(name) = secs
-        System.err.println(f"[bench-sf1] rep$rep $name%-28s $secs%6.2f s")
+          System.err.println(f"[bench-sf1] pass$pass $name%-28s $secs%6.2f s" +
+            f" canaries $cPre%.0f/$canary%.0f ${if (quiet) "quiet" else "NOISY"}")
+        }
       }
-      // canary measured INSIDE this window, before and after the reps
-      // (the suite-time canary said nothing about the sf1 section's
-      // own window quality)
-      val sf1CanaryPost = sparkPathRun(4)
       val body = r9.map { case (name, ref) =>
-        val v = best1(name)
+        val classified = bestQuiet(name) >= 0
+        val v = if (classified) bestQuiet(name) else bestAny(name)
         val ratio = if (v >= 0) v / ref else -1.0
         "\"" + name + "\":{\"sec\":" + f"$v%.3f" +
-          ",\"r9_sec\":" + ref + ",\"vs_r9\":" + f"$ratio%.2f" + "}"
+          ",\"r9_sec\":" + ref + ",\"vs_r9\":" + f"$ratio%.2f" +
+          ",\"quiet_samples\":" + nQuiet(name) +
+          ",\"classified\":" + classified + "}"
       }.mkString("{", ",", "}")
       val w = new java.io.PrintWriter("BENCH_sf1.json")
       w.println(s"""{"sf":"$sf1Dir","canary_pre":$sf1CanaryPre,""" +
-        s""""canary_post":$sf1CanaryPost,"queries":$body}""")
+        s""""canary_post":$canaryLast,"quiet_bar":$quietBar,""" +
+        s""""passes":$pass,"queries":$body}""")
       w.close()
     } catch { case e: Throwable =>
       System.err.println(s"[bench-sf1] skipped: ${e.getMessage}")

@@ -399,6 +399,73 @@ object Multimodal {
   final case class SampledFrame(doc_id: Long, frame_idx: Int,
       width: Int, height: Int, frame_sig: Long, decoded: Boolean)
 
+  /** Pluggable real-codec seam for the video formats a stock JVM can't
+    * open (H.264/H.265 in MP4 — i.e. almost all real video). A
+    * provider wraps an external decoder (ffmpeg via JNI/JavaCV, a
+    * hardware codec) and is discovered through the standard
+    * `java.util.ServiceLoader` mechanism (META-INF/services entry for
+    * `graft.operators.VideoFrameDecoder`) or, mostly for tests, a
+    * `graft.video.decoderClass` system property naming the impl — the
+    * same probe-and-fall-through pattern as the MP3 SPI hook: with no
+    * provider installed the pipeline is byte-identical to a stub-only
+    * build.
+    */
+  trait VideoFrameDecoder {
+    /** every `stride`-th frame, actually decoded; None = this provider
+      * cannot handle the payload (the chain falls through)
+      */
+    def decodeFrames(bytes: Array[Byte], stride: Int): Option[Seq[SampledFrame]]
+  }
+
+  object VideoFrameDecoder {
+    /** resolved once per JVM per property value — provider classes are
+      * stateless decoders by contract
+      */
+    @volatile private var cached: (String, Seq[VideoFrameDecoder]) = null
+    private[operators] def providers: Seq[VideoFrameDecoder] = {
+      val propKey = sys.props.getOrElse("graft.video.decoderClass", "")
+      val c = cached
+      if (c != null && c._1 == propKey) c._2
+      else {
+        val fromProp = propKey.split(',').filter(_.nonEmpty).toSeq.flatMap {
+          cls =>
+            try Seq(Class.forName(cls).getDeclaredConstructor()
+              .newInstance().asInstanceOf[VideoFrameDecoder])
+            catch { case _: Exception => Nil }
+        }
+        val fromSpi =
+          try {
+            import scala.jdk.CollectionConverters._
+            java.util.ServiceLoader.load(classOf[VideoFrameDecoder])
+              .iterator().asScala.toSeq
+          } catch { case _: Throwable => Nil }
+        val all = fromProp ++ fromSpi
+        cached = (propKey, all)
+        all
+      }
+    }
+
+    /** first provider that handles the payload wins; a provider that
+      * throws or returns malformed frames (non-positive geometry, out-
+      * of-stride indexes) is treated as "can't handle" so a buggy
+      * plugin degrades to the metadata fallback instead of failing the
+      * Spark task — the same totality fence as the MJPEG walker
+      */
+    private[operators] def tryProviders(m: MediaRow, stride: Int)
+        : Option[Seq[SampledFrame]] = {
+      val ps = providers
+      if (ps.isEmpty) None
+      else ps.iterator.flatMap { p =>
+        (try p.decodeFrames(m.media, stride)
+         catch { case _: Exception => None })
+          .filter(fs => fs.nonEmpty && fs.forall(f =>
+            f.width > 0 && f.height > 0 &&
+              f.frame_idx >= 0 && f.frame_idx % stride == 0))
+          .map(_.map(_.copy(doc_id = m.doc_id, decoded = true)))
+      }.nextOption()
+    }
+  }
+
   /** Real video FRAME decode with zero dependencies: MJPEG-in-AVI
     * stores each frame as a complete JPEG ('00dc' chunks in the RIFF
     * 'movi' list), so the JDK's ImageIO decodes actual pixels — the
@@ -639,12 +706,19 @@ object Multimodal {
     media.as[MediaRow]
       .filter(col("media_type") === "video")
       .mapPartitions(_.flatMap { m =>
-        MjpegFrames.tryDecodeFrames(m, stride).getOrElse {
-          val f = ImageIoCodec.decode(m)
-          Range(0, f.n_frames, stride).map(i =>
-            SampledFrame(m.doc_id, i, f.width, f.height, 0L,
-              decoded = false))
-        }
+        // decode-link order: the dependency-free MJPEG walker, then any
+        // installed external codec (ffmpeg/JNI behind the
+        // VideoFrameDecoder SPI — the H.264-in-MP4 hook), then the
+        // metadata chain; each link is exception-fenced so the stage
+        // stays total
+        MjpegFrames.tryDecodeFrames(m, stride)
+          .orElse(VideoFrameDecoder.tryProviders(m, stride))
+          .getOrElse {
+            val f = ImageIoCodec.decode(m)
+            Range(0, f.n_frames, stride).map(i =>
+              SampledFrame(m.doc_id, i, f.width, f.height, 0L,
+                decoded = false))
+          }
       })
   }
 
@@ -737,27 +811,61 @@ object Multimodal {
       val ais = AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(m.media))
       val fmt = ais.getFormat
-      if (fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
-          fmt.getSampleSizeInBits != 16) None
+      if (fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16)
+        Some(pcm16Stats(m.doc_id, ais.readAllBytes(), fmt.isBigEndian,
+          fmt.getChannels))
       else {
-        val bytes = ais.readAllBytes()
-        val be = fmt.isBigEndian
-        var peak = 0
-        var sumSq = 0L
-        var n = 0L
-        var o = 0
-        while (o + 1 < bytes.length) {
-          val v =
-            if (be) ((bytes(o) << 8) | (bytes(o + 1) & 0xff)).toShort.toInt
-            else ((bytes(o + 1) << 8) | (bytes(o) & 0xff)).toShort.toInt
-          val a = math.abs(v)
-          if (a > peak) peak = a
-          sumSq += v.toLong * v
-          n += 1
-          o += 2
+        // NON-16-bit-PCM payloads (8/24-bit, unsigned, float — and
+        // MP3/OGG when a format-conversion SPI is installed): convert
+        // through AudioSystem to 16-bit signed PCM, then run the same
+        // exact-integer stats. Determinism fence before trusting an
+        // external codec: decode the stream TWICE from scratch and
+        // require byte-identical output (same philosophy as the MP3
+        // whole-stream header walk) — a nondeterministic decoder falls
+        // back to the metadata path rather than emitting
+        // engine-varying stats.
+        val rate =
+          if (fmt.getSampleRate > 0) fmt.getSampleRate else 44100f
+        val ch = if (fmt.getChannels > 0) fmt.getChannels else 1
+        val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          rate, 16, ch, ch * 2, rate, false)
+        if (!AudioSystem.isConversionSupported(target, fmt)) None
+        else {
+          def run(): Array[Byte] = {
+            val src = AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(m.media))
+            try AudioSystem.getAudioInputStream(target, src).readAllBytes()
+            finally src.close()
+          }
+          val b1 = run()
+          if (!java.util.Arrays.equals(b1, run())) None
+          else Some(pcm16Stats(m.doc_id, b1, bigEndian = false, ch))
         }
-        val channels = math.max(1, fmt.getChannels)
-        Some(PcmFeatures(m.doc_id, n / channels, peak, sumSq, decoded = true))
       }
     } catch { case _: Exception => None }
+
+  /** exact integer stats over a 16-bit sample buffer: frame count
+    * (per-channel values / channels), peak |amplitude| and sum of
+    * squares over ALL channel values; a trailing odd byte is ignored
+    */
+  private def pcm16Stats(id: Long, bytes: Array[Byte], bigEndian: Boolean,
+      channels0: Int): PcmFeatures = {
+    var peak = 0
+    var sumSq = 0L
+    var n = 0L
+    var o = 0
+    while (o + 1 < bytes.length) {
+      val v =
+        if (bigEndian) ((bytes(o) << 8) | (bytes(o + 1) & 0xff)).toShort.toInt
+        else ((bytes(o + 1) << 8) | (bytes(o) & 0xff)).toShort.toInt
+      val a = math.abs(v)
+      if (a > peak) peak = a
+      sumSq += v.toLong * v
+      n += 1
+      o += 2
+    }
+    val channels = math.max(1, channels0)
+    PcmFeatures(id, n / channels, peak, sumSq, decoded = true)
+  }
 }

@@ -245,6 +245,32 @@ object PointServer {
   private[serve] def serveVetted(ix: Index, c: Constraint,
       flat: Seq[Pattern], emitSortKeys: Boolean,
       wordKeys: Seq[Seq[Either[String, String]]] = null): Option[Served] = {
+    positionsVetted(ix, c, flat, wordKeys).map { case (out, keyed) =>
+      if (flat == Seq(CountPat))
+        Served(Seq("count"), Seq(Array[Any](out.length.toLong)))
+      else {
+        val cols = flat.zipWithIndex.map { case (p, idx) => patName(p, idx) }
+        val rows = out.toSeq.map(p => flat.map(f => fieldOf(ix, f, p)).toArray)
+        val sks =
+          if (emitSortKeys && keyed != null) keyed.toSeq
+          else Nil
+        Served(cols, rows, out.toSeq.map(p => ix.ids(p)), sks)
+      }
+    }
+  }
+
+  /** Stage 1 of [[serveVetted]]: accepted snapshot POSITIONS in final
+    * (sorted, paged) order, plus the per-row comparator keys when the
+    * query sorts — no row materialization. The shard router merges on
+    * these and materializes ONLY the global page's winners, so a
+    * scatter over k shards allocates one page of row arrays instead of
+    * k prefix-pages (the allocation term the 32-thread scatter tax
+    * measured). None = not servable from this snapshot.
+    */
+  private[serve] def positionsVetted(ix: Index, c: Constraint,
+      flat: Seq[Pattern],
+      wordKeys: Seq[Seq[Either[String, String]]] = null)
+      : Option[(Array[Int], Array[Array[String]])] = {
     val wk = if (wordKeys != null) wordKeys else wordProbeKeys(c)
     // unsorted paged reads are FULLY LAZY: candidates pull through the
     // and-cursor (leapfrog intersect) and the accept loop stops at
@@ -285,9 +311,8 @@ object PointServer {
         }
         cand.filter(p => ix.home(ix.ids(p)) && accepts(ix, c, p))
       }
-    // root count result
-    if (isCount)
-      return Some(Served(Seq("count"), Seq(Array[Any](out.length.toLong))))
+    // root count result: candidate count, pre-sort/pre-page
+    if (isCount) return Some((out, null))
     // sort: comparator keys over value/name, id tiebreak. Keys are
     // MATERIALIZED once per row before sorting — a sortWith that calls
     // the comparator normalization per COMPARISON would recompute each
@@ -338,12 +363,7 @@ object PointServer {
       out = out.take(ps.toInt)
       if (keyed != null) keyed = keyed.take(ps.toInt)
     }
-    val cols = flat.zipWithIndex.map { case (p, idx) => patName(p, idx) }
-    val rows = out.toSeq.map(p => flat.map(f => fieldOf(ix, f, p)).toArray)
-    val sks =
-      if (emitSortKeys && keyed != null) keyed.toSeq
-      else Nil
-    Some(Served(cols, rows, out.toSeq.map(p => ix.ids(p)), sks))
+    Some((out, keyed))
   }
 
   // ---------- eligibility ----------
@@ -796,14 +816,14 @@ object PointServer {
     case other => Seq(other)
   }
 
-  private def patName(p: Pattern, idx: Int): String = p match {
+  private[serve] def patName(p: Pattern, idx: Int): String = p match {
     case FieldPat(f) => f
     case LiteralPat(_, _) => s"lit_$idx"
     case CountPat => "count"
     case _ => s"c_$idx"
   }
 
-  private def fieldOf(ix: Index, p: Pattern, pos: Int): Any = p match {
+  private[serve] def fieldOf(ix: Index, p: Pattern, pos: Int): Any = p match {
     case FieldPat("guid") => ix.ids(pos)
     case FieldPat("typeguid") => if (ix.typeguid(pos) < 0) null else ix.typeguid(pos)
     case FieldPat("name") => ix.name(pos)

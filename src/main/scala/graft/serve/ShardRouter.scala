@@ -75,7 +75,10 @@ object ShardRouter {
     */
   final case class RoutedPlan(shardC: Constraint, flat: Seq[graft.gql.Pattern],
       sorted: Boolean, dirs: Array[Boolean],
-      wordKeys: Seq[Seq[Either[String, String]]])
+      wordKeys: Seq[Seq[Either[String, String]]],
+      /** column names, derived once per statement — per-query repeat
+        * work on the point-read hot path */
+      cols: Seq[String])
 
   def serve(sh: Shards, query: String): Option[PointServer.Served] = {
     val p = StatementCache.prepared(query)
@@ -123,54 +126,80 @@ object ShardRouter {
     PointServer.flatFor(shardC).map(flat =>
       RoutedPlan(shardC, flat, c.sort.nonEmpty,
         c.sort.map(_.ascending).toArray,
-        PointServer.wordProbeKeys(shardC)))
+        PointServer.wordProbeKeys(shardC),
+        flat.zipWithIndex.map { case (p, idx) =>
+          PointServer.patName(p, idx) }))
   }
 
+  /** Failure contract: the scatter is ALL-OR-NOTHING. Any shard probe
+    * that throws propagates as a request-level failure — the router
+    * never merges a partial shard set (a silently short page is worse
+    * than an error). Callers retry the whole request; per-shard
+    * answers carry no cross-request state, so a retry against healthy
+    * shards returns the byte-exact answer (pinned by the
+    * ShardRouterSpec chaos case).
+    */
   private[serve] def serveRouted(sh: Shards, c: Constraint, r: RoutedPlan)
       : Option[PointServer.Served] = {
-    // sort keys ride along only when the merge needs them (sorted
-    // reads); the unsorted merge keys on ascending id alone
-    val per = sh.shards.map(ix =>
-      PointServer.serveVetted(ix, r.shardC, r.flat, emitSortKeys = r.sorted,
-        r.wordKeys))
-    if (per.exists(_.isEmpty)) return None
-    val answers = per.flatten
-    if (answers.headOption.exists(_.columns == Seq("count"))) {
-      val total = answers.map(_.rows.head(0).asInstanceOf[Long]).sum
+    // per-shard answers are POSITION SLICES, not materialized rows:
+    // the merge below picks the global page's winners first and only
+    // then materializes their row arrays, so a k-shard scatter
+    // allocates one page of rows total instead of k prefix-pages —
+    // the ~3x per-query garbage the 32-thread scatter tax measured
+    val n = sh.shards.length
+    val pos = new Array[Array[Int]](n)
+    val keys = new Array[Array[Array[String]]](n)
+    var s = 0
+    while (s < n) {
+      PointServer.positionsVetted(sh.shards(s), r.shardC, r.flat,
+          r.wordKeys) match {
+        case Some((p, k)) => pos(s) = p; keys(s) = k
+        case None => return None
+      }
+      s += 1
+    }
+    if (r.flat == Seq(graft.gql.CountPat)) {
+      var total = 0L
+      var i = 0
+      while (i < n) { total += pos(i).length; i += 1 }
       return Some(PointServer.Served(Seq("count"), Seq(Array[Any](total))))
     }
-    val (ids, rows) = kWayMerge(answers, c, r.dirs)
-    Some(PointServer.Served(answers.head.columns, rows, ids))
+    Some(kWayMerge(sh, pos, keys, c, r))
   }
 
-  /** n-way merge of per-shard answers (each already in the query's
-    * global order) into the requested page — no union re-sort, no
-    * materialization past start+pagesize. Compare mirrors
-    * PointServer's: per sort key nulls-last, direction per spec, id
-    * tiebreak; unsorted reads merge by ascending id through a
-    * SPECIALIZED primitive-long loop (no comparator indirection, no
-    * per-row tuple — this is every scatter-gather point read's tail).
+  /** n-way merge of per-shard position slices (each already in the
+    * query's global order) into the requested page — no union re-sort,
+    * no materialization past start+pagesize, row arrays allocated for
+    * WINNERS only. Compare mirrors PointServer's: per sort key
+    * nulls-last, direction per spec, id tiebreak; unsorted reads merge
+    * by ascending id through a SPECIALIZED primitive-long loop (no
+    * comparator indirection, no per-row tuple — this is every
+    * scatter-gather point read's tail).
     */
-  private def kWayMerge(answers: Vector[PointServer.Served], c: Constraint,
-      dirs: Array[Boolean]): (Vector[Long], Vector[Array[Any]]) = {
-    val n = answers.length
+  private def kWayMerge(sh: Shards, pos: Array[Array[Int]],
+      keys: Array[Array[Array[String]]], c: Constraint, r: RoutedPlan)
+      : PointServer.Served = {
+    val n = pos.length
+    val dirs = r.dirs
     val cursors = new Array[Int](n)
-    val total = answers.map(_.rowIds.length).sum
+    var total = 0
+    var t = 0
+    while (t < n) { total += pos(t).length; t += 1 }
     // clamp in Long BEFORE narrowing: a start past 2^31 must clamp to
     // `total` (an empty suffix), not wrap negative and return a bogus
     // full page — same drop semantics as the single-snapshot path
     val start = math.min(c.start.getOrElse(0L), total.toLong).toInt
     val wanted = c.pagesize.fold(total - start)(ps =>
       math.min(ps.toInt, total - start)).max(0)
-    val outIds = Vector.newBuilder[Long]
-    val outRows = Vector.newBuilder[Array[Any]]
-    outIds.sizeHint(wanted); outRows.sizeHint(wanted)
+    val outIds = new Array[Long](wanted)
+    val outRows = new Array[Array[Any]](wanted)
     val sorted = dirs.length > 0
-    def lt(s: Int, i: Int, t: Int, j: Int): Boolean = {
-      val r = PointServer.keyCompare(
-        answers(s).sortKeys(i), answers(t).sortKeys(j), dirs)
-      if (r != 0) r < 0
-      else answers(s).rowIds(i) < answers(t).rowIds(j)
+    val flat = r.flat
+    val width = flat.length
+    def lt(s: Int, i: Int, u: Int, j: Int): Boolean = {
+      val rc = PointServer.keyCompare(keys(s)(i), keys(u)(j), dirs)
+      if (rc != 0) rc < 0
+      else sh.shards(s).ids(pos(s)(i)) < sh.shards(u).ids(pos(u)(j))
     }
     var taken = 0
     while (taken < start + wanted) {
@@ -179,9 +208,9 @@ object ShardRouter {
       var s = 0
       while (s < n) {
         val cs = cursors(s)
-        if (cs < answers(s).rowIds.length) {
+        if (cs < pos(s).length) {
           if (!sorted) {
-            val id = answers(s).rowIds(cs)
+            val id = sh.shards(s).ids(pos(s)(cs))
             if (id < bestId) { best = s; bestId = id }
           } else if (best < 0 || lt(s, cs, best, cursors(best))) best = s
         }
@@ -190,11 +219,21 @@ object ShardRouter {
       val i = cursors(best)
       cursors(best) += 1
       if (taken >= start) {
-        outIds += answers(best).rowIds(i)
-        outRows += answers(best).rows(i)
+        val ix = sh.shards(best)
+        val p = pos(best)(i)
+        val row = new Array[Any](width)
+        var f = 0
+        while (f < width) {
+          row(f) = PointServer.fieldOf(ix, flat(f), p)
+          f += 1
+        }
+        outIds(taken - start) = ix.ids(p)
+        outRows(taken - start) = row
       }
       taken += 1
     }
-    (outIds.result(), outRows.result())
+    PointServer.Served(r.cols,
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(outRows),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(outIds))
   }
 }

@@ -6,6 +6,27 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators._
 
+/** Fake external video codec for the VideoFrameDecoder SPI hook test:
+  * "handles" payloads that start with the bytes "FAKE", emitting one
+  * deterministic frame per 16 payload bytes.
+  */
+class FakeVideoDecoder extends Multimodal.VideoFrameDecoder {
+  override def decodeFrames(bytes: Array[Byte], stride: Int)
+      : Option[Seq[Multimodal.SampledFrame]] =
+    if (bytes.length < 4 || new String(bytes, 0, 4, "ISO-8859-1") != "FAKE")
+      None
+    else Some(Range(0, bytes.length / 16, stride).map(i =>
+      Multimodal.SampledFrame(-1L, i, 320, 240, bytes.length * 31L + i,
+        decoded = true)))
+}
+
+/** misbehaving provider: claims every payload, then throws */
+class ExplodingVideoDecoder extends Multimodal.VideoFrameDecoder {
+  override def decodeFrames(bytes: Array[Byte], stride: Int)
+      : Option[Seq[Multimodal.SampledFrame]] =
+    throw new RuntimeException("codec crashed")
+}
+
 /** Unit tests for the training-pipeline operators on hand-built
   * micro-corpora (planted duplicates / known vectors).
   */
@@ -979,6 +1000,65 @@ class PipelineSpec extends AnyFunSuite {
     val rows = Multimodal.decodeFrameSamples(spark, media, stride = 1)
       .collect()
     assert(rows.forall(!_.decoded))
+  }
+
+  test("video decoder SPI hook: provider engages, crashes fall back, absence is stub-identical") {
+    val fakePayload = ("FAKE" + "x" * 60).getBytes("ISO-8859-1") // 4 frames
+    val media = Seq(Multimodal.MediaRow(7L, "video", fakePayload)).toDF()
+    // no provider: metadata fallback, decoded=false
+    val stub = Multimodal.decodeFrameSamples(spark, media, stride = 1).collect()
+    assert(stub.nonEmpty && stub.forall(!_.decoded))
+    try {
+      // a crashing provider ahead of the good one must not fail the
+      // task OR mask the good provider
+      System.setProperty("graft.video.decoderClass",
+        "graft.ExplodingVideoDecoder,graft.FakeVideoDecoder")
+      val out = Multimodal.decodeFrameSamples(spark, media, stride = 1)
+        .collect().sortBy(_.frame_idx)
+      assert(out.length == 4)
+      assert(out.forall(f => f.decoded && f.doc_id == 7L &&
+        f.width == 320 && f.height == 240))
+      // MJPEG stays FIRST in the chain: a real MJPEG AVI still decodes
+      // through the built-in walker even with providers installed
+      val avi = Seq(Multimodal.MediaRow(8L, "video",
+        Multimodal.MediaFixtures.mjpegAvi(3, 24, 16, 8L))).toDF()
+      val mj = Multimodal.decodeFrameSamples(spark, avi, stride = 1).collect()
+      assert(mj.forall(f => f.decoded && f.width != 320))
+      // crashing provider ALONE: clean metadata fallback
+      System.setProperty("graft.video.decoderClass",
+        "graft.ExplodingVideoDecoder")
+      val crashed = Multimodal.decodeFrameSamples(spark, media, stride = 1)
+        .collect()
+      assert(crashed.map(f => (f.frame_idx, f.width, f.height, f.decoded))
+        .toSeq == stub.map(f => (f.frame_idx, f.width, f.height, f.decoded))
+        .toSeq)
+    } finally System.clearProperty("graft.video.decoderClass")
+  }
+
+  test("pcm features decode non-16-bit payloads through format conversion") {
+    import javax.sound.sampled._
+    // 8-bit unsigned mono WAV, 6 frames with a known peak
+    val fmt8 = new AudioFormat(8000f, 8, 1, false, false)
+    val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      8000f, 16, 1, 2, 8000f, false)
+    assume(AudioSystem.isConversionSupported(target, fmt8),
+      "JRE lacks 8->16-bit PCM conversion")
+    val vals: Array[Int] = Array(128, 255, 0, 128, 200, 60) // unsigned bytes
+    val bytes = vals.map(_.toByte)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt8, vals.length)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    val media = Seq(Multimodal.MediaRow(2L, "audio", bos.toByteArray)).toDF()
+    val out = Multimodal.pcmFeatures(spark, media).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.decoded, "conversion path did not engage")
+    assert(r.n_samples == 6L)
+    // 8-bit unsigned 255/0 are full-scale: the 16-bit peak lands at
+    // ~32640 (127<<8) up to 32768 depending on the converter's scaling
+    assert(r.peak >= (120 << 8) && r.peak <= 32768, s"peak ${r.peak}")
+    assert(r.sum_sq > 0L)
   }
 
   test("pcm features report FRAMES for stereo payloads (same unit as fallback)") {

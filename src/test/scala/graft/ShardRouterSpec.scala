@@ -94,4 +94,41 @@ class ShardRouterSpec extends AnyFunSuite {
       assert(ix.ids.filter(ix.home).forall(id => id % n == s))
     }
   }
+
+  test("chaos: a shard failing mid-scatter fails the whole request, never a partial merge") {
+    // failure contract (documented on serveRouted): the scatter is
+    // all-or-nothing. A shard that dies mid-request must surface as a
+    // request-level failure the caller can retry — a partial merge
+    // would return a silently incomplete page, which is worse than an
+    // error. The fault is injected through the home predicate (called
+    // on the accept path of every shard probe), first as an always-
+    // throw, then as a flaky once-throw to prove a retry on healthy
+    // shards returns the byte-exact answer.
+    val sharded = ShardRouter.build(store, 3)
+    // unpaged read: the eager path filters EVERY candidate through the
+    // home predicate, so the injected fault fires on any shard that
+    // holds candidates at all (a lazily-paged read can stop before
+    // reaching the poisoned shard's first candidate)
+    val q = """read (type="customer" result=((guid value)))"""
+    val healthy = ShardRouter.serve(sharded, q).get
+    val boom = new RuntimeException("shard 1 died mid-scatter")
+    val dead = sharded.shards(1).withHome(_ => throw boom)
+    val broken = sharded.copy(shards = sharded.shards.updated(1, dead))
+    val err = intercept[RuntimeException](ShardRouter.serve(broken, q))
+    assert(err eq boom)
+    // flaky shard: throws exactly once, healthy on retry
+    val failures = new java.util.concurrent.atomic.AtomicInteger(1)
+    val real = sharded.shards(1)
+    val flakyIx = real.withHome { id =>
+      if (failures.getAndDecrement() > 0)
+        throw new RuntimeException("transient shard fault")
+      id % 3 == 1
+    }
+    val flaky = sharded.copy(shards = sharded.shards.updated(1, flakyIx))
+    intercept[RuntimeException](ShardRouter.serve(flaky, q))
+    val retried = ShardRouter.serve(flaky, q).get
+    assert(retried.columns == healthy.columns)
+    assert(retried.rows.map(_.toSeq) == healthy.rows.map(_.toSeq))
+    assert(retried.rowIds == healthy.rowIds)
+  }
 }
