@@ -26,29 +26,42 @@ object PlanProbe {
     time("wordIndex.count")(st.valueWordIndex.count())
     time("links.count")(st.links.count())
     time("nodes.count")(st.nodes.count())
-    // a02 phases
-    time("a02 full#1")(graft.graph.Analytics.connectedComponentsStore(st)
-      .groupBy(col("component")).agg(count(lit(1)).as("n")).count())
-    time("a02 full#2")(graft.graph.Analytics.connectedComponentsStore(st)
-      .groupBy(col("component")).agg(count(lit(1)).as("n")).count())
-    time("a01 khop#1")(graft.graph.Analytics.kHop(st, Seq(graft.store.GraphAdapter.BNation + 3), 2)
-      .groupBy(col("hops")).agg(count(lit(1)).as("n")).count())
-    time("a01 khop#2")(graft.graph.Analytics.kHop(st, Seq(graft.store.GraphAdapter.BNation + 3), 2)
-      .groupBy(col("hops")).agg(count(lit(1)).as("n")).count())
-    for (i <- 1 to 2)
-      time(s"a03 pr#$i")(graft.graph.Analytics.pageRankDF(st, 5)
-        .orderBy(round(col("pagerank"), 6).desc, col("id").asc).limit(20).count())
-    val docs = Tables.load(spark, sfDir, "documents")
-    val warmDocs = spark.range(20000).select(
-      col("id").as("doc_id"),
-      concat(lit("Warm Up  Sample text for jit "), col("id").cast("string"),
-        lit(" more words go here to shingle and hash")).as("text"))
-    operators.Dedup.shingleSet(warmDocs, "doc_id", "text", 3).agg(count(col("sh"))).collect()
-    for (i <- 1 to 2) {
-      time(s"d02 jaccard#$i")(operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8, 1000).count())
-      time(s"d03 lsh#$i")(operators.Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 64, 16, 0.8).count())
-      time(s"d04 simhash#$i")(operators.Dedup.simhashPairs(docs, "doc_id", "text", 3).count())
-      time(s"d05 clusters#$i")(operators.Dedup.nearDupClusters(docs, "doc_id", "text", 3, 0.8, 1000).count())
+    // a02 dispatch probe: forest size after the first DSU contraction
+    // vs the star threshold, and both paths timed on the same input
+    locally {
+      import org.apache.spark.sql.Dataset
+      val edges = st.links.filter(col("right").isNotNull)
+        .select(col("left").as("a"), col("right").as("b"))
+      val forest = edges.as[(Long, Long)](
+        org.apache.spark.sql.Encoders.product[(Long, Long)])
+      println(s"[probe] edges = ${edges.count()}")
+      if (sys.env.get("PROBE_FOREST_ONLY").contains("1")) {
+        // forest-row count after the first DSU contraction: the value
+        // the starRows dispatch compares against its threshold
+        val fc = graft.graph.Analytics.firstContractionCount(
+          st.links.filter(col("right").isNotNull)
+            .select(col("left"), col("right")))
+        println(s"[probe] forest rows = $fc")
+        spark.stop(); return
+      }
+      // warm analytics closures once
+      graft.graph.Analytics.connectedComponentsDSU(
+        spark.range(100).toDF("id"),
+        spark.range(100).select((col("id") % 7).as("left"), (col("id") % 13).as("right")))
+        .count()
+      def runA02(label: String, starRows: Long): Unit = {
+        System.setProperty("graft.cc.starRows", starRows.toString)
+        val before = graft.graph.Analytics.starPathRuns.get()
+        for (i <- 1 to 2)
+          time(s"a02 $label#$i")(graft.graph.Analytics.connectedComponentsStore(st)
+            .groupBy(col("component")).agg(count(lit(1)).as("n")).count())
+        println(s"[probe] $label starPathRuns delta = " +
+          s"${graft.graph.Analytics.starPathRuns.get() - before}")
+        System.clearProperty("graft.cc.starRows")
+      }
+      runA02("default", 8L << 20)
+      runA02("dsu-forced", Long.MaxValue)
+      runA02("star-forced", 1L)
     }
     spark.stop()
   }

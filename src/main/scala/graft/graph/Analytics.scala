@@ -182,13 +182,24 @@ object Analytics {
     */
   /** Forest-row count above which [[connectedComponentsDSU]] hands the
     * contracted forest to [[starComponents]] instead of fanning in to
-    * one partition: the fan-in tail ends with a SINGLE task holding a
-    * ~V-entry hash map, which is exactly the super-linear wall the
-    * sf10 measurement found (16.3x per decade). Below it the one-task
-    * tail is cheaper than star rounds' shuffles.
+    * one partition. The dispatch is a MEMORY bound, not a wall-clock
+    * crossover: the fan-in tail ends with a SINGLE task holding a
+    * ~V-entry hash map (~80 B/entry of java.util.HashMap overhead), so
+    * past the threshold that one task outgrows a standard executor
+    * heap — 64M entries ≈ 5 GB is about what a 16 GB executor absorbs.
+    * Below it DSU's tail is measurably cheaper than star's per-round
+    * shuffles: the r11 sf10 probe (76.6M edges, ~50M forest rows, 96g
+    * one-box heap) read DSU 82 s steady vs star 122 s, with DSU
+    * ~7.3x/decade (sf1 11.2 s) and star ~2.5x/decade (sf1 48.7 s) —
+    * star's flat rounds win only where the DSU map no longer fits,
+    * which on a real cluster is exactly this threshold, one decade
+    * past sf10. r10's "16.3x/decade DSU" figure that motivated the
+    * star path reproduced at 82 s here — the 170.6 s sample was
+    * cache-thrash noise, but the path it bought is the right one for
+    * the decade where the bound is memory, not time.
     */
   private[graft] def starRowsThreshold: Long =
-    sys.props.get("graft.cc.starRows").map(_.toLong).getOrElse(8L << 20)
+    sys.props.get("graft.cc.starRows").map(_.toLong).getOrElse(64L << 20)
 
   /** how many times the star path engaged (test probe) */
   private[graft] val starPathRuns =
@@ -275,14 +286,24 @@ object Analytics {
         e.select(col("v").as("id"), col("v").as("component")).distinct())
   }
 
-  def connectedComponentsDSU(nodes: DataFrame, edges: DataFrame,
-      fanIn: Int = 16): DataFrame = {
-    val spark = nodes.sparkSession
+  /** forest size after the first per-partition DSU contraction of a
+    * (left, right) edge table — the value the starRows dispatch in
+    * [[connectedComponentsDSU]] compares to its threshold (probe /
+    * capacity-planning helper)
+    */
+  private[graft] def firstContractionCount(edges: DataFrame): Long = {
+    val spark = edges.sparkSession
     import spark.implicits._
+    dsuContract(edges.toDF("left", "right")
+      .select(col("left").as("a"), col("right").as("b"))
+      .as[(Long, Long)]).count()
+  }
 
-    // one DSU pass over each partition of (a,b) pairs → (node, root)
-    def contract(pairs: Dataset[(Long, Long)]): Dataset[(Long, Long)] =
-      pairs.mapPartitions { it =>
+  // one DSU pass over each partition of (a,b) pairs → (node, root)
+  private def dsuContract(pairs: Dataset[(Long, Long)])
+      : Dataset[(Long, Long)] = {
+    import pairs.sparkSession.implicits._
+    pairs.mapPartitions { it =>
         val parent = new java.util.HashMap[Long, Long]()
         def find(x0: Long): Long = {
           var x = x0
@@ -305,6 +326,14 @@ object Analytics {
         parent.keySet.forEach(k => out += (k -> find(k)))
         out.result().iterator
       }
+  }
+
+  def connectedComponentsDSU(nodes: DataFrame, edges: DataFrame,
+      fanIn: Int = 16): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    def contract(pairs: Dataset[(Long, Long)]): Dataset[(Long, Long)] =
+      dsuContract(pairs)
 
     // materialize the first contraction: the edge plan may be
     // arbitrarily expensive (e.g. a similarity self-join feeding
@@ -313,9 +342,10 @@ object Analytics {
     var forest = contract(edges.select(col("left").as("a"), col("right").as("b"))
       .as[(Long, Long)]).localCheckpoint()
     // DISPATCH: the fan-in tail below ends in ONE task whose hash map
-    // holds every surviving node — unbeatable while that fits a core's
-    // cache-ish working set, measurably super-linear once it doesn't
-    // (sf10: 16.3x per decade). Past the threshold the contracted
+    // holds every surviving node — a MEMORY bound, not a time
+    // crossover (see starRowsThreshold: DSU measured FASTER than star
+    // through sf10; star wins the decade where the one-task map no
+    // longer fits an executor heap). Past the threshold the contracted
     // forest (already <= V pairs, connectivity-equivalent to the input)
     // goes to the star alternation, whose per-task state is one hash
     // partition at every scale.

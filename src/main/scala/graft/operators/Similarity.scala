@@ -390,4 +390,194 @@ object Similarity {
           .otherwise(transform(col("__v"),
             x => round(x / col("scale"), 0).cast("int"))).as("q"))
   }
+
+  // --------------------------------------------------------------- PQ
+
+  /** Product-quantization codebooks: `m` independent codebooks, each
+    * `ksub` centroids over the `dims/m`-dimensional subvectors of one
+    * subspace, trained with the exact deterministic Lloyd protocol of
+    * [[ivfCentroids]] (training sample = `sampleN` smallest ids, init
+    * = the `ksub` smallest ids' subvectors with code j = id, rounds
+    * with 6dp-rounded decimal-exact per-dimension means) — so a SQL
+    * oracle replays the floating point bit-for-bit.
+    *
+    * Shape: every round is one broadcast join of the sample's
+    * (id, m, subvector) rows against the m·ksub current centroids,
+    * a per-(id,m) argmin, and one partial-aggregated mean shuffle of
+    * m·ksub·dsub cells; only those cells land on the driver. All
+    * rounds touch the SAMPLE only — at 100 TB the corpus is read by
+    * training exactly zero times (the encode pass reads it once).
+    *
+    * A codebook entry whose cell empties in a round drops out (same
+    * semantics as the coarse quantizer); codes are therefore the
+    * SURVIVING j values, not necessarily 0..ksub-1, and the per-
+    * subspace codebook carries (j, centroid) pairs in j order.
+    */
+  private val pqMemo = new Dedup.BoundedMemoBase[
+    (Long, String, String, Int, Int, Int, Int, Int),
+    Array[Array[(Int, Array[Double])]]](Dedup.memoCap)
+
+  def pqCodebooks(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, iters: Int, dims: Int,
+      sampleN: Int = 1 << 17): Array[Array[(Int, Array[Double])]] =
+    pqMemo.getOrElseUpdateValue(
+      (Dedup.planKey(df), idCol, vecCol, m, ksub, iters, dims, sampleN),
+      trainPqCodebooks(df, idCol, vecCol, m, ksub, iters, dims, sampleN))
+
+  private def trainPqCodebooks(df: DataFrame, idCol: String,
+      vecCol: String, m: Int, ksub: Int, iters: Int, dims: Int,
+      sampleN: Int): Array[Array[(Int, Array[Double])]] = {
+    require(m > 0 && dims % m == 0, s"dims=$dims not divisible by m=$m")
+    val dsub = dims / m
+    val spark = df.sparkSession
+    import spark.implicits._
+    val train = trainSample(df, idCol, vecCol, sampleN)
+    // (id, m, subvector) rows — the PQ training relation, reused by
+    // every Lloyd round (cached: sampleN·m small rows)
+    val sub = train.select(col("id"),
+        posexplode(array((0 until m).map(i =>
+          slice(col("vec"), i * dsub + 1, dsub)): _*)).as(Seq("m", "sv")))
+      .cache()
+    var cbs: Array[Array[(Int, Array[Double])]] = {
+      val init = sub.filter(col("id") < ksub).collect()
+        .map(r => (r.getInt(1), r.getLong(0).toInt, r.getSeq[Double](2).toArray))
+      (0 until m).toArray.map(i =>
+        init.filter(_._1 == i).map(t => (t._2, t._3)).sortBy(_._1))
+    }
+    for (_ <- 1 to iters) {
+      val cbDf = broadcast(cbs.zipWithIndex.flatMap { case (cb, i) =>
+        cb.map { case (j, v) => (i, j, v.toSeq) }
+      }.toSeq.toDF("m", "j", "cvec"))
+      val w = Window.partitionBy(col("id"), col("m"))
+        .orderBy(col("d2").asc, col("j").asc)
+      val assigned = sub.join(cbDf, "m")
+        .withColumn("d2", l2sq(col("sv"), col("cvec")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      // ORDER-INDEPENDENT decimal mean, 6dp-rounded — see
+      // trainCentroids for why (engine- and partitioning-portable)
+      val means = assigned
+        .select(col("m"), col("j"), posexplode(col("sv")).as(Seq("d", "x")))
+        .groupBy(col("m"), col("j"), col("d"))
+        .agg((sum(col("x").cast("decimal(38,18)")) / count(lit(1)))
+          .cast("double").as("mu"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+      cbs = (0 until m).toArray.map { i =>
+        means.filter(_._1 == i).groupBy(_._2).toArray.sortBy(_._1).map {
+          case (j, ds) => (j, ds.sortBy(_._3).map(t =>
+            BigDecimal(t._4).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble))
+        }
+      }
+    }
+    sub.unpersist()
+    cbs.zipWithIndex.foreach { case (cb, i) =>
+      require(cb.nonEmpty, s"PQ subspace $i lost every codebook entry") }
+    cbs
+  }
+
+  /** PQ encode as a compiled column: for each subspace, an ordered
+    * fold over the (j, centroid) literal entries keeps the argmin-L2
+    * code (strict `<` with entries in j order ≡ the l2-asc/j-asc
+    * tiebreak). One map-only projection per corpus row — m·ksub·dsub
+    * multiply-adds, no explode, no shuffle, whole-stage codegen.
+    * Output: array<int> of length m — the 100 TB index payload is
+    * m small ints (+ the norm) instead of 4·dims vector bytes.
+    */
+  private[graft] def pqEncode(vec: Column,
+      cbs: Array[Array[(Int, Array[Double])]], dims: Int): Column = {
+    val dsub = dims / cbs.length
+    array(cbs.zipWithIndex.map { case (cb, i) =>
+      val sv = slice(vec, i * dsub + 1, dsub)
+      val entries = typedLit(cb.map { case (j, v) => (j, v.toSeq) }.toSeq)
+      aggregate(entries,
+        struct(lit(Double.MaxValue).as("d2"), lit(Int.MaxValue).as("j")),
+        (acc, e) => {
+          val d2 = l2sq(sv, e.getField("_2"))
+          when(d2 < acc.getField("d2"),
+            struct(d2.as("d2"), e.getField("_1").as("j")))
+            .otherwise(acc)
+        }).getField("j")
+    }: _*)
+  }
+
+  /** Reconstruction of a PQ code: the chosen centroids concatenated in
+    * subspace order (map-literal lookups — codegen, no join). The ADC
+    * score is then one ordered dot-product fold of the query against
+    * this reconstruction — structurally identical to [[dot]], so it
+    * mirrors into SQL the same way.
+    */
+  private[graft] def pqReconstruct(code: Column,
+      cbs: Array[Array[(Int, Array[Double])]]): Column =
+    concat(cbs.zipWithIndex.map { case (cb, i) =>
+      element_at(typedLit(cb.map { case (j, v) => j -> v.toSeq }.toMap),
+        element_at(code, i + 1))
+    }: _*)
+
+  /** IVF-PQ approximate top-k — the memory-bounded ANN shape a 100 TB
+    * embedding corpus actually serves: the coarse quantizer routes
+    * queries to `nprobe` of `nlist` inverted lists (an equi-join on
+    * cid, exactly [[ivfTopK]]), but the lists store PQ CODES (m ints +
+    * a norm ≈ 16 bytes at m=8) instead of raw vectors (4·dims = 256
+    * bytes at dims=64) — a ~16x cut in what must sit hot per executor.
+    * Candidates are scored by asymmetric distance (query · code
+    * reconstruction), the best `refine`·k per query are re-ranked
+    * EXACTLY by joining their true vectors back (a broadcast semi-join
+    * bounded by |queries|·refine·k — the only touch of raw vectors at
+    * probe time), and the top k by exact cosine are returned.
+    *
+    * Fully deterministic: codebooks are 6dp-rounded, ADC and exact
+    * scores are ordered folds rounded to 6dp, ranks tiebreak on n_id —
+    * so a SQL oracle reproduces the output byte-for-byte.
+    */
+  private val pqInvMemo = new Dedup.BoundedMemo[
+    (Long, String, String, Int, Int, Int, Int, Int, Int)](Dedup.memoCap)
+
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 2,
+      m: Int = 8, ksub: Int = 16, pqIters: Int = 2, refine: Int = 3,
+      dims: Int = 64, idCol: String = "vec_id", vecCol: String = "embedding",
+      sampleN: Int = 1 << 17): DataFrame = {
+    val cents = ivfCentroids(corpus, idCol, vecCol, nlist, iters, sampleN)
+    val cbs = pqCodebooks(corpus, idCol, vecCol, m, ksub, pqIters, dims,
+      sampleN)
+    // the compressed index: ONE codegen scan of the corpus (coarse cid
+    // + PQ code + norm per row), cached; at 100 TB it persists
+    // hash-partitioned by cid and is the only corpus-sized structure
+    val inv = pqInvMemo.getOrElseUpdate(
+      (Dedup.planKey(corpus), idCol, vecCol, nlist, iters, m, ksub,
+        pqIters, dims), {
+        val built = corpus.select(
+          element_at(nearestCids(col(vecCol), cents, 1), 1).as("cid"),
+          col(idCol).cast("long").as("n_id"),
+          pqEncode(col(vecCol), cbs, dims).as("code"),
+          norm(col(vecCol)).as("n_norm"))
+          .cache()
+        Dedup.Memoized(built, Seq(built))
+      })
+    val probes = queries.select(col(idCol).cast("long").as("q_id"),
+      col(vecCol).as("q_vec"), norm(col(vecCol)).as("q_norm"),
+      explode(nearestCids(col(vecCol), cents, nprobe)).as("cid"))
+    val wA = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_sim").desc, col("n_id").asc)
+    val cand = broadcast(probes).join(inv, "cid")
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("adc_sim",
+        round(dot(col("q_vec"), pqReconstruct(col("code"), cbs))
+          / (col("q_norm") * col("n_norm")), 6))
+      .withColumn("ark", row_number().over(wA))
+      .filter(col("ark") <= refine * k)
+      .select(col("q_id"), col("q_vec"), col("q_norm"), col("n_id"))
+    val exact = corpus.select(col(idCol).cast("long").as("n_id"),
+      col(vecCol).as("n_vec"), norm(col(vecCol)).as("x_norm"))
+    val wR = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id").asc)
+    broadcast(cand).join(exact, "n_id")
+      .withColumn("sim", round(dot(col("q_vec"), col("n_vec"))
+        / (col("q_norm") * col("x_norm")), 6))
+      .withColumn("rk", row_number().over(wR))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("n_id"), col("sim"))
+  }
 }

@@ -317,6 +317,22 @@ object PipelineQueries extends QueryPack {
       Some(annIvfSql(k = 5, nlist = 16, nprobe = 4, iters = 2, dims = 64,
         sampleN = 1024))),
 
+    // IVF-PQ — the memory-bounded ANN: inverted lists hold 8-int PQ
+    // codes instead of 256-byte vectors, candidates score by ADC
+    // (query x code reconstruction), the best refine*k re-rank on true
+    // vectors. Codebooks train with the same deterministic 6dp Lloyd
+    // protocol as s04, so the oracle unrolls coarse + PQ rounds + the
+    // encode/ADC/refine chain and the output matches byte-for-byte.
+    QueryDef("s06_ann_ivfpq",
+      (s, dir) => {
+        val emb = T(s, dir).embeddings
+        Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 20), k = 5,
+          nlist = 16, nprobe = 4, iters = 2, m = 8, ksub = 16,
+          pqIters = 2, refine = 3, dims = 64, sampleN = 1024)
+      },
+      Some(annIvfPqSql(k = 5, nlist = 16, nprobe = 4, iters = 2, m = 8,
+        ksub = 16, pqIters = 2, refine = 3, dims = 64, sampleN = 1024))),
+
     // embedding-cosine near-duplicate pairs via the same md5-derived
     // LSH bucketing — the embedding flavor of dedup, exactly replayed
     // by the oracle (bucket join + rescoring, threshold on double cos).
@@ -971,6 +987,114 @@ object PipelineQueries extends QueryPack {
          |  SELECT q_id, n_id, sim, row_number() OVER (PARTITION BY q_id
          |    ORDER BY sim DESC, n_id ASC) AS rk
          |  FROM scored)""".stripMargin)
+    "WITH " + steps.mkString(",\n") +
+      s"\nSELECT q_id, rk, n_id, sim FROM ranked WHERE rk <= $k"
+  }
+
+  /** DuckDB rendition of Similarity.ivfPqTopK: the coarse-quantizer
+    * chain of annIvfSql, plus PQ codebook training per subspace (the
+    * same deterministic Lloyd protocol over (id, m, subvector) rows),
+    * full-corpus encode, ADC scoring against the code reconstruction,
+    * refine*k preselection and exact re-rank — every distance an
+    * ordered list fold, every mean 6dp-rounded, so the doubles match
+    * Spark's bit-for-bit.
+    */
+  private def annIvfPqSql(k: Int, nlist: Int, nprobe: Int, iters: Int,
+      m: Int, ksub: Int, pqIters: Int, refine: Int, dims: Int,
+      sampleN: Int): String = {
+    val dsub = dims / m
+    def l2(a: String, b: String): String =
+      s"list_sum(list_transform(list_zip($a, $b), p -> (p[1]-p[2])*(p[1]-p[2])))"
+    def dotS(a: String, b: String): String =
+      s"list_sum(list_transform(list_zip($a, $b), s -> s[1] * s[2]))"
+    def assignCte(name: String, cents: String, src: String = "v"): String =
+      s"""$name AS (
+         |  SELECT id, cid, vec FROM (
+         |    SELECT v.id, v.vec, c.cid, row_number() OVER (PARTITION BY v.id
+         |      ORDER BY ${l2("v.vec", "c.cvec")} ASC, c.cid ASC) AS rk
+         |    FROM $src v, $cents c) WHERE rk = 1)""".stripMargin
+    def centsCte(name: String, assign: String): String =
+      s"""$name AS (
+         |  SELECT cid, list(round(mu, 6) ORDER BY d) AS cvec FROM (
+         |    SELECT a.cid, ds.d, avg(a.vec[ds.d]) AS mu
+         |    FROM $assign a, (SELECT unnest(range(1, ${dims + 1})) AS d) ds
+         |    GROUP BY a.cid, ds.d)
+         |  GROUP BY cid)""".stripMargin
+    val coarse = (1 to iters).flatMap { t =>
+      Seq(assignCte(s"a$t", s"c${t - 1}", src = "t"), centsCte(s"c$t", s"a$t"))
+    }
+    // PQ training rounds over the sample's (id, m, subvector) rows
+    def pqAssign(name: String, cb: String): String =
+      s"""$name AS (
+         |  SELECT id, m, sv, j FROM (
+         |    SELECT s.id, s.m, s.sv, c.j, row_number() OVER
+         |        (PARTITION BY s.id, s.m
+         |         ORDER BY ${l2("s.sv", "c.csv")} ASC, c.j ASC) AS rk
+         |    FROM tsub s JOIN $cb c USING (m)) WHERE rk = 1)""".stripMargin
+    def pqCents(name: String, assign: String): String =
+      s"""$name AS (
+         |  SELECT m, j, list(round(mu, 6) ORDER BY d) AS csv FROM (
+         |    SELECT a.m, a.j, ds.d, avg(a.sv[ds.d]) AS mu
+         |    FROM $assign a, (SELECT unnest(range(1, ${dsub + 1})) AS d) ds
+         |    GROUP BY a.m, a.j, ds.d)
+         |  GROUP BY m, j)""".stripMargin
+    val pq = (1 to pqIters).flatMap { t =>
+      Seq(pqAssign(s"pa$t", s"pc${t - 1}"), pqCents(s"pc$t", s"pa$t"))
+    }
+    def subCte(name: String, src: String): String =
+      s"""$name AS (SELECT id, ms.m,
+         |    vec[ms.m * $dsub + 1 : (ms.m + 1) * $dsub] AS sv
+         |  FROM $src, (SELECT unnest(range(0, $m)) AS m) ms)""".stripMargin
+    val steps = Seq(
+      s"""v AS (SELECT vec_id AS id,
+         |  list_transform(embedding, x -> x::DOUBLE) AS vec FROM embeddings)""".stripMargin,
+      s"t AS (SELECT * FROM v ORDER BY id LIMIT $sampleN)",
+      s"""c0 AS (SELECT CAST(id AS INT) AS cid, vec AS cvec
+         |  FROM t WHERE id < $nlist)""".stripMargin) ++
+      coarse ++ Seq(
+      subCte("tsub", "t"),
+      s"""pc0 AS (SELECT CAST(id AS INT) AS j, m, sv AS csv
+         |  FROM tsub WHERE id < $ksub)""".stripMargin) ++
+      pq ++ Seq(
+      assignCte("afin", s"c$iters"),
+      subCte("vsub", "v"),
+      s"""enc AS (
+         |  SELECT id, m, j FROM (
+         |    SELECT s.id, s.m, c.j, row_number() OVER (PARTITION BY s.id, s.m
+         |      ORDER BY ${l2("s.sv", "c.csv")} ASC, c.j ASC) AS rk
+         |    FROM vsub s JOIN pc$pqIters c USING (m)) WHERE rk = 1)""".stripMargin,
+      s"""recon AS (
+         |  SELECT e.id, flatten(list(c.csv ORDER BY e.m)) AS rec
+         |  FROM enc e JOIN pc$pqIters c ON e.m = c.m AND e.j = c.j
+         |  GROUP BY e.id)""".stripMargin,
+      s"""inv AS (
+         |  SELECT a.cid, a.id AS n_id, r.rec,
+         |    sqrt(list_sum(list_transform(a.vec, x -> x * x))) AS n_norm
+         |  FROM afin a JOIN recon r ON a.id = r.id)""".stripMargin,
+      s"""probes AS (
+         |  SELECT q_id, q_vec, q_norm, cid FROM (
+         |    SELECT v.id AS q_id, v.vec AS q_vec,
+         |      sqrt(list_sum(list_transform(v.vec, x -> x * x))) AS q_norm,
+         |      c.cid, row_number() OVER (PARTITION BY v.id
+         |        ORDER BY ${l2("v.vec", "c.cvec")} ASC, c.cid ASC) AS rk
+         |    FROM v, c$iters c WHERE v.id < 20)
+         |  WHERE rk <= $nprobe)""".stripMargin,
+      s"""adc AS (
+         |  SELECT q_id, q_vec, q_norm, n_id, row_number() OVER
+         |      (PARTITION BY q_id
+         |       ORDER BY round(${dotS("q_vec", "rec")} / (q_norm * n_norm), 6)
+         |         DESC, n_id ASC) AS ark
+         |  FROM probes p JOIN inv i USING (cid) WHERE q_id != n_id)""".stripMargin,
+      s"""rers AS (
+         |  SELECT a.q_id, a.n_id,
+         |    round(${dotS("a.q_vec", "x.vec")} / (a.q_norm *
+         |      sqrt(list_sum(list_transform(x.vec, y -> y * y)))), 6) AS sim
+         |  FROM adc a JOIN v x ON a.n_id = x.id
+         |  WHERE a.ark <= ${refine * k})""".stripMargin,
+      s"""ranked AS (
+         |  SELECT q_id, n_id, sim, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, n_id ASC) AS rk
+         |  FROM rers)""".stripMargin)
     "WITH " + steps.mkString(",\n") +
       s"\nSELECT q_id, rk, n_id, sim FROM ranked WHERE rk <= $k"
   }
