@@ -360,6 +360,19 @@ object Dedup {
     // null in the join) — and the sketch builder NPEs on them
     val hFp = history.select(TextAnalysis.fingerprint(col(textCol)).as("fp"))
       .filter(col("fp").isNotNull)
+    incrementalNewFp(bFp, hFp, idCol, expectedItems, fpp)
+  }
+
+  /** Fingerprint-level core of [[incrementalNew]], for callers that
+    * already carry fingerprints (e.g. the streaming dedup-ingest path,
+    * whose history is a persisted (id, fp) table with no text to
+    * re-fingerprint). `bFp` must carry (`idCol`, "fp"); `hFp` a
+    * null-free "fp" column. Same split, same memoization, same
+    * byte-identical-to-anti-join output contract.
+    */
+  private[graft] def incrementalNewFp(bFp: DataFrame, hFp: DataFrame,
+      idCol: String, expectedItems: Long = -1L, fpp: Double = 0.01)
+      : DataFrame = {
     val items = if (expectedItems > 0) expectedItems
       else math.max(memoizedCount(hFp), 1L)
     val confirmedVia = // might-contain rows -> exact confirming anti-join

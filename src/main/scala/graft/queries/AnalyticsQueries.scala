@@ -283,6 +283,57 @@ object AnalyticsQueries extends QueryPack {
              |SELECT source, reason, count(*) AS n FROM r
              |GROUP BY source, reason""".stripMargin)),
 
+    // streaming dedup-ingest: the incremental batch-vs-history dedup
+    // (p13's Bloom-pruned split) run AS A STREAM — each micro-batch
+    // accepts only never-seen-fingerprint rows against seed corpus +
+    // prior acceptances and appends them to a persisted (id, fp)
+    // table. The feed mixes re-keyed copies of seed docs (every one
+    // must be rejected, in whatever batch it lands) with uniquely-
+    // marked fresh docs (every one must be accepted) — the outcome is
+    // batch-boundary-independent, so the oracle states it closed-form.
+    QueryDef("st05_stream_dedup",
+      (s, dir) => {
+        val key = Util.dataKey(s, dir)
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_dedup_$key"
+        val feedDir = s"$base/feed"
+        val acceptedDir = s"$base/accepted"
+        val ckptDir = s"$base/ckpt"
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        if (!new java.io.File(feedDir).exists()) {
+          val copies = docs
+            .filter(pmod(col("doc_id"), lit(10L)) === 0)
+            .select((col("doc_id") + 900000L).as("doc_id"), col("text"))
+          val fresh = docs
+            .filter(pmod(col("doc_id"), lit(2L)) === 1 && col("text").isNotNull)
+            .select(col("doc_id"),
+              concat(col("text"), lit(" #u"),
+                col("doc_id").cast("string")).as("text"))
+          copies.unionByName(fresh)
+            .coalesce(6).write.mode("overwrite").parquet(feedDir)
+        }
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(acceptedDir), true)
+        fs.delete(new org.apache.hadoop.fs.Path(ckptDir), true)
+        val seed = docs.filter(pmod(col("doc_id"), lit(2L)) === 0)
+        val incoming = s.readStream
+          .schema(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("text",
+              org.apache.spark.sql.types.StringType))))
+          .option("maxFilesPerTrigger", 2)
+          .parquet(feedDir)
+        Replica.dedupStream(incoming, "doc_id", "text", seed,
+          acceptedDir, ckptDir).awaitTermination()
+        s.read.parquet(acceptedDir).select(col("doc_id"), col("fp"))
+      },
+      Some(s"""WITH feed AS (
+             |  SELECT doc_id, text || ' #u' || CAST(doc_id AS VARCHAR) AS text
+             |  FROM documents WHERE doc_id % 2 = 1 AND text IS NOT NULL)
+             |SELECT doc_id, ${PipelineQueries.sqlFpPub} AS fp FROM feed""".stripMargin)),
+
     // time travel: an asOf snapshot at the pre-orders horizon sees
     // exactly the region/nation/customer prefix of the id-ordered
     // build — the id predicate prunes partitions AND parquet row

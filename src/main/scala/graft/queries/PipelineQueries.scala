@@ -25,6 +25,7 @@ object PipelineQueries extends QueryPack {
   // DuckDB rendition of TextAnalysis.fingerprint
   private val sqlFp =
     """md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))"""
+  private[queries] def sqlFpPub = sqlFp
   // DuckDB rendition of TextAnalysis.round4 — tie-exact 4-decimal
   // rounding in pure IEEE double ops. Library round() half-up diverges
   // between engines exactly on .xxxx5 ties (shortest-decimal vs binary

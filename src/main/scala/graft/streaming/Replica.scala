@@ -200,6 +200,76 @@ object Replica {
       .start()
   }
 
+  /** Streaming dedup-ingest: per micro-batch, accept exactly the rows
+    * whose content fingerprint has never been seen — not in the seed
+    * corpus, not accepted from an earlier batch — and append them to
+    * `acceptedDir` as an (idCol, fp) parquet table. The streaming
+    * analog of [[graft.operators.Dedup.incrementalNew]] (same
+    * fingerprint, same Bloom-pruned split through `incrementalNewFp`:
+    * definitely-new rows skip the confirming join's shuffle).
+    *
+    * Semantics, chosen so replays cannot corrupt the accepted set:
+    *  - WITHIN a batch, duplicate fingerprints collapse to the
+    *    smallest id (deterministic winner under any partitioning);
+    *  - ACROSS batches, first-accepted wins: a later row with an
+    *    accepted fingerprint is silently dropped;
+    *  - replay-idempotent BY CLASSIFICATION, not by output-path
+    *    bookkeeping: a re-delivered (or crash-retried, partially
+    *    landed) batch re-classifies against the on-disk accepted
+    *    table — already-landed rows have their fingerprint in history
+    *    and drop out; lost rows append. Nothing is keyed on batchId,
+    *    so idempotence survives checkpoint loss and changed batch
+    *    boundaries (the mergeStream philosophy);
+    *  - null-text rows are DROPPED, not accepted: a null fingerprint
+    *    can never be "seen before" (null joins nothing), so accepting
+    *    them would re-accept on every replay — the one at-least-once
+    *    hole the classification cannot close. A curation stream
+    *    filters null docs upstream anyway (t08).
+    *
+    * 100 TB shape: history stays a persisted fp table (here re-listed
+    * per batch; in production a Delta/Iceberg table appended
+    * transactionally), the per-batch work is one Bloom build memoized
+    * on the history's planKey + the pruned anti-join — each batch
+    * pays for its own rows, never for history's.
+    */
+  def dedupStream(incoming: DataFrame, idCol: String, textCol: String,
+      seedHistory: DataFrame, acceptedDir: String, checkpointDir: String,
+      expectedItems: Long = -1L, fpp: Double = 0.01): StreamingQuery = {
+    import graft.operators.{Dedup, TextAnalysis}
+    incoming.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val bFp = batch.toDF()
+          .select(col(idCol).cast("long").as(idCol),
+            TextAnalysis.fingerprint(col(textCol)).as("fp"))
+          .filter(col("fp").isNotNull)
+          .groupBy(col("fp")).agg(min(col(idCol)).as(idCol))
+          .select(col(idCol), col("fp"))
+        val seedFp = seedHistory
+          .select(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+          .filter(col("fp").isNotNull)
+        val fs = new org.apache.hadoop.fs.Path(acceptedDir).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val accepted =
+          if (fs.exists(new org.apache.hadoop.fs.Path(acceptedDir)))
+            spark.read.parquet(acceptedDir).select(col("fp"))
+          else seedFp.limit(0)
+        val hFp = seedFp.unionByName(accepted)
+        val fresh = Dedup.incrementalNewFp(bFp, hFp, idCol,
+          expectedItems, fpp)
+        // materialize BEFORE the append: the plan reads acceptedDir,
+        // which the append is about to grow
+        val rows = fresh.localCheckpoint()
+        if (rows.count() > 0)
+          rows.write.mode("append").parquet(acceptedDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** windowed event analytics over the events stream — watermark +
     * tumbling window, the standard Structured Streaming shape.
     */

@@ -34,7 +34,8 @@ class PlanInvariantSpec extends AnyFunSuite {
   // operator, not the returned view; covered by their own specs
   private val planOnly = SparkEntry.queries.keys.toSeq.sorted
     .filterNot(Set("st01_stream_type_counts", "st02_windowed_events",
-      "st03_stream_upsert", "st04_stream_filter", "dr01_dump_restore",
+      "st03_stream_upsert", "st04_stream_filter", "st05_stream_dedup",
+      "dr01_dump_restore",
       "w01_bulk_upsert", "w02_bulk_unique", "w03_compact"))
 
   test("no gate query plans a cartesian product") {

@@ -311,6 +311,82 @@ class StreamingSpec extends AnyFunSuite {
     assert(s0.start_micros == t0 && s0.end_micros == t0 + 2 * min)
   }
 
+  test("dedupStream: within-batch min-id wins, cross-batch dup rejected, seed suppresses") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_sdedup").toString
+    val feed = s"$base/feed"; val acc = s"$base/accepted"
+    // file-1 (batch 1): an intra-batch dup pair (ids 20, 10 — min
+    // wins), a seed dup (id 30) and a fresh doc (id 40)
+    Seq((20L, "same text"), (10L, "same text"),
+        (30L, "seed text"), (40L, "fresh one"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$feed/f1")
+    // file-2 (batch 2): a cross-batch dup of batch 1's winner (id 50),
+    // a null text (dropped) and another fresh doc (id 60)
+    Seq((50L, "same text"), (55L, null.asInstanceOf[String]),
+        (60L, "fresh two"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$feed/f2")
+    val seed = Seq((1L, "seed text")).toDF("doc_id", "text")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def runOnce(ckpt: String): Unit = {
+      // one file per trigger, path-ordered: f1 is batch 1, f2 batch 2
+      val in = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$feed/f*")
+      Replica.dedupStream(in, "doc_id", "text", seed, acc, s"$base/$ckpt")
+        .awaitTermination()
+    }
+    runOnce("ckpt1")
+    val got = spark.read.parquet(acc).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(10L, 40L, 60L),
+      s"expected intra-batch winner 10 + fresh 40/60, got $got")
+    // full re-delivery under a FRESH checkpoint (worst-case
+    // at-least-once): classification against the on-disk accepted
+    // table lands nothing new
+    runOnce("ckpt2")
+    val replayed = spark.read.parquet(acc).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(replayed == Seq(10L, 40L, 60L), s"replay corrupted: $replayed")
+  }
+
+  test("dedupStream: a crash-retried batch with partially-landed rows backfills exactly the lost ones") {
+    import spark.implicits._
+    import graft.operators.{Dedup, TextAnalysis}
+    val base = Files.createTempDirectory("graft_sdedup_crash").toString
+    val acc = s"$base/accepted"
+    val seed = Seq((1L, "seed text")).toDF("doc_id", "text")
+    val seedFp = seed.select(
+      TextAnalysis.fingerprint(col("text")).as("fp")).filter(col("fp").isNotNull)
+    val batch = Seq((10L, "aaa"), (20L, "bbb"), (30L, "ccc"), (40L, "seed text"))
+      .toDF("doc_id", "text")
+    def classify(): org.apache.spark.sql.DataFrame = {
+      val bFp = batch.select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+        .filter(col("fp").isNotNull)
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"), col("fp"))
+      val accDf =
+        if (new java.io.File(acc).exists())
+          spark.read.parquet(acc).select(col("fp"))
+        else seedFp.limit(0)
+      Dedup.incrementalNewFp(bFp, seedFp.unionByName(accDf), "doc_id")
+        .localCheckpoint()
+    }
+    // ...crash: only ONE of the three accepted rows lands
+    classify().orderBy("doc_id").limit(1).write.mode("append").parquet(acc)
+    // the retry re-classifies against disk: the landed row's fp is now
+    // history, the two lost rows (and only they) come back
+    val retry = classify()
+    assert(retry.count() == 2)
+    retry.write.mode("append").parquet(acc)
+    val got = spark.read.parquet(acc).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(10L, 20L, 30L), s"got $got") // 40 = seed dup, out
+  }
+
   test("sort-comparator overrides per-key ordering") {
     import graft.model.Primitive.node
     val fx = GraphStore.fromSeq(spark, Seq(
