@@ -348,7 +348,11 @@ object Bench {
         .empty[String, Double] ++= r9.map(_._1 -> -1.0)
       val nQuiet = scala.collection.mutable.LinkedHashMap
         .empty[String, Int] ++= r9.map(_._1 -> 0)
-      var canary = sf1CanaryPre
+      // the first timed query's PRE canary must be measured right here
+      // — sf1CanaryPre predates the ~70 s warmup, and a sandwich with
+      // a stale slice isn't a sandwich (a contention burst starting
+      // inside the warmup would slip past it)
+      var canary = sparkPathRun(4)
       var canaryLast = canary
       var pass = 0
       while (pass < maxPasses && nQuiet.valuesIterator.exists(_ < targetQuiet)) {

@@ -29,11 +29,8 @@ object PlanProbe {
     // a02 dispatch probe: forest size after the first DSU contraction
     // vs the star threshold, and both paths timed on the same input
     locally {
-      import org.apache.spark.sql.Dataset
       val edges = st.links.filter(col("right").isNotNull)
         .select(col("left").as("a"), col("right").as("b"))
-      val forest = edges.as[(Long, Long)](
-        org.apache.spark.sql.Encoders.product[(Long, Long)])
       println(s"[probe] edges = ${edges.count()}")
       if (sys.env.get("PROBE_FOREST_ONLY").contains("1")) {
         // forest-row count after the first DSU contraction: the value
@@ -59,7 +56,7 @@ object PlanProbe {
           s"${graft.graph.Analytics.starPathRuns.get() - before}")
         System.clearProperty("graft.cc.starRows")
       }
-      runA02("default", 8L << 20)
+      runA02("default-64M", 64L << 20) // the shipped starRowsThreshold
       runA02("dsu-forced", Long.MaxValue)
       runA02("star-forced", 1L)
     }

@@ -349,6 +349,9 @@ object Analytics {
     // forest (already <= V pairs, connectivity-equivalent to the input)
     // goes to the star alternation, whose per-task state is one hash
     // partition at every scale.
+    // the dispatch count scans the just-checkpointed blocks, not the
+    // edge plan (localCheckpoint is eager): measured <1% of a02 at
+    // sf0.1 and sf10 both — not worth an estimate-based skip
     val roots =
       if (forest.count() > starRowsThreshold)
         starComponents(forest.toDF("u", "v")).toDF("id", "component")

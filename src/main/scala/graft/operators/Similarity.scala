@@ -532,7 +532,7 @@ object Similarity {
     * so a SQL oracle reproduces the output byte-for-byte.
     */
   private val pqInvMemo = new Dedup.BoundedMemo[
-    (Long, String, String, Int, Int, Int, Int, Int, Int)](Dedup.memoCap)
+    (Long, String, String, Int, Int, Int, Int, Int, Int, Int)](Dedup.memoCap)
 
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4, iters: Int = 2,
@@ -545,9 +545,13 @@ object Similarity {
     // the compressed index: ONE codegen scan of the corpus (coarse cid
     // + PQ code + norm per row), cached; at 100 TB it persists
     // hash-partitioned by cid and is the only corpus-sized structure
+    // keyed on EVERY parameter the baked centroids/codebooks depend on
+    // — sampleN included (a different training sample is a different
+    // index; serving one sampleN's codes against another's codebooks
+    // mis-routes and mis-scores)
     val inv = pqInvMemo.getOrElseUpdate(
       (Dedup.planKey(corpus), idCol, vecCol, nlist, iters, m, ksub,
-        pqIters, dims), {
+        pqIters, dims, sampleN), {
         val built = corpus.select(
           element_at(nearestCids(col(vecCol), cents, 1), 1).as("cid"),
           col(idCol).cast("long").as("n_id"),

@@ -151,7 +151,8 @@ object AnalyticsQueries extends QueryPack {
           GraphAdapter.build(s, dir).coalesce(8)
             .write.mode("overwrite").parquet(logDir)
         }
-        org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        new org.apache.hadoop.fs.Path(stateDir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
           .delete(new org.apache.hadoop.fs.Path(stateDir), true)
         // 8 files / 4 per trigger = 2 micro-batches → the merge path
         // actually increments at least once
@@ -211,7 +212,7 @@ object AnalyticsQueries extends QueryPack {
           col("text").as("value"))
         if (!new java.io.File(feedDir).exists())
           asBatch(docs).coalesce(8).write.mode("overwrite").parquet(feedDir)
-        val fs = org.apache.hadoop.fs.FileSystem.get(
+        val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(
           s.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(storeDir), true)
         fs.delete(new org.apache.hadoop.fs.Path(ckptDir), true)
@@ -312,7 +313,9 @@ object AnalyticsQueries extends QueryPack {
           copies.unionByName(fresh)
             .coalesce(6).write.mode("overwrite").parquet(feedDir)
         }
-        val fs = org.apache.hadoop.fs.FileSystem.get(
+        // resolve the filesystem FROM the path (FileSystem.get returns
+        // fs.defaultFS, which need not be the tmpdir's local FS)
+        val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(
           s.sparkContext.hadoopConfiguration)
         fs.delete(new org.apache.hadoop.fs.Path(acceptedDir), true)
         fs.delete(new org.apache.hadoop.fs.Path(ckptDir), true)

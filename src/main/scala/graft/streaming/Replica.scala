@@ -250,11 +250,16 @@ object Replica {
         val seedFp = seedHistory
           .select(TextAnalysis.fingerprint(col(textCol)).as("fp"))
           .filter(col("fp").isNotNull)
-        val fs = new org.apache.hadoop.fs.Path(acceptedDir).getFileSystem(
-          spark.sparkContext.hadoopConfiguration)
+        val accPath = new org.apache.hadoop.fs.Path(acceptedDir)
+        val fs = accPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // COMMITTED part files, not bare directory existence: a crash
+        // mid-first-append leaves the dir holding only the committer's
+        // _temporary — schema inference over that would wedge every
+        // retry of exactly the crash the classification contract closes
+        val hasCommitted = fs.exists(accPath) && fs.globStatus(
+          new org.apache.hadoop.fs.Path(acceptedDir, "part-*")).nonEmpty
         val accepted =
-          if (fs.exists(new org.apache.hadoop.fs.Path(acceptedDir)))
-            spark.read.parquet(acceptedDir).select(col("fp"))
+          if (hasCommitted) spark.read.parquet(acceptedDir).select(col("fp"))
           else seedFp.limit(0)
         val hFp = seedFp.unionByName(accepted)
         val fresh = Dedup.incrementalNewFp(bFp, hFp, idCol,
