@@ -391,6 +391,28 @@ object Similarity {
             x => round(x / col("scale"), 0).cast("int"))).as("q"))
   }
 
+  /** Johnson–Lindenstrauss random projection to `outDims` dimensions:
+    * component j = <v, r_j> / sqrt(outDims) with r_j the deterministic
+    * ±1 hyperplane [[rhpPlane]](seed, j) — the dimensionality cut a
+    * pipeline takes before ANN/clustering when the embedding width,
+    * not the row count, is the cost driver (64→16 quarters every
+    * downstream dot product with JL-bounded distance distortion).
+    *
+    * Map-only: one codegen projection per row, outDims ordered-fold
+    * dots against literal planes, no shuffle, no state. Components
+    * divide by an IEEE sqrt and round to 6dp, so any engine replays
+    * them bit-for-bit (the planes are md5-derived — public, portable).
+    */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+      outDims: Int, dims: Int, seed: Int = 42): DataFrame = {
+    val sqrtK = math.sqrt(outDims.toDouble)
+    df.select(col(idCol),
+      array((0 until outDims).map { j =>
+        val plane = array(rhpPlane(seed, j, dims).map(lit): _*)
+        round(dot(col(vecCol), plane) / lit(sqrtK), 6)
+      }: _*).as("proj"))
+  }
+
   // --------------------------------------------------------------- PQ
 
   /** Product-quantization codebooks: `m` independent codebooks, each

@@ -318,6 +318,22 @@ object PipelineQueries extends QueryPack {
       Some(annIvfSql(k = 5, nlist = 16, nprobe = 4, iters = 2, dims = 64,
         sampleN = 1024))),
 
+    // Johnson-Lindenstrauss random projection 64->16 — the map-only
+    // dimensionality cut upstream of ANN/clustering; md5-derived +/-1
+    // planes make every component engine-portable, so the oracle
+    // replays the projection bit-for-bit (flattened to one row per
+    // component: the driver's comparator cannot sort array cells)
+    QueryDef("s07_random_projection",
+      (s, dir) => {
+        val emb = T(s, dir).embeddings.filter(col("vec_id") < 200)
+        Similarity.randomProject(emb, "vec_id", "embedding",
+            outDims = 16, dims = 64)
+          .select(col("vec_id"),
+            posexplode(col("proj")).as(Seq("d", "x")))
+      },
+      Some(projectionSql(outDims = 16, dims = 64, seed = 42,
+        idMax = 200))),
+
     // IVF-PQ — the memory-bounded ANN: inverted lists hold 8-int PQ
     // codes instead of 256-byte vectors, candidates score by ADC
     // (query x code reconstruction), the best refine*k re-rank on true
@@ -865,6 +881,23 @@ object PipelineQueries extends QueryPack {
     s"""list_sum(list_transform(list_zip($a, $b), s -> s[1] * s[2]))
        |      / (sqrt(list_sum(list_transform($a, x -> x * x)))
        |         * sqrt(list_sum(list_transform($b, x -> x * x))))""".stripMargin
+
+  /** DuckDB rendition of Similarity.randomProject, flattened: one
+    * SELECT per output dimension (j is baked into the md5 plane
+    * constant, so it cannot ride a column), unioned.
+    */
+  private def projectionSql(outDims: Int, dims: Int, seed: Int,
+      idMax: Long): String = {
+    val parts = (0 until outDims).map { j =>
+      s"""SELECT vec_id, $j AS d,
+         |  round(${projExpr("vec", seed, j, dims)} / sqrt(${outDims}.0), 6) AS x
+         |FROM v""".stripMargin
+    }
+    s"""WITH v AS (SELECT vec_id,
+       |    list_transform(embedding, y -> y::DOUBLE) AS vec
+       |  FROM embeddings WHERE vec_id < $idMax)
+       |${parts.mkString("\nUNION ALL\n")}""".stripMargin
+  }
 
   /** DuckDB rendition of Similarity.lshTopK: identical bucketing +
     * exact cosine rescoring replayed.

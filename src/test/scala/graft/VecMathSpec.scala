@@ -71,6 +71,23 @@ class VecMathSpec extends AnyFunSuite {
     assert(n == math.sqrt(a.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)))
   }
 
+  test("randomProject matches the scala reference fold component-for-component") {
+    val k = 16; val dims = 64
+    val rows = floatRows.select(col("id"), col("a"))
+    val got = Similarity.randomProject(rows, "id", "a", k, dims)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val raw = rows.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val sqrtK = math.sqrt(k.toDouble)
+    raw.foreach { case (id, v) =>
+      val want = (0 until k).map { j =>
+        val plane = Similarity.rhpPlane(42, j, dims)
+        val d = v.indices.foldLeft(0.0)((acc, i) => acc + v(i).toDouble * plane(i))
+        BigDecimal(d / sqrtK).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      assert(got(id) == want, s"id $id")
+    }
+  }
+
   test("union-find components agree with delta iteration on random graphs") {
     import spark.implicits._
     import graft.graph.Analytics
