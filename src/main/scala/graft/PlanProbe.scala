@@ -47,14 +47,17 @@ object PlanProbe {
         spark.range(100).select((col("id") % 7).as("left"), (col("id") % 13).as("right")))
         .count()
       def runA02(label: String, starRows: Long): Unit = {
+        // finally-clear: a throwing timed run must not leak the global
+        // dispatch override into everything after it in this JVM
         System.setProperty("graft.cc.starRows", starRows.toString)
-        val before = graft.graph.Analytics.starPathRuns.get()
-        for (i <- 1 to 2)
-          time(s"a02 $label#$i")(graft.graph.Analytics.connectedComponentsStore(st)
-            .groupBy(col("component")).agg(count(lit(1)).as("n")).count())
-        println(s"[probe] $label starPathRuns delta = " +
-          s"${graft.graph.Analytics.starPathRuns.get() - before}")
-        System.clearProperty("graft.cc.starRows")
+        try {
+          val before = graft.graph.Analytics.starPathRuns.get()
+          for (i <- 1 to 2)
+            time(s"a02 $label#$i")(graft.graph.Analytics.connectedComponentsStore(st)
+              .groupBy(col("component")).agg(count(lit(1)).as("n")).count())
+          println(s"[probe] $label starPathRuns delta = " +
+            s"${graft.graph.Analytics.starPathRuns.get() - before}")
+        } finally System.clearProperty("graft.cc.starRows")
       }
       runA02("default-64M", 64L << 20) // the shipped starRowsThreshold
       runA02("dsu-forced", Long.MaxValue)

@@ -197,9 +197,25 @@ object Analytics {
     * star path reproduced at 82 s here — the 170.6 s sample was
     * cache-thrash noise, but the path it bought is the right one for
     * the decade where the bound is memory, not time.
+    *
+    * The default is DERIVED from the deployment's executor memory, not
+    * a constant: 64M rows is only safe where one task can hold ~5 GB,
+    * i.e. a ~16 GB executor — a 4 GB-executor cluster routing a 60M-row
+    * forest to the DSU tail would OOM. The derivation gives the one
+    * tail task ~30% of the executor heap at ~80 B/entry (16 GB → ~64M
+    * rows, matching the measured box; 4 GB → ~16M). Override with
+    * -Dgraft.cc.starRows.
     */
-  private[graft] def starRowsThreshold: Long =
-    sys.props.get("graft.cc.starRows").map(_.toLong).getOrElse(64L << 20)
+  private[graft] def starRowsThreshold(spark: SparkSession): Long =
+    sys.props.get("graft.cc.starRows").map(_.toLong).getOrElse {
+      val conf = spark.sparkContext.getConf
+      val execMem =
+        if (conf.contains("spark.executor.memory"))
+          conf.getSizeAsBytes("spark.executor.memory")
+        else if (spark.sparkContext.isLocal) Runtime.getRuntime.maxMemory()
+        else 1L << 30 // Spark's executor-memory default when unset
+      math.max(8L << 20, (execMem * 0.3 / 80.0).toLong)
+    }
 
   /** how many times the star path engaged (test probe) */
   private[graft] val starPathRuns =
@@ -353,7 +369,7 @@ object Analytics {
     // edge plan (localCheckpoint is eager): measured <1% of a02 at
     // sf0.1 and sf10 both — not worth an estimate-based skip
     val roots =
-      if (forest.count() > starRowsThreshold)
+      if (forest.count() > starRowsThreshold(spark))
         starComponents(forest.toDF("u", "v")).toDF("id", "component")
       else {
         var parts = forest.rdd.getNumPartitions

@@ -210,6 +210,9 @@ object Similarity {
       .filter(col("id") < nlist).collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
       .sortBy(_._1)
+    require(cents.nonEmpty,
+      s"IVF init: training sample has no ids < nlist=$nlist — the " +
+        "id<nlist init convention needs a dense near-zero id space")
     for (_ <- 1 to iters) {
       // ORDER-INDEPENDENT mean: a plain double avg's partial-sum order
       // varies with partitioning/scheduling, so a mean landing within
@@ -463,6 +466,15 @@ object Similarity {
     var cbs: Array[Array[(Int, Array[Double])]] = {
       val init = sub.filter(col("id") < ksub).collect()
         .map(r => (r.getInt(1), r.getLong(0).toInt, r.getSeq[Double](2).toArray))
+      // fail BEFORE the Lloyd rounds, not after them: the id<ksub init
+      // convention (shared with ivfCentroids, and what the SQL oracle
+      // replays) assumes the sample's id space starts near 0 — a
+      // sparse/offset id space would otherwise train for `iters`
+      // rounds on zero centroids and die in the post-training require
+      require(init.nonEmpty,
+        s"PQ init: training sample has no ids < ksub=$ksub — the " +
+          "id<ksub init convention needs a dense near-zero id space " +
+          "(remap ids or lower ksub)")
       (0 until m).toArray.map(i =>
         init.filter(_._1 == i).map(t => (t._2, t._3)).sortBy(_._1))
     }
