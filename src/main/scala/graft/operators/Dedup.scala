@@ -218,6 +218,94 @@ object Dedup {
   private[graft] val partitionedBloomBuilds =
     new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** how many FULL-HISTORY sketch builds ran (single or partitioned) —
+    * test probe for the streaming contract: a long-running dedup
+    * stream pays one of these per (re)start, never one per micro-batch
+    */
+  private[graft] val historySketchBuilds =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Single-regime history sketch, memoized on the history's planKey —
+    * the one full-history aggregation a caller pays. The instance is
+    * SHARED across callers — anyone growing it (the streaming path
+    * merges accepted fingerprints per batch) must CLONE first: an
+    * in-place merge racing another plan's serialization of the same
+    * bit array could tear, and a torn read is a false negative.
+    */
+  private[graft] def singleSketch(hFp: DataFrame, items: Long,
+      fpp: Double): org.apache.spark.util.sketch.BloomFilter =
+    bloomMemo.getOrElseUpdateValue((planKey(hFp), items, fpp), {
+      historySketchBuilds.incrementAndGet()
+      hFp.stat.bloomFilter("fp", items, fpp)
+    })
+
+  /** bucket count for a partitioned sketch: smallest power of two
+    * keeping each bucket filter within [[bloomBucketBits]]
+    */
+  private[graft] def bloomNumBuckets(items: Long, fpp: Double): Int = {
+    var n = 1
+    while (n < (1 << 24) &&
+        bloomBits(math.max(items / n, 1L), fpp) > bloomBucketBits)
+      n <<= 1
+    n
+  }
+
+  /** Distributed (bucket, serialized-filter) sketch over `fps` (a
+    * null-free "fp" column): each bucket's fingerprints stream through
+    * one executor task holding only its own filter. Every filter is
+    * sized (perBucket, fpp) so same-bucket filters from different
+    * builds are merge-compatible. Eagerly materialized via
+    * localCheckpoint — lineage-free, so the streaming path can chain
+    * per-batch merges without growing a recompute chain; blocks are
+    * reclaimed by the ContextCleaner when the dataset is dropped.
+    */
+  private[graft] def buildBucketFilters(fps: DataFrame, numBuckets: Int,
+      perBucket: Long, fpp: Double, fullHistory: Boolean)
+      : org.apache.spark.sql.Dataset[(Int, Array[Byte])] = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.util.sketch.BloomFilter
+    if (fullHistory) historySketchBuilds.incrementAndGet()
+    fps.select(col("fp")).as(Encoders.STRING)
+      .groupByKey(fp => bloomBucket(fp, numBuckets))(Encoders.scalaInt)
+      .mapGroups { (bkt, it) =>
+        val bf = BloomFilter.create(perBucket, fpp)
+        it.foreach(bf.putString)
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        (bkt, bos.toByteArray)
+      }(Encoders.tuple(Encoders.scalaInt, Encoders.BINARY))
+      .localCheckpoint()
+  }
+
+  /** OR a batch's fingerprints into an existing bucket sketch: build
+    * same-sized bucket filters over the (small) batch, then a
+    * pass-through cogroup merges touched buckets and carries the rest.
+    * Per-batch cost is O(batch rows + sketch bytes) — the sketch rides
+    * at ~1.2 bytes/item, so this never re-aggregates history rows. (At
+    * cluster scale the sketch is a bucketed table and this merge is a
+    * co-partitioned update.) The result is localCheckpointed; the
+    * replaced sketch's blocks are dropped by the ContextCleaner.
+    */
+  private[graft] def mergeBucketFilters(
+      old: org.apache.spark.sql.Dataset[(Int, Array[Byte])],
+      newFps: DataFrame, numBuckets: Int, perBucket: Long, fpp: Double)
+      : org.apache.spark.sql.Dataset[(Int, Array[Byte])] = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.util.sketch.BloomFilter
+    val delta = buildBucketFilters(newFps, numBuckets, perBucket, fpp,
+      fullHistory = false)
+    old.groupByKey(_._1)(Encoders.scalaInt)
+      .cogroup(delta.groupByKey(_._1)(Encoders.scalaInt)) { (bkt, a, b) =>
+        val filters = (a ++ b).map(t => BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(t._2))).toSeq
+        val merged = filters.reduce { (x, y) => x.mergeInPlace(y); x }
+        val bos = new java.io.ByteArrayOutputStream()
+        merged.writeTo(bos)
+        Iterator((bkt, bos.toByteArray))
+      }(Encoders.tuple(Encoders.scalaInt, Encoders.BINARY))
+      .localCheckpoint()
+  }
+
   /** Exact dedup on normalized content: keep the smallest id per
     * fingerprint group.
     */
@@ -375,33 +463,56 @@ object Dedup {
       : DataFrame = {
     val items = if (expectedItems > 0) expectedItems
       else math.max(memoizedCount(hFp), 1L)
-    val confirmedVia = // might-contain rows -> exact confirming anti-join
-      (mightDf: DataFrame) => mightDf.join(hFp, Seq("fp"), "left_anti")
     if (bloomBits(items, fpp) <= maxSingleBloomBits) {
       // the filter is memoized on (history planKey, items, fpp): the
       // operator's natural shape is many batches against one immutable
       // history, and only the FIRST batch should pay the history
       // aggregation (planKey folds the input-file listing, so a history
       // rewrite rebuilds rather than serving a stale filter)
-      val bf = bloomMemo.getOrElseUpdateValue((planKey(hFp), items, fpp),
-        hFp.stat.bloomFilter("fp", items, fpp))
-      // null fingerprints route to the definitely-new side: a null join
-      // key never matches, so the plain anti-join KEEPS those rows — the
-      // probe (null in, null out) must not silently drop them instead
-      val might = coalesce(
-        graft.functions.GraphdFunctions.bloom_probe(col("fp"), bf),
-        lit(false))
-      val definitelyNew = bFp.filter(!might)
-      val confirmedNew = confirmedVia(bFp.filter(might))
-      definitelyNew.unionByName(confirmedNew).select(col(idCol), col("fp"))
+      probeSplitSingle(bFp, hFp, idCol, singleSketch(hFp, items, fpp))
     } else {
       partitionedBloomBuilds.incrementAndGet()
-      val probed = partitionedBloomProbe(bFp, hFp, items, fpp)
-      val definitelyNew = probed.filter(!col("__might")).drop("__might")
-      val confirmedNew = confirmedVia(
-        probed.filter(col("__might")).drop("__might"))
-      definitelyNew.unionByName(confirmedNew).select(col(idCol), col("fp"))
+      val numBuckets = bloomNumBuckets(items, fpp)
+      val perBucket = math.max(items / numBuckets, 1L)
+      val filters = bucketBloomMemo.getOrElseUpdateValue(
+        (planKey(hFp), numBuckets, fpp),
+        buildBucketFilters(hFp, numBuckets, perBucket, fpp,
+          fullHistory = true))
+      probeSplitBuckets(bFp, hFp, idCol, filters, numBuckets)
     }
+  }
+
+  /** Split `bFp` by an explicit single-regime sketch: probe=false rows
+    * are definitely new (no false negatives as long as the filter
+    * covers the full history `hFp` joins against); probe=true rows go
+    * through the exact confirming anti-join. Null fingerprints route
+    * to the definitely-new side: a null join key never matches, so the
+    * plain anti-join KEEPS those rows — the probe (null in, null out)
+    * must not silently drop them instead.
+    */
+  private[graft] def probeSplitSingle(bFp: DataFrame, hFp: DataFrame,
+      idCol: String, bf: org.apache.spark.util.sketch.BloomFilter)
+      : DataFrame = {
+    val might = coalesce(
+      graft.functions.GraphdFunctions.bloom_probe(col("fp"), bf),
+      lit(false))
+    val definitelyNew = bFp.filter(!might)
+    val confirmedNew = bFp.filter(might).join(hFp, Seq("fp"), "left_anti")
+    definitelyNew.unionByName(confirmedNew).select(col(idCol), col("fp"))
+  }
+
+  /** [[probeSplitSingle]] for an explicit partitioned (bucket, filter)
+    * sketch table
+    */
+  private[graft] def probeSplitBuckets(bFp: DataFrame, hFp: DataFrame,
+      idCol: String,
+      filters: org.apache.spark.sql.Dataset[(Int, Array[Byte])],
+      numBuckets: Int): DataFrame = {
+    val probed = bucketProbe(bFp, filters, numBuckets)
+    val definitelyNew = probed.filter(!col("__might")).drop("__might")
+    val confirmedNew = probed.filter(col("__might")).drop("__might")
+      .join(hFp, Seq("fp"), "left_anti")
+    definitelyNew.unionByName(confirmedNew).select(col(idCol), col("fp"))
   }
 
   /** deterministic bucket for a fingerprint — must agree between the
@@ -415,31 +526,11 @@ object Dedup {
     * they surface as definitely-new — the same routing the single-path
     * coalesce(probe, false) performs.
     */
-  private def partitionedBloomProbe(bFp: DataFrame, hFp: DataFrame,
-      items: Long, fpp: Double): DataFrame = {
+  private def bucketProbe(bFp: DataFrame,
+      filters: org.apache.spark.sql.Dataset[(Int, Array[Byte])],
+      numBuckets: Int): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.util.sketch.BloomFilter
-    val numBuckets = {
-      var n = 1
-      while (n < (1 << 24) &&
-          bloomBits(math.max(items / n, 1L), fpp) > bloomBucketBits)
-        n <<= 1
-      n
-    }
-    val filters = bucketBloomMemo.getOrElseUpdateValue(
-      (planKey(hFp), numBuckets, fpp), {
-        val perBucket = math.max(items / numBuckets, 1L)
-        val ds = hFp.select(col("fp")).as(Encoders.STRING)
-          .groupByKey(fp => bloomBucket(fp, numBuckets))(Encoders.scalaInt)
-          .mapGroups { (bkt, fps) =>
-            val bf = BloomFilter.create(perBucket, fpp)
-            fps.foreach(bf.putString)
-            val bos = new java.io.ByteArrayOutputStream()
-            bf.writeTo(bos)
-            (bkt, bos.toByteArray)
-          }(Encoders.tuple(Encoders.scalaInt, Encoders.BINARY))
-        ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      })
     val outSchema = bFp.schema.add("__might",
       org.apache.spark.sql.types.BooleanType, nullable = false)
     val fpIdx = bFp.schema.fieldIndex("fp")

@@ -228,18 +228,41 @@ object Replica {
     *
     * 100 TB shape: history stays a persisted fp table (here re-listed
     * per batch; in production a Delta/Iceberg table appended
-    * transactionally), the per-batch work is one Bloom build memoized
-    * on the history's planKey + the pruned anti-join — each batch
-    * pays for its own rows, never for history's.
+    * transactionally) and the sketch over it is INCREMENTAL: built
+    * once at stream (re)start — the only full-history aggregation —
+    * then each batch's accepted fingerprints are MERGED into it
+    * (BloomFilter.mergeInPlace in the single regime; a bucket-table
+    * OR-merge in the partitioned regime), so per-batch work is
+    * O(batch), not O(history), and stream-lifetime cost is linear in
+    * accepted volume instead of quadratic. The merge runs BEFORE the
+    * append, keeping the invariant sketch ⊇ disk-accepted ∪ seed at
+    * every batch boundary — the sketch can only over-approximate
+    * (false positives, re-screened by the exact confirming join),
+    * never under-approximate (a false negative would re-accept a dup).
+    * The sketch is invalidated (rebuilt from seed + acceptedDir) on
+    * restart and on any batch failure; the stream is the sole writer
+    * of acceptedDir — an external writer appending mid-run is outside
+    * the contract (its rows would bypass the probe).
+    *
+    * `expectedItems` sizes the sketch for the stream's LIFETIME
+    * (seed + everything it will accept); left unset, capacity defaults
+    * to 2x the start-of-stream history. Outgrowing capacity only
+    * raises the false-positive rate (more confirming-join traffic) —
+    * the output stays exact.
     */
   def dedupStream(incoming: DataFrame, idCol: String, textCol: String,
       seedHistory: DataFrame, acceptedDir: String, checkpointDir: String,
       expectedItems: Long = -1L, fpp: Double = 0.01): StreamingQuery = {
     import graft.operators.{Dedup, TextAnalysis}
+    // driver-side sketch state carried across micro-batches (the
+    // mergeStream `carried` pattern): None until the first batch or
+    // after a failed attempt
+    var sketch: Option[DedupSketchState] = None
     incoming.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+       try {
         val spark = batch.sparkSession
         val bFp = batch.toDF()
           .select(col(idCol).cast("long").as(idCol),
@@ -262,18 +285,83 @@ object Replica {
           if (hasCommitted) spark.read.parquet(acceptedDir).select(col("fp"))
           else seedFp.limit(0)
         val hFp = seedFp.unionByName(accepted)
-        val fresh = Dedup.incrementalNewFp(bFp, hFp, idCol,
-          expectedItems, fpp)
+        if (sketch.isEmpty) {
+          // the one full-history pass: (re)start only
+          val items = if (expectedItems > 0) expectedItems
+            else math.max(2L * Dedup.memoizedCount(hFp), 1024L)
+          // CLONE the memoized filter before growing it: the memo
+          // instance is shared with batch callers (and other streams),
+          // and an in-place merge racing another plan's serialization
+          // of the same bit array could tear — a torn read is a false
+          // NEGATIVE, the one failure the classification can't absorb
+          sketch = Some(
+            if (Dedup.bloomBits(items, fpp) <= Dedup.maxSingleBloomBits)
+              SingleSketch(
+                cloneFilter(Dedup.singleSketch(hFp, items, fpp)), items)
+            else {
+              Dedup.partitionedBloomBuilds.incrementAndGet()
+              val nb = Dedup.bloomNumBuckets(items, fpp)
+              val pb = math.max(items / nb, 1L)
+              BucketSketch(Dedup.buildBucketFilters(hFp, nb, pb, fpp,
+                fullHistory = true), nb, pb)
+            })
+        }
+        val fresh = sketch.get match {
+          case SingleSketch(bf, _) =>
+            Dedup.probeSplitSingle(bFp, hFp, idCol, bf)
+          case BucketSketch(f, nb, _) =>
+            Dedup.probeSplitBuckets(bFp, hFp, idCol, f, nb)
+        }
         // materialize BEFORE the append: the plan reads acceptedDir,
         // which the append is about to grow
         val rows = fresh.localCheckpoint()
-        if (rows.count() > 0)
+        if (rows.count() > 0) {
+          // merge BEFORE append (see the invariant above): a crash
+          // between the two leaves the sketch a superset of disk —
+          // safe; the reverse order could leave landed rows outside
+          // the sketch, and a later dup of them would probe
+          // definitely-new and land twice
+          sketch = Some(sketch.get match {
+            case s @ SingleSketch(bf, items) =>
+              bf.mergeInPlace(rows.stat.bloomFilter("fp", items, fpp))
+              s
+            case BucketSketch(f, nb, pb) =>
+              BucketSketch(
+                Dedup.mergeBucketFilters(f, rows.select(col("fp")),
+                  nb, pb, fpp), nb, pb)
+          })
           rows.write.mode("append").parquet(acceptedDir)
+        }
         ()
+       } catch { case e: Throwable =>
+        // never trust the carried sketch past a failed attempt: the
+        // retry rebuilds it from seed + acceptedDir (whose partially-
+        // landed rows, if any, are visible there) — same reset
+        // discipline as mergeStream's carried handle
+        sketch = None
+        throw e
+       }
       }
       .trigger(Trigger.AvailableNow())
       .start()
   }
+
+  private def cloneFilter(bf: org.apache.spark.util.sketch.BloomFilter)
+      : org.apache.spark.util.sketch.BloomFilter = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+  }
+
+  /** sketch state [[dedupStream]] carries across micro-batches */
+  private sealed trait DedupSketchState
+  private final case class SingleSketch(
+      bf: org.apache.spark.util.sketch.BloomFilter,
+      items: Long) extends DedupSketchState
+  private final case class BucketSketch(
+      filters: org.apache.spark.sql.Dataset[(Int, Array[Byte])],
+      numBuckets: Int, perBucket: Long) extends DedupSketchState
 
   /** windowed event analytics over the events stream — watermark +
     * tumbling window, the standard Structured Streaming shape.

@@ -352,6 +352,93 @@ class StreamingSpec extends AnyFunSuite {
     assert(replayed == Seq(10L, 40L, 60L), s"replay corrupted: $replayed")
   }
 
+  test("dedupStream: the history sketch is built once per stream, then grown incrementally") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_sdedup_incr").toString
+    val feed = s"$base/feed"; val acc = s"$base/accepted"
+    // three files = three micro-batches under maxFilesPerTrigger=1;
+    // f2 carries a dup of f1's accepted row (only catchable if f1's
+    // acceptance actually entered the sketch/confirm path), f3 a dup
+    // of the seed
+    Seq((10L, "alpha"), (11L, "beta"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$feed/f1")
+    Seq((20L, "alpha"), (21L, "gamma"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$feed/f2")
+    Seq((30L, "seed text incr"), (31L, "delta"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$feed/f3")
+    // seed text unique to this test: the sketch memo keys on the seed
+    // plan, and a literal-identical seed in another test would make
+    // the build-count assertion read a memo hit as "zero builds"
+    val seed = Seq((1L, "seed text incr")).toDF("doc_id", "text")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val builds0 = graft.operators.Dedup.historySketchBuilds.get()
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$feed/f*")
+    Replica.dedupStream(in, "doc_id", "text", seed, acc, s"$base/ckpt")
+      .awaitTermination()
+    val got = spark.read.parquet(acc).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(10L, 11L, 21L, 31L), s"got $got")
+    // the streaming contract this test pins: ONE full-history sketch
+    // build for the whole stream — each later batch merges its own
+    // accepted fingerprints instead of re-aggregating history
+    val builds = graft.operators.Dedup.historySketchBuilds.get() - builds0
+    assert(builds == 1L,
+      s"expected exactly 1 full-history sketch build across 3 batches, got $builds")
+  }
+
+  test("dedupStream: partitioned-sketch regime survives a partial-land crash retry") {
+    import spark.implicits._
+    // force the bucketed sketch with a tiny single-filter gate (and a
+    // small bucket budget so numBuckets > 1 — several buckets actually
+    // merge per batch)
+    System.setProperty("graft.bloom.maxSingleBits", "1")
+    System.setProperty("graft.bloom.bucketBits", "512")
+    try {
+      val base = Files.createTempDirectory("graft_sdedup_part").toString
+      val feed = s"$base/feed"; val acc = s"$base/accepted"
+      Seq((10L, "aaa"), (20L, "bbb"), (30L, "ccc"), (40L, "seed text"))
+        .toDF("doc_id", "text").coalesce(1).write.parquet(s"$feed/f1")
+      Seq((50L, "aaa"), (60L, "fresh two"))
+        .toDF("doc_id", "text").coalesce(1).write.parquet(s"$feed/f2")
+      val seed = Seq((1L, "seed text")).toDF("doc_id", "text")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      // simulate the crash the retry contract closes: ONE of f1's
+      // three acceptable rows lands before the stream ever ran
+      import graft.operators.TextAnalysis
+      Seq((10L, "aaa")).toDF("doc_id", "text")
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+        .coalesce(1).write.mode("append").parquet(acc)
+      val part0 = graft.operators.Dedup.partitionedBloomBuilds.get()
+      // full redelivery under a fresh checkpoint (worst-case
+      // at-least-once): the landed row must classify as history, the
+      // lost ones must backfill, the partitioned path must engage
+      val in = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$feed/f*")
+      Replica.dedupStream(in, "doc_id", "text", seed, acc, s"$base/ckpt")
+        .awaitTermination()
+      assert(graft.operators.Dedup.partitionedBloomBuilds.get() > part0,
+        "bucketed sketch never engaged — the gate sysprops lost their teeth")
+      val got = spark.read.parquet(acc).select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      // 10 pre-landed; 20/30 backfilled; 40 = seed dup; 50 = dup of
+      // 10's fp (cross-batch, against the pre-landed row); 60 fresh
+      assert(got == Seq(10L, 20L, 30L, 60L), s"got $got")
+    } finally {
+      System.clearProperty("graft.bloom.maxSingleBits")
+      System.clearProperty("graft.bloom.bucketBits")
+    }
+  }
+
   test("dedupStream: a crash-retried batch with partially-landed rows backfills exactly the lost ones") {
     import spark.implicits._
     import graft.operators.{Dedup, TextAnalysis}
