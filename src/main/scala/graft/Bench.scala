@@ -97,32 +97,9 @@ object Bench {
 
     // optional comma-separated filter for bisection/debugging
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
-    // best-of-N per query, reps taken as FULL PASSES over the suite
-    // (not back-to-back): the box shares a virtualized host whose CPU
-    // availability stalls in multi-second bursts (observed ±2-3x on
-    // identical binaries). Back-to-back reps land inside the same
-    // burst; a later full pass samples each query at a different wall
-    // time, so the minimum sheds both the noise and any residual
-    // one-time codegen.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
-    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
-    val best = scala.collection.mutable.LinkedHashMap
-      .empty[String, Double] ++= queries.map(_._1 -> -1.0)
-    for (_ <- 1 to reps; (name, fn) <- queries) {
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
-        }
-      val secs = (System.nanoTime() - t0) / 1e9
-      if (ok && (best(name) < 0 || secs < best(name))) best(name) = secs
-    }
-    val results = best.toSeq
 
-    // --- host canary, shared by the serving and sf1 sections. A
-    // canary must be CODE- and DATA-independent (a pure host meter),
+    // --- host canary, shared by the suite, serving, and sf1 sections.
+    // A canary must be CODE- and DATA-independent (a pure host meter),
     // so it always runs the same Catalyst point reads against the
     // fixed reference corpus regardless of the benched SF.
     val canaryDir = sys.env.getOrElse("SPARK_GRAFT_CANARY_DIR",
@@ -145,6 +122,7 @@ object Bench {
     lazy val stCanary = {
       val s = graft.store.GraphAdapter.store(spark, canaryDir)
       s.current.count()
+      s.valueWordIndex.cache().count()
       s
     }
     def sparkPathRun(perClient: Int): Double = {
@@ -159,6 +137,122 @@ object Bench {
     // the empirical quiet/contended canary boundary (SERVING.md),
     // shared by the serving windows and the sf1 subset classifier
     val quietBar = 100.0
+
+    // --- pure-CPU host meter for the SUITE classifier: 32 threads of
+    // a fixed LCG/xorshift spin, total Mops/s. The suite cannot reuse
+    // the Catalyst-path canary: each section's first run loads new
+    // generated classes whose JIT deopt craters that canary from ~200
+    // to single-digit qps on a QUIET host (measured), conflating
+    // JVM-state churn — which the best-over-passes minimum already
+    // absorbs — with the co-tenant CPU stalls the classifier exists to
+    // catch. A spin loop measures CPU availability only: ~6300±800
+    // Mops/s quiet on this 32-vCPU box (0.34 s windows); a stall that
+    // would swing query times 2-3x reads <50%. Bar default 4000.
+    val spinIters = 1L << 26
+    def spinCanary(): Double = {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(nClients)
+      val t0 = System.nanoTime()
+      val futs = (0 until nClients).map { c =>
+        pool.submit(new java.util.concurrent.Callable[java.lang.Long] {
+          def call(): java.lang.Long = {
+            var x = c + 1L; var i = 0L
+            while (i < spinIters) {
+              x = x * 6364136223846793005L + 1442695040888963407L
+              x ^= x >>> 33
+              i += 1
+            }
+            java.lang.Long.valueOf(x)
+          }
+        })
+      }
+      val sink = futs.map(_.get().longValue()).sum
+      pool.shutdown()
+      if (sink == 42L) System.err.print("") // defeat dead-code elimination
+      nClients.toDouble * spinIters / ((System.nanoTime() - t0) / 1e9) / 1e6
+    }
+    val spinBar =
+      sys.env.getOrElse("SPARK_GRAFT_SPIN_BAR", "4000").toDouble
+
+    // --- the sf0.1 query suite, SELF-CLASSIFYING like the serving
+    // windows and the sf1 subset: the box shares a virtualized host
+    // whose CPU availability stalls in multi-second bursts (observed
+    // ±2-3x on identical binaries), and r11 shipped an unclassifiable
+    // 2.6x "regression" because the per-query suite still published
+    // raw single-window minima. Queries run in SECTIONS (name prefix:
+    // a/c/d/g/m/p/q/s/st/t/w), each section SANDWICHED between
+    // canaries and classified by the worse of the two; a query's
+    // published figure is its best over quiet section passes, falling
+    // back to best-over-all when the host never went quiet around its
+    // section. Sections re-run across passes until every query holds
+    // `targetQuiet` quiet samples or the pass budget runs out — reps
+    // are FULL PASSES (not back-to-back), so a later pass samples each
+    // query at a different wall time.
+    val targetQuiet =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val maxPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES",
+      math.max(targetQuiet + 2, 4).toString).toInt
+    // scale spot-runs (SPARK_GRAFT_BENCH_CLASSIFY=0) opt out: they
+    // time suite queries against a different SF where building the
+    // reference canary store adds nothing the probe asks about
+    val classify =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_CLASSIFY", "1") == "1"
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    def sectionOf(name: String): String = name.takeWhile(!_.isDigit)
+    val sectionNames = queries.map(q => sectionOf(q._1)).distinct
+    val bestQuietQ = scala.collection.mutable.LinkedHashMap
+      .empty[String, Double] ++= queries.map(_._1 -> -1.0)
+    val bestAnyQ = scala.collection.mutable.LinkedHashMap
+      .empty[String, Double] ++= queries.map(_._1 -> -1.0)
+    val quietSamplesQ = scala.collection.mutable.LinkedHashMap
+      .empty[String, Int] ++= queries.map(_._1 -> 0)
+    val sectionWindows = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Int, Double, Double)]
+    if (classify) { spinCanary(); spinCanary() } // JIT-warm the spin loop
+    var suiteCanary = if (classify) spinCanary() else -1.0
+    var suitePass = 0
+    def sectionNeedsRun(sec: String): Boolean =
+      queries.exists { case (n, _) =>
+        sectionOf(n) == sec && quietSamplesQ(n) < targetQuiet }
+    while (suitePass < maxPasses && sectionNames.exists(sectionNeedsRun)) {
+      suitePass += 1
+      for (sec <- sectionNames if sectionNeedsRun(sec)) {
+        val cPre = suiteCanary
+        val secResults = for ((name, fn) <- queries
+            if sectionOf(name) == sec) yield {
+          val t0 = System.nanoTime()
+          val ok =
+            try { fn(spark, sfDir).count(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              false
+            }
+          (name, ok, (System.nanoTime() - t0) / 1e9)
+        }
+        suiteCanary = if (classify) spinCanary() else -1.0
+        // quiet only if BOTH edge canaries clear the bar: a window
+        // stomped mid-flight must not publish as quiet. Without
+        // classification every sample counts as quiet (plain best-of-N).
+        val quiet = !classify || math.min(cPre, suiteCanary) >= spinBar
+        if (classify) sectionWindows += ((sec, suitePass, cPre, suiteCanary))
+        for ((name, ok, secs) <- secResults if ok) {
+          if (bestAnyQ(name) < 0 || secs < bestAnyQ(name))
+            bestAnyQ(name) = secs
+          if (quiet) {
+            quietSamplesQ(name) += 1
+            if (bestQuietQ(name) < 0 || secs < bestQuietQ(name))
+              bestQuietQ(name) = secs
+          }
+        }
+        if (classify) System.err.println(
+          f"[bench] pass$suitePass sec=$sec%-3s canaries $cPre%.0f/$suiteCanary%.0f " +
+            (if (quiet) "quiet" else "NOISY"))
+      }
+    }
+    val results = queries.map { case (name, _) =>
+      name -> (if (bestQuietQ(name) >= 0) bestQuietQ(name)
+               else bestAnyQ(name))
+    }
 
     // serving section opt-out: targeted scale spot-runs (e.g. the sf10
     // probe) time SUITE queries only — building a multi-10M-primitive
@@ -354,37 +448,55 @@ object Bench {
       // inside the warmup would slip past it)
       var canary = sparkPathRun(4)
       var canaryLast = canary
+      // one sandwiched sample of `name`; returns true when quiet
+      def sample(name: String, tag: String): Boolean = {
+        val cPre = canary
+        val t0 = System.nanoTime()
+        val ok =
+          try { SparkEntry.queries(name)(spark, sf1Dir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench-sf1] $name FAILED: ${e.getMessage}")
+            false
+          }
+        val secs = (System.nanoTime() - t0) / 1e9
+        canary = sparkPathRun(4)
+        canaryLast = canary
+        val quiet = math.min(cPre, canary) >= quietBar
+        if (ok) {
+          if (bestAny(name) < 0 || secs < bestAny(name)) bestAny(name) = secs
+          if (quiet) {
+            nQuiet(name) += 1
+            if (bestQuiet(name) < 0 || secs < bestQuiet(name))
+              bestQuiet(name) = secs
+          }
+        }
+        System.err.println(f"[bench-sf1] $tag $name%-28s $secs%6.2f s" +
+          f" canaries $cPre%.0f/$canary%.0f ${if (quiet) "quiet" else "NOISY"}")
+        quiet
+      }
       var pass = 0
       while (pass < maxPasses && nQuiet.valuesIterator.exists(_ < targetQuiet)) {
         pass += 1
-        for ((name, _) <- r9 if nQuiet(name) < targetQuiet) {
-          val cPre = canary
-          val t0 = System.nanoTime()
-          val ok =
-            try { SparkEntry.queries(name)(spark, sf1Dir).count(); true }
-            catch { case e: Throwable =>
-              System.err.println(s"[bench-sf1] $name FAILED: ${e.getMessage}")
-              false
-            }
-          val secs = (System.nanoTime() - t0) / 1e9
-          canary = sparkPathRun(4)
-          canaryLast = canary
-          val quiet = math.min(cPre, canary) >= quietBar
-          if (ok) {
-            if (bestAny(name) < 0 || secs < bestAny(name)) bestAny(name) = secs
-            if (quiet) {
-              nQuiet(name) += 1
-              if (bestQuiet(name) < 0 || secs < bestQuiet(name))
-                bestQuiet(name) = secs
-            }
-          }
-          System.err.println(f"[bench-sf1] pass$pass $name%-28s $secs%6.2f s" +
-            f" canaries $cPre%.0f/$canary%.0f ${if (quiet) "quiet" else "NOISY"}")
+        for ((name, _) <- r9 if nQuiet(name) < targetQuiet)
+          sample(name, s"pass$pass")
+      }
+      // STANDALONE ARBITER, triggered automatically: a query still
+      // short of `targetQuiet` quiet samples after the pass budget
+      // gets dedicated back-to-back sandwiched re-samples (best-of-N
+      // of just this query) — `classified` is only ever published off
+      // >= targetQuiet quiet samples, never a single lucky sandwich
+      val arbiterTries =
+        sys.env.getOrElse("SPARK_GRAFT_SF1_ARBITER", "6").toInt
+      for ((name, _) <- r9 if nQuiet(name) < targetQuiet) {
+        var tries = 0
+        while (nQuiet(name) < targetQuiet && tries < arbiterTries) {
+          tries += 1
+          sample(name, s"arbiter$tries")
         }
       }
       val body = r9.map { case (name, ref) =>
-        val classified = bestQuiet(name) >= 0
-        val v = if (classified) bestQuiet(name) else bestAny(name)
+        val classified = nQuiet(name) >= targetQuiet
+        val v = if (bestQuiet(name) >= 0) bestQuiet(name) else bestAny(name)
         val ratio = if (v >= 0) v / ref else -1.0
         "\"" + name + "\":{\"sec\":" + f"$v%.3f" +
           ",\"r9_sec\":" + ref + ",\"vs_r9\":" + f"$ratio%.2f" +
@@ -403,10 +515,21 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // per-query classification metadata (sec repeated for one-stop
+    // reads; classified only off >= targetQuiet quiet section passes)
+    val qClass = results.map { case (k, v) =>
+      "\"" + k + "\":{\"sec\":" + f"$v%.4f" +
+        ",\"quiet_samples\":" + quietSamplesQ(k) +
+        ",\"classified\":" + (quietSamplesQ(k) >= targetQuiet) + "}"
+    }.mkString("{", ",", "}")
+    val secWin = sectionWindows.map { case (sec, p, pre, post) =>
+      s"""{"section":"$sec","pass":$p,""" +
+        f""""canary_pre":$pre%.1f,"canary_post":$post%.1f}"""
+    }.mkString("[", ",", "]")
     // stop BEFORE printing: shutdown warnings must not land after the
     // JSON line the driver parses off stdout
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"qps_simple":$qps,"qps_simple_sharded":$qpsSharded,"qps_sorted":$qpsSorted,"qps_sorted_sharded":$qpsSortedSharded,"qps_spark_path":$qpsSpark,"qps_point_batched":$batchQps,"serving_quiet_bar":100,"serving_windows":$windowsJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_class":$qClass,"bench_passes":$suitePass,"bench_quiet_bar":$spinBar,"section_windows":$secWin,"qps_simple":$qps,"qps_simple_sharded":$qpsSharded,"qps_sorted":$qpsSorted,"qps_sorted_sharded":$qpsSortedSharded,"qps_spark_path":$qpsSpark,"qps_point_batched":$batchQps,"serving_quiet_bar":100,"serving_windows":$windowsJson,"sf":"$sfDir"}""")
     Console.out.flush()
   }
 }
