@@ -52,16 +52,48 @@ object PlanProbe {
         System.setProperty("graft.cc.starRows", starRows.toString)
         try {
           val before = graft.graph.Analytics.starPathRuns.get()
-          for (i <- 1 to 2)
+          for (i <- 1 to 2) {
+            // wall time on a noisy host swings 2-4x within one JVM, so
+            // ALSO report host-robust totals per run: task CPU time and
+            // shuffle volume (the quantities an exchange trim actually
+            // changes) via a per-run listener
+            val listener = new org.apache.spark.scheduler.SparkListener {
+              val cpuNs = new java.util.concurrent.atomic.AtomicLong
+              val runMs = new java.util.concurrent.atomic.AtomicLong
+              val shufW = new java.util.concurrent.atomic.AtomicLong
+              val shufRec = new java.util.concurrent.atomic.AtomicLong
+              override def onTaskEnd(
+                  te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+                val m = te.taskMetrics
+                if (m != null) {
+                  cpuNs.addAndGet(m.executorCpuTime)
+                  runMs.addAndGet(m.executorRunTime)
+                  shufW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+                  shufRec.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+                }
+              }
+            }
+            spark.sparkContext.addSparkListener(listener)
             time(s"a02 $label#$i")(graft.graph.Analytics.connectedComponentsStore(st)
               .groupBy(col("component")).agg(count(lit(1)).as("n")).count())
+            Thread.sleep(2000) // let the async listener bus drain
+            spark.sparkContext.removeSparkListener(listener)
+            println(f"[probe] $label#$i cpu=${listener.cpuNs.get / 1e9}%.1fs " +
+              f"taskTime=${listener.runMs.get / 1e3}%.1fs " +
+              f"shufWrite=${listener.shufW.get / 1e6}%.1fMB " +
+              f"shufRecords=${listener.shufRec.get / 1e6}%.2fM")
+          }
           println(s"[probe] $label starPathRuns delta = " +
             s"${graft.graph.Analytics.starPathRuns.get() - before}")
         } finally System.clearProperty("graft.cc.starRows")
       }
-      runA02("default-64M", 64L << 20) // the shipped starRowsThreshold
-      runA02("dsu-forced", Long.MaxValue)
-      runA02("star-forced", 1L)
+      if (sys.env.get("PROBE_STAR_ONLY").contains("1"))
+        runA02("star-forced", 1L) // A/B harness: star path alone
+      else {
+        runA02("default-64M", 64L << 20) // the shipped starRowsThreshold
+        runA02("dsu-forced", Long.MaxValue)
+        runA02("star-forced", 1L)
+      }
     }
     spark.stop()
   }

@@ -224,11 +224,14 @@ object Analytics {
   /** Large-star/small-star alternation over a canonical (u > v) pair
     * set — the O(log n)-round MapReduce CC of Kiveris et al.,
     * "Connected Components in MapReduce and Beyond" (SoCC'14), as pure
-    * DataFrame algebra. Every round is two aggregate+join passes on
-    * the same key (partial-aggregable map-side, co-partitioned agg and
-    * join) plus one distinct; NO task ever holds more than its hash
-    * partition, so the per-round work stays flat as V grows — the
-    * property the DSU fan-in tail loses at scale.
+    * DataFrame algebra. Every round costs exactly three exchanges:
+    * each phase clusters its input once (hash(n), then hash(u)) and
+    * the min-aggregate and the join back both ride that layout
+    * shuffle-free, while the closing dedup is folded into the sized
+    * repartition (hash(u) clusters the (u,v) dedup key). NO task ever
+    * holds more than its hash partition, so the per-round work stays
+    * flat as V grows — the property the DSU fan-in tail loses at
+    * scale.
     *
     *  - large-star: for each node n, connect every LARGER neighbor to
     *    m = min(N(n) ∪ n). Emitted pairs stay canonical (nbr > n >= m).
@@ -249,12 +252,25 @@ object Analytics {
   private[graft] def starComponents(pairs: DataFrame,
       maxIters: Int = 64): DataFrame = {
     starPathRuns.incrementAndGet()
-    val parts = sizedPartitions(pairs)
+    // every exchange in the round loop uses this width, so it must
+    // never drop below one task per core: sizedPartitions targets
+    // 64 MB scan partitions, which under-parallelizes the CPU-bound
+    // iterative work on small-but-not-tiny forests (8 partitions on
+    // 32 cores measured ~1.7x slower at sf1). At real scale the size
+    // term dominates and the floor is a no-op.
+    val parts = math.max(sizedPartitions(pairs),
+      pairs.sparkSession.sparkContext.defaultParallelism)
+    // orient, drop self-loops, dedup — as ONE exchange: the sized
+    // hash(u) repartition clusters every (u,v) key (hash(u) is a
+    // subset of the dedup key), so the dropDuplicates aggregate rides
+    // it shuffle-free and e leaves canon already laid out for the
+    // checkpoint — no separate distinct + repartition pair
     def canon(df: DataFrame): DataFrame = df
       .filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
-      .distinct()
+      .repartition(parts, col("u"))
+      .dropDuplicates("u", "v")
     def checksum(df: DataFrame): (Long, Long, java.math.BigDecimal) = {
       val h = xxhash64(col("u"), col("v"))
       val r = df.agg(count(lit(1)), bit_xor(h),
@@ -263,29 +279,44 @@ object Analytics {
         if (r.isNullAt(2)) java.math.BigDecimal.ZERO
         else r.getDecimal(2))
     }
-    var e = canon(pairs).repartition(parts, col("u")).localCheckpoint()
+    var e = canon(pairs).localCheckpoint()
     var sig = checksum(e)
     var it = 0
     var converged = sig._1 == 0L
     while (!converged && it < maxIters) {
-      // large-star: symmetric neighborhoods in one scan of e
+      // Each round is exactly THREE exchanges (the r11 shape paid ~7):
+      // each phase clusters its input once and lets the aggregate AND
+      // the join reuse that layout — an agg over clustered input needs
+      // no shuffle of its own, and the min table it produces is
+      // co-partitioned with the same input for the join back (sort-only
+      // SMJ whose build side is one row per key, so hub nodes stream
+      // instead of buffering).
+      // large-star: connect every LARGER neighbor of n to
+      // m = min(N(n) ∪ n). Output (nbr, m) is canonical by
+      // construction (nbr > n >= m), and each canonical edge of e
+      // emits exactly one pair, so it needs NO dedup pass: duplicates
+      // cannot arise, and the downstream mins wouldn't care if they did.
       val sym = e.select(explode(array(
           struct(col("u").as("n"), col("v").as("nbr")),
           struct(col("v").as("n"), col("u").as("nbr")))).as("p"))
         .select(col("p.n").as("n"), col("p.nbr").as("nbr"))
+        .repartition(parts, col("n")) // exchange 1 of 3
       val mins = sym.groupBy(col("n"))
         .agg(min(col("nbr")).as("mn"))
         .select(col("n"), least(col("mn"), col("n")).as("m"))
-      val large = canon(sym.filter(col("nbr") > col("n"))
+      val large = sym.filter(col("nbr") > col("n"))
         .join(mins, "n")
-        .select(col("nbr").as("u"), col("m").as("v")))
-      // small-star on the (already canonical u > v) large-star output
+        .select(col("nbr").as("u"), col("m").as("v"))
+        .repartition(parts, col("u")) // exchange 2 of 3
+      // small-star on the canonical large-star output: orient
+      // large→small and connect u's smaller neighbors, and u itself,
+      // to m = min(N_small(u)); minsS and the join reuse exchange 2,
+      // and canon's folded repartition+dedup is exchange 3.
       val minsS = large.groupBy(col("u")).agg(min(col("v")).as("m"))
       val small = canon(
         large.join(minsS, "u")
           .select(col("v").as("u"), col("m").as("v"))
           .unionByName(minsS.select(col("u"), col("m").as("v"))))
-        .repartition(parts, col("u"))
         .localCheckpoint()
       val nextSig = checksum(small)
       converged = nextSig == sig
