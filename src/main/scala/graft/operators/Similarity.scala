@@ -538,9 +538,11 @@ object Similarity {
 
   /** Reconstruction of a PQ code: the chosen centroids concatenated in
     * subspace order (map-literal lookups — codegen, no join). The ADC
-    * score is then one ordered dot-product fold of the query against
-    * this reconstruction — structurally identical to [[dot]], so it
-    * mirrors into SQL the same way.
+    * score dot(query, reconstruction) is the REFERENCE formulation —
+    * the one the SQL oracle states — but the serving path computes the
+    * same number through [[pqAdcLut]]/[[pqAdcDot]] (per-query lookup
+    * tables, m adds per candidate instead of a dims-wide fold); a spec
+    * pins the two within double-reassociation noise.
     */
   private[graft] def pqReconstruct(code: Column,
       cbs: Array[Array[(Int, Array[Double])]]): Column =
@@ -548,6 +550,42 @@ object Similarity {
       element_at(typedLit(cb.map { case (j, v) => j -> v.toSeq }.toMap),
         element_at(code, i + 1))
     }: _*)
+
+  /** Per-query ADC lookup table — the classic PQ serving layout:
+    * lut[i][j+1] = dot(query's i-th subvector, codebook i's centroid
+    * j), m·ksub small dots computed ONCE per query row (before the cid
+    * explode, so once per query — not per probe, not per candidate).
+    * Scoring a candidate then collapses to m array reads and m−1 adds
+    * via [[pqAdcDot]], vs reconstructing a dims-wide vector and
+    * folding a dims-wide dot per (query, candidate) pair — an
+    * ~dims/m (= dsub) cut in the hot join's per-row work. Slots are
+    * indexed by centroid id j as a DENSE array (zero-filled where a
+    * Lloyd round dropped a j; those slots are never addressed because
+    * codes only hold surviving ids). Numerically this regroups the ADC
+    * dot into per-subspace partials summed in subspace order; the 6dp
+    * rounding absorbs the ~1e-14 reassociation noise exactly as it
+    * already absorbs engine summation-order differences vs the SQL
+    * oracle.
+    */
+  private[graft] def pqAdcLut(vec: Column,
+      cbs: Array[Array[(Int, Array[Double])]], dims: Int): Column = {
+    val dsub = dims / cbs.length
+    array(cbs.zipWithIndex.map { case (cb, i) =>
+      val byJ = cb.map { case (j, v) => j -> v.toSeq }.toMap
+      val dense = (0 to cb.map(_._1).max).map(j =>
+        byJ.getOrElse(j, Seq.fill(dsub)(0.0)))
+      val sv = slice(vec, i * dsub + 1, dsub)
+      transform(typedLit(dense), cv => dot(sv, cv))
+    }: _*)
+  }
+
+  /** ADC score of a PQ code against a [[pqAdcLut]] table: m lookups
+    * summed in subspace order (codegen'd element_at chain).
+    */
+  private[graft] def pqAdcDot(lut: Column, code: Column, m: Int): Column =
+    (0 until m).map(i =>
+      element_at(element_at(lut, i + 1), element_at(code, i + 1) + 1))
+      .reduce(_ + _)
 
   /** IVF-PQ approximate top-k — the memory-bounded ANN shape a 100 TB
     * embedding corpus actually serves: the coarse quantizer routes
@@ -596,13 +634,14 @@ object Similarity {
       })
     val probes = queries.select(col(idCol).cast("long").as("q_id"),
       col(vecCol).as("q_vec"), norm(col(vecCol)).as("q_norm"),
+      pqAdcLut(col(vecCol), cbs, dims).as("q_lut"),
       explode(nearestCids(col(vecCol), cents, nprobe)).as("cid"))
     val wA = Window.partitionBy(col("q_id"))
       .orderBy(col("adc_sim").desc, col("n_id").asc)
     val cand = broadcast(probes).join(inv, "cid")
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("adc_sim",
-        round(dot(col("q_vec"), pqReconstruct(col("code"), cbs))
+        round(pqAdcDot(col("q_lut"), col("code"), m)
           / (col("q_norm") * col("n_norm")), 6))
       .withColumn("ark", row_number().over(wA))
       .filter(col("ark") <= refine * k)

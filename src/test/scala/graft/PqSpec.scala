@@ -43,6 +43,29 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("LUT ADC (pqAdcLut/pqAdcDot) == reference reconstruct-then-dot") {
+    // the serving path scores candidates through per-query lookup
+    // tables; this pins it to the reference formulation the SQL oracle
+    // states (dot(q, pqReconstruct(code))) within double-reassociation
+    // noise — far inside the 6dp rounding the operator applies
+    val dims = 64; val m = 8
+    val cbs = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      m = m, ksub = 16, iters = 2, dims = dims, sampleN = 256)
+    val rows = emb.limit(40).select(
+        Similarity.pqAdcDot(
+          Similarity.pqAdcLut(col("embedding"), cbs, dims),
+          Similarity.pqEncode(col("embedding"), cbs, dims), m).as("lut"),
+        Similarity.dot(col("embedding"),
+          Similarity.pqReconstruct(
+            Similarity.pqEncode(col("embedding"), cbs, dims), cbs)).as("ref"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9,
+        s"lut=${r.getDouble(0)} ref=${r.getDouble(1)}")
+    }
+  }
+
   test("un-pruned IVF-PQ (probe all lists, refine covers corpus) == brute force") {
     val q = emb.filter(col("vec_id") < 10)
     val n = emb.count().toInt
