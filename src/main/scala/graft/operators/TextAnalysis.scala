@@ -24,6 +24,38 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Overlapping token-window chunking — the RAG / context-prep
+    * primitive: each document becomes windows of `width` tokens
+    * starting every `stride` tokens (stride < width ⇒ overlapping
+    * windows; stride = width ⇒ a partition). Pure map-side generator
+    * expression per row — no shuffle, no UDF — so at corpus scale it
+    * is one streamed scan that chunks in place and parallelizes by
+    * input split. Every document emits ceil(max(n,1)/stride) chunks
+    * (a whitespace-only doc emits its single degenerate chunk, so no
+    * row silently disappears from the pipeline).
+    * Output: (id, chunk_idx, chunk_text, n_tokens) with chunk_idx
+    * counting windows from 0 and n_tokens the actual (possibly short
+    * tail) window length.
+    */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+      width: Int, stride: Int): DataFrame = {
+    require(width > 0 && stride > 0 && stride <= width,
+      s"chunk: need 0 < stride <= width, got width=$width stride=$stride")
+    val toks = tokens(col(textCol))
+    docs.select(col(idCol), size(toks).as("nt"), toks.as("toks"))
+      .select(col(idCol),
+        posexplode(transform(
+          sequence(lit(0), greatest(col("nt") - 1, lit(0)), lit(stride)),
+          s => struct(
+            array_join(slice(col("toks"), s + 1, lit(width)), " ")
+              .as("chunk_text"),
+            least(lit(width), col("nt") - s).as("n_tokens"))))
+          .as(Seq("chunk_idx", "c")))
+      .select(col(idCol), col("chunk_idx"),
+        col("c.chunk_text").as("chunk_text"),
+        col("c.n_tokens").as("n_tokens"))
+  }
+
   /** BPE-style pre-tokenization: letter runs, digit runs, single
     * punctuation marks — the usual GPT-2-style pre-split shape.
     */

@@ -671,6 +671,22 @@ object PipelineQueries extends QueryPack {
              |    ELSE true END AS keep
              |FROM documents""".stripMargin)),
 
+    // overlapping token-window chunking (RAG / context prep): width-32
+    // windows every 24 tokens — map-only generator, zero shuffles; the
+    // oracle replays the same start ladder with DuckDB range()+slicing
+    QueryDef("t09_chunking",
+      (s, dir) => graft.operators.TextAnalysis.chunk(
+        T(s, dir).documents, "doc_id", "text", width = 32, stride = 24),
+      Some(s"""WITH d AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+             |n AS (SELECT doc_id, toks, len(toks) AS nt FROM d),
+             |g AS (SELECT doc_id, toks, nt,
+             |    unnest(range(0, greatest(nt, 1), 24)) AS s FROM n)
+             |SELECT doc_id,
+             |  CAST(s // 24 AS INT) AS chunk_idx,
+             |  array_to_string(toks[s + 1 : s + 32], ' ') AS chunk_text,
+             |  CAST(least(32, nt - s) AS INT) AS n_tokens
+             |FROM g""".stripMargin)),
+
     // per-domain mixture table: docs, tokens, corpus token share
     QueryDef("p02_domain_mixture",
       (s, dir) => graft.operators.Curation.domainMixture(

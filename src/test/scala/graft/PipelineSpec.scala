@@ -49,6 +49,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(dupGroup.isDefined && dupGroup.get.getLong(1) == 1L) // keeps min id
   }
 
+  test("chunk: overlapping token windows cover every token, tail is short") {
+    import graft.operators.TextAnalysis
+    // 9-token doc, width 4 stride 3 -> starts 0,3,6: windows of
+    // 4,4,3 tokens; every token index covered; overlap of 1 between
+    // consecutive windows
+    val one = Seq((1L, "a b c d e f g h i")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunk(one, "doc_id", "text", width = 4, stride = 3)
+      .orderBy("chunk_idx")
+      .collect().map(r => (r.getInt(1), r.getString(2), r.getInt(3)))
+    assert(got.toSeq == Seq(
+      (0, "a b c d", 4), (1, "d e f g", 4), (2, "g h i", 3)))
+    // stride == width: exact partition, no overlap
+    val part = TextAnalysis.chunk(one, "doc_id", "text", width = 3, stride = 3)
+      .orderBy("chunk_idx")
+      .collect().map(_.getString(2))
+    assert(part.toSeq == Seq("a b c", "d e f", "g h i"))
+    // empty/whitespace doc still emits its one degenerate chunk
+    val empty = Seq((9L, "   ")).toDF("doc_id", "text")
+    val e = TextAnalysis.chunk(empty, "doc_id", "text", width = 4, stride = 3)
+      .collect()
+    assert(e.length == 1 && e.head.getInt(1) == 0)
+    // invariant on real docs: concatenating stride-prefixes of the
+    // chunks rebuilds the document's token stream exactly
+    val doc = docs.filter($"doc_id" === 1L)
+    val chunks = TextAnalysis.chunk(doc, "doc_id", "text", width = 4, stride = 2)
+      .orderBy("chunk_idx").collect()
+    val rebuilt = chunks.flatMap(r =>
+      r.getString(2).split("\\s+").take(2)).mkString(" ")
+    assert(rebuilt == "the quick brown fox jumps over the lazy dog")
+  }
+
   test("ngram jaccard finds the planted near-duplicate pair") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
         n = 3, threshold = 0.5, maxDf = 100)
