@@ -168,6 +168,55 @@ object TextAnalysis {
         Window.orderBy(col("n").desc, col("token").asc)).cast("long"))
   }
 
+  /** Statistical-LM quality scoring — the CCNet/Wiki-filter shape: a
+    * corpus unigram model (top `topV` case-folded tokens by count,
+    * count-desc/token-asc tiebreak) scores every document by its mean
+    * token log-probability; out-of-vocabulary tokens score at the
+    * corpus floor ln(1/total). Low (very negative) means = gibberish /
+    * OOV-heavy text; high means = common-word prose — the standard
+    * model-based complement to the heuristic [[qualityScore]].
+    *
+    * Scale shape: pass 1 is one token-count aggregation (the vocab
+    * table is inherently small — bounded by distinct tokens, then
+    * capped at topV); pass 2 re-scans the corpus, joins the BROADCAST
+    * vocab, and partial-aggregates per doc — one shuffle of one row
+    * per (doc, upstream partition). The per-doc mean folds through an
+    * order-independent decimal(38,18) sum (partitioning-portable) and
+    * the tie-exact round4, so a SQL oracle reproduces it bit-for-bit.
+    * A token-less doc scores the pure-OOV floor rather than vanishing.
+    */
+  def unigramLogProbScore(docs: DataFrame, idCol: String, textCol: String,
+      topV: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col(idCol),
+        explode(tokens(lower(col(textCol)))).as("token"))
+      .filter(col("token") =!= "")
+    val counts = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+    // corpus total as a 1-row broadcast (not a driver action: keeps
+    // the operator one lazy plan)
+    val tot = counts.agg(sum(col("cnt")).cast("double").as("total"))
+    val vocab = counts
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("token").asc)))
+      .filter(col("rk") <= topV)
+      .crossJoin(broadcast(tot))
+      .select(col("token"),
+        log(col("cnt").cast("double") / col("total")).as("logp"))
+    val perDoc = tok
+      .crossJoin(broadcast(tot))
+      .join(broadcast(vocab), Seq("token"), "left_outer")
+      .select(col(idCol),
+        coalesce(col("logp"), -log(col("total"))).as("lp"))
+      .groupBy(col(idCol))
+      .agg((sum(col("lp").cast("decimal(38,18)")).cast("double")
+        / count(lit(1))).as("mean_lp"))
+    docs.select(col(idCol)).crossJoin(broadcast(tot))
+      .join(perDoc, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        round4(coalesce(col("mean_lp"), -log(col("total"))))
+          .as("avg_logprob"))
+  }
+
   /** Term/document frequency statistics — the exact-integer table a
     * TF-IDF / BM25 scoring step consumes: one row per (doc, token)
     * with the in-doc term frequency, the token's document frequency,

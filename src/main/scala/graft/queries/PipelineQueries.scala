@@ -687,6 +687,35 @@ object PipelineQueries extends QueryPack {
              |  CAST(least(32, nt - s) AS INT) AS n_tokens
              |FROM g""".stripMargin)),
 
+    // statistical-LM quality score (CCNet/Wiki-filter shape): corpus
+    // unigram model over the top-4096 case-folded tokens, per-doc mean
+    // token log-probability, OOV at the corpus floor ln(1/total); the
+    // oracle replays vocab selection, floor, and the order-independent
+    // decimal mean exactly
+    QueryDef("t10_unigram_logprob",
+      (s, dir) => graft.operators.TextAnalysis.unigramLogProbScore(
+        T(s, dir).documents, "doc_id", "text", topV = 4096),
+      Some(s"""WITH tok AS (
+             |  SELECT doc_id, t AS token FROM (
+             |    SELECT doc_id, unnest($sqlToksLower) AS t FROM documents)
+             |  WHERE t <> ''),
+             |cnt AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+             |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM cnt),
+             |voc AS (SELECT token, ln(CAST(cnt AS DOUBLE) / total) AS logp
+             |  FROM (SELECT token, cnt, row_number() OVER
+             |      (ORDER BY cnt DESC, token ASC) AS rk FROM cnt), tot
+             |  WHERE rk <= 4096),
+             |lp AS (SELECT tok.doc_id, COALESCE(voc.logp, -ln(tot.total)) AS lp
+             |  FROM tok LEFT JOIN voc USING (token), tot),
+             |pd AS (SELECT doc_id,
+             |    CAST(sum(CAST(lp AS DECIMAL(38,18))) AS DOUBLE) / count(*)
+             |      AS mean_lp
+             |  FROM lp GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |  ${r4("COALESCE(pd.mean_lp, -ln(tot.total))")} AS avg_logprob
+             |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id, tot"""
+        .stripMargin)),
+
     // per-domain mixture table: docs, tokens, corpus token share
     QueryDef("p02_domain_mixture",
       (s, dir) => graft.operators.Curation.domainMixture(

@@ -80,6 +80,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(rebuilt == "the quick brown fox jumps over the lazy dog")
   }
 
+  test("unigramLogProbScore: hand-computed means, OOV floor, empty-doc floor") {
+    import graft.operators.TextAnalysis
+    // corpus tokens: a:2 b:1 c:1, total 4 -> p(a)=1/2, p(b)=p(c)=1/4
+    val tiny = Seq((1L, "a a b"), (2L, "c"), (3L, "   ")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogProbScore(tiny, "doc_id", "text", topV = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def r4d(x: Double) = math.floor(x * 10000d + 0.5d) / 10000d
+    val ln = (x: Double) => math.log(x)
+    assert(got(1L) == r4d((2 * ln(0.5) + ln(0.25)) / 3)) // -0.9242
+    assert(got(2L) == r4d(ln(0.25)))                     // -1.3863
+    // token-less doc scores the pure-OOV floor ln(1/total), not dropped
+    assert(got(3L) == r4d(-ln(4.0)))
+    // vocab cap: with topV=1 only 'a' is in-vocab; b and c fall to the
+    // OOV floor ln(1/4) — doc 1's mean shifts accordingly
+    val capped = TextAnalysis.unigramLogProbScore(tiny, "doc_id", "text", topV = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(capped(1L) == r4d((2 * ln(0.5) + ln(0.25)) / 3))
+    // ordering sanity on the shared docs fixture: common-word English
+    // prose outscores the all-different-words doc scored by the same
+    // corpus model
+    val scores = TextAnalysis.unigramLogProbScore(docs, "doc_id", "text", topV = 100)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(1L) > scores(4L),
+      s"repeated-vocab doc ${scores(1L)} should outscore unique-vocab doc ${scores(4L)}")
+  }
+
   test("ngram jaccard finds the planted near-duplicate pair") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
         n = 3, threshold = 0.5, maxDf = 100)
