@@ -187,18 +187,25 @@ object TextAnalysis {
     */
   def unigramLogProbScore(docs: DataFrame, idCol: String, textCol: String,
       topV: Int = 4096): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val tok = docs.select(col(idCol),
         explode(tokens(lower(col(textCol)))).as("token"))
       .filter(col("token") =!= "")
     val counts = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
     // corpus total as a 1-row broadcast (not a driver action: keeps
-    // the operator one lazy plan)
+    // the operator one lazy plan); an ungrouped aggregate is provably
+    // <=1 row, so every crossJoin below is an existence-probe-shaped
+    // BNLJ — O(n) against a one-row build, which the plan-invariant
+    // suite verifies structurally
     val tot = counts.agg(sum(col("cnt")).cast("double").as("total"))
+    // top-V as orderBy+limit — Catalyst's TakeOrdered heap (per-
+    // partition top-V, then a topV-bounded merge), NOT a global
+    // row_number window, whose single-partition sort of the distinct-
+    // token table is exactly the pattern that dies on a web-scale
+    // vocabulary. (cnt desc, token asc) is a total order, so the
+    // selected set is identical and deterministic.
     val vocab = counts
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("cnt").desc, col("token").asc)))
-      .filter(col("rk") <= topV)
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(topV)
       .crossJoin(broadcast(tot))
       .select(col("token"),
         log(col("cnt").cast("double") / col("total")).as("logp"))

@@ -46,30 +46,43 @@ class PlanInvariantSpec extends AnyFunSuite {
   }
 
   /** BNLJ nodes whose OWN build-side subtree does not cap at one row.
-    * A BNLJ over a LocalLimit(1)/GlobalLimit(1) build is Catalyst's
-    * rewrite of a CONSTANT-key semi-join into an existence probe
-    * (a05's salted hot-key branch joins on literal 0) — O(n) against a
-    * <=1-row broadcast, not an all-pairs join. Structural walk of the
-    * physical tree (subqueries included): a flat-string window around
-    * the node name can be fooled by an unrelated `LocalLimit 1`
-    * landing nearby in the explain text; the subtree cannot.
+    * A BNLJ over a provably-<=1-row build is Catalyst's rewrite of a
+    * CONSTANT-key semi-join into an existence probe (a05's salted
+    * hot-key branch joins on literal 0), or a scalar-broadcast
+    * crossJoin (t10's corpus total) — O(n) against a <=1-row
+    * broadcast, not an all-pairs join. The bound is established by a
+    * ROOT-DOWN walk that recurses only through row-preserving nodes
+    * (project/filter/sort/coalesce/exchange) until it finds a
+    * Limit(<=1) or an ungrouped aggregate — an anywhere-in-subtree
+    * scan would wrongly exempt a big build that merely CONTAINS a
+    * one-row branch, and a flat-string window around the node name
+    * can be fooled by an unrelated `LocalLimit 1` in the explain text.
     */
   private def multiRowBnljs(
       plan: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
     import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
-    import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec}
+    import org.apache.spark.sql.execution.{CoalesceExec, FilterExec,
+      GlobalLimitExec, LocalLimitExec, ProjectExec, SortExec, SparkPlan}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.Exchange
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    def capsAtOneRow(p: SparkPlan): Boolean = p match {
+      case l: LocalLimitExec => l.limit <= 1
+      case g: GlobalLimitExec => g.limit <= 1
+      case a: BaseAggregateExec => a.groupingExpressions.isEmpty ||
+        capsAtOneRow(a.child) // grouped agg over <=1 row stays <=1
+      case n @ (_: ProjectExec | _: FilterExec | _: SortExec |
+                _: CoalesceExec | _: Exchange) =>
+        capsAtOneRow(n.children.head)
+      case _ => false // anything else (incl. Generate/Expand) may grow rows
+    }
     plan.collectWithSubqueries {
       case j: BroadcastNestedLoopJoinExec =>
         val build = j.buildSide match {
           case BuildLeft => j.left
           case BuildRight => j.right
         }
-        val oneRowBuild = build.collect {
-          case l: LocalLimitExec if l.limit == 1 => l
-          case g: GlobalLimitExec if g.limit == 1 => g
-        }.nonEmpty
-        if (oneRowBuild) None else Some(j.simpleString(120))
+        if (capsAtOneRow(build)) None else Some(j.simpleString(120))
     }.flatten
   }
 
