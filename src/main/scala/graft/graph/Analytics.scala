@@ -463,6 +463,16 @@ object Analytics {
       .join(edges.groupBy("src").agg(count(lit(1)).as("od")), "src")
       .repartition(sizedPartitions(edges), col("dst"))
       .cache()
+    // MATERIALIZE the cache before composing the rounds: an
+    // un-materialized cached plan under AQE reports unknown output
+    // partitioning (its final shuffle layout is only fixed once the
+    // cached stages actually run), so every round's groupBy(dst) would
+    // plan a defensive ENSURE_REQUIREMENTS exchange — measured five
+    // extra shuffles per 5-round query. Materialized first, the scan
+    // advertises hash(dst, n) and each round plans as one map-side
+    // stage, exactly the shape the comment above promises. The count
+    // is work round 1 pays anyway — moved, not added.
+    cedges.count()
     // Iterate over the in-sum table only — vertices with no in-edges
     // hold the constant rank `reset` after round 1 and never need to be
     // materialized per round: r(s) = reset + (1-reset)·in_sum(s), with
@@ -544,16 +554,29 @@ object Analytics {
     * cap^2/2 per key, the same skew guard the LSH candidate
     * generation uses.
     */
+  private val cooccurMemo = new graft.operators.Dedup.BoundedMemo[
+    (Long, String, String, Int)](graft.operators.Dedup.memoCap)
+
   def cooccurrenceEdges(links: DataFrame, keyCol: String, memberCol: String,
-      maxPerKey: Int = 256): DataFrame = {
-    val base = links.select(col(keyCol).as("k"), col(memberCol).as("m"))
-      .distinct()
-    val capped = graft.operators.Dedup.capBuckets(base, Seq("k"), maxPerKey)
-    val l = capped.toDF("k", "a")
-    val r = capped.toDF("k", "b")
-    l.join(r, l("k") === r("k") && col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
-  }
+      maxPerKey: Int = 256): DataFrame =
+    cooccurMemo.getOrElseUpdate(
+      (graft.operators.Dedup.planKey(links), keyCol, memberCol, maxPerKey), {
+        val base = links.select(col(keyCol).as("k"), col(memberCol).as("m"))
+          .distinct()
+        // CACHED: the pair self-join reads the capped membership from
+        // both sides — uncached, Catalyst re-derives the whole
+        // distinct + df-cap chain (2 aggregation shuffles over the raw
+        // link scan) once per side, per call; the memo additionally
+        // makes repeat same-input calls (a04's edge feed, repeated
+        // gates) zero-job, the same lifecycle as the LSH/shingle memos
+        val capped = graft.operators.Dedup
+          .capBuckets(base, Seq("k"), maxPerKey).cache()
+        val l = capped.toDF("k", "a")
+        val r = capped.toDF("k", "b")
+        val out = l.join(r, l("k") === r("k") && col("a") < col("b"))
+          .select(col("a"), col("b")).distinct()
+        graft.operators.Dedup.Memoized(out, Seq(capped))
+      })
 
   /** Global triangle count by DEGREE-ORDERED ORIENTATION — the
     * standard scalable formulation: orient every undirected edge from

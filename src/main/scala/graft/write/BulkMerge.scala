@@ -263,13 +263,18 @@ object BulkMerge {
 
     // one materialization of the classification join; the outcome
     // frame, the outcome counts, and the new-row build all read from
-    // it instead of re-running the join per consumer
+    // it instead of re-running the join per consumer. LAZY checkpoint:
+    // the per-partition tally pass just below is the first action and
+    // computes every partition, so it doubles as the materialization —
+    // an eager checkpoint would run the same classification as a
+    // separate job first, one full extra pass per merge (per
+    // micro-batch on the streaming path)
     val classified = joined.withColumn(OutcomeCol,
       when(col("__ex_id").isNull, lit("inserted"))
         .when(lit(unique), lit("exists"))
         .when(identical, lit("unchanged"))
         .otherwise(lit("versioned")))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
     val outcomes = classified.select(
       (incoming.columns.map(col) :+ col(OutcomeCol) :+
