@@ -702,12 +702,28 @@ object Dedup {
       maxBucket: Int): DataFrame =
     if (maxBucket == Int.MaxValue) df
     else {
-      val ok = df.groupBy(keyCols.map(col): _*)
-        .agg(count(lit(1)).as("__bn")).filter(col("__bn") <= maxBucket)
-        .select(keyCols.map(c => col(c).as(s"__ok_$c")): _*)
-      df.join(ok,
-        keyCols.map(c => col(c) === col(s"__ok_$c")).reduce(_ && _),
-        "left_semi")
+      // INVERTED cap: anti-join against the OVER-cap keys instead of
+      // semi-join against the under-cap ones. The under-cap set is
+      // nearly every distinct key (≈ |keys| rows — at corpus scale a
+      // full shuffle of both sides); the over-cap set is the handful
+      // of degenerate hot keys the cap exists for, bounded above by
+      // n/maxBucket and in practice tiny — so it BROADCASTS and the
+      // main table is never shuffled for the cap at all (guide §3.1:
+      // replace the big-side shuffle with a broadcast of the small
+      // side). Null-key rows: the old semi-join's `===` never matched
+      // them (dropped); the explicit isNotNull filter keeps that
+      // contract byte-identical. Worst-case note: an adversarial
+      // distribution putting EVERY key just over the cap makes the hot
+      // set n/maxBucket rows — past broadcastability at extreme scale;
+      // callers there raise the cap (the cap is a skew guard, not a
+      // sampler), documented in OPTIMIZATION_r12.md.
+      val hot = df.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__bn")).filter(col("__bn") > maxBucket)
+        .select(keyCols.map(c => col(c).as(s"__hot_$c")): _*)
+      df.filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+        .join(broadcast(hot),
+          keyCols.map(c => col(c) === col(s"__hot_$c")).reduce(_ && _),
+          "left_anti")
     }
 
   /** exact-Jaccard verification of candidate pairs — memoized like the

