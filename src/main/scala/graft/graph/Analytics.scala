@@ -399,13 +399,28 @@ object Analytics {
     // the dispatch count scans the just-checkpointed blocks, not the
     // edge plan (localCheckpoint is eager): measured <1% of a02 at
     // sf0.1 and sf10 both — not worth an estimate-based skip
+    val forestRows = forest.count()
     val roots =
-      if (forest.count() > starRowsThreshold(spark))
+      if (forestRows > starRowsThreshold(spark))
         starComponents(forest.toDF("u", "v")).toDF("id", "component")
       else {
+        // ADAPTIVE ladder depth: intermediate fan-in levels exist only
+        // to shrink the duplicate (node -> root) rows the final serial
+        // task must stream (a node touched by k partitions appears k
+        // times; a level collapses that toward one row per node) — the
+        // final task's MAP is ~V entries either way, which the star
+        // dispatch above already bounds. When the whole forest is
+        // small enough that the single task streams it in well under a
+        // stage's fixed cost (~50M rows/s measured for the DSU pass vs
+        // ~0.2 s per extra stage + checkpoint), the intermediate level
+        // is pure overhead: fan straight to one partition. Override
+        // with -Dgraft.cc.directFanInRows.
+        val directRows = sys.props.get("graft.cc.directFanInRows")
+          .map(_.toLong).getOrElse(4L << 20)
         var parts = forest.rdd.getNumPartitions
         while (parts > 1) {
-          parts = math.max(1, parts / fanIn)
+          parts = if (forestRows <= directRows) 1
+                  else math.max(1, parts / fanIn)
           forest = contract(forest.repartition(parts)).localCheckpoint()
         }
         forest.toDF("id", "component")

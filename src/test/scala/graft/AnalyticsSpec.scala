@@ -145,4 +145,23 @@ class AnalyticsSpec extends AnyFunSuite {
       assert((8L to 12L).forall(i => out(i) == i)) // isolated
     } finally System.clearProperty("graft.cc.starRows")
   }
+
+  test("direct fan-in and the forced ladder label identically") {
+    import spark.implicits._
+    // a multi-partition forest whose components span partitions, so
+    // the fan-in actually has merging to do either way
+    val edges = ((1L to 200L).sliding(2).map(s => (s(0), s(1))).toSeq ++
+      Seq((500L, 600L), (600L, 700L))).toDF("left", "right")
+      .repartition(8)
+    val nodes = ((1L to 200L) ++ Seq(500L, 600L, 700L, 900L)).toDF("id")
+    def run(): Map[Long, Long] =
+      Analytics.connectedComponentsDSU(nodes, edges).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val direct = run() // small forest: takes the single-level path
+    System.setProperty("graft.cc.directFanInRows", "0")
+    val laddered = try run()
+    finally System.clearProperty("graft.cc.directFanInRows")
+    assert(direct == laddered)
+    assert(direct(200L) == 1L && direct(700L) == 500L && direct(900L) == 900L)
+  }
 }
