@@ -71,7 +71,12 @@ object Relational extends QueryPack {
       (s, dir) => {
         val t = T(s, dir)
         t.orders
-          .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+          // customer GROWS with the corpus — no broadcast hint: the
+          // optimizer broadcasts it from its scan-size estimate while
+          // it fits (it does at bench SFs) and shuffle-joins past
+          // that, instead of a pinned broadcast OOMing at scale.
+          // nation stays hinted: a fixed 25-row dimension at every SF.
+          .join(t.customer, col("o_custkey") === col("c_custkey"))
           .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
           .groupBy(col("n_name"))
           .agg(
