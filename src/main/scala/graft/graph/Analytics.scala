@@ -459,6 +459,16 @@ object Analytics {
     * GraphX's internal formulation is not — so this variant is the one
     * wired into the DuckDB oracle gate.
     */
+  /** the weighted-edge table's memo: same BoundedMemo/CacheRefs
+    * lifecycle as the co-occurrence/LSH/triangle memos — repeat calls
+    * (bench reps, chained consumers) share one materialization and
+    * skip the materializing count, and LRU eviction unpersists the
+    * cache instead of the raw .cache() accumulating one pinned edge
+    * table per distinct store forever
+    */
+  private val prEdgeMemo = new graft.operators.Dedup.BoundedMemo[
+    (Long, Int)](graft.operators.Dedup.memoCap)
+
   def pageRankDF(store: GraphStore, iters: Int, reset: Double = 0.15,
       materializeRounds: Boolean = false): DataFrame = {
     // weighted edges (src, dst, 1/outdeg) computed ONCE and cached —
@@ -474,20 +484,26 @@ object Analytics {
     // distribution and the broadcast join preserves it), so a round is
     // one map-side stage — the DataFrame analog of bucketing the edge
     // table by dst on a cluster.
-    val cedges = edges
-      .join(edges.groupBy("src").agg(count(lit(1)).as("od")), "src")
-      .repartition(sizedPartitions(edges), col("dst"))
-      .cache()
-    // MATERIALIZE the cache before composing the rounds: an
-    // un-materialized cached plan under AQE reports unknown output
-    // partitioning (its final shuffle layout is only fixed once the
-    // cached stages actually run), so every round's groupBy(dst) would
-    // plan a defensive ENSURE_REQUIREMENTS exchange — measured five
-    // extra shuffles per 5-round query. Materialized first, the scan
-    // advertises hash(dst, n) and each round plans as one map-side
-    // stage, exactly the shape the comment above promises. The count
-    // is work round 1 pays anyway — moved, not added.
-    cedges.count()
+    val parts = sizedPartitions(edges)
+    val cedges = prEdgeMemo.getOrElseUpdate(
+      (graft.operators.Dedup.planKey(edges), parts), {
+        val ce = edges
+          .join(edges.groupBy("src").agg(count(lit(1)).as("od")), "src")
+          .repartition(parts, col("dst"))
+          .cache()
+        // MATERIALIZE the cache before composing the rounds: an
+        // un-materialized cached plan under AQE reports unknown output
+        // partitioning (its final shuffle layout is only fixed once the
+        // cached stages actually run), so every round's groupBy(dst)
+        // would plan a defensive ENSURE_REQUIREMENTS exchange —
+        // measured five extra shuffles per 5-round query. Materialized
+        // first, the scan advertises hash(dst, n) and each round plans
+        // as one map-side stage, exactly the shape the comment above
+        // promises. The count is work round 1 pays anyway — moved, not
+        // added (and a memo hit skips it entirely).
+        ce.count()
+        graft.operators.Dedup.Memoized(ce, Seq(ce))
+      })
     // Iterate over the in-sum table only — vertices with no in-edges
     // hold the constant rank `reset` after round 1 and never need to be
     // materialized per round: r(s) = reset + (1-reset)·in_sum(s), with
