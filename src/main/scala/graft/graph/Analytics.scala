@@ -467,7 +467,28 @@ object Analytics {
     * table per distinct store forever
     */
   private val prEdgeMemo = new graft.operators.Dedup.BoundedMemo[
-    (Long, Int)](graft.operators.Dedup.memoCap)
+    (Long, Int, Boolean)](graft.operators.Dedup.memoCap)
+
+  /** Edge-count bound for PageRank's per-round rank attach. At or
+    * under it each round BROADCASTS the rank vector (in-sum rows ≤
+    * distinct dst ≤ E) and rides the dst-partitioned edge cache
+    * exchange-free — but the broadcast relation is built single-
+    * threaded ON THE DRIVER every round, so its cost grows linearly
+    * with V while everything else stays parallel (measured at sf10:
+    * the five per-round driver builds dominate the warm query), and
+    * past ~hundreds of MB it stops being a sane broadcast at all
+    * (8 GB / 512M-row hard cap). Past the bound the rounds switch to
+    * the shuffle formulation: edges cached hash(src) so the per-round
+    * rank join is a shuffled-hash join of ONE rank exchange (V rows)
+    * against the cached layout, plus one narrow (dst, c) contribution
+    * exchange for the aggregate — per-round network linear in E, no
+    * driver-side structure anywhere. 32M edges ≈ a worst-case ~1.5 GB
+    * built relation: the last point the broadcast is defensible.
+    * Override with -Dgraft.pr.broadcastMaxRows (0 forces shuffle).
+    */
+  private[graft] def prBroadcastMaxRows: Long =
+    sys.props.get("graft.pr.broadcastMaxRows").map(_.toLong)
+      .getOrElse(32L << 20)
 
   def pageRankDF(store: GraphStore, iters: Int, reset: Double = 0.15,
       materializeRounds: Boolean = false): DataFrame = {
@@ -479,17 +500,23 @@ object Analytics {
       .select(col("left").as("src"), col("right").as("dst"))
     // carry od and divide (not multiply by 1/od): bit-identical to the
     // oracle's sum(rank/od) term ordering-insensitive at 6dp rounding.
-    // Cache hash-partitioned by dst: every round's groupBy(dst) then
-    // needs NO exchange (the cached partitioning satisfies the agg's
-    // distribution and the broadcast join preserves it), so a round is
-    // one map-side stage — the DataFrame analog of bucketing the edge
-    // table by dst on a cluster.
+    // REGIME DISPATCH (see prBroadcastMaxRows): the memoized edge
+    // count is the proxy for the rank vector's size. Broadcast regime:
+    // cache hash(dst) — every round's groupBy(dst) then needs NO
+    // exchange (the cached partitioning satisfies the agg's
+    // distribution and the broadcast join preserves it). Shuffle
+    // regime: cache hash(src) — the per-round rank join rides the
+    // cached layout instead (one V-row exchange of the rank side), and
+    // the aggregate pays one narrow contribution exchange.
+    val eRows = graft.operators.Dedup.memoizedCount(edges)
+    val useBroadcast = eRows <= prBroadcastMaxRows
+    val partCol = if (useBroadcast) "dst" else "src"
     val parts = sizedPartitions(edges)
     val cedges = prEdgeMemo.getOrElseUpdate(
-      (graft.operators.Dedup.planKey(edges), parts), {
+      (graft.operators.Dedup.planKey(edges), parts, useBroadcast), {
         val ce = edges
           .join(edges.groupBy("src").agg(count(lit(1)).as("od")), "src")
-          .repartition(parts, col("dst"))
+          .repartition(parts, col(partCol))
           .cache()
         // MATERIALIZE the cache before composing the rounds: an
         // un-materialized cached plan under AQE reports unknown output
@@ -497,44 +524,45 @@ object Analytics {
         // cached stages actually run), so every round's groupBy(dst)
         // would plan a defensive ENSURE_REQUIREMENTS exchange —
         // measured five extra shuffles per 5-round query. Materialized
-        // first, the scan advertises hash(dst, n) and each round plans
-        // as one map-side stage, exactly the shape the comment above
-        // promises. The count is work round 1 pays anyway — moved, not
-        // added (and a memo hit skips it entirely).
+        // first, the scan advertises hash(partCol, n) and each round
+        // plans against the known layout. The count is work round 1
+        // pays anyway — moved, not added (a memo hit skips it).
         ce.count()
         graft.operators.Dedup.Memoized(ce, Seq(ce))
       })
     // Iterate over the in-sum table only — vertices with no in-edges
     // hold the constant rank `reset` after round 1 and never need to be
     // materialized per round: r(s) = reset + (1-reset)·in_sum(s), with
-    // in_sum absent ⇒ 0. The in-sum table is |{v: indeg>0}| rows —
-    // typically a small fraction of V — so it broadcasts, each round is
-    // a map-side join over the cached edge table plus one partial-agg
-    // shuffle, and the full rank vector materializes exactly once at
-    // the end. (The "push contributions" formulation of static
-    // PageRank; same arithmetic per edge as the naive loop.)
+    // in_sum absent ⇒ 0. The in-sum table is |{v: indeg>0}| rows.
+    // Broadcast regime: each round is a map-side join over the cached
+    // edge table plus one partial-agg shuffle. Shuffle regime: the
+    // rank side is exchanged to the cache's hash(src) layout and
+    // joined as a SHUFFLED-HASH join (hint — sort-merge would re-sort
+    // the cached E-row side every round), then the (dst, c)
+    // contributions aggregate through one narrow exchange.
     // The rounds compose into ONE lazy plan: each round's in-sum feeds
-    // the next round through a broadcast-exchange subtree, so the whole
-    // iteration executes as a single query (broadcasts materialize
-    // bottom-up inside it) instead of `iters` driver-blocking
-    // materializations. Five rounds keep the logical tree small enough
-    // that analysis cost is negligible; unbounded iteration counts
-    // would reintroduce a checkpoint every ~10 rounds.
+    // the next round through an exchange subtree, so the whole
+    // iteration executes as a single query instead of `iters`
+    // driver-blocking materializations. Five rounds keep the logical
+    // tree small enough that analysis cost is negligible; unbounded
+    // iteration counts would reintroduce a checkpoint every ~10 rounds.
     def mat(df: DataFrame): DataFrame =
       if (materializeRounds) df.localCheckpoint() else df
+    def attach(rank: DataFrame): DataFrame =
+      if (useBroadcast) broadcast(rank) else rank.hint("shuffle_hash")
     var inSum = mat(cedges
       .groupBy("dst").agg(sum(lit(1.0) / col("od")).as("in_sum")))
     for (_ <- 2 to iters) {
       val asRank = inSum.select(col("dst").as("src"),
         (lit(reset) + lit(1 - reset) * col("in_sum")).as("pagerank"))
       inSum = mat(cedges
-        .join(broadcast(asRank), Seq("src"), "left_outer")
+        .join(attach(asRank), Seq("src"), "left_outer")
         .select(col("dst"),
           (coalesce(col("pagerank"), lit(reset)) / col("od")).as("c"))
         .groupBy("dst").agg(sum(col("c")).as("in_sum")))
     }
     val verts = store.nodes.select(col("id"))
-    verts.join(broadcast(inSum), verts("id") === inSum("dst"), "left_outer")
+    verts.join(attach(inSum), verts("id") === inSum("dst"), "left_outer")
       .select(verts("id"),
         (lit(reset) + lit(1 - reset) * coalesce(col("in_sum"), lit(0.0)))
           .as("pagerank"))

@@ -59,6 +59,20 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(pr(5L) > pr(4L))
   }
 
+  test("pagerank's shuffle regime matches the broadcast regime at 6dp") {
+    import org.apache.spark.sql.functions.{col, round}
+    def run(): Map[Long, Double] =
+      Analytics.pageRankDF(fx, iters = 5)
+        .select(col("id"), round(col("pagerank"), 6).as("pr")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val bcast = run() // tiny edge set: broadcast regime
+    System.setProperty("graft.pr.broadcastMaxRows", "0")
+    val shuffled = try run()
+    finally System.clearProperty("graft.pr.broadcastMaxRows")
+    assert(bcast == shuffled)
+    assert(bcast(3L) > bcast(1L)) // sanity: same ordering as pageRank
+  }
+
   test("analytics partition counts derive from data size, not constants") {
     import spark.implicits._
     val floor = math.max(1, spark.sparkContext.defaultParallelism / 4)
