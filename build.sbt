@@ -36,3 +36,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // late in the suite). The image gives the JVM 128 GiB to work with.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )
+
+// Test classes share one JVM, one SparkSession, JVM-global operator
+// memos, AND several suites toggle global sysprops
+// (graft.bloom.maxSingleBits, graft.cc.starRows, ...) around forced-
+// regime tests. Running classes in parallel makes those windows race:
+// observed as an intermittent PipelinePropsSpec NPE when a concurrent
+// suite's bloom override flipped a property run into a half-configured
+// regime. Suites are serialized; per-suite Spark jobs still use every
+// core, so the wall cost is driver-side gaps only.
+Test / parallelExecution := false

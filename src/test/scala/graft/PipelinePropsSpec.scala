@@ -22,6 +22,12 @@ class PipelinePropsSpec extends AnyFunSuite {
   private def checkProp(p: Prop, n: Int = 15): Unit = {
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(n).withWorkers(1), p)
+    // surface the real stack: PropException's toString drops it, which
+    // turns any wrapped failure into an undiagnosable one-liner
+    res.status match {
+      case SCTest.PropException(_, e, _) => e.printStackTrace()
+      case _ => ()
+    }
     assert(res.passed, res.status.toString)
   }
 
