@@ -55,9 +55,12 @@ object OpProbe {
       spark.sparkContext.addSparkListener(listener)
       spark.sparkContext.setJobDescription(s"$name rep$rep")
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
-      catch { case e: Throwable =>
-        System.err.println(s"[opprobe] $name FAILED: ${e.getMessage}") }
+      val failed =
+        try { fn(spark, sfDir).count(); false }
+        catch { case e: Throwable =>
+          System.err.println(s"[opprobe] $name FAILED: ${e.getMessage}")
+          true
+        }
       val wall = (System.nanoTime() - t0) / 1e9
       Thread.sleep(300) // let stage-completed events drain
       spark.sparkContext.removeSparkListener(listener)
@@ -67,7 +70,10 @@ object OpProbe {
       val sread = ss.map(_._2._4).sum / 1e6
       val swrite = ss.map(_._2._5).sum / 1e6
       val srec = ss.map(_._2._6).sum
-      println(f"[opprobe] $name rep$rep wall=$wall%6.2f s cpu=$cpu%7.2f s " +
+      // a failed rep's partial metrics must never read as a speedup:
+      // the FAILED marker goes to stderr, so the stdout line carries it
+      val tag = if (failed) " FAILED" else ""
+      println(f"[opprobe] $name rep$rep$tag wall=$wall%6.2f s cpu=$cpu%7.2f s " +
         f"stages=${ss.size}%3d shufR=$sread%8.2f MB shufW=$swrite%8.2f MB recs=$srec")
       if (showStages)
         for ((id, (nm, run, c, sr, sw, rec)) <- ss)

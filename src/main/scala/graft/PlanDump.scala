@@ -31,8 +31,11 @@ object PlanDump {
         val plan = df.queryExecution.explainString(
           org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
         val w = new java.io.PrintWriter(s"$outDir/${name}_$suffix.txt")
-        w.println(plan)
-        w.close()
+        try w.println(plan) finally w.close()
+        // PrintWriter swallows IOExceptions: a truncated evidence file
+        // must not report success
+        if (w.checkError())
+          throw new java.io.IOException(s"write failed: ${name}_$suffix.txt")
         val nEx = "Exchange".r.findAllIn(plan).length
         System.err.println(f"[plandump] $name%-28s exchanges=$nEx")
       } catch { case e: Throwable =>

@@ -712,16 +712,24 @@ object Dedup {
       // replace the big-side shuffle with a broadcast of the small
       // side). Null-key rows: the old semi-join's `===` never matched
       // them (dropped); the explicit isNotNull filter keeps that
-      // contract byte-identical. Worst-case note: an adversarial
-      // distribution putting EVERY key just over the cap makes the hot
-      // set n/maxBucket rows — past broadcastability at extreme scale;
-      // callers there raise the cap (the cap is a skew guard, not a
-      // sampler), documented in OPTIMIZATION_r12.md.
+      // contract byte-identical.
+      // The broadcast hint is SIZE-GATED so the guard stays total: an
+      // adversarial distribution putting EVERY key just over the cap
+      // makes the hot set n/maxBucket rows — a hard broadcast() there
+      // dies on the 8 GB / 512M-row broadcast cap where a shuffled
+      // anti-join (still only n/maxBucket build rows) completes. The
+      // hot set is cached so its materializing count and the join
+      // build share ONE aggregation pass — the same pass count as an
+      // unconditional hint. Override -Dgraft.dedup.maxHotBroadcastRows.
+      val maxHot = sys.props.get("graft.dedup.maxHotBroadcastRows")
+        .map(_.toLong).getOrElse(4L << 20)
       val hot = df.groupBy(keyCols.map(col): _*)
         .agg(count(lit(1)).as("__bn")).filter(col("__bn") > maxBucket)
         .select(keyCols.map(c => col(c).as(s"__hot_$c")): _*)
+        .cache()
+      val hinted = if (hot.count() <= maxHot) broadcast(hot) else hot
       df.filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
-        .join(broadcast(hot),
+        .join(hinted,
           keyCols.map(c => col(c) === col(s"__hot_$c")).reduce(_ && _),
           "left_anti")
     }

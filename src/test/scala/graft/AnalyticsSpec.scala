@@ -168,8 +168,12 @@ class AnalyticsSpec extends AnyFunSuite {
       Seq((500L, 600L), (600L, 700L))).toDF("left", "right")
       .repartition(8)
     val nodes = ((1L to 200L) ++ Seq(500L, 600L, 700L, 900L)).toDF("id")
+    // fanIn=2 so the forced ladder genuinely runs intermediate levels
+    // (8 -> 4 -> 2 -> 1); with the default fanIn=16 an 8-partition
+    // forest collapses to 1 in a single step either way and the test
+    // would compare identical executions
     def run(): Map[Long, Long] =
-      Analytics.connectedComponentsDSU(nodes, edges).collect()
+      Analytics.connectedComponentsDSU(nodes, edges, fanIn = 2).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val direct = run() // small forest: takes the single-level path
     System.setProperty("graft.cc.directFanInRows", "0")
