@@ -62,7 +62,12 @@ object OpProbe {
           true
         }
       val wall = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(300) // let stage-completed events drain
+      // drain the listener bus BEFORE removing the listener: a fixed
+      // sleep is racy under load — late stage-completed events arriving
+      // after removal silently undercount the cpu/shuffle totals, the
+      // exact metrics this tool advertises as host-noise-robust
+      org.apache.spark.sql.graft.bridge
+        .drainListenerBus(spark.sparkContext, 10000L)
       spark.sparkContext.removeSparkListener(listener)
       import scala.jdk.CollectionConverters._
       val ss = stages.asScala.toSeq.sortBy(_._1)

@@ -512,8 +512,15 @@ object Analytics {
     val useBroadcast = eRows <= prBroadcastMaxRows
     val partCol = if (useBroadcast) "dst" else "src"
     val parts = sizedPartitions(edges)
+    val edgeKey = graft.operators.Dedup.planKey(edges)
+    // a regime flip (sysprop change, or the edge count crossing the
+    // bound after data growth) must not pin TWO full E-row edge caches
+    // — release the opposite-regime entry for the same (planKey, parts)
+    // proactively instead of waiting for LRU eviction of the biggest
+    // cached structure in the module
+    prEdgeMemo.remove((edgeKey, parts, !useBroadcast))
     val cedges = prEdgeMemo.getOrElseUpdate(
-      (graft.operators.Dedup.planKey(edges), parts, useBroadcast), {
+      (edgeKey, parts, useBroadcast), {
         val ce = edges
           .join(edges.groupBy("src").agg(count(lit(1)).as("od")), "src")
           .repartition(parts, col(partCol))

@@ -95,6 +95,13 @@ object Dedup {
         nv
       }
     }
+    /** proactive eviction — releases the entry's caches through the
+      * same onEvict path as LRU displacement (no-op when absent)
+      */
+    def remove(k: K): Unit = map.synchronized {
+      val v = map.remove(k)
+      if (v != null) onEvict(v)
+    }
     def size: Int = map.synchronized(map.size())
   }
 
@@ -717,17 +724,31 @@ object Dedup {
       // adversarial distribution putting EVERY key just over the cap
       // makes the hot set n/maxBucket rows — a hard broadcast() there
       // dies on the 8 GB / 512M-row broadcast cap where a shuffled
-      // anti-join (still only n/maxBucket build rows) completes. The
-      // hot set is cached so its materializing count and the join
-      // build share ONE aggregation pass — the same pass count as an
-      // unconditional hint. Override -Dgraft.dedup.maxHotBroadcastRows.
+      // anti-join (still only n/maxBucket build rows) completes.
+      // The gate is a ZERO-ACTION screen: |hot| <= rows(df)/maxBucket
+      // by construction (every hot key owns > maxBucket input rows),
+      // and rows(df) is bounded from the optimized plan's size
+      // estimate — no job runs at plan-construction time (the previous
+      // eager hot.count() computed the full upstream pipeline even for
+      // explain-only paths, and the cache sharing it with the join
+      // build was never released). Past the screen — corpus-scale
+      // inputs only — the join stays UNHINTED: the build side is still
+      // only |keys|/maxBucket rows, and AQE's runtime size check
+      // converts the join to a broadcast when the REAL hot set is
+      // small, the same decision the count made but from exact runtime
+      // stats with nothing cached. Override
+      // -Dgraft.dedup.maxHotBroadcastRows (0 forces the unhinted path).
       val maxHot = sys.props.get("graft.dedup.maxHotBroadcastRows")
         .map(_.toLong).getOrElse(4L << 20)
       val hot = df.groupBy(keyCols.map(col): _*)
         .agg(count(lit(1)).as("__bn")).filter(col("__bn") > maxBucket)
         .select(keyCols.map(c => col(c).as(s"__hot_$c")): _*)
-        .cache()
-      val hinted = if (hot.count() <= maxHot) broadcast(hot) else hot
+      val st = df.queryExecution.optimizedPlan.stats
+      val estRows: BigInt = st.rowCount.getOrElse(
+        st.sizeInBytes /
+          math.max(1, df.schema.fields.map(_.dataType.defaultSize).sum))
+      val hinted =
+        if (estRows / maxBucket <= BigInt(maxHot)) broadcast(hot) else hot
       df.filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
         .join(hinted,
           keyCols.map(c => col(c) === col(s"__hot_$c")).reduce(_ && _),

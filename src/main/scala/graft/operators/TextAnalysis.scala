@@ -195,8 +195,17 @@ object TextAnalysis {
     // the operator one lazy plan); an ungrouped aggregate is provably
     // <=1 row, so every crossJoin below is an existence-probe-shaped
     // BNLJ — O(n) against a one-row build, which the plan-invariant
-    // suite verifies structurally
-    val tot = counts.agg(sum(col("cnt")).cast("double").as("total"))
+    // suite verifies structurally. Counted from the TOKEN STREAM
+    // directly (count of tokens ≡ sum of per-token counts): the old
+    // sum-over-counts form re-ran the whole distinct-token aggregation
+    // — tokenize + groupBy + exchange — a second time just to add it
+    // up, because the counts subtree fans out to two consumers and
+    // Catalyst replicates uncached subtrees per reference. An
+    // ungrouped count folds map-side with NO exchange. (Caching tok or
+    // counts instead was measured and rejected: the cache pins
+    // corpus- or vocabulary-sized blocks per parameterization for a
+    // one-exchange saving — the ADVICE.md capBuckets failure class.)
+    val tot = tok.agg(count(lit(1)).cast("double").as("total"))
     // top-V as orderBy+limit — Catalyst's TakeOrdered heap (per-
     // partition top-V, then a topV-bounded merge), NOT a global
     // row_number window, whose single-partition sort of the distinct-

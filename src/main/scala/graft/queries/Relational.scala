@@ -93,8 +93,14 @@ object Relational extends QueryPack {
     QueryDef("q04_semi_join",
       (s, dir) => {
         val t = T(s, dir)
+        // the probe side is DISTINCT'd before the join: existence only
+        // needs each custkey once, and the partial (map-side) distinct
+        // cuts the shuffled/broadcast bytes by the orders-per-customer
+        // factor at every scale (guide §2.3 — aggregate before you
+        // shuffle); result unchanged (semi-join ≡ semi-join on distinct)
         t.customer
-          .join(t.orders.filter(col("o_orderstatus") === "F"),
+          .join(t.orders.filter(col("o_orderstatus") === "F")
+              .select(col("o_custkey")).distinct(),
             col("c_custkey") === col("o_custkey"), "left_semi")
           .select(col("c_custkey"), col("c_name"))
       },
@@ -105,8 +111,10 @@ object Relational extends QueryPack {
     QueryDef("q05_anti_join",
       (s, dir) => {
         val t = T(s, dir)
+        // same distinct-before-join trim as q04 (anti ≡ anti on distinct)
         t.customer
-          .join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+          .join(t.orders.select(col("o_custkey")).distinct(),
+            col("c_custkey") === col("o_custkey"), "left_anti")
           .select(col("c_custkey"), col("c_name"))
       },
       Some("""SELECT c_custkey, c_name FROM customer
@@ -116,6 +124,13 @@ object Relational extends QueryPack {
     QueryDef("q06_outer_join",
       (s, dir) => {
         val t = T(s, dir)
+        // NOTE (r13): the aggregate-before-join form (orders pre-agged
+        // per custkey, then one left join) is the better 100 TB shape —
+        // but under the bench's count() forcing, Catalyst's distinct-key
+        // propagation ELIMINATES the whole join (the pre-agged side is
+        // unique on the join key and its columns prune away), so the
+        // published figure would stop measuring the operator. Kept as
+        // join-then-aggregate so the gate keeps timing a real outer join.
         t.customer
           .join(t.orders, col("c_custkey") === col("o_custkey"), "left_outer")
           .groupBy(col("c_custkey"))
@@ -128,8 +143,13 @@ object Relational extends QueryPack {
     QueryDef("q07_union",
       (s, dir) => {
         val p = T(s, dir).part
-        p.filter(col("p_size") < 10).select(col("p_partkey"))
-          .union(p.filter(col("p_retailprice") > 1500.0).select(col("p_partkey")))
+        // ONE scan with a disjunctive filter instead of two scans
+        // unioned (guide §1.2 — don't pass over the data twice):
+        // UNION-distinct of the two branches ≡ distinct partkeys
+        // matching either predicate (null predicates drop the row in
+        // both formulations)
+        p.filter(col("p_size") < 10 || col("p_retailprice") > 1500.0)
+          .select(col("p_partkey"))
           .distinct()
       },
       Some("""SELECT p_partkey FROM part WHERE p_size < 10
@@ -139,10 +159,19 @@ object Relational extends QueryPack {
     QueryDef("q08_except",
       (s, dir) => {
         val o = T(s, dir).orders
-        o.filter(col("o_orderstatus") === "O")
+        // ONE scan + ONE narrow aggregation instead of two scans and an
+        // anti-join whose build side is the whole un-deduped F-side
+        // custkey list (at corpus scale that join degrades to a full
+        // two-sided shuffle): per custkey, fold the two existence flags
+        // map-side and keep O-and-not-F. EXCEPT's null-safe set
+        // semantics (null = null, output distinct) are exactly
+        // groupBy's null grouping over distinct keys.
+        o.filter(col("o_orderstatus").isin("O", "F"))
+          .groupBy(col("o_custkey"))
+          .agg(max(col("o_orderstatus") === "O").as("__has_o"),
+            max(col("o_orderstatus") === "F").as("__has_f"))
+          .filter(col("__has_o") && !col("__has_f"))
           .select(col("o_custkey").as("custkey"))
-          .except(o.filter(col("o_orderstatus") === "F")
-            .select(col("o_custkey").as("custkey")))
       },
       Some("""SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
              |EXCEPT
@@ -151,10 +180,13 @@ object Relational extends QueryPack {
     QueryDef("q09_intersect",
       (s, dir) => {
         val o = T(s, dir).orders
-        o.filter(col("o_orderstatus") === "O")
+        // same single-scan flag-fold as q08; INTERSECT = O-and-F
+        o.filter(col("o_orderstatus").isin("O", "F"))
+          .groupBy(col("o_custkey"))
+          .agg(max(col("o_orderstatus") === "O").as("__has_o"),
+            max(col("o_orderstatus") === "F").as("__has_f"))
+          .filter(col("__has_o") && col("__has_f"))
           .select(col("o_custkey").as("custkey"))
-          .intersect(o.filter(col("o_orderstatus") === "F")
-            .select(col("o_custkey").as("custkey")))
       },
       Some("""SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
              |INTERSECT

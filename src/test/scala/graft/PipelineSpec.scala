@@ -246,6 +246,46 @@ class PipelineSpec extends AnyFunSuite {
     dfs.foreach(_.unpersist())
   }
 
+  test("memo remove releases the entry's caches; absent key is a no-op") {
+    import org.apache.spark.storage.StorageLevel
+    val memo = new Dedup.BoundedMemo[Int](4)
+    val d = Seq((1L, "text")).toDF("doc_id", "text").cache()
+    d.count()
+    memo.getOrElseUpdate(7, Dedup.Memoized(d, Seq(d)))
+    memo.remove(99) // absent: must not throw or touch live entries
+    assert(memo.size == 1)
+    assert(d.storageLevel != StorageLevel.NONE)
+    memo.remove(7) // present: evicts through onEvict → unpersist
+    assert(memo.size == 0)
+    assert(d.storageLevel == StorageLevel.NONE,
+      "removed entry's caches must be released")
+  }
+
+  test("capBuckets: hinted and unhinted regimes agree; hot bucket drops") {
+    // one hot key (6 members > cap 3), two cold keys, one null key —
+    // the r13 gate decides broadcast-vs-not from plan stats with NO
+    // plan-construction job; forcing maxHotBroadcastRows=0 exercises
+    // the unhinted (AQE-adaptive) regime against the same input
+    val rows = (1L to 6L).map(i => (Some("hot"), i)) ++
+      Seq((Some("c1"), 10L), (Some("c1"), 11L), (Some("c2"), 12L),
+        (None: Option[String], 13L))
+    val df = rows.toDF("k", "m")
+    def run(): Seq[(String, Long)] =
+      Dedup.capBuckets(df, Seq("k"), maxBucket = 3)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    val hinted = run()
+    val old = sys.props.put("graft.dedup.maxHotBroadcastRows", "0")
+    val unhinted = try run() finally {
+      old match {
+        case Some(v) => sys.props.put("graft.dedup.maxHotBroadcastRows", v)
+        case None => sys.props.remove("graft.dedup.maxHotBroadcastRows")
+      }
+    }
+    assert(hinted == unhinted, "cap regimes must be byte-identical")
+    assert(hinted.map(_._1).toSet == Set("c1", "c2"),
+      "hot-bucket rows and null keys must drop")
+  }
+
   test("bounded top-k aggregate: heap semantics across partitions and strings") {
     import graft.functions.GraphdFunctions.bounded_top_k
     // 1000 rows over 10 groups, spread over many partitions so the
