@@ -156,6 +156,11 @@ object Analytics {
           when(col("cand") < col("component"), col("cand"))
             .otherwise(col("component")).as("component"))
     }
+    // the adjacency cache only serves the rounds above — the returned
+    // labels derive from the per-round localCheckpoints, so release it
+    // here instead of pinning one adjacency per distinct edge plan for
+    // the session's lifetime (the capBuckets/prEdgeMemo leak class)
+    sym.unpersist(false)
     labels
   }
 
