@@ -65,9 +65,15 @@ object OpProbe {
       // drain the listener bus BEFORE removing the listener: a fixed
       // sleep is racy under load — late stage-completed events arriving
       // after removal silently undercount the cpu/shuffle totals, the
-      // exact metrics this tool advertises as host-noise-robust
-      org.apache.spark.sql.graft.bridge
+      // exact metrics this tool advertises as host-noise-robust.
+      // waitUntilEmpty THROWS on timeout; a clogged bus must degrade to
+      // one undercounted rep (tagged via stderr), not abort the probe.
+      try org.apache.spark.sql.graft.bridge
         .drainListenerBus(spark.sparkContext, 10000L)
+      catch { case _: java.util.concurrent.TimeoutException =>
+        System.err.println(s"[opprobe] $name rep$rep listener bus not " +
+          "drained in 10s; stage totals may undercount")
+      }
       spark.sparkContext.removeSparkListener(listener)
       import scala.jdk.CollectionConverters._
       val ss = stages.asScala.toSeq.sortBy(_._1)

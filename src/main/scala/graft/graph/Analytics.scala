@@ -126,42 +126,47 @@ object Analytics {
 
   def connectedComponentsDF(nodes: DataFrame, edges: DataFrame): DataFrame = {
     val sym = symmetricAdjacency(edges)
-    // broadcast the frontier only while it provably fits — past that,
-    // the same plan runs as a shuffle join (AQE may still downgrade it)
-    val broadcastMax = broadcastMaxRows(edges)
-    def hinted(df: DataFrame, rows: Long): DataFrame =
-      if (rows <= broadcastMax) broadcast(df) else df
-    var labels = nodes.select(col("id"), col("id").as("component"))
-      .localCheckpoint()
-    var frontier = labels // round 1: everyone is active
-    var active = frontier.count()
-    while (active > 0) {
-      // push the frontier's labels across edges; keep the min per target
-      val candidates = sym
-        .join(hinted(frontier.withColumnRenamed("id", "node"), active), "node")
-        .groupBy(col("nbr").as("id"))
-        .agg(min(col("component")).as("cand"))
-      // merge: a candidate below the current label updates it and
-      // re-activates the vertex. One materialization per round; the
-      // frontier and next labels are map-side projections of it.
-      val merged = labels
-        .join(hinted(candidates, active), Seq("id"), "left_outer")
-        .select(col("id"), col("component"), col("cand"))
+    try {
+      // broadcast the frontier only while it provably fits — past that,
+      // the same plan runs as a shuffle join (AQE may still downgrade it)
+      val broadcastMax = broadcastMaxRows(edges)
+      def hinted(df: DataFrame, rows: Long): DataFrame =
+        if (rows <= broadcastMax) broadcast(df) else df
+      var labels = nodes.select(col("id"), col("id").as("component"))
         .localCheckpoint()
-      frontier = merged.filter(col("cand") < col("component"))
-        .select(col("id"), col("cand").as("component"))
-      active = frontier.count()
-      labels = merged
-        .select(col("id"),
-          when(col("cand") < col("component"), col("cand"))
-            .otherwise(col("component")).as("component"))
+      var frontier = labels // round 1: everyone is active
+      var active = frontier.count()
+      while (active > 0) {
+        // push the frontier's labels across edges; keep the min per target
+        val candidates = sym
+          .join(hinted(frontier.withColumnRenamed("id", "node"), active), "node")
+          .groupBy(col("nbr").as("id"))
+          .agg(min(col("component")).as("cand"))
+        // merge: a candidate below the current label updates it and
+        // re-activates the vertex. One materialization per round; the
+        // frontier and next labels are map-side projections of it.
+        val merged = labels
+          .join(hinted(candidates, active), Seq("id"), "left_outer")
+          .select(col("id"), col("component"), col("cand"))
+          .localCheckpoint()
+        frontier = merged.filter(col("cand") < col("component"))
+          .select(col("id"), col("cand").as("component"))
+        active = frontier.count()
+        labels = merged
+          .select(col("id"),
+            when(col("cand") < col("component"), col("cand"))
+              .otherwise(col("component")).as("component"))
+      }
+      labels
+    } finally {
+      // the adjacency cache only serves the rounds above — the
+      // returned labels derive from the per-round localCheckpoints, so
+      // release it on EVERY exit (a failed round must not leave the
+      // cache pinned) instead of holding one adjacency per distinct
+      // edge plan for the session's lifetime (the capBuckets/
+      // prEdgeMemo leak class)
+      sym.unpersist(false)
     }
-    // the adjacency cache only serves the rounds above — the returned
-    // labels derive from the per-round localCheckpoints, so release it
-    // here instead of pinning one adjacency per distinct edge plan for
-    // the session's lifetime (the capBuckets/prEdgeMemo leak class)
-    sym.unpersist(false)
-    labels
   }
 
   /** Connected components by union-find contraction — the fastest of
@@ -518,11 +523,13 @@ object Analytics {
     val partCol = if (useBroadcast) "dst" else "src"
     val parts = sizedPartitions(edges)
     val edgeKey = graft.operators.Dedup.planKey(edges)
-    // a regime flip (sysprop change, or the edge count crossing the
-    // bound after data growth) must not pin TWO full E-row edge caches
-    // — release the opposite-regime entry for the same (planKey, parts)
-    // proactively instead of waiting for LRU eviction of the biggest
-    // cached structure in the module
+    // a regime flip over the SAME data (prBroadcastMaxRows sysprop
+    // change — same planKey, same memoized count, different dispatch)
+    // must not pin TWO full E-row edge caches; release the
+    // opposite-regime entry proactively instead of waiting for LRU
+    // eviction of the biggest cached structure in the module. (Data
+    // growth mints a NEW planKey — the old data's entry then ages out
+    // through LRU like every other memo's stale-data entries.)
     prEdgeMemo.remove((edgeKey, parts, !useBroadcast))
     val cedges = prEdgeMemo.getOrElseUpdate(
       (edgeKey, parts, useBroadcast), {

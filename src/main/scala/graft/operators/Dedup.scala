@@ -725,30 +725,47 @@ object Dedup {
       // makes the hot set n/maxBucket rows — a hard broadcast() there
       // dies on the 8 GB / 512M-row broadcast cap where a shuffled
       // anti-join (still only n/maxBucket build rows) completes.
-      // The gate is a ZERO-ACTION screen: |hot| <= rows(df)/maxBucket
-      // by construction (every hot key owns > maxBucket input rows),
-      // and rows(df) is bounded from the optimized plan's size
-      // estimate — no job runs at plan-construction time (the previous
-      // eager hot.count() computed the full upstream pipeline even for
-      // explain-only paths, and the cache sharing it with the join
-      // build was never released). Past the screen — corpus-scale
-      // inputs only — the join stays UNHINTED: the build side is still
-      // only |keys|/maxBucket rows, and AQE's runtime size check
-      // converts the join to a broadcast when the REAL hot set is
-      // small, the same decision the count made but from exact runtime
-      // stats with nothing cached. Override
-      // -Dgraft.dedup.maxHotBroadcastRows (0 forces the unhinted path).
+      // The gate is TWO-LEVEL so the guard stays total without an
+      // unconditional plan-time job:
+      //  LEVEL 1 — zero-action screen: |hot| <= rows(df)/maxBucket by
+      //  construction (every hot key owns > maxBucket input rows), and
+      //  rows(df) comes from the optimized plan's size estimate
+      //  carrying a 256x UNDERESTIMATE MARGIN — plan stats are not an
+      //  upper bound (Generate/posexplode stats don't multiply by the
+      //  explode arity, parquet sizeInBytes is compressed bytes), and
+      //  a hard broadcast() fired off a low estimate dies at the
+      //  8 GB / 512M-row cap. Under the margin the hint is safe even
+      //  against a 256x-low estimate; no job, no cache (the previous
+      //  eager hot.count() ran the full upstream pipeline even for
+      //  explain-only paths, and its cache was never released).
+      //  LEVEL 2 — past the screen (≳10^9 estimated input rows at the
+      //  default cap: never a test SF, always a scale where one count
+      //  job is noise) the EXACT count decides, as before r13; the
+      //  aggregation runs twice there (count + join build) — the price
+      //  of an exact decision with nothing pinned.
+      // Unhinted fallback: the anti-join build side is still only
+      // |keys|/maxBucket rows, and AQE's runtime size check can still
+      // convert to a broadcast from exact runtime stats. Override
+      // -Dgraft.dedup.maxHotBroadcastRows (<= 0 forces the unhinted
+      // path outright).
       val maxHot = sys.props.get("graft.dedup.maxHotBroadcastRows")
         .map(_.toLong).getOrElse(4L << 20)
       val hot = df.groupBy(keyCols.map(col): _*)
         .agg(count(lit(1)).as("__bn")).filter(col("__bn") > maxBucket)
         .select(keyCols.map(c => col(c).as(s"__hot_$c")): _*)
-      val st = df.queryExecution.optimizedPlan.stats
-      val estRows: BigInt = st.rowCount.getOrElse(
-        st.sizeInBytes /
-          math.max(1, df.schema.fields.map(_.dataType.defaultSize).sum))
+      val estimateSlop = 256L
       val hinted =
-        if (estRows / maxBucket <= BigInt(maxHot)) broadcast(hot) else hot
+        if (maxHot <= 0L) hot
+        else {
+          val st = df.queryExecution.optimizedPlan.stats
+          val estRows: BigInt = st.rowCount.getOrElse(
+            st.sizeInBytes /
+              math.max(1, df.schema.fields.map(_.dataType.defaultSize).sum))
+          if (estRows * estimateSlop / maxBucket <= BigInt(maxHot))
+            broadcast(hot)
+          else if (hot.count() <= maxHot) broadcast(hot)
+          else hot
+        }
       df.filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
         .join(hinted,
           keyCols.map(c => col(c) === col(s"__hot_$c")).reduce(_ && _),

@@ -166,12 +166,7 @@ object Relational extends QueryPack {
         // map-side and keep O-and-not-F. EXCEPT's null-safe set
         // semantics (null = null, output distinct) are exactly
         // groupBy's null grouping over distinct keys.
-        o.filter(col("o_orderstatus").isin("O", "F"))
-          .groupBy(col("o_custkey"))
-          .agg(max(col("o_orderstatus") === "O").as("__has_o"),
-            max(col("o_orderstatus") === "F").as("__has_f"))
-          .filter(col("__has_o") && !col("__has_f"))
-          .select(col("o_custkey").as("custkey"))
+        statusFlagFold(o, col("__has_o") && !col("__has_f"))
       },
       Some("""SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
              |EXCEPT
@@ -181,12 +176,7 @@ object Relational extends QueryPack {
       (s, dir) => {
         val o = T(s, dir).orders
         // same single-scan flag-fold as q08; INTERSECT = O-and-F
-        o.filter(col("o_orderstatus").isin("O", "F"))
-          .groupBy(col("o_custkey"))
-          .agg(max(col("o_orderstatus") === "O").as("__has_o"),
-            max(col("o_orderstatus") === "F").as("__has_f"))
-          .filter(col("__has_o") && col("__has_f"))
-          .select(col("o_custkey").as("custkey"))
+        statusFlagFold(o, col("__has_o") && col("__has_f"))
       },
       Some("""SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
              |INTERSECT
@@ -448,4 +438,17 @@ object Relational extends QueryPack {
              |WHERE l_orderkey % 100 = 0
              |GROUP BY 1, 2""".stripMargin))
   )
+
+  /** shared single-scan set-op fold for q08/q09: per custkey, one
+    * map-side aggregation of the O/F existence flags; `keep` selects
+    * the set operation (EXCEPT = O∧¬F, INTERSECT = O∧F)
+    */
+  private def statusFlagFold(orders: DataFrame,
+      keep: org.apache.spark.sql.Column): DataFrame =
+    orders.filter(col("o_orderstatus").isin("O", "F"))
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderstatus") === "O").as("__has_o"),
+        max(col("o_orderstatus") === "F").as("__has_f"))
+      .filter(keep)
+      .select(col("o_custkey").as("custkey"))
 }
